@@ -3,14 +3,15 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every float the engine emits is computed with the exact same IEEE-754
+expression order as its SQL mirror (see geo_inference_ray/synth.py), so
+value hashes match bitwise; aggregate outputs are integers (counts,
+milli-units, cents) wherever a float sum would be order-dependent.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +19,243 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from geo_inference_ray import ann as _ann
+from geo_inference_ray import dedup as _dedup
+from geo_inference_ray import knn as _knn
+from geo_inference_ray import stages as _stages
+from geo_inference_ray import synth as _synth
+from geo_inference_ray import textops as _textops
+
+# ---------------------------------------------------------------------------
+# SQL building blocks
+# ---------------------------------------------------------------------------
+
+_W = "WITH " + _synth.SQL_PAGES
+_WG = _W + "," + _synth.SQL_GEO
+_WH = _WG + "," + _synth.sql_hex_chain()
+_WP = _WH + "," + _synth.sql_polygon_edges() + """,
+pip AS (
+  SELECT g.*, p.poly_id, p.class_id
+  FROM hex9 g, polys p
+  WHERE (SELECT count(*) FROM edges e
+         WHERE e.poly_id = p.poly_id
+           AND ((e.ey1 > g.lat) != (e.ey2 > g.lat))
+           AND g.lon < (e.ex2 - e.ex1) * (g.lat - e.ey1) / (e.ey2 - e.ey1) + e.ex1
+        ) % 2 = 1
+)"""
+
+
+def _langid_scores_sql() -> str:
+    score_cols = []
+    for lang in _textops.LANG_ORDER:
+        terms = []
+        for w in _textops.LANG_MARKERS[lang]:
+            m = f" {w} "
+            terms.append(
+                f"(length(padded) - length(replace(padded, '{m}', ''))) // {len(m)}")
+        score_cols.append(" + ".join(terms) + f" AS score_{lang}")
+    return ", ".join(score_cols)
+
+
+def _docs_text(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pages(sf_dir: str):
+    return _synth.pages_dataset(sf_dir, include_html=False)
+
+
+def q_extract_text(sf_dir: str):
+    ds = _synth.pages_dataset(sf_dir)
+    ds = ds.map_batches(_stages.ExtractText, batch_format="pyarrow",
+                        zero_copy_batch=True, concurrency=(1, 4))
+    return ds.select_columns(["url", "doc_id", "text"])
+
+
+def q_geocode(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir, with_cells=False)
+    return ds.select_columns(["url", "doc_id", "cluster", "lat", "lon"])
+
+
+def q_hex_cells(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir)
+    return ds.select_columns(["doc_id", "hex7", "hex9"])
+
+
+def q_s2_cells(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir)
+    return ds.select_columns(["doc_id", "s2_12"])
+
+
+def q_pip_inner(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir, mode="inner")
+    return ds.select_columns(["url", "doc_id", "lat", "lon", "hex7",
+                              "poly_id", "class_id"])
+
+
+def q_pip_semi(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir, mode="semi")
+    return ds.select_columns(["doc_id", "lat", "lon"])
+
+
+def q_pip_left(sf_dir: str):
+    ds = _stages.geo_pipeline(sf_dir, mode="left")
+    return ds.select_columns(["doc_id", "poly_id"])
+
+
+def q_cell_agg(sf_dir: str):
+    return _knn.cell_aggregate(_stages.geo_pipeline(sf_dir))
+
+
+def q_knn_cell(sf_dir: str):
+    return _knn.knn_in_cells(_stages.geo_pipeline(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str):
+    return _dedup.exact_dedup(_docs_text(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _textops.token_count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_quality(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _textops.quality_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_langid(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _textops.LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+
+
+def q_ann_topk(sf_dir: str):
+    return _ann.ann_topk(sf_dir)
+
+
+def q_minhash_pairs(sf_dir: str):
+    return _dedup.minhash_candidates(_docs_text(sf_dir))
+
+
+def q_simhash(sf_dir: str):
+    return _dedup.simhash_table(_docs_text(sf_dir))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    return _ann.embedding_near_dup(sf_dir)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: pages -> extract_text -> geocode -> cells ->
+    broadcast STRtree point-in-polygon inner join, at sf0.001."""
+    return q_pip_inner("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages": q_pages,
+        "extract_text": q_extract_text,
+        "geocode": q_geocode,
+        "hex_cells": q_hex_cells,
+        "s2_cells": q_s2_cells,
+        "pip_inner": q_pip_inner,
+        "pip_semi": q_pip_semi,
+        "pip_left": q_pip_left,
+        "cell_agg": q_cell_agg,
+        "knn_cell": q_knn_cell,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    marker_scores = _langid_scores_sql()
+    lang_case = ("CASE WHEN score_en >= score_de AND score_en >= score_fr "
+                 "AND score_en >= score_zh THEN 'en' "
+                 "WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de' "
+                 "WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END")
+    return {
+        "pages": _W + " SELECT url, warc_ts, text, lang, doc_id FROM pages",
+        "extract_text": _W + " SELECT url, doc_id, text FROM pages",
+        "geocode": _WG + " SELECT url, doc_id, cluster, lat, lon FROM geo",
+        "hex_cells": _WH + " SELECT doc_id, hex7, hex9 FROM hex9",
+        "pip_inner": _WP + (" SELECT url, doc_id, lat, lon, hex7, poly_id,"
+                            " class_id FROM pip"),
+        "pip_semi": _WP + (" SELECT DISTINCT doc_id, lat, lon FROM pip"),
+        "pip_left": _WP + """,
+firsts AS (SELECT doc_id, min(poly_id) AS poly_id FROM pip GROUP BY doc_id)
+SELECT g.doc_id, COALESCE(f.poly_id, -1) AS poly_id
+FROM geo g LEFT JOIN firsts f ON g.doc_id = f.doc_id""",
+        "cell_agg": _WH + """
+SELECT hex7, count(*) AS n_pages,
+       min(lat) AS min_lat, max(lat) AS max_lat,
+       min(lon) AS min_lon, max(lon) AS max_lon
+FROM hex9 GROUP BY hex7""",
+        "knn_cell": _WH + f""",
+knn AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon), b.doc_id
+         ) AS "rank"
+  FROM hex9 a JOIN hex9 b ON a.hex7 = b.hex7 AND a.doc_id != b.doc_id
+)
+SELECT doc_id, neighbor_id, "rank" FROM knn WHERE "rank" <= {_knn.K_DEFAULT}""",
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)""",
+        "token_count": """
+SELECT doc_id,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+FROM documents""",
+        "quality": """
+SELECT doc_id, length(text) AS n_chars,
+       length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+       ((length(text) - (length(text) - length(replace(text, ' ', '')))) * 1000)
+         // (length(text) - length(replace(text, ' ', '')) + 1)
+         AS mean_tok_len_milli
+FROM documents""",
+        "langid": f"""
+WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS padded FROM documents),
+scores AS (SELECT doc_id, {marker_scores} FROM padded)
+SELECT doc_id, {lang_case} AS pred_lang,
+       score_en, score_de, score_fr, score_zh
+FROM scores""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),
+sims AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding, e.embedding) AS sim
+         FROM q, embeddings e WHERE e.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS "rank"
+      FROM sims)
+SELECT query_id, neighbor_id, "rank" FROM r
+WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
+        # s2_cells, fingerprint, minhash_pairs, simhash, embedding_near_dup:
+        # intentionally omitted (non-SQL-expressible; rows-only checks).
+    }

@@ -1,0 +1,155 @@
+"""Similarity search over the embeddings table.
+
+* brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (``ray.put`` once, read in actor ``__init__``) — the
+  baseline required by the build brief.  Per-batch partial top-k is
+  reduced by a final small sort, so nothing materializes the full
+  score matrix.
+* LSH-bucketed variant (random-hyperplane signatures -> groupby bucket)
+  as the documented scale path.
+
+Oracle: DuckDB ``list_cosine_similarity`` reproduces cosine ranks; exact
+float ties are broken by vec_id on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOPK_DEFAULT = 10
+N_QUERIES_DEFAULT = 8
+N_HYPERPLANES = 12
+
+
+def load_queries(sf_dir: str, n_queries: int = N_QUERIES_DEFAULT):
+    """First n embeddings (by vec_id) are the deterministic query set."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return df["vec_id"].to_numpy(), q
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per batch, cosine of all rows vs the broadcast
+    query matrix; emit per-(query, batch) partial top-k candidate rows."""
+
+    def __init__(self, queries_ref=None, queries=None, k: int = TOPK_DEFAULT):
+        if queries_ref is not None:
+            import ray
+            self.qids, self.Q = ray.get(queries_ref)
+        else:
+            self.qids, self.Q = queries
+        self.Qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = self.Qn @ Mn.T  # (nq, nb)
+        nq, nb = sims.shape
+        # k+1 so a self-match (sim=1.0, filtered downstream) can't evict a
+        # true neighbor from the partial top-k
+        kk = min(self.k + 1, nb)
+        # partial top-k per query within this batch
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q = np.repeat(self.qids, kk)
+        out_n = ids[part.reshape(-1)]
+        out_s = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        return pa.table({
+            "query_id": pa.array(out_q.astype(np.int64)),
+            "neighbor_id": pa.array(out_n.astype(np.int64)),
+            "sim": pa.array(out_s),
+        })
+
+
+def ann_topk(sf_dir: str, k: int = TOPK_DEFAULT,
+             n_queries: int = N_QUERIES_DEFAULT):
+    """embeddings -> (query_id, neighbor_id, rank) exact top-k by cosine.
+
+    Self-matches (query_id == neighbor_id) are excluded.  The final
+    reduce handles only n_queries * k * n_batches candidate rows.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qref = ray.put(load_queries(sf_dir, n_queries))
+    cand = ds.map_batches(BruteForceTopK, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=4096,
+                          concurrency=4,
+                          fn_constructor_kwargs={"queries_ref": qref,
+                                                 "k": k})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return cand.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signature stage (scale path for ANN): bucket =
+    sign-bit signature of the embedding under N_HYPERPLANES fixed
+    hyperplanes.  Query-time: probe only matching buckets (plus
+    multi-probe neighbors), turning the all-pairs matmul into a
+    groupby-bucket join."""
+
+    def __init__(self, dim: int, seed: int = 20240817):
+        rng = np.random.default_rng(seed)
+        self.H = rng.standard_normal((N_HYPERPLANES, dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
+        bits = (M @ self.H.T) > 0
+        bucket = np.zeros(len(M), dtype=np.int64)
+        for b in range(N_HYPERPLANES):
+            bucket |= bits[:, b].astype(np.int64) << b
+        return batch.append_column("lsh_bucket", pa.array(bucket))
+
+
+def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 995):
+    """Embedding-cosine near-dup pairs via LSH buckets: pairs in the same
+    bucket with cosine >= threshold.  Returns (vec_a, vec_b, sim_milli)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["embedding"])["embedding"][0])
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ds = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
+                        zero_copy_batch=True, concurrency=2,
+                        fn_constructor_kwargs={"dim": dim})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                                 "vec_b": pd.Series([], dtype=np.int64),
+                                 "sim_milli": pd.Series([], dtype=np.int64)})
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        ia, ib = np.triu_indices(n, k=1)
+        sm = (S[ia, ib] * 1000).astype(np.int64)
+        keep = sm >= sim_milli_threshold
+        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
+                             "sim_milli": sm[keep]})
+
+    return ds.groupby("lsh_bucket").map_groups(bucket_pairs,
+                                               batch_format="pandas")

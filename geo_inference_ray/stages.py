@@ -1,0 +1,175 @@
+"""Ray Data pipeline stages: map_batches callables (stateless fns and
+stateful actor classes) for the flagship spatial pipeline.
+
+Stage taxonomy follows SURVEY §7.3:
+* stateless vectorized fns   -> plain functions (Ray tasks)
+* stages with one-time state -> callable classes (Ray actor pools):
+  - ExtractText   (compiled regex)     ~ reference's model-load-once ST1
+  - Geocoder      (compiled regex)     ~ the north-rule "stateful geocoder"
+  - PIPJoiner     (STRtree broadcast)  ~ reference spatial semi-join ST4/J1
+    (/root/reference/geo_inference/utils/geo_transforms.py:197-258)
+
+All hot stages are Arrow-in/Arrow-out (``batch_format="pyarrow"``,
+``zero_copy_batch=True``) with numpy / pyarrow.compute kernels; no Python
+row loops.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import synth
+from .cells import HEX7_SIZE, HEX9_SIZE, hex_cell, s2_cell
+from .geom import STRtree, point_in_polygon
+
+_URL_ID_RE = r"/(\d+)$"
+_P_TAG_RE = r"<p>(.*)</p>"
+
+
+class ExtractText:
+    """html binary -> extracted text.  Per-row invariant (BASELINE
+    input_hint): extracted text must be byte-identical to the original
+    ``text`` per url.  Regex compiled once per actor."""
+
+    def __init__(self):
+        self._pat = _P_TAG_RE  # pyarrow compiles the pattern internally per call
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html_str = pc.cast(batch["html"], pa.string())
+        ext = pc.extract_regex(html_str, r"<p>(?P<t>(?s:.*))</p>")
+        extracted = pc.struct_field(ext, "t")
+        cols = {n: batch[n] for n in batch.column_names if n != "html"}
+        cols["text"] = extracted
+        return pa.table(cols)
+
+
+class Geocoder:
+    """url -> (lat, lon, cluster).
+
+    The "stateful geocoder actor" of the north rule: state = compiled URL
+    pattern (in a real deployment: a gazetteer / model).  The doc id is
+    *parsed back out of the url* (not read from the provenance column) so
+    the contract "URL/text-derived lat-lon" holds; synthesis guarantees the
+    two agree.
+    """
+
+    def __init__(self):
+        self.pat = re.compile(_URL_ID_RE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = pc.extract_regex(batch["url"], _URL_ID_RE.replace(r"(\d+)", r"(?P<id>\d+)"))
+        doc_id = pc.cast(pc.struct_field(ids, "id"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lat, lon, cluster = synth.geocode_ids(doc_id)
+        return batch.append_column("lat", pa.array(lat)) \
+                    .append_column("lon", pa.array(lon)) \
+                    .append_column("cluster", pa.array(cluster))
+
+
+def encode_cells(batch: pa.Table) -> pa.Table:
+    """Add hex7 / hex9 / s2_12 cell columns (stateless, vectorized)."""
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    return batch.append_column("hex7", pa.array(hex_cell(lat, lon, HEX7_SIZE))) \
+                .append_column("hex9", pa.array(hex_cell(lat, lon, HEX9_SIZE))) \
+                .append_column("s2_12", pa.array(s2_cell(lat, lon), pa.uint64()))
+
+
+class PIPJoiner:
+    """Broadcast STRtree point-in-polygon join.
+
+    The small polygon layer is built once per actor in ``__init__`` (in a
+    cluster it is ``ray.put`` once and read from the object store — pass
+    ``polygons_ref``); probes are vectorized numpy per batch.  Mirrors the
+    reference's RTree semi-join (geo_transforms.py:197-258) generalized to
+    bbox-candidate -> exact ray-cast containment.
+
+    mode="inner": emit one row per (page, polygon) hit, with poly_id/class_id.
+    mode="semi":  keep pages with >=1 hit, no polygon columns.
+    mode="left":  keep all pages; poly_id = -1 when no hit (first hit wins,
+                  lowest poly_id — deterministic).
+    """
+
+    def __init__(self, polygons_ref=None, mode: str = "inner"):
+        if polygons_ref is not None:
+            import ray
+            polys = ray.get(polygons_ref)
+        else:
+            polys = synth.polygon_arrays()
+        self.polys = polys
+        self.mode = mode
+        self.tree = STRtree(np.array([p["bbox"] for p in polys]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        row_idx: list[np.ndarray] = []
+        poly_ids: list[np.ndarray] = []
+        class_ids: list[np.ndarray] = []
+        for item, pts in self.tree.query_points_bulk(lon, lat):
+            p = self.polys[item]
+            inside = point_in_polygon(lon[pts], lat[pts],
+                                      p["x1"], p["y1"], p["x2"], p["y2"])
+            hit = pts[inside]
+            if len(hit):
+                row_idx.append(hit)
+                poly_ids.append(np.full(len(hit), p["poly_id"], dtype=np.int64))
+                class_ids.append(np.full(len(hit), p["class_id"], dtype=np.int64))
+        if row_idx:
+            rows = np.concatenate(row_idx)
+            pids = np.concatenate(poly_ids)
+            cids = np.concatenate(class_ids)
+        else:
+            rows = np.empty(0, dtype=np.int64)
+            pids = cids = np.empty(0, dtype=np.int64)
+        if self.mode == "semi":
+            keep = np.unique(rows)
+            return batch.take(pa.array(keep))
+        # deterministic output order within batch: by (row, poly_id)
+        order = np.lexsort((pids, rows))
+        rows, pids, cids = rows[order], pids[order], cids[order]
+        if self.mode == "inner":
+            out = batch.take(pa.array(rows))
+            return out.append_column("poly_id", pa.array(pids)) \
+                      .append_column("class_id", pa.array(cids))
+        # left join: first (lowest) poly per row, -1 for misses
+        first_rows, first_pos = np.unique(rows, return_index=True)
+        full_pid = np.full(len(batch), -1, dtype=np.int64)
+        full_cid = np.full(len(batch), -1, dtype=np.int64)
+        full_pid[first_rows] = pids[first_pos]
+        full_cid[first_rows] = cids[first_pos]
+        return batch.append_column("poly_id", pa.array(full_pid)) \
+                    .append_column("class_id", pa.array(full_cid))
+
+
+def geo_pipeline(sf_dir: str, mode: str | None = None,
+                 with_cells: bool = True, batch_size: int = 8192):
+    """pages -> extract_text -> geocode -> [cells] -> [pip join].
+
+    The canonical SURVEY §7.2 slice.  ``html`` is projected away by
+    ExtractText immediately after extraction so the wide binary column
+    never crosses a shuffle boundary.
+    """
+    ds = synth.pages_dataset(sf_dir)
+    ds = ds.map_batches(ExtractText, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=batch_size,
+                        concurrency=(1, 4))
+    ds = ds.map_batches(Geocoder, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=batch_size,
+                        concurrency=(1, 4))
+    if with_cells:
+        ds = ds.map_batches(encode_cells, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+    if mode:
+        import ray
+        ref = ray.put(synth.polygon_arrays())
+        ds = ds.map_batches(PIPJoiner, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size,
+                            concurrency=(1, 4),
+                            fn_constructor_kwargs={"polygons_ref": ref,
+                                                   "mode": mode})
+    return ds

