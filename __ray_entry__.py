@@ -144,6 +144,21 @@ def q_fingerprint(sf_dir: str):
         concurrency=(1, 4))
 
 
+def q_rasterize(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    return _tiling.pixel_counts(geo, _tiling.DEFAULT_GRID)
+
+
+def q_mask_tiles(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    return tiles.select_columns(["oy", "ox", "n_valid"])
+
+
 def q_ann_topk(sf_dir: str):
     return _ann.ann_topk(sf_dir)
 
@@ -183,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
+        "rasterize": q_rasterize,
+        "mask_tiles": q_mask_tiles,
         "ann_topk": q_ann_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -244,6 +261,11 @@ scores AS (SELECT doc_id, {marker_scores} FROM padded)
 SELECT doc_id, {lang_case} AS pred_lang,
        score_en, score_de, score_fr, score_zh
 FROM scores""",
+        "rasterize": _WG + """
+SELECT CAST(floor((lon - -180.0) / 0.5) AS BIGINT) AS px,
+       CAST(floor((90.0 - lat) / 0.5) AS BIGINT) AS py,
+       count(*) AS n
+FROM geo GROUP BY 1, 2""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),

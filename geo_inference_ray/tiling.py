@@ -1,0 +1,294 @@
+"""Overlapped-tile scoring + windowed merge — the reference's core
+pipeline (geo_inference/geo_dask.py) re-expressed as Ray Data stages.
+
+Reference semantics preserved (studied from /root/reference/geo_inference/
+geo_dask.py:14-320 and geo_inference.py:355-397):
+
+* raster chunked into stride x stride cells; each grid location anchors a
+  patch of size P = 2*stride covering itself + right/bottom neighbors;
+* patches in the LAST grid row/col are dead (no ghost pixels -> reference
+  returns zeros, geo_dask.py:193-199) and emit nothing;
+* the model scores each patch -> (C, P, P); scores are multiplied by the
+  position-dependent Hann window (window.py) and the window itself is
+  appended as a weight plane -> (C+1, P, P);
+* each output stride cell sums the windowed quadrants of the <=4 live
+  patches covering it (1 at raster corners, 2 at edges, 4 interior —
+  geo_dask.py:210-320), then normalizes sum(w*p)/sum(w) (0 where the
+  weight is 0), then argmax (multiclass) or threshold (binary), uint8;
+* cells with no valid input pixels become nodata 255
+  (geo_inference.py:394-397).
+
+Ray Data re-expression (no dask ghost reads — position is data, not
+context; SURVEY §2.8): pages -> rasterize partial counts per batch ->
+flat-emit pixels to <=4 owner patches -> groupby(patch).map_groups(score)
+-> flat-emit 4 windowed quadrants to owner cells ->
+groupby(cell).map_groups(merge) -> mask tiles.  Two hash shuffles on
+short integer keys; payloads are fixed-size float lists, never the raw
+pages.  At 100 TB the patch key space is bounded by the raster grid (not
+the input rows) and empty patches are never materialized, mirroring the
+reference's all-nodata short-circuit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .window import classify_position, tile_window
+
+NODATA = 255
+
+
+@dataclass(frozen=True)
+class GridConfig:
+    """Raster grid over lon/lat. Defaults: global extent, 0.5-deg pixels,
+    stride 8 (patch 16) -> 90x45 stride cells."""
+    min_lon: float = -180.0
+    max_lat: float = 90.0
+    pix: float = 0.5
+    width: int = 720   # pixels (x)
+    height: int = 360  # pixels (y)
+    stride: int = 8
+    num_classes: int = 3
+    prediction_threshold: float = 0.3
+
+    @property
+    def patch(self) -> int:
+        return 2 * self.stride
+
+    @property
+    def nx(self) -> int:
+        return self.width // self.stride
+
+    @property
+    def ny(self) -> int:
+        return self.height // self.stride
+
+
+DEFAULT_GRID = GridConfig()
+
+
+class DensityScorer:
+    """Deterministic stand-in for the reference's TorchScript model
+    (contract: (B,C,H,W) -> (B,num_classes,H,W) probabilities,
+    /root/reference/examples/script_model.py:4-43).  v = c/(1+c) of the
+    pixel count, logits (1-v, v, 4v(1-v)), softmax.  Any callable with
+    this signature plugs in — the model-plugin surface of the reference
+    (§2.9) maps to passing a different scorer class."""
+
+    def __init__(self, num_classes: int = 3):
+        self.num_classes = num_classes
+
+    def __call__(self, patch_counts: np.ndarray) -> np.ndarray:
+        v = patch_counts / (1.0 + patch_counts)
+        logits = np.stack([1.0 - v, v, 4.0 * v * (1.0 - v)]
+                          [:self.num_classes])
+        e = np.exp(logits - logits.max(axis=0, keepdims=True))
+        return e / e.sum(axis=0, keepdims=True)
+
+
+def rasterize_partial(grid: GridConfig):
+    """map_batches kernel: geocoded batch -> per-batch partial pixel
+    counts (py, px, n).  floor arithmetic matches the SQL oracle:
+    px = floor((lon - min_lon)/pix), py = floor((max_lat - lat)/pix)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        px = np.floor((lon - grid.min_lon) / grid.pix).astype(np.int64)
+        py = np.floor((grid.max_lat - lat) / grid.pix).astype(np.int64)
+        px = np.clip(px, 0, grid.width - 1)
+        py = np.clip(py, 0, grid.height - 1)
+        key = py * grid.width + px
+        cells, counts = np.unique(key, return_counts=True)
+        return pa.table({
+            "py": pa.array(cells // grid.width),
+            "px": pa.array(cells % grid.width),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    return fn
+
+
+def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
+    """Full rasterization: partial counts per batch -> groupby-sum.
+    (The oracle-able slice of the tile pipeline.)"""
+    from ray.data.aggregate import Sum
+
+    part = geo_ds.select_columns(["lat", "lon"]).map_batches(
+        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby(["py", "px"]).aggregate(Sum("n", alias_name="n"))
+
+
+def emit_to_patches(grid: GridConfig):
+    """map_batches kernel: pixel partial counts -> rows keyed by the <=4
+    live owner patches (dead last grid row/col excluded — reference
+    parity)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        py = batch["py"].to_numpy()
+        px = batch["px"].to_numpy()
+        n = batch["n"].to_numpy()
+        s = grid.stride
+        outs = []
+        for dy in (0, -1):
+            for dx in (0, -1):
+                ty = py // s + dy
+                tx = px // s + dx
+                # owner must contain the pixel: t*s <= p < t*s + 2s
+                ok = (ty >= 0) & (tx >= 0) & (py < (ty + 2) * s) \
+                    & (px < (tx + 2) * s)
+                # dead last row/col patches never score
+                ok &= (ty < grid.ny - 1) & (tx < grid.nx - 1)
+                if ok.any():
+                    outs.append((ty[ok], tx[ok], py[ok], px[ok], n[ok]))
+        ty = np.concatenate([o[0] for o in outs])
+        tx = np.concatenate([o[1] for o in outs])
+        return pa.table({
+            "ty": pa.array(ty), "tx": pa.array(tx),
+            "py": pa.array(np.concatenate([o[2] for o in outs])),
+            "px": pa.array(np.concatenate([o[3] for o in outs])),
+            "n": pa.array(np.concatenate([o[4] for o in outs])),
+        })
+
+    return fn
+
+
+class ScorePatches:
+    """map_groups kernel per (ty, tx): assemble the dense P x P count
+    patch, score it, window it by grid position, and emit the 4 windowed
+    stride-quadrants to their owner output cells.
+
+    Emitted row: (oy, ox, src_ty, src_tx, data) where data =
+    [scores*win (C), win, rawcount] x stride x stride flattened float32.
+    src keys give the merge a deterministic summation order.
+    """
+
+    def __init__(self, grid: GridConfig = DEFAULT_GRID, scorer_cls=DensityScorer):
+        self.grid = grid
+        self.scorer = scorer_cls(grid.num_classes)
+        # cache all 9 window variants once per actor
+        from .window import all_windows
+        self._wins = all_windows(grid.patch)
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        grid = self.grid
+        s = grid.stride
+        p = grid.patch
+        ty = int(g["ty"].iloc[0])
+        tx = int(g["tx"].iloc[0])
+        patch = np.zeros((p, p), dtype=np.float64)
+        ry = g["py"].to_numpy() - ty * s
+        rx = g["px"].to_numpy() - tx * s
+        np.add.at(patch, (ry, rx), g["n"].to_numpy().astype(np.float64))
+        probs = self.scorer(patch)  # (C, P, P)
+        pos = classify_position(ty, tx, grid.ny, grid.nx)
+        win = self._wins[pos]
+        stacked = np.concatenate(
+            [probs * win[None, :, :], win[None, :, :], patch[None, :, :]],
+            axis=0).astype(np.float32)  # (C+2, P, P)
+        rows = []
+        for qy in (0, 1):
+            for qx in (0, 1):
+                oy, ox = ty + qy, tx + qx
+                quad = stacked[:, qy * s:(qy + 1) * s, qx * s:(qx + 1) * s]
+                rows.append((oy, ox, ty, tx, quad.reshape(-1)))
+        return pd.DataFrame({
+            "oy": np.array([r[0] for r in rows], dtype=np.int64),
+            "ox": np.array([r[1] for r in rows], dtype=np.int64),
+            "src_ty": np.array([r[2] for r in rows], dtype=np.int64),
+            "src_tx": np.array([r[3] for r in rows], dtype=np.int64),
+            "data": [r[4] for r in rows],
+        })
+
+
+class MergeCells:
+    """map_groups kernel per (oy, ox): deterministic-order sum of the
+    contributing windowed quadrants, normalize by the weight plane,
+    argmax/threshold, nodata overlay — geo_dask.py:210-320 semantics."""
+
+    def __init__(self, grid: GridConfig = DEFAULT_GRID):
+        self.grid = grid
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        grid = self.grid
+        s = grid.stride
+        c = grid.num_classes
+        g = g.sort_values(["src_ty", "src_tx"], kind="stable")
+        acc = np.zeros((c + 2, s, s), dtype=np.float64)
+        for d in g["data"]:
+            acc += np.asarray(d, dtype=np.float64).reshape(c + 2, s, s)
+        scores, weight, raw = acc[:c], acc[c], acc[c + 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norm = np.divide(scores, weight[None, :, :],
+                             out=np.zeros_like(scores), where=weight != 0)
+        if c == 1:
+            cls = (norm[0] > grid.prediction_threshold).astype(np.uint8)
+        else:
+            cls = np.argmax(norm, axis=0).astype(np.uint8)
+        valid = raw > 0
+        mask = np.where(valid, cls, np.uint8(NODATA)).astype(np.uint8)
+        return pd.DataFrame({
+            "oy": [int(g["oy"].iloc[0])],
+            "ox": [int(g["ox"].iloc[0])],
+            "mask": [mask.reshape(-1)],
+            "n_valid": [int(valid.sum())],
+        })
+
+
+def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,
+               scorer_cls=DensityScorer):
+    """Full tile pipeline: geocoded pages -> mask tile rows
+    (oy, ox, mask uint8[s*s], n_valid)."""
+    part = geo_ds.select_columns(["lat", "lon"]).map_batches(
+        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
+    owned = part.map_batches(emit_to_patches(grid), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    _score = ScorePatches(grid, scorer_cls)
+    _merge = MergeCells(grid)
+
+    def score_patch_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _score(g)
+
+    def merge_cell_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _merge(g)
+
+    scored = owned.groupby(["ty", "tx"]).map_groups(
+        score_patch_group, batch_format="pandas")
+    merged = scored.groupby(["oy", "ox"]).map_groups(
+        merge_cell_group, batch_format="pandas")
+    return merged
+
+
+def tiles_to_dense(tiles_df: pd.DataFrame,
+                   grid: GridConfig = DEFAULT_GRID) -> np.ndarray:
+    """Assemble mask tiles into a dense (H, W) uint8 raster (driver-side
+    helper for tests and small exports; absent tiles = nodata)."""
+    out = np.full((grid.height, grid.width), NODATA, dtype=np.uint8)
+    s = grid.stride
+    for _, row in tiles_df.iterrows():
+        m = np.asarray(row["mask"], dtype=np.uint8).reshape(s, s)
+        out[row["oy"] * s:(row["oy"] + 1) * s,
+            row["ox"] * s:(row["ox"] + 1) * s] = m
+    return out
+
+
+def reference_merge(contribs: list[np.ndarray], num_classes: int,
+                    threshold: float) -> np.ndarray:
+    """Pure-numpy merge identity used by the golden tests: sum the stacked
+    (C+1, s, s) contributions, normalize, decide — the algebra of
+    geo_dask.py:307-319 (independent re-derivation, mirrors the
+    reference's own test expectations)."""
+    acc = np.zeros_like(contribs[0], dtype=np.float64)
+    for q in contribs:
+        acc += q
+    scores, weight = acc[:-1], acc[-1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norm = np.divide(scores, weight[None, :, :],
+                         out=np.zeros_like(scores), where=weight != 0)
+    if num_classes == 1:
+        return (norm[0] > threshold).astype(np.uint8)
+    return np.argmax(norm, axis=0).astype(np.uint8)
