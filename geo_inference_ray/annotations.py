@@ -1,0 +1,133 @@
+"""Vector -> annotation exports: affine transforms, YOLO rows, COCO
+documents — the reference's post-processing chain re-expressed over
+polygon ring tables.
+
+Reference parity (studied, not copied):
+* affine transform of geometry M8/M9
+  (/root/reference/geo_inference/utils/geo_transforms.py:32-136)
+* geo->px conversion M11 (geo_transforms.py:138-195): spatial semi-join
+  of polygons against the image bounds, then inverse affine
+* area floor filter M12 (polygon.py:56-64, default min_area=40)
+* YOLO bbox math M14/M15 (polygon.py:122-148): overlap fraction filter
+  (default 0.66 vs the image rect), bbox -> normalized (x,y,w,h),
+  space-delimited rows (class x y w h)
+* COCO M16-M20 (geo_transforms.py:260-505): bbox [x,y,w,h],
+  segmentation = flattened exterior ring, sequential annotation ids,
+  category dedup, single-document JSON assembly
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from .geom import affine_apply, affine_invert, clip_to_rect, shoelace_area
+from .tiling import GridConfig
+
+
+def grid_affine(grid: GridConfig):
+    """Pixel -> geo affine (a, b, c, d, e, f): lon = a*px + c,
+    lat = e*py + f (north-up raster, rasterio ordering)."""
+    return (grid.pix, 0.0, grid.min_lon, 0.0, -grid.pix, grid.max_lat)
+
+
+def rings_to_px(polys: pd.DataFrame, grid: GridConfig) -> pd.DataFrame:
+    """geo rings -> pixel rings via the inverse grid affine (M11)."""
+    inv = affine_invert(*grid_affine(grid))
+    out = polys.copy()
+    pxs, pys = [], []
+    for r in polys.itertuples():
+        x, y = affine_apply(*inv, np.asarray(r.xs), np.asarray(r.ys))
+        pxs.append(x)
+        pys.append(y)
+    out["pxs"] = pxs
+    out["pys"] = pys
+    return out
+
+
+def filter_min_area(polys: pd.DataFrame, min_area: float) -> pd.DataFrame:
+    """M12: drop polygons with outer-ring pixel area below min_area."""
+    keep = polys["area_px"] >= min_area
+    return polys[keep].reset_index(drop=True)
+
+
+def to_yolo(polys: pd.DataFrame, grid: GridConfig,
+            min_overlap: float = 0.66) -> pd.DataFrame:
+    """Outer rings -> YOLO rows (class_id, x, y, w, h) normalized to the
+    raster dims; polygons whose clipped-area fraction inside the image
+    rect is below ``min_overlap`` are dropped (M14/M15)."""
+    px = rings_to_px(polys[~polys["is_hole"]], grid)
+    W, H = grid.width, grid.height
+    rows = []
+    for r in px.itertuples():
+        xs, ys = np.asarray(r.pxs), np.asarray(r.pys)
+        area = shoelace_area(xs, ys)
+        if area == 0:
+            continue
+        cx, cy = clip_to_rect(xs, ys, 0, 0, W, H)
+        if len(cx) == 0 or shoelace_area(cx, cy) / area < min_overlap:
+            continue
+        minx, maxx = xs.min(), xs.max()
+        miny, maxy = ys.min(), ys.max()
+        rows.append({
+            "class_id": r.class_id,
+            "x": (minx + maxx) / 2.0 / W,
+            "y": (miny + maxy) / 2.0 / H,
+            "w": (maxx - minx) / W,
+            "h": (maxy - miny) / H,
+        })
+    return pd.DataFrame(rows, columns=["class_id", "x", "y", "w", "h"])
+
+
+def yolo_lines(yolo_df: pd.DataFrame) -> list[str]:
+    """Space-delimited, no header (W3 sink format)."""
+    return [f"{int(r.class_id)} {r.x} {r.y} {r.w} {r.h}"
+            for r in yolo_df.itertuples()]
+
+
+def to_coco(polys: pd.DataFrame, grid: GridConfig,
+            image_fname: str = "mask.tif",
+            starting_id: int = 0) -> dict:
+    """Outer rings -> single-document COCO dict (M16-M20, W4).
+
+    Annotation ids are globally sequential in deterministic
+    (comp_id) order — the reference's range(starting_id, ...) id
+    assignment (geo_transforms.py:469-470)."""
+    px = rings_to_px(polys[~polys["is_hole"]], grid) \
+        .sort_values("comp_id", kind="stable")
+    cats = sorted(px["class_id"].unique().tolist())
+    cat_records = [{"id": int(c), "name": f"class_{int(c)}",
+                    "supercategory": "mask"} for c in cats]
+    annos = []
+    for i, r in enumerate(px.itertuples()):
+        xs, ys = np.asarray(r.pxs), np.asarray(r.pys)
+        seg = np.column_stack([xs, ys]).reshape(-1).tolist()
+        minx, miny = float(xs.min()), float(ys.min())
+        w, h = float(xs.max() - minx), float(ys.max() - miny)
+        annos.append({
+            "id": starting_id + i,
+            "image_id": 1,
+            "category_id": int(r.class_id),
+            "segmentation": [seg],
+            "area": float(shoelace_area(xs, ys)),
+            "bbox": [minx, miny, w, h],
+            "iscrowd": 0,
+        })
+    return {
+        "images": [{"id": 1, "file_name": image_fname,
+                    "width": grid.width, "height": grid.height}],
+        "categories": cat_records,
+        "annotations": annos,
+    }
+
+
+def write_coco(coco: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(coco, f)
+
+
+def bbox_corners_to_coco(minx, miny, maxx, maxy):
+    """M16: [minx, miny, maxx, maxy] -> [minx, miny, w, h]."""
+    return [minx, miny, maxx - minx, maxy - miny]

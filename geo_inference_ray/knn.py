@@ -2,14 +2,26 @@
 skew-aware groupby-cell aggregation.
 
 kNN semantics: for each page, the k nearest other pages *within the same
-hex7 cell* (planar squared-degree distance), rank ties broken by
-neighbor doc_id.  This is the "cell-local kNN over sorted H3 rings" of
-the north rule restricted to ring-0; the ring>0 extension re-keys each
-point to its neighbor cells via flat_map (same groupby machinery).
+hex7 cell* (planar squared-degree distance), ties broken by neighbor
+doc_id.  This is the "cell-local kNN over sorted H3 rings" of the north
+rule restricted to ring-0; a ring>0 extension re-keys each point to its
+neighbor cells with the same machinery.
 
-SQL oracle: a self-join on hex7 with ROW_NUMBER() OVER (PARTITION BY
-doc_id ORDER BY d2, neighbor) — distances are computed with the exact
-same float expression on both sides, so ranks agree bitwise.
+Skew (the load-bearing part): dense clusters make some hex cells hold
+1000x the median row count, and a plain groupby(cell).map_groups dies on
+the straggler group.  Two-pass salted design (shuffle.py):
+
+1. count rows per cell (map-side partial counts — tiny shuffle);
+2. every row is emitted to EVERY salt bucket of its cell as a
+   *candidate*, and to exactly one (doc_id % n_salts) as a *probe*;
+   groupby([hex7, salt]) then bounds each task at ~cap probes x n_cell
+   candidates, parallelizing the hot cell across n_salts tasks.
+
+The in-group kernel is fully vectorized: candidates pre-sorted by
+doc_id, then a stable argsort of the distance matrix yields exact
+(d2 asc, id asc) order — ties resolve identically to the SQL oracle
+(ROW_NUMBER OVER (ORDER BY d2, neighbor_id)) because every distance is
+computed with the same IEEE-754 expression on both sides.
 """
 
 from __future__ import annotations
@@ -18,63 +30,230 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .shuffle import DEFAULT_CAP, key_counts, salt_plan
+
 K_DEFAULT = 5
 
 
-def knn_in_cells(ds, k: int = K_DEFAULT):
-    """ds: Dataset with (doc_id, lat, lon, hex7, ...) ->
-    (doc_id, neighbor_id, rank) within-cell kNN.
+def _emit_salted(plan_ref, k_col: str = "hex7"):
+    """pages batch -> (doc_id, lat, lon, hex7, salt, is_probe) rows with
+    candidate replication across the cell's salt buckets."""
+    import ray
 
-    groupby(hex7).map_groups with a vectorized pairwise kernel per cell.
-    Hot cells (the skew story) are bounded here by the cluster jitter; at
-    scale the pre-pass in shuffle.py splits oversized cells by salting and
-    merges sub-results (k-way merge of partial top-k lists).
-    """
-    proj = ds.select_columns(["doc_id", "lat", "lon", "hex7"])
+    class Emit:
+        def __init__(self):
+            plan = ray.get(plan_ref)
+            if plan:
+                keys = np.fromiter(plan.keys(), dtype=np.int64)
+                rs = np.fromiter(plan.values(), dtype=np.int64)
+                order = np.argsort(keys)
+                self.keys, self.rs = keys[order], rs[order]
+            else:
+                self.keys = np.empty(0, dtype=np.int64)
+                self.rs = np.empty(0, dtype=np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cell = batch[k_col].to_numpy()
+            ids = batch["doc_id"].to_numpy()
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            lon = batch["lon"].to_numpy(zero_copy_only=False)
+            n_salt = np.ones(len(cell), dtype=np.int64)
+            if len(self.keys):
+                pos = np.clip(np.searchsorted(self.keys, cell), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[pos] == cell
+                n_salt[hit] = self.rs[pos[hit]]
+            own = ids % n_salt
+            # replicate each row to all its cell's salt buckets
+            reps = n_salt.astype(np.int64)
+            idx = np.repeat(np.arange(len(cell)), reps)
+            # per-row running salt index 0..n_salt-1
+            salt = np.concatenate([np.arange(r) for r in reps]) \
+                if len(reps) else np.empty(0, dtype=np.int64)
+            is_probe = salt == own[idx]
+            # hashed leading group key: spreads hot (cell, salt) groups
+            # across the sort's range partitions (pure function of the
+            # group identity, so groups are never split)
+            gkey = (cell[idx] * 131071 + salt * 8191) % 997
+            return pa.table({
+                "gkey": pa.array(gkey.astype(np.int64)),
+                "doc_id": pa.array(ids[idx]),
+                "lat": pa.array(lat[idx]),
+                "lon": pa.array(lon[idx]),
+                k_col: pa.array(cell[idx]),
+                "salt": pa.array(salt.astype(np.int64)),
+                "is_probe": pa.array(is_probe),
+            })
+
+    return Emit
+
+
+def _topk_exact(d2: np.ndarray, ids_c: np.ndarray, kk: int) -> np.ndarray:
+    """Exact (d2 asc, id asc) top-kk column indices per row.
+
+    ``ids_c`` must be ascending so stable sorts break distance ties by
+    id.  argpartition fast path with a full-sort fallback for rows whose
+    kk-th distance touches the partition boundary (possible outside
+    ties)."""
+    n = d2.shape[1]
+    if n <= kk + 16:
+        return np.argsort(d2, axis=1, kind="stable")[:, :kk]
+    K2 = kk + 16
+    part = np.argpartition(d2, K2 - 1, axis=1)[:, :K2]
+    pd2 = np.take_along_axis(d2, part, axis=1)
+    pid = ids_c[part]
+    ordr = np.lexsort((pid, pd2), axis=-1)[:, :kk]
+    sel = np.take_along_axis(part, ordr, axis=1)
+    kth = np.take_along_axis(pd2, ordr[:, -1:], axis=1)[:, 0]
+    bound = pd2.max(axis=1)
+    for r in np.nonzero(kth >= bound)[0]:
+        sel[r] = np.argsort(d2[r], kind="stable")[:kk]
+    return sel
+
+
+_DENSE_GRID_THRESHOLD = 4096
+
+
+def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Exact kNN for one (cell, salt) group.
+
+    Dense cells (> _DENSE_GRID_THRESHOLD candidates) use sub-grid ring
+    pruning — the "sorted rings" scale path: candidates are binned into
+    a fine grid; each probe bin expands Chebyshev rings until the
+    worst kk-th distance in the bin beats the bound to the unsearched
+    region (R * min_bin_size), which keeps the result EXACT while
+    cutting the n^2 distance matrix to the local neighborhood."""
+    ids = g["doc_id"].to_numpy()
+    lat = g["lat"].to_numpy()
+    lon = g["lon"].to_numpy()
+    probe = g["is_probe"].to_numpy().astype(bool)
+    order = np.argsort(ids, kind="stable")  # candidates in id order
+    ids_c, lat_c, lon_c = ids[order], lat[order], lon[order]
+    p_idx = np.nonzero(probe)[0]
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "neighbor_id": pd.Series([], dtype=np.int64),
+                          "rank": pd.Series([], dtype=np.int64)})
+    if len(ids_c) < 2 or len(p_idx) == 0:
+        return empty
+    ids_p, lat_p, lon_p = ids[p_idx], lat[p_idx], lon[p_idx]
+    n_cand = len(ids_c)
+    kk = min(k, n_cand - 1)
+    if n_cand <= _DENSE_GRID_THRESHOLD:
+        out_doc = np.empty(len(ids_p) * kk, dtype=np.int64)
+        out_nbr = np.empty(len(ids_p) * kk, dtype=np.int64)
+        CH = 1024
+        pos = 0
+        for s in range(0, len(ids_p), CH):
+            e = min(s + CH, len(ids_p))
+            m = e - s
+            dlat = lat_p[s:e, None] - lat_c[None, :]
+            dlon = lon_p[s:e, None] - lon_c[None, :]
+            d2 = dlat * dlat + dlon * dlon
+            d2[ids_p[s:e, None] == ids_c[None, :]] = np.inf
+            sel = _topk_exact(d2, ids_c, kk)
+            out_doc[pos:pos + m * kk] = np.repeat(ids_p[s:e], kk)
+            out_nbr[pos:pos + m * kk] = ids_c[sel.reshape(-1)]
+            pos += m * kk
+        return pd.DataFrame({
+            "doc_id": out_doc, "neighbor_id": out_nbr,
+            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                            len(ids_p)),
+        })
+    # ---- dense path: sub-grid ring pruning ----
+    nb = max(2, int(np.sqrt(n_cand / 64.0)))
+    minx, maxx = lon_c.min(), lon_c.max()
+    miny, maxy = lat_c.min(), lat_c.max()
+    bx = (maxx - minx) / nb or 1.0
+    by = (maxy - miny) / nb or 1.0
+    bmin = min(bx, by)
+    cbx = np.clip(((lon_c - minx) / bx).astype(np.int64), 0, nb - 1)
+    cby = np.clip(((lat_c - miny) / by).astype(np.int64), 0, nb - 1)
+    cbin = cby * nb + cbx
+    border = np.argsort(cbin, kind="stable")
+    cbin_s = cbin[border]
+    starts = np.searchsorted(cbin_s, np.arange(nb * nb))
+    ends = np.searchsorted(cbin_s, np.arange(nb * nb), side="right")
+    pbx = np.clip(((lon_p - minx) / bx).astype(np.int64), 0, nb - 1)
+    pby = np.clip(((lat_p - miny) / by).astype(np.int64), 0, nb - 1)
+    pbin = pby * nb + pbx
+    out_frames = []
+    for b in np.unique(pbin):
+        pm = pbin == b
+        pids, plat, plon = ids_p[pm], lat_p[pm], lon_p[pm]
+        byy, bxx = int(b // nb), int(b % nb)
+        R = 1
+        while True:
+            y0, y1 = max(0, byy - R), min(nb - 1, byy + R)
+            x0, x1 = max(0, bxx - R), min(nb - 1, bxx + R)
+            # gather candidate indices in the bin window
+            rows = []
+            for yy in range(y0, y1 + 1):
+                s0, s1 = starts[yy * nb + x0], ends[yy * nb + x1]
+                if s1 > s0:
+                    rows.append(border[s0:s1])
+            cand = np.concatenate(rows) if rows else np.empty(0, np.int64)
+            # keep only within Chebyshev window on x (rows gathered span
+            # contiguous bins x0..x1 already since bins sorted row-major)
+            full_cover = (y0 == 0 and y1 == nb - 1
+                          and x0 == 0 and x1 == nb - 1)
+            if len(cand) >= kk + 1 or full_cover:
+                cand = np.sort(cand)  # id order preserved via ids_c order
+                dlat = plat[:, None] - lat_c[cand][None, :]
+                dlon = plon[:, None] - lon_c[cand][None, :]
+                d2 = dlat * dlat + dlon * dlon
+                d2[pids[:, None] == ids_c[cand][None, :]] = np.inf
+                ckk = min(kk, len(cand) - 1) if len(cand) > 1 else 0
+                if ckk > 0:
+                    sel = _topk_exact(d2, ids_c[cand], ckk)
+                    kth = np.take_along_axis(
+                        d2, sel[:, -1:], axis=1)[:, 0]
+                    bound2 = (R * bmin) * (R * bmin)
+                    if full_cover or (ckk == kk
+                                      and bool((kth < bound2).all())):
+                        out_frames.append(pd.DataFrame({
+                            "doc_id": np.repeat(pids, ckk),
+                            "neighbor_id": ids_c[cand][sel.reshape(-1)],
+                            "rank": np.tile(
+                                np.arange(1, ckk + 1, dtype=np.int64),
+                                len(pids)),
+                        }))
+                        break
+            R += 1
+    if not out_frames:
+        return empty
+    return pd.concat(out_frames, ignore_index=True)
+
+
+def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP):
+    """ds with (doc_id, lat, lon, hex7, ...) -> (doc_id, neighbor_id,
+    rank) within-cell kNN, salted for hot cells."""
+    import ray
+
+    proj = ds.select_columns(["doc_id", "lat", "lon", "hex7"]) \
+             .materialize()  # reused by the count pre-pass and the join
+    counts = key_counts(proj, "hex7")
+    plan = salt_plan(counts, cap)
+    plan_ref = ray.put(plan)
+    salted = proj.map_batches(_emit_salted(plan_ref),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=(1, 8))
 
     def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "rank": pd.Series([], dtype=np.int64)})
-        ids = g["doc_id"].to_numpy()
-        lat = g["lat"].to_numpy()
-        lon = g["lon"].to_numpy()
-        # pairwise squared distance, same expression as SQL:
-        # (a.lat-b.lat)*(a.lat-b.lat) + (a.lon-b.lon)*(a.lon-b.lon)
-        dlat = lat[:, None] - lat[None, :]
-        dlon = lon[:, None] - lon[None, :]
-        d2 = dlat * dlat + dlon * dlon
-        kk = min(k, n - 1)
-        # order by (d2, neighbor_id), excluding self
-        nbr_order = np.argsort(ids, kind="stable")
-        out_doc = np.empty(n * kk, dtype=np.int64)
-        out_nbr = np.empty(n * kk, dtype=np.int64)
-        out_rank = np.empty(n * kk, dtype=np.int64)
-        # lexsort per row: primary d2, secondary neighbor id
-        ids_sorted_idx = np.argsort(ids, kind="stable")
-        for i in range(n):
-            d = d2[i].copy()
-            d[i] = np.inf  # exclude self
-            sel = np.lexsort((ids, d))[:kk]
-            out_doc[i * kk:(i + 1) * kk] = ids[i]
-            out_nbr[i * kk:(i + 1) * kk] = ids[sel]
-            out_rank[i * kk:(i + 1) * kk] = np.arange(1, kk + 1)
-        return pd.DataFrame({"doc_id": out_doc, "neighbor_id": out_nbr,
-                             "rank": out_rank})
+        return _group_knn(g, k)
 
-    return proj.groupby("hex7").map_groups(cell_knn, batch_format="pandas")
+    return salted.groupby(["gkey", "hex7", "salt"]).map_groups(
+        cell_knn, batch_format="pandas")
 
 
 def cell_aggregate(ds):
     """Per-hex7-cell aggregate with map-side partial aggregation.
 
-    Emits (hex7, n_pages, n_langs... ) — partial counts are combined
-    inside map_batches first so the groupby shuffles one row per
-    (cell, batch) instead of one per page (SURVEY §7.4: push aggregation
-    partial before the wide shuffle).  Counts are integers -> the DuckDB
-    oracle hash is exact.
+    Emits (hex7, n_pages, min/max lat/lon) — partials are combined inside
+    map_batches first so the groupby shuffles one row per (cell, batch)
+    instead of one per page (SURVEY §7.4).  Associative partials make
+    hot cells a non-issue here — this IS the salting-free fast path for
+    algebraic aggregates.  Counts are integers -> the DuckDB oracle hash
+    is exact; min/max pick exact float values (order-independent).
     """
     from ray.data.aggregate import Max, Min, Sum
 

@@ -1,0 +1,86 @@
+"""Skew handling: hot-key detection and salting (north rule: "skewed hot
+cells (dense web regions) are salted and range-repartitioned before a
+groupby-cell aggregate-sort shuffle").
+
+Pattern: a cheap counting pre-pass over the key column finds keys whose
+group size exceeds ``cap``; those are split into ``ceil(n / cap)`` salt
+sub-groups.  Consumers either (a) aggregate per (key, salt) then combine
+the small per-salt partials (associative aggregates), or (b) replicate
+the group's shared side to every salt (the kNN candidate pattern in
+knn.py).  The driver-side hot map is bounded by the key-space (spatial
+cells), not the row count, so broadcasting it via ``ray.put`` is safe at
+100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+DEFAULT_CAP = 1024
+MAX_SALTS = 8  # replication-factor bound: candidate-replicating consumers
+               # pay O(n_salts) duplication, so hot groups are split into
+               # at most this many sub-groups (work per sub-group stays
+               # bounded by the in-group pruning instead)
+
+
+def key_counts(ds, key: str) -> dict[int, int]:
+    """Exact group sizes for one int key column, computed with map-side
+    partial counts (one row per key per batch crosses the shuffle)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy()
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({key: pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    agg = ds.select_columns([key]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True) \
+        .groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+    out = {}
+    for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for kk, cc in zip(b[key].to_pylist(), b["cnt"].to_pylist()):
+            out[kk] = cc
+    return out
+
+
+def salt_plan(counts: dict[int, int], cap: int = DEFAULT_CAP,
+              max_salts: int = MAX_SALTS) -> dict[int, int]:
+    """key -> number of salt buckets (1 for cold keys,
+    min(ceil(n/cap), max_salts) hot)."""
+    return {k: min(max(1, -(-n // cap)), max_salts)
+            for k, n in counts.items() if n > cap}
+
+
+def add_salt(ds, key: str, plan: dict[int, int], id_col: str):
+    """Append a deterministic ``salt`` column: id % n_salts(key), 0 for
+    cold keys.  Use before groupby([key, "salt"]) with per-salt partial
+    aggregation."""
+    import ray
+
+    plan_ref = ray.put(plan)
+
+    class Salter:
+        def __init__(self):
+            self.plan = ray.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = batch[key].to_numpy()
+            ids = batch[id_col].to_numpy()
+            n_salt = np.ones(len(k), dtype=np.int64)
+            if self.plan:
+                # vectorized lookup over the (bounded) hot-key map
+                hot_keys = np.fromiter(self.plan.keys(), dtype=np.int64)
+                hot_r = np.fromiter(self.plan.values(), dtype=np.int64)
+                order = np.argsort(hot_keys)
+                hot_keys, hot_r = hot_keys[order], hot_r[order]
+                pos = np.searchsorted(hot_keys, k)
+                pos = np.clip(pos, 0, len(hot_keys) - 1)
+                hit = hot_keys[pos] == k
+                n_salt[hit] = hot_r[pos[hit]]
+            salt = ids % n_salt
+            return batch.append_column("salt", pa.array(salt))
+
+    return ds.map_batches(Salter, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4))

@@ -146,21 +146,27 @@ class PIPJoiner:
                     .append_column("class_id", pa.array(full_cid))
 
 
-def geo_pipeline(sf_dir: str, mode: str | None = None,
-                 with_cells: bool = True, batch_size: int = 8192):
-    """pages -> extract_text -> geocode -> [cells] -> [pip join].
+def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
+                    batch_size: int = 8192, max_actors: int = 4,
+                    fixed_pools: bool = False):
+    """pages Dataset -> extract_text -> geocode -> [cells] -> [pip join].
 
-    The canonical SURVEY §7.2 slice.  ``html`` is projected away by
-    ExtractText immediately after extraction so the wide binary column
-    never crosses a shuffle boundary.
+    ``html`` is projected away by ExtractText immediately after
+    extraction so the wide binary column never crosses a shuffle
+    boundary.  ``max_actors`` sizes the actor pools — pass ~1/3 of the
+    session CPU budget for compute-bound runs (three pools share the
+    node; a pool that reserves every CPU starves the rest and the
+    pipeline serializes).  ``fixed_pools=True`` uses exact-size pools
+    (deterministic startup, benchmark mode); the default autoscales
+    (1, max_actors) which is friendlier to small interactive runs.
     """
-    ds = synth.pages_dataset(sf_dir)
+    cc = max_actors if fixed_pools else (1, max_actors)
     ds = ds.map_batches(ExtractText, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=batch_size,
-                        concurrency=(1, 4))
+                        concurrency=cc)
     ds = ds.map_batches(Geocoder, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=batch_size,
-                        concurrency=(1, 4))
+                        concurrency=cc)
     if with_cells:
         ds = ds.map_batches(encode_cells, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
@@ -169,7 +175,17 @@ def geo_pipeline(sf_dir: str, mode: str | None = None,
         ref = ray.put(synth.polygon_arrays())
         ds = ds.map_batches(PIPJoiner, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size,
-                            concurrency=(1, 4),
+                            concurrency=cc,
                             fn_constructor_kwargs={"polygons_ref": ref,
                                                    "mode": mode})
     return ds
+
+
+def geo_pipeline(sf_dir: str, mode: str | None = None,
+                 with_cells: bool = True, batch_size: int = 8192,
+                 max_actors: int = 4):
+    """read pages at sf_dir and run :func:`transform_pages`
+    (the canonical SURVEY §7.2 slice)."""
+    ds = synth.pages_dataset(sf_dir)
+    return transform_pages(ds, mode=mode, with_cells=with_cells,
+                           batch_size=batch_size, max_actors=max_actors)

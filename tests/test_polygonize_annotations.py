@@ -1,0 +1,215 @@
+"""Tests: connected-component labeling, boundary tracing, cross-tile
+stitching, and YOLO/COCO exports."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_inference_ray.annotations import (filter_min_area, rings_to_px,
+                                           to_coco, to_yolo, yolo_lines)
+from geo_inference_ray.polygonize import (label_components, ring_signed_area,
+                                          stitch_polygons, trace_rings)
+from geo_inference_ray.tiling import GridConfig
+
+
+def test_label_components_basic():
+    m = np.array([
+        [1, 1, 0, 2],
+        [0, 1, 0, 2],
+        [3, 0, 1, 0],
+        [3, 3, 0, 0]], dtype=np.uint8)
+    labs = label_components(m)
+    assert labs[0, 0] == labs[0, 1] == labs[1, 1]
+    assert labs[0, 3] == labs[1, 3]
+    assert labs[2, 0] == labs[3, 0] == labs[3, 1]
+    assert labs[2, 2] not in (labs[0, 0], 0)
+    assert (labs[m == 0] == 0).all()
+
+
+def test_label_components_distinguishes_classes():
+    m = np.array([[1, 2], [0, 0]], dtype=np.uint8)
+    labs = label_components(m)
+    assert labs[0, 0] != labs[0, 1]  # adjacent but different class
+
+
+def test_label_components_nodata_excluded():
+    m = np.array([[255, 1], [1, 1]], dtype=np.uint8)
+    labs = label_components(m)
+    assert labs[0, 0] == 0
+
+
+def test_trace_single_pixel():
+    rings = trace_rings({(0, 0)})
+    assert len(rings) == 1
+    assert len(rings[0]) == 4
+    assert abs(ring_signed_area(rings[0])) == 1.0
+
+
+def test_trace_rect_and_hole():
+    # 3x3 block with center removed -> outer ring + hole
+    pix = {(y, x) for y in range(3) for x in range(3)} - {(1, 1)}
+    rings = trace_rings(pix)
+    assert len(rings) == 2
+    areas = sorted(abs(ring_signed_area(r)) for r in rings)
+    assert areas == [1.0, 9.0]
+
+
+def test_trace_l_shape_area():
+    pix = {(0, 0), (0, 1), (1, 0)}
+    rings = trace_rings(pix)
+    assert len(rings) == 1
+    assert abs(ring_signed_area(rings[0])) == 3.0
+
+
+def _tiles_from_dense(mask: np.ndarray, stride: int) -> pd.DataFrame:
+    h, w = mask.shape
+    rows = []
+    for oy in range(h // stride):
+        for ox in range(w // stride):
+            sub = mask[oy * stride:(oy + 1) * stride,
+                       ox * stride:(ox + 1) * stride]
+            rows.append({"oy": oy, "ox": ox, "mask": sub.reshape(-1),
+                         "n_valid": int((sub != 255).sum())})
+    return pd.DataFrame(rows)
+
+
+def _grid(h, w, stride):
+    return GridConfig(min_lon=0.0, max_lat=float(h), pix=1.0, width=w,
+                      height=h, stride=stride)
+
+
+def test_stitch_component_spanning_tiles():
+    # one component crossing a 2x2 tile grid (stride 4, 8x8 raster)
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[2:6, 2:6] = 1  # straddles all 4 tiles
+    tiles = _tiles_from_dense(mask, 4)
+    polys = stitch_polygons(tiles, _grid(8, 8, 4))
+    outers = polys[~polys["is_hole"]]
+    assert len(outers) == 1
+    assert outers.iloc[0]["area_px"] == 16.0
+    assert outers.iloc[0]["n_pixels"] == 16
+
+
+def test_stitch_separate_classes_not_merged():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[3, 2:6] = 1
+    mask[4, 2:6] = 2  # touching rows, different class
+    tiles = _tiles_from_dense(mask, 4)
+    polys = stitch_polygons(tiles, _grid(8, 8, 4))
+    outers = polys[~polys["is_hole"]]
+    assert len(outers) == 2
+    assert sorted(outers["class_id"].tolist()) == [1, 2]
+
+
+def test_stitch_hole_across_tiles():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[1:7, 1:7] = 1
+    mask[3:5, 3:5] = 0  # hole spanning the 4-tile corner
+    tiles = _tiles_from_dense(mask, 4)
+    polys = stitch_polygons(tiles, _grid(8, 8, 4))
+    comp = polys[polys["comp_id"] == polys["comp_id"].iloc[0]]
+    assert len(comp) == 2  # outer + hole
+    assert comp["is_hole"].sum() == 1
+    outer = comp[~comp["is_hole"]].iloc[0]
+    assert outer["area_px"] == 36.0  # outer ring area (shoelace, pre-hole)
+
+
+def test_stitch_matches_unsplit_labeling():
+    """Stitched tile decomposition == single-pass labeling of the dense
+    mask (component count and pixel counts)."""
+    rng = np.random.default_rng(5)
+    mask = (rng.uniform(size=(16, 16)) < 0.4).astype(np.uint8)
+    tiles = _tiles_from_dense(mask, 4)
+    polys = stitch_polygons(tiles, _grid(16, 16, 4))
+    outers = polys[~polys["is_hole"]]
+    labs = label_components(mask)
+    n_comp = len(np.unique(labs[labs > 0]))
+    assert outers["comp_id"].nunique() == n_comp
+    assert int(outers.drop_duplicates("comp_id")["n_pixels"].sum()) \
+        == int((mask == 1).sum())
+
+
+def test_geo_coords():
+    mask = np.zeros((4, 4), dtype=np.uint8)
+    mask[0, 0] = 1
+    tiles = _tiles_from_dense(mask, 4)
+    grid = GridConfig(min_lon=10.0, max_lat=50.0, pix=0.5, width=4,
+                      height=4, stride=4)
+    polys = stitch_polygons(tiles, grid)
+    r = polys.iloc[0]
+    assert set(zip(r["xs"], r["ys"])) == {
+        (10.0, 50.0), (10.5, 50.0), (10.5, 49.5), (10.0, 49.5)}
+
+
+def test_min_area_filter():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[0, 0] = 1          # area 1
+    mask[4:8, 4:8] = 2      # area 16
+    tiles = _tiles_from_dense(mask, 4)
+    polys = stitch_polygons(tiles, _grid(8, 8, 4))
+    kept = filter_min_area(polys, 4.0)
+    assert set(kept["class_id"]) == {2}
+
+
+def test_yolo_export():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[2:6, 2:6] = 1
+    tiles = _tiles_from_dense(mask, 4)
+    grid = _grid(8, 8, 4)
+    polys = stitch_polygons(tiles, grid)
+    y = to_yolo(polys, grid)
+    assert len(y) == 1
+    r = y.iloc[0]
+    assert r["x"] == pytest.approx(0.5)
+    assert r["y"] == pytest.approx(0.5)
+    assert r["w"] == pytest.approx(0.5)
+    assert r["h"] == pytest.approx(0.5)
+    lines = yolo_lines(y)
+    assert lines[0].startswith("1 0.5 0.5 0.5 0.5")
+
+
+def test_yolo_overlap_filter():
+    """Polygon clipped by the image rect below min_overlap is dropped."""
+    grid = _grid(8, 8, 4)
+    polys = pd.DataFrame([{
+        "comp_id": 0, "class_id": 1, "ring_idx": 0, "is_hole": False,
+        "n_pixels": 64, "area_px": 64.0,
+        # geo ring mostly outside the raster (raster lon 0..8, lat 0..8)
+        "xs": np.array([6.0, 14.0, 14.0, 6.0]),
+        "ys": np.array([2.0, 2.0, 6.0, 6.0]),
+    }])
+    y = to_yolo(polys, grid, min_overlap=0.66)
+    assert len(y) == 0
+    y2 = to_yolo(polys, grid, min_overlap=0.2)
+    assert len(y2) == 1
+
+
+def test_coco_export():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[2:6, 2:6] = 1
+    mask[0, 6:8] = 2
+    tiles = _tiles_from_dense(mask, 4)
+    grid = _grid(8, 8, 4)
+    polys = stitch_polygons(tiles, grid)
+    coco = to_coco(polys, grid)
+    assert {c["id"] for c in coco["categories"]} == {1, 2}
+    assert [a["id"] for a in coco["annotations"]] == [0, 1]
+    a = [x for x in coco["annotations"] if x["category_id"] == 1][0]
+    assert a["bbox"] == [2.0, 2.0, 4.0, 4.0]
+    assert a["area"] == 16.0
+    assert a["iscrowd"] == 0
+    assert coco["images"][0]["width"] == 8
+
+
+def test_rings_to_px_roundtrip():
+    grid = GridConfig(min_lon=-10.0, max_lat=20.0, pix=0.25, width=16,
+                      height=16, stride=4)
+    polys = pd.DataFrame([{
+        "comp_id": 0, "class_id": 1, "ring_idx": 0, "is_hole": False,
+        "n_pixels": 4, "area_px": 4.0,
+        "xs": np.array([-10.0, -9.5, -9.5, -10.0]),
+        "ys": np.array([20.0, 20.0, 19.5, 19.5]),
+    }])
+    px = rings_to_px(polys, grid)
+    np.testing.assert_allclose(px.iloc[0]["pxs"], [0, 2, 2, 0])
+    np.testing.assert_allclose(px.iloc[0]["pys"], [0, 0, 2, 2])
