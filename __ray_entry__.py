@@ -175,6 +175,42 @@ def q_embedding_near_dup(sf_dir: str):
     return _ann.embedding_near_dup(sf_dir)
 
 
+def q_pricing_summary(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.pricing_summary(sf_dir)
+
+
+def q_top_customers(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.top_customers(sf_dir)
+
+
+def q_bucketed_join(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.bucketed_join_agg(sf_dir)
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.top_orders_per_customer(sf_dir)
+
+
+def q_events_hourly(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.events_hourly(sf_dir)
+
+
+def q_sessionize(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.sessionize(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline: pages -> extract_text -> geocode -> cells ->
     broadcast STRtree point-in-polygon inner join, at sf0.001."""
@@ -204,6 +240,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "bucketed_join": q_bucketed_join,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
     }
 
 
@@ -278,6 +320,59 @@ r AS (SELECT query_id, neighbor_id,
       FROM sims)
 SELECT query_id, neighbor_id, "rank" FROM r
 WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+WITH per AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT p.o_custkey, c.c_name, c.c_mktsegment, p.total_cents, p.n_orders
+FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+ORDER BY p.total_cents DESC, p.o_custkey LIMIT 10""",
+        "bucketed_join": """
+SELECT o.o_orderstatus, l.l_returnflag,
+       SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus, l.l_returnflag""",
+        "top_orders_per_customer": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                    o_orderkey) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey, cents, rnk FROM r WHERE rnk <= 3""",
+        "events_hourly": """
+SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
+       SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        "sessionize": """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM d)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY user_id, session_idx""",
         # s2_cells, fingerprint, minhash_pairs, simhash, embedding_near_dup:
         # intentionally omitted (non-SQL-expressible; rows-only checks).
     }

@@ -1,0 +1,132 @@
+"""Checkpointed, resumable partitioned runs with per-partition lineage.
+
+North rule: "every partition emits lineage records and checkpoints so a
+killed job resumes without recomputing completed cells."  The reference
+has nothing here (crash => full rerun, SURVEY §4); this module is the
+designed replacement:
+
+* output layout: ``<out_root>/<stage>/key=<key>/part-*.parquet`` — one
+  directory per partition key, written to a temp dir and atomically
+  renamed, so a partition is either absent or complete;
+* ``manifest.jsonl``: one lineage record per completed partition
+  ``{stage, key, input_fingerprint, rows_out, bytes_out, wall_ms,
+  attempt, finished_at}`` — appended after the rename;
+* resume: completed keys are read from the manifest AND validated
+  against the directory (both must agree); pending keys are recomputed.
+  If the input fingerprint of a completed key changed, it is
+  invalidated and recomputed.
+
+The unit of partitioning is the caller's key (hex-cell prefix, shard id,
+tile range...).  Keys must deterministically map to their input slice —
+resume correctness follows from outputs being pure functions of keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+class PartitionedRun:
+    def __init__(self, out_root: str, stage: str):
+        self.stage_dir = os.path.join(out_root, stage)
+        self.stage = stage
+        os.makedirs(self.stage_dir, exist_ok=True)
+        self.manifest_path = os.path.join(self.stage_dir, "manifest.jsonl")
+
+    # -- lineage -----------------------------------------------------------
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        out = []
+        with open(self.manifest_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+        return out
+
+    def completed(self, fingerprints: dict[str, str] | None = None) -> set[str]:
+        """Keys whose manifest record exists, whose directory exists, and
+        whose recorded fingerprint matches the expected one (if given)."""
+        done = set()
+        for rec in self.records():
+            key = rec["key"]
+            kdir = os.path.join(self.stage_dir, f"key={key}")
+            if not os.path.isdir(kdir):
+                continue
+            if fingerprints is not None and \
+                    rec.get("input_fingerprint") != fingerprints.get(key):
+                continue
+            done.add(key)
+        return done
+
+    def _append(self, rec: dict) -> None:
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(rec, sort_keys=True) + "\n")
+
+    # -- execution ---------------------------------------------------------
+    def run(self, keys: list[str], make_ds, fingerprints: dict[str, str]
+            | None = None, attempt: int = 1) -> dict:
+        """Process every pending key: ``make_ds(key)`` -> Dataset, write
+        its parquet partition atomically, append the lineage record.
+
+        Returns {"computed": [...], "skipped": [...]}.
+        """
+        fingerprints = fingerprints or {}
+        done = self.completed(fingerprints if fingerprints else None)
+        computed, skipped = [], []
+        for key in keys:
+            if key in done:
+                skipped.append(key)
+                continue
+            t0 = time.time()
+            ds = make_ds(key)
+            kdir = os.path.join(self.stage_dir, f"key={key}")
+            tmp = kdir + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            if os.path.exists(kdir):
+                shutil.rmtree(kdir)  # stale partial without manifest record
+            os.makedirs(tmp)  # empty partitions still get a directory
+            ds.write_parquet(tmp)
+            rows, nbytes = _parquet_stats(tmp)
+            os.rename(tmp, kdir)
+            self._append({
+                "stage": self.stage, "key": key,
+                "input_fingerprint": fingerprints.get(key),
+                "rows_out": rows, "bytes_out": nbytes,
+                "wall_ms": int((time.time() - t0) * 1000),
+                "attempt": attempt,
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            })
+            computed.append(key)
+        return {"computed": computed, "skipped": skipped}
+
+    def read(self, keys: list[str] | None = None):
+        """Dataset over completed partitions (all, or the given keys)."""
+        import ray.data as rd
+
+        done = sorted(self.completed()) if keys is None else keys
+        paths = []
+        for k in done:
+            kdir = os.path.join(self.stage_dir, f"key={k}")
+            paths.extend(os.path.join(kdir, f)
+                         for f in sorted(os.listdir(kdir))
+                         if f.endswith(".parquet"))
+        return rd.read_parquet(paths)
+
+
+def _parquet_stats(d: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    rows = nbytes = 0
+    for root, _, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                rows += pq.ParquetFile(p).metadata.num_rows
+                nbytes += os.path.getsize(p)
+    return rows, nbytes

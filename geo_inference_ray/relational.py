@@ -1,0 +1,262 @@
+"""Relational operator layer: grouped aggregates with map-side partials,
+broadcast hash joins, bucketed large-large joins, per-group top-k, and
+time-bucket aggregation — demonstrated over the TPC-H-ish test tables.
+
+The reference engine has no relational ops (SURVEY §2.4 "absent"), but a
+complete data-processing engine needs them; these are the generic
+patterns the spatial pipeline's specialized joins build on.  Money
+aggregates are emitted as integer cents (sum of per-row rounded cents)
+so every result is order-independent and hash-exact against the DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """dollars (2-decimal double) -> exact integer cents.
+    round() ties cannot occur: inputs are N.XX doubles whose *100 lands
+    within 1e-10 of an integer."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: lineitem grouped by (returnflag, linestatus) with
+    map-side partial aggregation — one row per key per batch crosses the
+    shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch["l_quantity"], pa.int64())
+        base = _cents(batch["l_extendedprice"])
+        disc_c = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)),
+                         pa.int64())
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": qty, "base_cents": base, "disc_pct": disc_c,
+        }).to_pandas()
+        g = t.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sq=("qty", "sum"), sb=("base_cents", "sum"),
+            sd=("disc_pct", "sum"), n=("qty", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sq", alias_name="sum_qty"),
+        Sum("sb", alias_name="sum_base_cents"),
+        Sum("sd", alias_name="sum_disc_pct"),
+        Sum("n", alias_name="count_order"))
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Broadcast hash join (orders x customer) + grouped aggregate +
+    exact top-k: the small dimension table is ray.put once and looked up
+    per batch; ranking ties broken by c_custkey."""
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name",
+                                    "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(cust.set_index("c_custkey"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "o_custkey": batch["o_custkey"],
+            "cents": _cents(batch["o_totalprice"]),
+        }).to_pandas()
+        g = t.groupby("o_custkey", as_index=False).agg(
+            tc=("cents", "sum"), n=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    per_cust = orders.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True) \
+        .groupby("o_custkey").aggregate(
+            Sum("tc", alias_name="total_cents"),
+            Sum("n", alias_name="n_orders"))
+
+    class AttachName:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            joined = df.join(self.cust, on="o_custkey", how="inner")
+            return pa.Table.from_pandas(
+                joined[["o_custkey", "c_name", "c_mktsegment",
+                        "total_cents", "n_orders"]], preserve_index=False)
+
+    named = per_cust.map_batches(AttachName, batch_format="pyarrow",
+                                 concurrency=(1, 2))
+    # exact global top-k: sort is a small shuffle over the aggregate
+    top = named.sort(["total_cents", "o_custkey"],
+                     descending=[True, False]).limit(k)
+    return top
+
+
+def bucketed_join_agg(sf_dir: str, buckets: int = 16):
+    """Large-large partitioned hash join: orders x lineitem on orderkey,
+    co-partitioned by ``orderkey % buckets``, joined per bucket inside
+    map_groups, aggregated to (o_orderstatus, l_returnflag) counts.
+
+    The explicit-bucket pattern of SURVEY §7.4 / ray_guide 'Joins':
+    both sides shuffle ONCE on the same key; skew in orderkey is
+    structurally absent (uniform keys), hot-bucket salting would follow
+    shuffle.salt_plan otherwise."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_quantity"])
+
+    def tag_o(batch: pa.Table) -> pa.Table:
+        key = batch["o_orderkey"].to_numpy() % buckets
+        return pa.table({"bucket": pa.array(key), "side": pa.array(
+            np.zeros(len(batch), dtype=np.int8)),
+            "k": batch["o_orderkey"], "s1": batch["o_orderstatus"],
+            "s2": pa.nulls(len(batch), pa.string()),
+            "q": pa.nulls(len(batch), pa.int64())})
+
+    def tag_l(batch: pa.Table) -> pa.Table:
+        key = batch["l_orderkey"].to_numpy() % buckets
+        return pa.table({"bucket": pa.array(key), "side": pa.array(
+            np.ones(len(batch), dtype=np.int8)),
+            "k": batch["l_orderkey"],
+            "s1": pa.nulls(len(batch), pa.string()),
+            "s2": batch["l_returnflag"],
+            "q": pc.cast(batch["l_quantity"], pa.int64())})
+
+    both = orders.map_batches(tag_o, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        li.map_batches(tag_l, batch_format="pyarrow", zero_copy_batch=True))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["k", "s1"]]
+        l = g[g["side"] == 1][["k", "s2", "q"]]
+        j = l.merge(o, on="k", how="inner")
+        out = j.groupby(["s1", "s2"], as_index=False).agg(
+            nq=("q", "sum"), n=("q", "size"))
+        return out
+
+    per_bucket = both.groupby("bucket").map_groups(join_bucket,
+                                                   batch_format="pandas")
+    agg = per_bucket.groupby(["s1", "s2"]).aggregate(
+        Sum("nq", alias_name="sum_qty"), Sum("n", alias_name="n_rows"))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderstatus": batch["s1"],
+                         "l_returnflag": batch["s2"],
+                         "sum_qty": pc.cast(batch["sum_qty"], pa.int64()),
+                         "n_rows": pc.cast(batch["n_rows"], pa.int64())})
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3):
+    """Per-group top-k (window-function analog): rank orders within each
+    customer by (totalprice desc, orderkey asc), keep k."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "cents": _cents(batch["o_totalprice"]),
+        })
+
+    keyed = orders.map_batches(add_cents, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "cents", "rnk"]]
+
+    return keyed.groupby("o_custkey").map_groups(topk,
+                                                 batch_format="pandas")
+
+
+def events_hourly(sf_dir: str):
+    """Time-bucket aggregation over the events stream table: per
+    (user_id, event_type, hour) counts and milli-value sums — the
+    tumbling-window analog (ray_guide 'Streaming-shaped workloads')."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        vm = pc.cast(pc.round(pc.multiply(batch["value"], 1000.0)),
+                     pa.int64())
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"],
+                      "hour": hour, "vm": vm}).to_pandas()
+        g = t.groupby(["user_id", "event_type", "hour"],
+                      as_index=False).agg(v=("vm", "sum"),
+                                          n=("vm", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby(["user_id", "event_type", "hour"]).aggregate(
+            Sum("v", alias_name="value_milli"),
+            Sum("n", alias_name="n_events"))
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: events sorted by ts within user; a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``.  Emits (user_id, session_idx, n_events,
+    start_ts, end_ts).  Oracle: SQL window functions (lag + cumulative
+    sum over the gap indicator)."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(ts), dtype=np.int64)
+        new[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
+        sess = np.cumsum(new)
+        out = pd.DataFrame({"ts": g["ts"], "session_idx": sess})
+        agg = out.groupby("session_idx", as_index=False).agg(
+            n_events=("ts", "size"), start_ts=("ts", "min"),
+            end_ts=("ts", "max"))
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        return agg
+
+    return ev.groupby("user_id").map_groups(per_user,
+                                            batch_format="pandas")

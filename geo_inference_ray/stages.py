@@ -189,3 +189,79 @@ def geo_pipeline(sf_dir: str, mode: str | None = None,
     ds = synth.pages_dataset(sf_dir)
     return transform_pages(ds, mode=mode, with_cells=with_cells,
                            batch_size=batch_size, max_actors=max_actors)
+
+
+class FusedPageStage:
+    """Operator-fused fast path: extract_text + geocode + cells + pip
+    join in ONE actor stage (one object-store hop instead of four).
+
+    The composable stages above are the readable/reusable form; this is
+    the physical plan a planner would produce for the flagship pipeline
+    — all four are per-row maps with no shuffle between them, so fusing
+    is semantics-preserving.  Used by bench.py; state (regexes + STRtree)
+    still loads once per actor.
+    """
+
+    def __init__(self, polygons_ref=None, mode: str | None = "inner",
+                 with_cells: bool = True):
+        self.extract = ExtractText()
+        self.geocode = Geocoder()
+        self.with_cells = with_cells
+        self.join = PIPJoiner(polygons_ref, mode) if mode else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.extract(batch)
+        batch = self.geocode(batch)
+        if self.with_cells:
+            batch = encode_cells(batch)
+        if self.join is not None:
+            batch = self.join(batch)
+        return batch
+
+
+def transform_pages_fused(ds, mode: str | None = "inner",
+                          with_cells: bool = True, batch_size: int = 8192,
+                          max_actors: int = 8, fixed_pools: bool = False):
+    import ray
+
+    ref = ray.put(synth.polygon_arrays()) if mode else None
+    cc = max_actors if fixed_pools else (1, max_actors)
+    return ds.map_batches(
+        FusedPageStage, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=cc,
+        fn_constructor_kwargs={"polygons_ref": ref, "mode": mode,
+                               "with_cells": with_cells})
+
+
+_FUSED_MEMO: dict = {}
+
+
+def fused_page_fn(mode: str | None = "inner", with_cells: bool = True,
+                  keep: list[str] | None = None):
+    """Stateless-fn variant of FusedPageStage for READ-FUSION.
+
+    A task-pool ``map_batches(fn)`` fuses with the upstream ReadParquet
+    operator, so page bytes go disk -> transform inside ONE task and the
+    object store only carries the (small) transform output.  With an
+    actor-pool stage the read output must cross the object store first —
+    measured 2x slower and anti-scaling at 32 CPUs (plasma saturation).
+    Stage state (regexes, STRtree) is built lazily once per worker
+    process via a module-level memo — same amortization as an actor,
+    without forfeiting read fusion.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = (mode, with_cells)
+        stage = _FUSED_MEMO.get(key)
+        if stage is None:
+            stage = FusedPageStage(None, mode, with_cells)
+            _FUSED_MEMO[key] = stage
+        out = stage(batch)
+        if keep is not None:
+            # projection pushdown: only the consumed columns leave the
+            # fused task — the wide text/url columns never enter the
+            # object store (a downstream select_columns is too late)
+            out = out.select(keep)
+        return out
+
+    return fn

@@ -42,6 +42,11 @@ from .window import classify_position, tile_window
 NODATA = 255
 
 
+def pc_cast_i64(col):
+    import pyarrow.compute as _pc
+    return _pc.cast(col, pa.int64())
+
+
 @dataclass(frozen=True)
 class GridConfig:
     """Raster grid over lon/lat. Defaults: global extent, 0.5-deg pixels,
@@ -113,13 +118,49 @@ def rasterize_partial(grid: GridConfig):
     return fn
 
 
+DRIVER_COMBINE_MAX_PIXELS = 4_000_000
+
+
 def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
-    """Full rasterization: partial counts per batch -> groupby-sum.
-    (The oracle-able slice of the tile pipeline.)"""
+    """Full rasterization: partial counts per batch -> global sum.
+
+    The partial stream is bounded by (n_batches x occupied pixels) and
+    the final key space by the raster grid, NOT the input rows.  For
+    grids up to DRIVER_COMBINE_MAX_PIXELS the combine is a streaming
+    driver-side np.unique over iter_batches — measured 2x faster than
+    the groupby at 8 CPUs because a downstream AllToAll throttles the
+    (dominant) map stage.  Larger grids take the distributed groupby.
+    """
+    cols = [c for c in ("lat", "lon") if c in geo_ds.schema().names]
+    part = geo_ds.select_columns(cols).map_batches(
+        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
+    if grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS:
+        import ray.data as rd
+
+        keys = []
+        cnts = []
+        for b in part.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            keys.append(b["py"].to_numpy() * grid.width
+                        + b["px"].to_numpy())
+            cnts.append(b["n"].to_numpy())
+        if not keys:
+            return rd.from_arrow(pa.table(
+                {"py": pa.array([], pa.int64()),
+                 "px": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}))
+        k = np.concatenate(keys)
+        c = np.concatenate(cnts)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, c)
+        return rd.from_arrow(pa.table({
+            "py": pa.array(uk // grid.width),
+            "px": pa.array(uk % grid.width),
+            "n": pa.array(sums),
+        }))
     from ray.data.aggregate import Sum
 
-    part = geo_ds.select_columns(["lat", "lon"]).map_batches(
-        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
     return part.groupby(["py", "px"]).aggregate(Sum("n", alias_name="n"))
 
 
@@ -242,11 +283,65 @@ class MergeCells:
 def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,
                scorer_cls=DensityScorer):
     """Full tile pipeline: geocoded pages -> mask tile rows
-    (oy, ox, mask uint8[s*s], n_valid)."""
-    part = geo_ds.select_columns(["lat", "lon"]).map_batches(
-        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
-    owned = part.map_batches(emit_to_patches(grid), batch_format="pyarrow",
-                             zero_copy_batch=True)
+    (oy, ox, mask uint8[s*s], n_valid).
+
+    The input reduction (rows -> per-pixel counts) is the distributed
+    part; everything after is bounded by the raster grid, not the input.
+    For grids under DRIVER_COMBINE_MAX_PIXELS the whole tile suffix runs
+    driver-side with the same kernels (saves ~5 s of small-data operator
+    latency per run); larger grids use the distributed groupby path
+    below — identical semantics, shared kernels."""
+    if grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS:
+        pix_df = pixel_counts(geo_ds, grid).to_pandas()
+        return _tiles_from_pixels_local(pix_df, grid, scorer_cls)
+    return mask_tiles_distributed(geo_ds, grid, scorer_cls)
+
+
+def _tiles_from_pixels_local(pix_df: pd.DataFrame, grid: GridConfig,
+                             scorer_cls=DensityScorer):
+    """Driver-side tile suffix over the (grid-bounded) pixel counts,
+    using the exact same kernels as the distributed path."""
+    import ray.data as rd
+
+    if pix_df.empty or "py" not in pix_df.columns:
+        owned = pd.DataFrame()
+    else:
+        owned = emit_to_patches(grid)(
+            pa.Table.from_pandas(pix_df, preserve_index=False)).to_pandas()
+    if owned.empty:
+        return rd.from_arrow(pa.table({
+            "oy": pa.array([], pa.int64()), "ox": pa.array([], pa.int64()),
+            "mask": pa.array([], pa.list_(pa.uint8())),
+            "n_valid": pa.array([], pa.int64())}))
+    score = ScorePatches(grid, scorer_cls)
+    contribs = pd.concat(
+        [score(g.reset_index(drop=True))
+         for _, g in owned.groupby(["ty", "tx"])], ignore_index=True)
+    merge = MergeCells(grid)
+    tiles = pd.concat(
+        [merge(g.reset_index(drop=True))
+         for _, g in contribs.groupby(["oy", "ox"])], ignore_index=True)
+    return rd.from_pandas(tiles)
+
+
+def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
+                           scorer_cls=DensityScorer):
+    """Distributed tile suffix (fine grids): groupby(patch) scoring and
+    groupby(cell) merge as Ray Data shuffles."""
+    # two-stage aggregation BEFORE the patch shuffle: per-batch partial
+    # counts -> global per-pixel sum (the shuffle shrinks to the number
+    # of occupied pixels, bounded by the raster grid — without this the
+    # patch groupby sorts one partial row per (batch, pixel), which at
+    # 20M input rows meant a 20M-row shuffle and a 7x slowdown)
+    pix = pixel_counts(geo_ds, grid)
+
+    def rename_n(batch: pa.Table) -> pa.Table:
+        return pa.table({"py": batch["py"], "px": batch["px"],
+                         "n": pc_cast_i64(batch["n"])})
+
+    pix = pix.map_batches(rename_n, batch_format="pyarrow")
+    owned = pix.map_batches(emit_to_patches(grid), batch_format="pyarrow",
+                            zero_copy_batch=True)
     _score = ScorePatches(grid, scorer_cls)
     _merge = MergeCells(grid)
 

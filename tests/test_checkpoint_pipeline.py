@@ -1,0 +1,139 @@
+"""Checkpoint/lineage/resume semantics + the pipeline API/CLI surface."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geo_inference_ray.checkpoint import PartitionedRun
+
+
+def _mk(tmp_path):
+    return PartitionedRun(str(tmp_path), "stage1")
+
+
+def _ds_for(key: str):
+    import ray.data as rd
+
+    n = int(key) + 3
+    return rd.from_pandas(pd.DataFrame({"k": [key] * n,
+                                        "v": list(range(n))}))
+
+
+def test_run_and_manifest(ray_session, tmp_path):
+    run = _mk(tmp_path)
+    res = run.run(["1", "2"], _ds_for, fingerprints={"1": "f1", "2": "f2"})
+    assert res["computed"] == ["1", "2"]
+    recs = run.records()
+    assert len(recs) == 2
+    assert {r["key"] for r in recs} == {"1", "2"}
+    assert all(r["rows_out"] == int(r["key"]) + 3 for r in recs)
+    assert all(r["wall_ms"] >= 0 for r in recs)
+    assert all(r["input_fingerprint"].startswith("f") for r in recs)
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    run = _mk(tmp_path)
+    calls = []
+
+    def make(key):
+        calls.append(key)
+        return _ds_for(key)
+
+    run.run(["1", "2"], make)
+    assert calls == ["1", "2"]
+    res = run.run(["1", "2", "3"], make)
+    assert calls == ["1", "2", "3"]  # only "3" recomputed
+    assert res["skipped"] == ["1", "2"]
+    assert res["computed"] == ["3"]
+
+
+def test_resume_after_failure(ray_session, tmp_path):
+    """Kill mid-run: completed partitions survive, pending recompute."""
+    run = _mk(tmp_path)
+    boom = {"armed": True}
+
+    def make(key):
+        if key == "2" and boom["armed"]:
+            raise RuntimeError("killed")
+        return _ds_for(key)
+
+    with pytest.raises(RuntimeError):
+        run.run(["1", "2", "3"], make)
+    assert run.completed() == {"1"}
+    boom["armed"] = False
+    res = run.run(["1", "2", "3"], make)
+    assert res["skipped"] == ["1"]
+    assert sorted(res["computed"]) == ["2", "3"]
+    # outputs readable and complete
+    df = run.read().to_pandas()
+    assert len(df) == 4 + 5 + 6
+
+
+def test_fingerprint_invalidation(ray_session, tmp_path):
+    run = _mk(tmp_path)
+    run.run(["1"], _ds_for, fingerprints={"1": "a"})
+    res = run.run(["1"], _ds_for, fingerprints={"1": "b"})  # input changed
+    assert res["computed"] == ["1"]
+
+
+def test_pipeline_api_end_to_end(ray_session, sf_dir, tmp_path):
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    gi = GeoInferenceRay(work_dir=str(tmp_path), mask_to_vec=True,
+                         mask_to_yolo=True, mask_to_coco=True)
+    out = gi(sf_dir, patch_size=16)
+    assert os.path.exists(out["mask_tiles"])
+    assert os.path.exists(out["polygons"])
+    assert os.path.exists(out["yolo"])
+    assert os.path.exists(out["coco"])
+    gj = json.load(open(out["polygons"]))
+    assert gj["type"] == "FeatureCollection"
+    assert len(gj["features"]) > 0
+    coco = json.load(open(out["coco"]))
+    assert len(coco["annotations"]) > 0
+    with open(out["yolo"]) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert all(len(ln.split()) == 5 for ln in lines)
+    # checkpointed partitions + lineage present
+    man = os.path.join(str(tmp_path), "run", "manifest.jsonl")
+    assert os.path.exists(man)
+    assert len(open(man).read().splitlines()) == 10
+
+
+def test_pipeline_bbox_crop(ray_session, sf_dir, tmp_path):
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    gi = GeoInferenceRay(work_dir=str(tmp_path))
+    out = gi(sf_dir, bbox=(-75.0, -75.0, -60.0, -60.0), run_name="crop")
+    tiles = pd.read_parquet(out["mask_tiles"])
+    # cluster 0 center is (-69.5, -169.5); bbox excludes it -> few tiles
+    full = GeoInferenceRay(work_dir=str(tmp_path))(sf_dir, run_name="full")
+    assert len(tiles) < len(pd.read_parquet(full["mask_tiles"]))
+
+
+def test_cli_yaml(ray_session, sf_dir, tmp_path):
+    from geo_inference_ray.pipeline import cmd_interface
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "arguments:\n"
+        f"  input: {sf_dir}\n"
+        f"  work_dir: {tmp_path}/wd\n"
+        "  mask_to_vec: True\n"
+        "  patch_size: 8\n"
+        "  num_classes: 3\n")
+    ns = cmd_interface(["-a", str(cfg)])
+    assert ns.input == sf_dir
+    assert ns.mask_to_vec is True
+    assert ns.patch_size == 8
+    assert ns.work_dir == f"{tmp_path}/wd"
+
+
+def test_cli_requires_input():
+    from geo_inference_ray.pipeline import cmd_interface
+
+    with pytest.raises(SystemExit):
+        cmd_interface([])
