@@ -118,8 +118,80 @@ def q_knn_cell(sf_dir: str):
     return _knn.knn_in_cells(_stages.geo_pipeline(sf_dir))
 
 
+def q_knn_ring1(sf_dir: str):
+    return _knn.knn_in_cells(_stages.geo_pipeline(sf_dir), ring=1)
+
+
 def q_dedup_exact(sf_dir: str):
     return _dedup.exact_dedup(_docs_text(sf_dir))
+
+
+def q_minhash_verified(sf_dir: str):
+    """MinHash-LSH candidates verified with exact shingle Jaccard."""
+    import ray
+
+    texts = {r["doc_id"]: r["text"]
+             for r in _docs_text(sf_dir).take_all()}
+    ref = ray.put(texts)
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    return _dedup.jaccard_pairs(pairs, ref)
+
+
+def q_polygons(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.polygonize import polygons_from_tiles
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, _tiling.DEFAULT_GRID)
+    return polys[["comp_id", "class_id", "ring_idx", "is_hole",
+                  "n_pixels"]]
+
+
+def q_yolo(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.annotations import to_yolo
+    from geo_inference_ray.polygonize import polygons_from_tiles
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, _tiling.DEFAULT_GRID)
+    return to_yolo(polys, _tiling.DEFAULT_GRID)
+
+
+def q_coco_annotations(sf_dir: str):
+    import pandas as pd
+
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.annotations import to_coco
+    from geo_inference_ray.polygonize import polygons_from_tiles
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, _tiling.DEFAULT_GRID)
+    coco = to_coco(polys, _tiling.DEFAULT_GRID)
+    return pd.DataFrame([{ "id": a["id"], "category_id": a["category_id"],
+                           "area": a["area"], "iscrowd": a["iscrowd"]}
+                         for a in coco["annotations"]])
+
+
+def q_manifest(sf_dir: str):
+    from geo_inference_ray.sources import manifest
+
+    return manifest(sf_dir)
+
+
+def q_media_features(sf_dir: str):
+    from geo_inference_ray import multimodal as _mm
+
+    ds = _mm.media_features(sf_dir)
+    return ds.select_columns(["id", "kind"])
+
+
+def q_media_frames(sf_dir: str):
+    from geo_inference_ray import multimodal as _mm
+
+    return _mm.media_frames(sf_dir).select_columns(["id", "frame_idx"])
 
 
 def q_token_count(sf_dir: str):
@@ -229,7 +301,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_left": q_pip_left,
         "cell_agg": q_cell_agg,
         "knn_cell": q_knn_cell,
+        "knn_ring1": q_knn_ring1,
         "dedup_exact": q_dedup_exact,
+        "minhash_verified": q_minhash_verified,
+        "polygons": q_polygons,
+        "yolo": q_yolo,
+        "coco_annotations": q_coco_annotations,
+        "manifest": q_manifest,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
@@ -281,6 +361,26 @@ knn AS (
                     + (a.lon - b.lon) * (a.lon - b.lon), b.doc_id
          ) AS "rank"
   FROM hex9 a JOIN hex9 b ON a.hex7 = b.hex7 AND a.doc_id != b.doc_id
+)
+SELECT doc_id, neighbor_id, "rank" FROM knn WHERE "rank" <= {_knn.K_DEFAULT}""",
+        "manifest": """
+SELECT '/data/aoi_' || CAST(p_partkey AS VARCHAR) || '.tif' AS tif,
+       '/data/aoi_' || CAST(p_partkey AS VARCHAR) || '.gpkg' AS gpkg,
+       CASE p_partkey % 3 WHEN 0 THEN 'trn' WHEN 1 THEN 'tst'
+            ELSE 'val' END AS split,
+       p_partkey AS aoi_id
+FROM part""",
+        "knn_ring1": _WH + f""",
+knn AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon), b.doc_id
+         ) AS "rank"
+  FROM hex9 a JOIN hex9 b
+    ON (b.hex7 - a.hex7) IN (0, 1, -1, 65536, -65536, 65535, -65535)
+   AND a.doc_id != b.doc_id
 )
 SELECT doc_id, neighbor_id, "rank" FROM knn WHERE "rank" <= {_knn.K_DEFAULT}""",
         "dedup_exact": """

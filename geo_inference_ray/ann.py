@@ -83,7 +83,7 @@ def ann_topk(sf_dir: str, k: int = TOPK_DEFAULT,
     qref = ray.put(load_queries(sf_dir, n_queries))
     cand = ds.map_batches(BruteForceTopK, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=4096,
-                          concurrency=4,
+                          concurrency=(1, 4),
                           fn_constructor_kwargs={"queries_ref": qref,
                                                  "k": k})
 
@@ -130,7 +130,7 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 995):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     ds = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
-                        zero_copy_batch=True, concurrency=2,
+                        zero_copy_batch=True, concurrency=(1, 2),
                         fn_constructor_kwargs={"dim": dim})
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:

@@ -143,7 +143,7 @@ def minhash_candidates(ds):
     import pandas as pd
 
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=4)
+                          zero_copy_batch=True, concurrency=(1, 4))
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -188,7 +188,7 @@ def jaccard_pairs(pairs_ds, texts_by_id_ref):
                 "jaccard_milli": pa.array((jac * 1000).astype(np.int64)),
             })
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
 
 
 class SimHasher:
@@ -214,4 +214,4 @@ class SimHasher:
 
 def simhash_table(ds):
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=4)
+                          zero_copy_batch=True, concurrency=(1, 4))

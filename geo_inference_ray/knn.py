@@ -34,11 +34,23 @@ from .shuffle import DEFAULT_CAP, key_counts, salt_plan
 
 K_DEFAULT = 5
 
+# packed-id offsets of the 6 axial hex neighbors + self (ring 1):
+# cell id = (q + OFF) * 65536 + (r + OFF), so (q±1, r) -> ±65536,
+# (q, r±1) -> ±1, (q+1, r-1) -> +65535, (q-1, r+1) -> -65535
+HEX_RING1_OFFSETS = (0, 1, -1, 65536, -65536, 65535, -65535)
 
-def _emit_salted(plan_ref, k_col: str = "hex7"):
+
+def _emit_salted(plan_ref, k_col: str = "hex7", ring: int = 0):
     """pages batch -> (doc_id, lat, lon, hex7, salt, is_probe) rows with
-    candidate replication across the cell's salt buckets."""
+    candidate replication across the cell's salt buckets.
+
+    ``ring=1``: each row is additionally emitted as a *candidate* to its
+    6 hex-neighbor cells (HEX_RING1_OFFSETS), so a probe's group holds
+    the full ring-1 neighborhood — the north rule's "cell-local kNN over
+    sorted H3 rings"."""
     import ray
+
+    offsets = HEX_RING1_OFFSETS if ring == 1 else (0,)
 
     class Emit:
         def __init__(self):
@@ -52,35 +64,47 @@ def _emit_salted(plan_ref, k_col: str = "hex7"):
                 self.keys = np.empty(0, dtype=np.int64)
                 self.rs = np.empty(0, dtype=np.int64)
 
+        def _n_salt(self, cells: np.ndarray) -> np.ndarray:
+            n = np.ones(len(cells), dtype=np.int64)
+            if len(self.keys):
+                pos = np.clip(np.searchsorted(self.keys, cells), 0,
+                              len(self.keys) - 1)
+                hit = self.keys[pos] == cells
+                n[hit] = self.rs[pos[hit]]
+            return n
+
         def __call__(self, batch: pa.Table) -> pa.Table:
             cell = batch[k_col].to_numpy()
             ids = batch["doc_id"].to_numpy()
             lat = batch["lat"].to_numpy(zero_copy_only=False)
             lon = batch["lon"].to_numpy(zero_copy_only=False)
-            n_salt = np.ones(len(cell), dtype=np.int64)
-            if len(self.keys):
-                pos = np.clip(np.searchsorted(self.keys, cell), 0,
-                              len(self.keys) - 1)
-                hit = self.keys[pos] == cell
-                n_salt[hit] = self.rs[pos[hit]]
-            own = ids % n_salt
-            # replicate each row to all its cell's salt buckets
-            reps = n_salt.astype(np.int64)
-            idx = np.repeat(np.arange(len(cell)), reps)
-            # per-row running salt index 0..n_salt-1
-            salt = np.concatenate([np.arange(r) for r in reps]) \
-                if len(reps) else np.empty(0, dtype=np.int64)
-            is_probe = salt == own[idx]
+            parts = []
+            for off in offsets:
+                target = cell + off
+                n_salt = self._n_salt(target)
+                own = ids % n_salt
+                reps = n_salt
+                idx = np.repeat(np.arange(len(cell)), reps)
+                salt = np.concatenate(
+                    [np.arange(r) for r in reps]) if len(reps) \
+                    else np.empty(0, dtype=np.int64)
+                is_probe = (salt == own[idx]) if off == 0 \
+                    else np.zeros(len(idx), dtype=bool)
+                parts.append((target[idx], idx, salt, is_probe))
+            tcell = np.concatenate([p[0] for p in parts])
+            idx = np.concatenate([p[1] for p in parts])
+            salt = np.concatenate([p[2] for p in parts])
+            is_probe = np.concatenate([p[3] for p in parts])
             # hashed leading group key: spreads hot (cell, salt) groups
             # across the sort's range partitions (pure function of the
             # group identity, so groups are never split)
-            gkey = (cell[idx] * 131071 + salt * 8191) % 997
+            gkey = (tcell * 131071 + salt * 8191) % 997
             return pa.table({
                 "gkey": pa.array(gkey.astype(np.int64)),
                 "doc_id": pa.array(ids[idx]),
                 "lat": pa.array(lat[idx]),
                 "lon": pa.array(lon[idx]),
-                k_col: pa.array(cell[idx]),
+                k_col: pa.array(tcell),
                 "salt": pa.array(salt.astype(np.int64)),
                 "is_probe": pa.array(is_probe),
             })
@@ -224,9 +248,13 @@ def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
     return pd.concat(out_frames, ignore_index=True)
 
 
-def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP):
+def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
+                 ring: int = 0):
     """ds with (doc_id, lat, lon, hex7, ...) -> (doc_id, neighbor_id,
-    rank) within-cell kNN, salted for hot cells."""
+    rank) within-cell kNN, salted for hot cells.
+
+    ``ring=1`` widens the candidate set to the 6 hex-neighbor cells
+    (full ring-1 neighborhood; probes stay keyed to their own cell)."""
     import ray
 
     proj = ds.select_columns(["doc_id", "lat", "lon", "hex7"]) \
@@ -234,7 +262,7 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP):
     counts = key_counts(proj, "hex7")
     plan = salt_plan(counts, cap)
     plan_ref = ray.put(plan)
-    salted = proj.map_batches(_emit_salted(plan_ref),
+    salted = proj.map_batches(_emit_salted(plan_ref, ring=ring),
                               batch_format="pyarrow", zero_copy_batch=True,
                               concurrency=(1, 8))
 

@@ -95,6 +95,36 @@ class DensityScorer:
         return e / e.sum(axis=0, keepdims=True)
 
 
+class TTAScorer:
+    """Test-time-augmentation wrapper: score flipped/rotated variants of
+    the patch, invert each augmentation on the output, mean-merge —
+    the reference's SegmentationTTAWrapper(d4/flip, merge='mean')
+    (/root/reference/geo_inference/geo_inference.py:108-124).
+
+    Wraps any scorer with the (C, P, P) contract.  ``mode``: 'flip'
+    (identity + ud + lr) or 'd4' (adds the 3 rotations)."""
+
+    def __init__(self, num_classes: int = 3, base_cls=None,
+                 mode: str = "flip"):
+        self.base = (base_cls or DensityScorer)(num_classes)
+        self.num_classes = num_classes
+        ident = (lambda a: a, lambda a: a)
+        ud = (lambda a: a[..., ::-1, :], lambda a: a[..., ::-1, :])
+        lr = (lambda a: a[..., :, ::-1], lambda a: a[..., :, ::-1])
+        self.augs = [ident, ud, lr]
+        if mode == "d4":
+            for k in (1, 2, 3):
+                self.augs.append((
+                    lambda a, k=k: np.rot90(a, k, axes=(-2, -1)),
+                    lambda a, k=k: np.rot90(a, -k, axes=(-2, -1))))
+
+    def __call__(self, patch_counts: np.ndarray) -> np.ndarray:
+        acc = np.zeros((self.num_classes, *patch_counts.shape))
+        for fwd, inv in self.augs:
+            acc += inv(self.base(fwd(patch_counts)))
+        return acc / len(self.augs)
+
+
 def rasterize_partial(grid: GridConfig):
     """map_batches kernel: geocoded batch -> per-batch partial pixel
     counts (py, px, n).  floor arithmetic matches the SQL oracle:

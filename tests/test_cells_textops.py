@@ -1,0 +1,123 @@
+"""Tests: S2 cell encoder properties, hex cells, text operators."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geo_inference_ray import synth
+from geo_inference_ray.cells import (S2_LEVEL, hex_cell, s2_cell, s2_level_of,
+                                     s2_parent)
+from geo_inference_ray.textops import (LANG_ORDER, Fingerprint, LangId,
+                                       quality_score, token_count)
+
+
+def test_s2_deterministic_and_level():
+    lat = np.array([0.0, 45.0, -30.5, 89.0, -89.0, 10.0])
+    lon = np.array([0.0, 90.0, -120.25, 179.0, -179.0, 0.01])
+    c1 = s2_cell(lat, lon)
+    c2 = s2_cell(lat, lon)
+    assert (c1 == c2).all()
+    assert (s2_level_of(c1) == S2_LEVEL).all()
+
+
+def test_s2_locality():
+    """Nearby points usually share the level-12 cell; far points never."""
+    lat = np.array([10.0, 10.00001, 50.0])
+    lon = np.array([20.0, 20.00001, -60.0])
+    c = s2_cell(lat, lon)
+    assert c[0] == c[1]
+    assert c[0] != c[2]
+
+
+def test_s2_face_coverage():
+    """All 6 faces reachable."""
+    lat = np.array([0.0, 0.0, 85.0, 0.0, 0.0, -85.0])
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    c = s2_cell(lat, lon)
+    faces = (c >> np.uint64(61)).astype(int)
+    assert sorted(set(faces.tolist())) == [0, 1, 2, 3, 4, 5]
+
+
+def test_s2_parent_hierarchy():
+    lat = np.array([10.0, -45.0, 71.2])
+    lon = np.array([20.0, 3.0, -12.5])
+    c12 = s2_cell(lat, lon, 12)
+    c7 = s2_cell(lat, lon, 7)
+    assert (s2_parent(c12, 7) == c7).all()
+    assert (s2_level_of(c7) == 7).all()
+
+
+def test_hex_ring1_offsets():
+    """The 6 axial neighbors of (q, r) in packed-id space:
+    (q±1, r) -> ±65536, (q, r±1) -> ±1, (q+1, r-1) -> +65535,
+    (q-1, r+1) -> -65535."""
+    from geo_inference_ray.knn import HEX_RING1_OFFSETS
+
+    assert sorted(HEX_RING1_OFFSETS) == sorted(
+        [0, 1, -1, 65536, -65536, 65535, -65535])
+    c = hex_cell(np.array([10.0]), np.array([20.0]), 0.25)[0]
+    assert len({c + o for o in HEX_RING1_OFFSETS}) == 7
+
+
+def _doc_batch():
+    return pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the fast key", "a a a a", "spark vector batch"]),
+    })
+
+
+def test_token_count():
+    out = token_count(_doc_batch())
+    assert out["n_tokens"].to_pylist() == [3, 4, 3]
+
+
+def test_quality_score_exact_ints():
+    out = quality_score(_doc_batch())
+    assert out["n_chars"].to_pylist() == [12, 7, 18]
+    assert out["n_tokens"].to_pylist() == [3, 4, 3]
+    # mean token length milli = (chars - spaces)*1000 // tokens
+    assert out["mean_tok_len_milli"].to_pylist() == [
+        (12 - 2) * 1000 // 3, (7 - 3) * 1000 // 4, (18 - 2) * 1000 // 3]
+
+
+def test_langid_markers_and_ties():
+    li = LangId()
+    out = li(_doc_batch())
+    # doc0 has 'the'(en), 'fast'(en), 'key'(en) -> en
+    assert out["pred_lang"].to_pylist()[0] == "en"
+    # doc1 'a a a a': overlapping ' a ' occurrences counted via
+    # replace-delete semantics; still en (only en markers present)
+    assert out["pred_lang"].to_pylist()[1] == "en"
+    # doc2 all zh markers
+    assert out["pred_lang"].to_pylist()[2] == "zh"
+    # all-zero scores tie -> first in LANG_ORDER
+    zero = li(pa.table({"doc_id": pa.array([9], pa.int64()),
+                        "text": pa.array(["xyzzy plugh"])}))
+    assert zero["pred_lang"].to_pylist() == [LANG_ORDER[0]]
+
+
+def test_fingerprint_deterministic_and_distinct():
+    fp = Fingerprint()
+    a = fp(_doc_batch())["fingerprint"].to_pylist()
+    b = fp(_doc_batch())["fingerprint"].to_pylist()
+    assert a == b
+    assert len(set(a)) == 3
+    # order sensitivity (rolling, not bag-of-bytes)
+    c = fp(pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["fast the key"])}))
+    assert c["fingerprint"].to_pylist()[0] != a[0]
+
+
+def test_pages_synth_roundtrip_invariant():
+    """html wraps text; ExtractText recovers it byte-identically."""
+    from geo_inference_ray.stages import ExtractText
+
+    docs = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(["weird <b>nested</b> & entities é"]),
+        "lang": pa.array(["en"]), "source": pa.array(["srcX"]),
+    })
+    pages = synth.synth_pages_batch(docs)
+    out = ExtractText()(pages)
+    assert out["text"].to_pylist() == docs["text"].to_pylist()
+    assert out["url"].to_pylist() == ["https://example.org/srcX/7"]

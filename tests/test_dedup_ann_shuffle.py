@@ -1,0 +1,140 @@
+"""Tests: dedup family (exact, minhash, simhash), ANN, skew salting."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geo_inference_ray.dedup import (MinHasher, SimHasher, _token_hashes,
+                                     add_md5)
+from geo_inference_ray.shuffle import MAX_SALTS, salt_plan
+
+
+def test_token_hashes_stable_and_shingled():
+    a = _token_hashes("one two three four")
+    b = _token_hashes("one two three four")
+    assert set(a.tolist()) == set(b.tolist())
+    assert len(a) == 2  # 2 distinct 3-shingles
+    short = _token_hashes("one two")
+    assert len(short) == 1  # sub-shingle doc -> whole text
+
+
+def test_minhash_similarity_tracks_jaccard():
+    mh = MinHasher()
+    s1 = mh.signature("the quick brown fox jumps over the lazy dog " * 3)
+    s2 = mh.signature("the quick brown fox jumps over the lazy dog " * 3)
+    assert (s1 == s2).all()
+    s3 = mh.signature("a completely different document with other words here")
+    est_same = (s1 == s2).mean()
+    est_diff = (s1 == s3).mean()
+    assert est_same == 1.0
+    assert est_diff < 0.3
+    # near-duplicate: one token changed -> high but not full agreement
+    s4 = mh.signature("the quick brown fox jumps over the lazy cat " * 3)
+    assert 0.3 < (s1 == s4).mean() < 1.0
+
+
+def test_simhash_hamming_for_near_dup():
+    sh = SimHasher()
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([
+                      "alpha beta gamma delta epsilon zeta eta theta " * 4,
+                      "alpha beta gamma delta epsilon zeta eta iota " * 4,
+                      "totally unrelated words appear in this one here now",
+                  ])})
+    out = sh(t)
+    h = out["simhash"].to_numpy()
+    d01 = bin(int(h[0]) ^ int(h[1])).count("1")
+    d02 = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d01 < d02
+    # 4x16-bit segments present
+    assert {"seg0", "seg1", "seg2", "seg3"} <= set(out.column_names)
+
+
+def test_add_md5_matches_hashlib():
+    import hashlib
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["hello world"])})
+    out = add_md5(t)
+    assert out["text_md5"].to_pylist() == [
+        hashlib.md5(b"hello world").hexdigest()]
+
+
+def test_salt_plan_bounds():
+    counts = {1: 100, 2: 5000, 3: 100000}
+    plan = salt_plan(counts, cap=1024)
+    assert 1 not in plan               # cold key untouched
+    assert plan[2] == 5               # ceil(5000/1024)
+    assert plan[3] == MAX_SALTS       # bounded
+    assert salt_plan({}, 10) == {}
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    """Planted near-duplicates surface as candidate pairs; unrelated
+    docs don't."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import minhash_candidates
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i,
+                     "text": f"document {i} " + " ".join(
+                         f"w{i}x{j}" for j in range(40))})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})  # exact dup of 100
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_candidates(ds).to_pandas()
+    assert ((pairs["doc_a"] == 100) & (pairs["doc_b"] == 101)).any()
+    # no unrelated pair among the unique docs
+    uniq = pairs[(pairs["doc_a"] < 100) & (pairs["doc_b"] < 100)]
+    assert len(uniq) == 0
+
+
+def test_ann_topk_matches_bruteforce(ray_session, sf_dir):
+    from geo_inference_ray.ann import N_QUERIES_DEFAULT, ann_topk
+
+    import pyarrow.parquet as pq
+
+    got = ann_topk(sf_dir).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id")
+    M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    ids = t["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    rows = []
+    for qi in range(N_QUERIES_DEFAULT):
+        sims = Mn[qi] @ Mn.T
+        order = np.lexsort((ids, -sims))
+        order = [j for j in order if ids[j] != ids[qi]][:10]
+        for r, j in enumerate(order):
+            rows.append((ids[qi], ids[j], r + 1))
+    exp = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    assert got.equals(exp)
+
+
+def test_embedding_near_dup_finds_planted(ray_session, tmp_path):
+    """Plant two nearly-identical vectors in a copy of the embeddings
+    table; the LSH near-dup pipeline finds exactly that pair."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import embedding_near_dup
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    df = t.to_pandas()
+    v = np.asarray(df["embedding"].iloc[0], dtype=np.float32)
+    df.loc[len(df)] = {"vec_id": 9000, "embedding": v.tolist(), "label": 0}
+    df.loc[len(df)] = {"vec_id": 9001,
+                       "embedding": (v + 1e-4).tolist(), "label": 0}
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "embeddings.parquet"))
+    pairs = embedding_near_dup(str(d)).to_pandas()
+    assert len(pairs) >= 1
+    assert ((pairs["vec_a"] == 9000) & (pairs["vec_b"] == 9001)).any() or \
+        ((pairs["vec_a"] == 0) & (pairs["vec_b"].isin([9000, 9001]))).any()

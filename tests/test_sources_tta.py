@@ -1,0 +1,83 @@
+"""Tests: manifest source (S4 analog), union source (S3 analog), TTA
+scorer (ST2 analog)."""
+
+import numpy as np
+import pytest
+
+from geo_inference_ray.tiling import DensityScorer, TTAScorer
+
+
+def test_manifest_sorted_and_shaped(ray_session, sf_dir, duck):
+    from geo_inference_ray.sources import manifest
+
+    df = manifest(sf_dir).to_pandas()
+    assert list(df.columns) == ["tif", "gpkg", "split", "aoi_id"]
+    assert (df["split"].to_numpy() == np.sort(df["split"].to_numpy())).all()
+    exp = duck.sql("""
+        SELECT '/data/aoi_' || CAST(p_partkey AS VARCHAR) || '.tif' AS tif,
+               CASE p_partkey % 3 WHEN 0 THEN 'trn' WHEN 1 THEN 'tst'
+                    ELSE 'val' END AS split,
+               p_partkey AS aoi_id
+        FROM part ORDER BY split, aoi_id""").df()
+    got = df.sort_values(["split", "aoi_id"]).reset_index(drop=True)
+    assert (got["tif"].to_numpy() == exp["tif"].to_numpy()).all()
+    assert (got["split"].to_numpy() == exp["split"].to_numpy()).all()
+
+
+def test_union_sources(ray_session, sf_dir):
+    from geo_inference_ray.sources import union_sources
+
+    ds = union_sources([sf_dir, sf_dir], "region")
+    assert ds.count() == 10  # 5 regions x 2 sources
+
+
+def test_tta_identity_for_pointwise_scorer():
+    """DensityScorer is per-pixel, so TTA must be a no-op (strong
+    correctness property for the aug/inverse plumbing)."""
+    rng = np.random.default_rng(4)
+    patch = rng.integers(0, 5, (16, 16)).astype(float)
+    base = DensityScorer(3)(patch)
+    for mode in ("flip", "d4"):
+        tta = TTAScorer(3, mode=mode)(patch)
+        np.testing.assert_allclose(tta, base, atol=1e-12)
+
+
+def test_tta_averages_spatial_scorer():
+    """A spatially-asymmetric scorer must produce a different (averaged)
+    result under TTA."""
+
+    class ShiftScorer:
+        def __init__(self, n):
+            self.n = n
+
+        def __call__(self, p):
+            out = np.zeros((self.n, *p.shape))
+            out[0] = np.roll(p, 1, axis=1)  # asymmetric: shift right
+            out[1] = 1 - out[0]
+            out[2] = 0.0
+            return out
+
+    rng = np.random.default_rng(5)
+    patch = rng.uniform(size=(8, 8))
+    plain = ShiftScorer(3)(patch)
+    tta = TTAScorer(3, base_cls=ShiftScorer, mode="flip")(patch)
+    assert not np.allclose(tta, plain)
+    # mean of augmentations stays a valid probability-ish field
+    assert tta.shape == plain.shape
+
+
+def test_tta_pluggable_in_pipeline(ray_session, sf_dir):
+    """TTAScorer drops into mask_tiles as the scorer (model-plugin
+    surface); per-pixel base -> identical mask to the plain run."""
+    from geo_inference_ray import stages
+    from geo_inference_ray.tiling import DEFAULT_GRID, mask_tiles
+
+    geo = stages.geo_pipeline(sf_dir, with_cells=False)
+    a = mask_tiles(geo, DEFAULT_GRID).to_pandas() \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    geo2 = stages.geo_pipeline(sf_dir, with_cells=False)
+    b = mask_tiles(geo2, DEFAULT_GRID, scorer_cls=TTAScorer).to_pandas() \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for x, y in zip(a["mask"], b["mask"]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
