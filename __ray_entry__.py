@@ -283,6 +283,24 @@ def q_sessionize(sf_dir: str):
     return _rel.sessionize(sf_dir)
 
 
+def q_hash_sample(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.hash_sample(sf_dir)
+
+
+def q_union_counts(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.union_counts(sf_dir)
+
+
+def q_events_sliding(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.events_sliding(sf_dir)
+
+
 def entry() -> Any:
     """Flagship pipeline: pages -> extract_text -> geocode -> cells ->
     broadcast STRtree point-in-polygon inner join, at sf0.001."""
@@ -326,6 +344,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "hash_sample": q_hash_sample,
+        "union_counts": q_union_counts,
+        "events_sliding": q_events_sliding,
     }
 
 
@@ -457,6 +478,25 @@ SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
        SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        "hash_sample": """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 100 < 10""",
+        "union_counts": """
+SELECT src, COUNT(*) AS n FROM (
+  SELECT r_name AS name, 'region' AS src FROM region
+  UNION ALL
+  SELECT n_name AS name, 'nation' AS src FROM nation
+) GROUP BY src""",
+        "events_sliding": """
+SELECT event_type, window_start, COUNT(*) AS n_events FROM (
+  SELECT event_type,
+         time_bucket(INTERVAL '30 minutes', ts) AS window_start
+  FROM events
+  UNION ALL
+  SELECT event_type,
+         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+  FROM events
+) GROUP BY event_type, window_start""",
         "sessionize": """
 WITH d AS (
   SELECT user_id, ts,

@@ -50,20 +50,45 @@ def _rng_coeffs(seed: int = 20240817):
 MINHASH_A, MINHASH_B = _rng_coeffs()
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hashes of the token k-shingles of one document
-    (blake2b-derived; no PYTHONHASHSEED dependence)."""
-    toks = text.split(" ")
-    if len(toks) < SHINGLE_K:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [" ".join(toks[i:i + SHINGLE_K])
-                    for i in range(len(toks) - SHINGLE_K + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little") for s in set(shingles)),
-        dtype=np.uint64)
+# shingle-combine multipliers (odd 64-bit constants; uint64 wraparound
+# multiplication is the mixing step — splitmix-style)
+_SH_A1 = np.uint64(0x9E3779B97F4A7C15)
+_SH_A2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SH_A3 = np.uint64(0x165667B19E3779F9)
+
+_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _hash_tokens(toks: list[str]) -> np.ndarray:
+    """blake2b per UNIQUE token (process-cached — vocabularies are tiny
+    next to token streams), returned as a uint64 array."""
+    cache = _TOKEN_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                "little")
+            cache[t] = h
+        out[i] = h
     return out
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Stable 64-bit hashes of the (unique) token k-shingles of one
+    document: cached per-token blake2b + vectorized positional combine
+    (h1*A1 + h2*A2 + h3*A3, uint64 wraparound).  ~50x the per-shingle
+    digest loop on long documents."""
+    th = _hash_tokens(text.split(" "))
+    if len(th) < SHINGLE_K:
+        combo = np.zeros(1, dtype=np.uint64)
+        for i, h in enumerate(th):
+            combo = combo * _SH_A2 + h
+        return np.unique(combo)
+    with np.errstate(over="ignore"):
+        sh = th[:-2] * _SH_A1 + th[1:-1] * _SH_A2 + th[2:] * _SH_A3
+    return np.unique(sh)
 
 
 def add_md5(batch: pa.Table) -> pa.Table:
@@ -74,20 +99,17 @@ def add_md5(batch: pa.Table) -> pa.Table:
 
 
 def exact_dedup(ds):
-    """Keep the lowest doc_id per identical text.  groupby on the 16-byte
-    hash only (no text through the shuffle)."""
-    import pandas as pd
+    """Keep the lowest doc_id per identical text.  groupby on the hash
+    only (no text through the shuffle); the reduce is a vectorized Min
+    aggregate — never per-group Python (a map_groups here costs one
+    pandas call per group, i.e. per distinct document)."""
+    from ray.data.aggregate import Min
 
     keyed = ds.map_batches(add_md5, batch_format="pyarrow",
                            zero_copy_batch=True) \
               .select_columns(["doc_id", "text_md5"])
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"text_md5": [g["text_md5"].iloc[0]],
-                             "doc_id": [g["doc_id"].min()]})
-
-    return keyed.groupby("text_md5").map_groups(keep_first,
-                                                batch_format="pandas")
+    return keyed.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="doc_id"))
 
 
 class MinHasher:
@@ -137,14 +159,52 @@ def band_rows(batch: pa.Table) -> pa.Table:
 def minhash_candidates(ds):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH.
 
-    Pipeline: MinHash sigs (actor pool) -> band explode -> groupby(band,
-    band_key) -> pairs within bucket -> distinct pairs.
+    Pipeline: MinHash sigs (actor pool) -> band explode -> bucket-size
+    pre-pass (vectorized Count aggregate; almost every bucket is a
+    singleton, and per-group Python over 80K singleton buckets was the
+    whole runtime) -> broadcast the >=2 bucket set -> pairs within the
+    surviving buckets -> distinct pairs.
     """
     import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
 
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 4))
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow") \
+                .materialize()  # reused: count pre-pass + pair pass
+
+    counts = bands.groupby(["band", "band_key"]).aggregate(
+        Count(alias_name="n"))
+    hot = set()
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n = b["n"].to_numpy()
+        bd = b["band"].to_numpy()
+        for band, key in zip(bd[n >= 2].tolist(),
+                             np.asarray(b["band_key"])[n >= 2].tolist()):
+            hot.add((band, key))
+    if not hot:
+        import ray.data as rd
+        return rd.from_items([]).map_batches(
+            lambda b: pa.table({"doc_a": pa.array([], pa.int64()),
+                                "doc_b": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    hot_ref = ray.put(hot)
+
+    class FilterHot:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bd = batch["band"].to_numpy()
+            keys = batch["band_key"].to_pylist()
+            keep = np.fromiter(((b, k) in self.hot
+                                for b, k in zip(bd.tolist(), keys)),
+                               dtype=bool, count=len(bd))
+            return batch.filter(pa.array(keep))
+
+    survivors = bands.map_batches(FilterHot, batch_format="pyarrow",
+                                  zero_copy_batch=True, concurrency=(1, 4))
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         d = np.sort(g["doc_id"].to_numpy())
@@ -153,11 +213,13 @@ def minhash_candidates(ds):
         ia, ib = np.triu_indices(len(d), k=1)
         return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
 
-    pairs = bands.groupby(["band", "band_key"]).map_groups(
+    pairs = survivors.groupby(["band", "band_key"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    # distinct pairs (same pair can fire in many bands)
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # distinct pairs (same pair can fire in many bands) — vectorized
+    # Count aggregate, then drop the count column
+    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="_n"))
+    return distinct.drop_columns(["_n"])
 
 
 def jaccard_pairs(pairs_ds, texts_by_id_ref):

@@ -232,6 +232,78 @@ def events_hourly(sf_dir: str):
             Sum("n", alias_name="n_events"))
 
 
+def hash_sample(sf_dir: str, pct: int = 10):
+    """Deterministic hash-based sampling (reproducible across cluster
+    sizes, unlike random_sample): keep rows where
+    (doc_id * 2654435761) % 100 < pct."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        keep = (d * 2654435761) % 100 < pct
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def union_counts(sf_dir: str):
+    """Set-op demo: union of region + nation name columns with source
+    tags, counted per source (Dataset.union)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    r = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
+    n = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"])
+
+    def tag(src):
+        def fn(batch: pa.Table) -> pa.Table:
+            name = batch[batch.column_names[0]]
+            return pa.table({"name": name,
+                             "src": pa.array([src] * len(batch))})
+        return fn
+
+    u = r.map_batches(tag("region"), batch_format="pyarrow").union(
+        n.map_batches(tag("nation"), batch_format="pyarrow"))
+    return u.groupby("src").aggregate(Count(alias_name="n"))
+
+
+def events_sliding(sf_dir: str):
+    """Sliding windows: 1-hour windows hopping every 30 minutes — each
+    event lands in exactly two windows (flat emit to both owners, then
+    the same grouped aggregate as the tumbling case)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        half = pc.floor_temporal(ts, multiple=30, unit="minute")
+        prev = pc.add(half, pa.scalar(-1800, pa.duration("s")))
+        t1 = pa.table({"event_type": batch["event_type"],
+                       "window_start": half})
+        t2 = pa.table({"event_type": batch["event_type"],
+                       "window_start": prev})
+        return pa.concat_tables([t1, t2]).combine_chunks()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["event_type", "window_start"],
+                       as_index=False).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ev.map_batches(emit, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]).aggregate(
+            Sum("n", alias_name="n_events"))
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: events sorted by ts within user; a new
     session starts when the gap to the previous event exceeds
