@@ -175,6 +175,19 @@ def q_coco_annotations(sf_dir: str):
                          for a in coco["annotations"]])
 
 
+def q_polygons_dist(sf_dir: str):
+    """Fully distributed polygonize (map_batches labeling + bounded
+    border union-find + groupby ring assembly)."""
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.polygonize import polygons_distributed
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    ds = polygons_distributed(tiles, _tiling.DEFAULT_GRID)
+    return ds.select_columns(["comp_id", "class_id", "ring_idx",
+                              "is_hole", "n_pixels"])
+
+
 def q_manifest(sf_dir: str):
     from geo_inference_ray.sources import manifest
 
@@ -325,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygons": q_polygons,
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
+        "polygons_dist": q_polygons_dist,
         "manifest": q_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,

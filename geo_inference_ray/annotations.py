@@ -53,6 +53,15 @@ def filter_min_area(polys: pd.DataFrame, min_area: float) -> pd.DataFrame:
     return polys[keep].reset_index(drop=True)
 
 
+def reduce_precision(polys: pd.DataFrame, decimals: int) -> pd.DataFrame:
+    """M10: round ring coordinates to n decimals (reference
+    _reduce_geom_precision, geo_transforms.py:26-30)."""
+    out = polys.copy()
+    out["xs"] = [np.round(np.asarray(x), decimals) for x in polys["xs"]]
+    out["ys"] = [np.round(np.asarray(y), decimals) for y in polys["ys"]]
+    return out
+
+
 def to_yolo(polys: pd.DataFrame, grid: GridConfig,
             min_overlap: float = 0.66) -> pd.DataFrame:
     """Outer rings -> YOLO rows (class_id, x, y, w, h) normalized to the
@@ -89,16 +98,37 @@ def yolo_lines(yolo_df: pd.DataFrame) -> list[str]:
 
 def to_coco(polys: pd.DataFrame, grid: GridConfig,
             image_fname: str = "mask.tif",
-            starting_id: int = 0) -> dict:
+            starting_id: int = 0,
+            category_names: dict[int, str] | None = None,
+            preset_categories: list[str] | None = None) -> dict:
     """Outer rings -> single-document COCO dict (M16-M20, W4).
 
     Annotation ids are globally sequential in deterministic
     (comp_id) order — the reference's range(starting_id, ...) id
-    assignment (geo_transforms.py:469-470)."""
+    assignment (geo_transforms.py:469-470).  ``preset_categories``:
+    classes whose name is not preset are bucketed into "other" with the
+    next sequential id (M19 "other" bucketing,
+    geo_transforms.py:416-470)."""
     px = rings_to_px(polys[~polys["is_hole"]], grid) \
         .sort_values("comp_id", kind="stable")
     cats = sorted(px["class_id"].unique().tolist())
-    cat_records = [{"id": int(c), "name": f"class_{int(c)}",
+    names = {int(c): (category_names or {}).get(int(c), f"class_{int(c)}")
+             for c in cats}
+    if preset_categories is not None:
+        other_id = max(cats, default=0) + 1
+        remap = {}
+        for c in cats:
+            if names[c] not in preset_categories:
+                remap[c] = other_id
+        if remap:
+            px = px.copy()
+            px["class_id"] = px["class_id"].map(
+                lambda c: remap.get(int(c), int(c)))
+            cats = sorted(px["class_id"].unique().tolist())
+            names = {int(c): ("other" if c == other_id
+                              else names.get(int(c), f"class_{int(c)}"))
+                     for c in cats}
+    cat_records = [{"id": int(c), "name": names[int(c)],
                     "supercategory": "mask"} for c in cats]
     annos = []
     for i, r in enumerate(px.itertuples()):

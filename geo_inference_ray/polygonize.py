@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .tiling import NODATA, GridConfig
 
@@ -289,7 +290,155 @@ def polygons_from_tiles(tiles_ds, grid: GridConfig,
                         min_area_px: float = 0.0) -> pd.DataFrame:
     """Ray entry: consume the mask-tile Dataset and stitch.  Mask tiles
     are bounded by the raster grid (not the input row count), so
-    collecting them to the driver for the stitch is scale-safe; the
-    per-tile labeling is the distributed part when grids grow (swap
-    _tile_components into a map_batches over tile blocks)."""
+    collecting them to the driver for the stitch is scale-safe for
+    coarse grids; :func:`polygons_distributed` is the fine-grid path."""
     return stitch_polygons(tiles_ds.to_pandas(), grid, min_area_px)
+
+
+def polygons_distributed(tiles_ds, grid: GridConfig,
+                         min_area_px: float = 0.0):
+    """Fully distributed polygonize + stitch.
+
+    1. map_batches over mask-tile blocks: per-tile component labeling;
+       emits pixel rows (stay distributed) and border rows (collected —
+       bounded by the mask grid's tile perimeter, not input rows);
+    2. driver: border equivalence union-find -> broadcast global-id map;
+    3. map_batches: relabel pixel rows with comp_id;
+    4. groupby(comp_id).map_groups: assemble pixels, trace rings,
+       convert to geo coords.
+
+    Returns a Dataset of ring rows (same schema as stitch_polygons).
+    Semantics identical to the driver-side path (pinned by test).
+    """
+    import ray
+    import ray.data as rd
+
+    stride = grid.stride
+
+    def tile_stage(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        prows, brows = _tile_components(df, stride)
+        # pack both row kinds into one table; kind=0 pixel, 1 border
+        p = pa.table({
+            "kind": pa.array(np.zeros(len(prows), dtype=np.int8)),
+            "tkey": pa.array(prows["tkey"].to_numpy(dtype=np.int64)),
+            "llab": pa.array(prows["llab"].to_numpy(dtype=np.int64)),
+            "class_id": pa.array(prows["class_id"].to_numpy(dtype=np.int64)),
+            "a": pa.array(prows["py"].to_numpy(dtype=np.int64)),
+            "b": pa.array(prows["px"].to_numpy(dtype=np.int64)),
+        })
+        q = pa.table({
+            "kind": pa.array(np.ones(len(brows), dtype=np.int8)),
+            "tkey": pa.array(brows["tkey"].to_numpy(dtype=np.int64)),
+            "llab": pa.array(brows["llab"].to_numpy(dtype=np.int64)),
+            "class_id": pa.array(brows["class_id"].to_numpy(dtype=np.int64)),
+            "a": pa.array((brows["edge_key"].to_numpy(dtype=np.int64) * 4
+                           + brows["side"].to_numpy(dtype=np.int64))),
+            "b": pa.array(brows["offset"].to_numpy(dtype=np.int64)),
+        })
+        return pa.concat_tables([p, q])
+
+    labeled = tiles_ds.map_batches(tile_stage, batch_format="pyarrow") \
+                      .materialize()
+
+    # driver: bounded border set -> union-find
+    bdf_parts = []
+    for bt in labeled.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        m = bt.filter(pa.array(np.asarray(bt["kind"]) == 1))
+        if len(m):
+            bdf_parts.append(m.to_pandas())
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    if bdf_parts:
+        bdf = pd.concat(bdf_parts, ignore_index=True)
+        bdf["edge_key"] = bdf["a"] // 4
+        bdf["side"] = bdf["a"] % 4
+        bdf["offset"] = bdf["b"]
+        for key in set(zip(bdf["tkey"], bdf["llab"])):
+            find(key)
+        for _, g in bdf.groupby("edge_key"):
+            x = g[g["side"].isin([0, 2])]
+            y = g[g["side"].isin([1, 3])]
+            m = x.merge(y, on="offset", suffixes=("_a", "_b"))
+            m = m[m["class_id_a"] == m["class_id_b"]]
+            for r in m.itertuples():
+                union((r.tkey_a, r.llab_a), (r.tkey_b, r.llab_b))
+    # also register components with no border presence
+    for bt in labeled.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        m = bt.filter(pa.array(np.asarray(bt["kind"]) == 0))
+        for t, l in set(zip(np.asarray(m["tkey"]).tolist(),
+                            np.asarray(m["llab"]).tolist())):
+            find((t, l))
+    roots = {k: find(k) for k in list(parent)}
+    uniq = sorted(set(roots.values()))
+    gid = {r: i for i, r in enumerate(uniq)}
+    gmap = {k: gid[v] for k, v in roots.items()}
+    gmap_ref = ray.put(gmap)
+
+    class Relabel:
+        def __init__(self):
+            self.gmap = ray.get(gmap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = np.asarray(batch["kind"]) == 0
+            m = batch.filter(pa.array(keep))
+            comp = np.fromiter(
+                (self.gmap[(t, l)]
+                 for t, l in zip(np.asarray(m["tkey"]).tolist(),
+                                 np.asarray(m["llab"]).tolist())),
+                dtype=np.int64, count=len(m))
+            return pa.table({
+                "comp_id": pa.array(comp),
+                "class_id": m["class_id"],
+                "py": m["a"], "px": m["b"],
+            })
+
+    pixels = labeled.map_batches(Relabel, batch_format="pyarrow",
+                                 concurrency=(1, 4))
+
+    def trace_group(g: pd.DataFrame) -> pd.DataFrame:
+        pix = set(zip(g["py"].tolist(), g["px"].tolist()))
+        rings = trace_rings(pix)
+        areas = [ring_signed_area(r) for r in rings]
+        outer = int(np.argmax(np.abs(areas)))
+        area_px = abs(areas[outer])
+        if area_px < min_area_px:
+            return pd.DataFrame({
+                "comp_id": pd.Series([], dtype=np.int64),
+                "class_id": pd.Series([], dtype=np.int64),
+                "ring_idx": pd.Series([], dtype=np.int64),
+                "is_hole": pd.Series([], dtype=bool),
+                "n_pixels": pd.Series([], dtype=np.int64),
+                "area_px": pd.Series([], dtype=float),
+                "xs": pd.Series([], dtype=object),
+                "ys": pd.Series([], dtype=object)})
+        rows = []
+        for ri, (rg, a) in enumerate(zip(rings, areas)):
+            xs = np.array([p[0] for p in rg], dtype=float)
+            ys = np.array([p[1] for p in rg], dtype=float)
+            rows.append({
+                "comp_id": int(g["comp_id"].iloc[0]),
+                "class_id": int(g["class_id"].iloc[0]),
+                "ring_idx": ri, "is_hole": ri != outer,
+                "n_pixels": len(pix), "area_px": area_px,
+                "xs": grid.min_lon + xs * grid.pix,
+                "ys": grid.max_lat - ys * grid.pix,
+            })
+        return pd.DataFrame(rows)
+
+    return pixels.groupby("comp_id").map_groups(trace_group,
+                                                batch_format="pandas")

@@ -213,3 +213,70 @@ def test_rings_to_px_roundtrip():
     px = rings_to_px(polys, grid)
     np.testing.assert_allclose(px.iloc[0]["pxs"], [0, 2, 2, 0])
     np.testing.assert_allclose(px.iloc[0]["pys"], [0, 0, 2, 2])
+
+
+def test_distributed_matches_driver_stitch(ray_session, sf_dir):
+    """polygons_distributed == stitch_polygons on the real tile output
+    (same comp decomposition, ring areas, and geo coords)."""
+    import ray.data as rd
+
+    from geo_inference_ray import stages
+    from geo_inference_ray.polygonize import (polygons_distributed,
+                                              polygons_from_tiles)
+    from geo_inference_ray.tiling import DEFAULT_GRID, mask_tiles
+
+    geo = stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = mask_tiles(geo, DEFAULT_GRID)
+    local = polygons_from_tiles(tiles, DEFAULT_GRID)
+    tiles2 = mask_tiles(stages.geo_pipeline(sf_dir, with_cells=False),
+                        DEFAULT_GRID)
+    dist = polygons_distributed(tiles2, DEFAULT_GRID).to_pandas()
+
+    def canon(df):
+        df = df.copy()
+        df["key"] = [tuple(sorted(zip(x, y)))
+                     for x, y in zip(df["xs"], df["ys"])]
+        return df.sort_values(["class_id", "n_pixels", "key"]) \
+                 .reset_index(drop=True)
+
+    a, b = canon(local), canon(dist)
+    assert len(a) == len(b)
+    assert (a["class_id"].to_numpy() == b["class_id"].to_numpy()).all()
+    assert (a["n_pixels"].to_numpy() == b["n_pixels"].to_numpy()).all()
+    assert (a["is_hole"].to_numpy() == b["is_hole"].to_numpy()).all()
+    np.testing.assert_allclose(a["area_px"].to_numpy(),
+                               b["area_px"].to_numpy())
+    for ka, kb in zip(a["key"], b["key"]):
+        assert ka == kb
+
+
+def test_reduce_precision():
+    from geo_inference_ray.annotations import reduce_precision
+
+    polys = pd.DataFrame([{
+        "comp_id": 0, "class_id": 1, "ring_idx": 0, "is_hole": False,
+        "n_pixels": 1, "area_px": 1.0,
+        "xs": np.array([1.23456, 2.34567]),
+        "ys": np.array([-0.11111, 9.87654]),
+    }])
+    out = reduce_precision(polys, 2)
+    np.testing.assert_allclose(out.iloc[0]["xs"], [1.23, 2.35])
+    np.testing.assert_allclose(out.iloc[0]["ys"], [-0.11, 9.88])
+
+
+def test_coco_other_bucketing():
+    mask = np.zeros((8, 8), dtype=np.uint8)
+    mask[0, 0] = 1
+    mask[4, 4] = 2
+    tiles = _tiles_from_dense(mask, 4)
+    grid = _grid(8, 8, 4)
+    polys = stitch_polygons(tiles, grid)
+    coco = to_coco(polys, grid,
+                   category_names={1: "building", 2: "exotic"},
+                   preset_categories=["building"])
+    names = {c["name"] for c in coco["categories"]}
+    assert names == {"building", "other"}
+    other_id = [c["id"] for c in coco["categories"]
+                if c["name"] == "other"][0]
+    assert other_id == 3  # max preset id + 1
+    assert any(a["category_id"] == other_id for a in coco["annotations"])
