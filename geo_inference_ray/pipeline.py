@@ -217,6 +217,17 @@ def cmd_interface(argv=None) -> argparse.Namespace:
                 setattr(ns, k2, v)
     if ns.input is None:
         p.error("an input is required (-i or YAML 'input:')")
+    if not os.path.isfile(os.path.join(ns.input, "documents.parquet")):
+        p.error(f"input dir {ns.input!r} has no documents.parquet "
+                "(expected a testdata sf directory)")
+    if ns.bbox:
+        parts = ns.bbox.split(",")
+        if len(parts) != 4:
+            p.error("--bbox must be min_lon,min_lat,max_lon,max_lat")
+        try:
+            [float(x) for x in parts]
+        except ValueError:
+            p.error(f"--bbox values must be numbers, got {ns.bbox!r}")
     return ns
 
 
