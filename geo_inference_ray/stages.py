@@ -47,24 +47,46 @@ class ExtractText:
         return pa.table(cols)
 
 
-class Geocoder:
-    """url -> (lat, lon, cluster).
+_GEO_TOKEN_RE = r"geo:(?P<glat>-?\d+\.\d+),(?P<glon>-?\d+\.\d+)"
 
-    The "stateful geocoder actor" of the north rule: state = compiled URL
-    pattern (in a real deployment: a gazetteer / model).  The doc id is
-    *parsed back out of the url* (not read from the provenance column) so
-    the contract "URL/text-derived lat-lon" holds; synthesis guarantees the
-    two agree.
+
+class Geocoder:
+    """(url, text) -> (lat, lon, cluster).
+
+    The "stateful geocoder actor" of the north rule: state = compiled
+    patterns (in a real deployment: a gazetteer / model).  Two sources,
+    in priority order (FIXTURES.md F1 contract — a pure deterministic
+    function of (url, text)):
+
+    1. an explicit ``geo:{lat},{lon}`` token in the text (vectorized
+       regex extract);
+    2. else the doc id parsed back out of the url, hashed through the
+       deterministic skewed-cluster mixture (synth.geocode_ids).
+
+    Rows geocoded from a text token get cluster = -1 (no synthetic
+    cluster identity).
     """
 
     def __init__(self):
         self.pat = re.compile(_URL_ID_RE)
+        self.geo_pat = re.compile(_GEO_TOKEN_RE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = pc.extract_regex(batch["url"], _URL_ID_RE.replace(r"(\d+)", r"(?P<id>\d+)"))
         doc_id = pc.cast(pc.struct_field(ids, "id"), pa.int64()).to_numpy(
             zero_copy_only=False)
         lat, lon, cluster = synth.geocode_ids(doc_id)
+        if "text" in batch.column_names:
+            tok = pc.extract_regex(batch["text"], _GEO_TOKEN_RE)
+            valid = pc.is_valid(tok).to_numpy(zero_copy_only=False)
+            if valid.any():
+                glat = pc.cast(pc.struct_field(tok, "glat"),
+                               pa.float64()).to_numpy(zero_copy_only=False)
+                glon = pc.cast(pc.struct_field(tok, "glon"),
+                               pa.float64()).to_numpy(zero_copy_only=False)
+                lat = np.where(valid, glat, lat)
+                lon = np.where(valid, glon, lon)
+                cluster = np.where(valid, -1, cluster)
         return batch.append_column("lat", pa.array(lat)) \
                     .append_column("lon", pa.array(lon)) \
                     .append_column("cluster", pa.array(cluster))

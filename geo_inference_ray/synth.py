@@ -227,6 +227,14 @@ def _build_polygons():
                               (-174000, 86000), (-175000, 86000)]})
     polys.append({"poly_id": 10, "class_id": 4,
                   "ring_md": _regular_ring(-80.0, 120.0, 0.8, 6, 0.0)})
+    # degenerate sliver crossing cluster 3's box (FIXTURES.md F2: the
+    # buffer(0)/area-floor path — a near-zero-area polygon the PIP
+    # kernel must handle without blowing up)
+    clat3, clon3 = cluster_center(3)
+    x0, y0 = int((clon3 - 0.4) * 1000), int((clat3 - 0.4) * 1000)
+    x1, y1 = int((clon3 + 0.4) * 1000), int((clat3 + 0.4) * 1000)
+    polys.append({"poly_id": 11, "class_id": 1,
+                  "ring_md": [(x0, y0), (x1, y1), (x1 - 2, y1 - 4)]})
     return polys
 
 

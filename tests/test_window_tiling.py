@@ -207,3 +207,57 @@ def test_mask_tiles_ray(ray_session, sf_dir):
     assert (a["oy"] == b["oy"]).all() and (a["ox"] == b["ox"]).all()
     for x, y in zip(a["mask"], b["mask"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_windows_match_checked_in_golden():
+    """FIXTURES.md F3: the 9 window variants vs the checked-in .npy
+    golden (generated independently of window.py)."""
+    import os
+
+    gold = np.load(os.path.join(os.path.dirname(__file__), "data",
+                                "window_golden.npy"))
+    order = ["ul", "u", "ur", "l", "c", "r", "bl", "b", "br"]
+    got = all_windows(4)
+    for i, pos in enumerate(order):
+        np.testing.assert_allclose(got[pos], gold[i], err_msg=pos)
+
+
+def test_merge_matches_checked_in_cases():
+    """FIXTURES.md F3: seeded merge cases parquet -> reference_merge."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(os.path.dirname(__file__), "data",
+                                   "merge_cases.parquet"))
+    for row in t.to_pylist():
+        contribs = np.asarray(row["contribs"]).reshape(
+            row["n_contrib"], 3, 2, 2)
+        got = reference_merge(list(contribs), num_classes=2, threshold=0.3)
+        np.testing.assert_array_equal(
+            got, np.asarray(row["expected"], dtype=np.uint8).reshape(2, 2),
+            err_msg=f"n={row['n_contrib']} case={row['case']}")
+
+
+def test_geocoder_geo_token_priority(ray_session):
+    """FIXTURES.md F1: a geo:{lat},{lon} token in text overrides the
+    url-derived location (cluster becomes -1)."""
+    import pyarrow as pa
+
+    from geo_inference_ray.stages import Geocoder
+
+    batch = pa.table({
+        "url": pa.array(["https://example.org/src0/5",
+                         "https://example.org/src0/6"]),
+        "text": pa.array(["see geo:12.5,-33.25 for details",
+                          "no token here"]),
+    })
+    out = Geocoder()(batch)
+    assert out["lat"].to_pylist()[0] == 12.5
+    assert out["lon"].to_pylist()[0] == -33.25
+    assert out["cluster"].to_pylist()[0] == -1
+    # second row falls back to the url-hash path
+    from geo_inference_ray import synth
+    lat, lon, cl = synth.geocode_ids(np.array([6]))
+    assert out["lat"].to_pylist()[1] == lat[0]
+    assert out["cluster"].to_pylist()[1] == cl[0]
