@@ -35,7 +35,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-EXPAND_MAIN = int(os.environ.get("GRAFT_BENCH_EXPAND", "1024"))
+EXPAND_MAIN = int(os.environ.get("GRAFT_BENCH_EXPAND", "2048"))
 EXPAND_AUX = int(os.environ.get("GRAFT_BENCH_EXPAND_AUX", "64"))
 SHARD_OFFSET = 10 ** 7
 
