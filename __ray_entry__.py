@@ -296,6 +296,21 @@ def q_sessionize(sf_dir: str):
     return _rel.sessionize(sf_dir)
 
 
+def q_native_join(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.native_join_agg(sf_dir)
+
+
+def q_pip_count_by_poly(sf_dir: str):
+    """Join + aggregate composition: hits per polygon."""
+    from ray.data.aggregate import Count
+
+    ds = _stages.geo_pipeline(sf_dir, mode="inner")
+    return ds.select_columns(["poly_id"]).groupby("poly_id").aggregate(
+        Count(alias_name="n_hits"))
+
+
 def q_hash_sample(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -358,6 +373,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "native_join": q_native_join,
+        "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
         "union_counts": q_union_counts,
         "events_sliding": q_events_sliding,
@@ -492,6 +509,14 @@ SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
        SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        "native_join": """
+SELECT c.c_mktsegment,
+       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment""",
+        "pip_count_by_poly": _WP + """
+SELECT poly_id, COUNT(*) AS n_hits FROM pip GROUP BY poly_id""",
         "hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id * 2654435761) % 100 < 10""",

@@ -232,6 +232,41 @@ def events_hourly(sf_dir: str):
             Sum("n", alias_name="n_events"))
 
 
+def native_join_agg(sf_dir: str, num_partitions: int = 8):
+    """Ray Data's native hash-partitioned ``Dataset.join`` (available in
+    this Ray version) — the third join strategy next to broadcast
+    (top_customers) and explicit bucketing (bucketed_join_agg).  orders
+    x customer on custkey -> per-mktsegment order counts + cents."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def cents_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "cents": _cents(batch["o_totalprice"])})
+
+    orders = orders.map_batches(cents_col, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            tc=("cents", "sum"), n=("cents", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_mktsegment").aggregate(
+            Sum("tc", alias_name="total_cents"),
+            Sum("n", alias_name="n_orders"))
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where
