@@ -223,6 +223,10 @@ def q_langid(sf_dir: str):
         concurrency=(1, 4))
 
 
+def q_word_count(sf_dir: str):
+    return _textops.word_count_topk(_docs_text(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
@@ -360,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q_token_count,
         "quality": q_quality,
         "langid": q_langid,
+        "word_count": q_word_count,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
@@ -460,6 +465,10 @@ SELECT CAST(floor((lon - -180.0) / 0.5) AS BIGINT) AS px,
        CAST(floor((90.0 - lat) / 0.5) AS BIGINT) AS py,
        count(*) AS n
 FROM geo GROUP BY 1, 2""",
+        "word_count": """
+SELECT token, COUNT(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),

@@ -108,6 +108,27 @@ class LangId:
         return pa.table(out)
 
 
+def word_count_topk(ds, k: int = 20):
+    """Global token frequencies, top-k by (count desc, token asc) — the
+    canonical flat-map word count with map-side partial aggregation:
+    one (token, count) row per distinct token per batch crosses the
+    shuffle, then a vectorized Sum and a small sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = toks.value_counts()
+        return pa.table({
+            "token": vc.field("values"),
+            "c": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum("c", alias_name="n"))
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 class Fingerprint:
     """Polynomial rolling-hash document fingerprint (not SQL-expressible;
     rows-only oracle check).  fp = sum(byte[i] * BASE^i) mod FP_MOD over
