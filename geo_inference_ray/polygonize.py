@@ -116,6 +116,14 @@ def trace_rings(pixels: set[tuple[int, int]]):
             if len(outs) == 1:
                 nxt = outs.pop()
                 del edges[cur]
+            elif prev_dir is None:
+                # ring starts AT a junction (two loops touching at a
+                # corner): deterministic choice; either loop closes
+                # consistently from here
+                outs.sort()
+                nxt = outs.pop(0)
+                if not outs:
+                    del edges[cur]
             else:
                 # junction: prefer the sharpest left turn relative to the
                 # incoming direction to keep rings simple
