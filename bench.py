@@ -20,9 +20,11 @@ Physical plan notes (measured on this box, see BENCH/BASELINE.md):
 * one untimed warm-up execution spawns the worker pool and warms the
   page cache before any timing.
 
-``--scaling``: run the bench twice in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input; scaling efficiency is computed on the
-headline (join + tiles) time: eff = (t_8 / t_32) / (32 / 8).
+``--scaling``: run the bench at num_cpus=2, 8 and 32 in fresh processes
+on the same input; scaling efficiency is computed on the headline
+(join + tiles) time for both N->4N pairs: eff = (t_N / t_4N) / 4.
+See run_scaling's docstring and BENCH/BASELINE.md for why the 2->8 pair
+is the faithful multi-node proxy on a single shared-bandwidth box.
 """
 
 from __future__ import annotations
