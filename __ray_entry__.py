@@ -481,17 +481,22 @@ r AS (SELECT query_id, neighbor_id,
       FROM sims)
 SELECT query_id, neighbor_id, "rank" FROM r
 WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
+        # DuckDB SUM(BIGINT) yields HUGEINT (-> float64 in the compare), so
+        # every outer SUM below is CAST back to BIGINT to match the engine.
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sum_disc_pct,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS sum_disc_pct,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "top_customers": """
 WITH per AS (
   SELECT o_custkey,
-         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey)
 SELECT p.o_custkey, c.c_name, c.c_mktsegment, p.total_cents, p.n_orders
@@ -499,7 +504,7 @@ FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
 ORDER BY p.total_cents DESC, p.o_custkey LIMIT 10""",
         "bucketed_join": """
 SELECT o.o_orderstatus, l.l_returnflag,
-       SUM(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderstatus, l.l_returnflag""",
@@ -514,13 +519,16 @@ WITH r AS (
   FROM orders)
 SELECT o_custkey, o_orderkey, cents, rnk FROM r WHERE rnk <= 3""",
         "events_hourly": """
-SELECT user_id, event_type, date_trunc('hour', ts) AS hour,
-       SUM(CAST(round(value * 1000) AS BIGINT)) AS value_milli,
+SELECT user_id, event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+       CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+         AS value_milli,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
         "native_join": """
 SELECT c.c_mktsegment,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
        COUNT(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
@@ -528,7 +536,7 @@ GROUP BY c.c_mktsegment""",
 SELECT poly_id, COUNT(*) AS n_hits FROM pip GROUP BY poly_id""",
         "hash_sample": """
 SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 100 < 10""",
+WHERE (doc_id % 100 * 2654435761) % 100 < 10""",
         "union_counts": """
 SELECT src, COUNT(*) AS n FROM (
   SELECT r_name AS name, 'region' AS src FROM region
@@ -555,8 +563,9 @@ WITH d AS (
   FROM events),
 s AS (
   SELECT user_id, ts,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
   FROM d)
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts

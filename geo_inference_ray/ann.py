@@ -56,15 +56,26 @@ class BruteForceTopK:
         # k+1 so a self-match (sim=1.0, filtered downstream) can't evict a
         # true neighbor from the partial top-k
         kk = min(self.k + 1, nb)
-        # partial top-k per query within this batch
+        # partial top-k per query within this batch.  argpartition on sim
+        # alone can evict the lower-id neighbor when exact ties straddle
+        # the kk boundary, breaking the (sim desc, id asc) tie contract;
+        # widen the cut to every candidate tied with the boundary value,
+        # then lexsort by (-sim, id) before truncating.  nq is small by
+        # design, so the per-query loop is off the hot axis.
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q = np.repeat(self.qids, kk)
-        out_n = ids[part.reshape(-1)]
-        out_s = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        boundary = np.take_along_axis(sims, part, axis=1).min(axis=1)
+        qs, ns, ss = [], [], []
+        for qi in range(nq):
+            sel = np.flatnonzero(sims[qi] >= boundary[qi])
+            order = np.lexsort((ids[sel], -sims[qi][sel]))[:kk]
+            pick = sel[order]
+            qs.append(np.full(len(pick), self.qids[qi], dtype=np.int64))
+            ns.append(ids[pick])
+            ss.append(sims[qi][pick])
         return pa.table({
-            "query_id": pa.array(out_q.astype(np.int64)),
-            "neighbor_id": pa.array(out_n.astype(np.int64)),
-            "sim": pa.array(out_s),
+            "query_id": pa.array(np.concatenate(qs)),
+            "neighbor_id": pa.array(np.concatenate(ns).astype(np.int64)),
+            "sim": pa.array(np.concatenate(ss)),
         })
 
 

@@ -125,13 +125,16 @@ def trace_rings(pixels: set[tuple[int, int]]):
                 if not outs:
                     del edges[cur]
             else:
-                # junction: prefer the sharpest left turn relative to the
-                # incoming direction to keep rings simple
+                # junction: with interior-on-left edge orientation the
+                # ring must take the sharpest RIGHT turn relative to the
+                # incoming direction; a left-turn preference crosses into
+                # the adjacent loop at diagonal-pinch junctions and
+                # produces self-touching non-simple rings
                 def turn_key(cand):
                     dx, dy = cand[0] - cur[0], cand[1] - cur[1]
                     pdx, pdy = prev_dir
-                    # left-turn priority: cross product descending
-                    return -(pdx * dy - pdy * dx)
+                    # right-turn priority: cross product ascending
+                    return (pdx * dy - pdy * dx)
                 outs.sort(key=turn_key)
                 nxt = outs.pop(0)
                 if not outs:

@@ -203,6 +203,17 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
                                                  batch_format="pandas")
 
 
+def _restore_us(col: str):
+    """Ray 2.49's groupby downcasts timestamp[us] group keys to
+    timestamp[s] on the way through the shuffle; cast the (small)
+    aggregate output back so dtypes match the DuckDB oracle exactly."""
+    def fix(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(
+            i, col, pc.cast(batch[col], pa.timestamp("us")))
+    return fix
+
+
 def events_hourly(sf_dir: str):
     """Time-bucket aggregation over the events stream table: per
     (user_id, event_type, hour) counts and milli-value sums — the
@@ -214,7 +225,8 @@ def events_hourly(sf_dir: str):
                          columns=["user_id", "event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.timestamp("us"))
         vm = pc.cast(pc.round(pc.multiply(batch["value"], 1000.0)),
                      pa.int64())
         t = pa.table({"user_id": batch["user_id"],
@@ -229,7 +241,9 @@ def events_hourly(sf_dir: str):
                           zero_copy_batch=True) \
         .groupby(["user_id", "event_type", "hour"]).aggregate(
             Sum("v", alias_name="value_milli"),
-            Sum("n", alias_name="n_events"))
+            Sum("n", alias_name="n_events")) \
+        .map_batches(_restore_us("hour"), batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 def native_join_agg(sf_dir: str, num_partitions: int = 8):
@@ -270,7 +284,8 @@ def native_join_agg(sf_dir: str, num_partitions: int = 8):
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where
-    (doc_id * 2654435761) % 100 < pct."""
+    (doc_id % 100 * 2654435761) % 100 < pct (mod-before-multiply keeps
+    the product overflow-free at any int64 id)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -278,7 +293,7 @@ def hash_sample(sf_dir: str, pct: int = 10):
 
     def pick(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
-        keep = (d * 2654435761) % 100 < pct
+        keep = (d % 100 * 2654435761) % 100 < pct
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(pick, batch_format="pyarrow",
@@ -336,7 +351,9 @@ def events_sliding(sf_dir: str):
                           zero_copy_batch=True) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "window_start"]).aggregate(
-            Sum("n", alias_name="n_events"))
+            Sum("n", alias_name="n_events")) \
+        .map_batches(_restore_us("window_start"), batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):

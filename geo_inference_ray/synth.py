@@ -113,12 +113,14 @@ def geocode_ids(doc_id: np.ndarray):
     float jitter.  Every float op appears in the same order as in
     ``SQL_GEO`` so results are bit-identical to the DuckDB oracle.
 
-    NOTE at 10^12-doc scale the products exceed int64; the scale path is
-    uint64 modular multiplication (same values), elided here because the
-    sandbox ids are small.
+    The id is reduced mod the modulus BEFORE the multiply — identical
+    values ((d mod m) * c mod m == d * c mod m), but the intermediate
+    product stays < 2^63 for every non-negative int64 id, so the hash is
+    well-defined at 10^12-doc scale and the SQL mirror never overflows
+    DuckDB's checked BIGINT.
     """
     d = doc_id.astype(np.int64)
-    h1 = (d * H1_MULT + H1_ADD) % H1_MOD
+    h1 = ((d % H1_MOD) * H1_MULT + H1_ADD) % H1_MOD
     sel = h1 % 1000
     cluster = np.where(
         sel < CLUSTER_CUTS[0], 0,
@@ -128,8 +130,8 @@ def geocode_ids(doc_id: np.ndarray):
                                    4 + h1 % N_TAIL_CLUSTERS)))).astype(np.int64)
     center_lat = ((cluster * 7919) % 140 - 70).astype(np.float64) + 0.5
     center_lon = ((cluster * 104729) % 340 - 170).astype(np.float64) + 0.5
-    h2 = (d * H2_MULT + H2_ADD) % JITTER_MOD
-    h3 = (d * H3_MULT + H3_ADD) % JITTER_MOD
+    h2 = ((d % JITTER_MOD) * H2_MULT + H2_ADD) % JITTER_MOD
+    h3 = ((d % JITTER_MOD) * H3_MULT + H3_ADD) % JITTER_MOD
     lat = center_lat + (h2 - 1000000) / 2000000.0
     lon = center_lon + (h3 - 1000000) / 2000000.0
     return lat, lon, cluster
@@ -280,9 +282,9 @@ pages AS (
 
 SQL_GEO = f"""
 geo0 AS (
-  SELECT *, (doc_id * {H1_MULT} + {H1_ADD}) % {H1_MOD} AS h1,
-         (doc_id * {H2_MULT} + {H2_ADD}) % {JITTER_MOD} AS h2,
-         (doc_id * {H3_MULT} + {H3_ADD}) % {JITTER_MOD} AS h3
+  SELECT *, (doc_id % {H1_MOD} * {H1_MULT} + {H1_ADD}) % {H1_MOD} AS h1,
+         (doc_id % {JITTER_MOD} * {H2_MULT} + {H2_ADD}) % {JITTER_MOD} AS h2,
+         (doc_id % {JITTER_MOD} * {H3_MULT} + {H3_ADD}) % {JITTER_MOD} AS h3
   FROM pages
 ),
 geo1 AS (
@@ -354,9 +356,15 @@ def sql_polygon_edges() -> str:
                 f"({p['poly_id']}, {x1} / 1000.0, {y1} / 1000.0,"
                 f" {x2} / 1000.0, {y2} / 1000.0)")
     edges = ",\n    ".join(edge_rows)
+    # DuckDB VALUES lists type small ints as INT32; cast to BIGINT so the
+    # oracle dtypes match the engine's int64 columns exactly.
     return f"""
-polys(poly_id, class_id) AS (VALUES
+polys AS (
+  SELECT CAST(poly_id AS BIGINT) AS poly_id,
+         CAST(class_id AS BIGINT) AS class_id
+  FROM (VALUES
     {poly_rows}
+  ) v(poly_id, class_id)
 ),
 edges(poly_id, ex1, ey1, ex2, ey2) AS (VALUES
     {edges}

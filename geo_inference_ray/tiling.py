@@ -216,6 +216,12 @@ def emit_to_patches(grid: GridConfig):
                 ok &= (ty < grid.ny - 1) & (tx < grid.nx - 1)
                 if ok.any():
                     outs.append((ty[ok], tx[ok], py[ok], px[ok], n[ok]))
+        if not outs:
+            # Ray map_batches can deliver empty blocks; emit an empty
+            # table with the output schema instead of np.concatenate([]).
+            empty = pa.array([], pa.int64())
+            return pa.table({"ty": empty, "tx": empty, "py": empty,
+                             "px": empty, "n": empty})
         ty = np.concatenate([o[0] for o in outs])
         tx = np.concatenate([o[1] for o in outs])
         return pa.table({

@@ -55,6 +55,12 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
     a, b = canon(ray_df), canon(ora_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver hashes post-to-pandas values, so a dtype divergence
+        # (e.g. DuckDB HUGEINT -> float64 vs engine int64) is a real fail
+        # even when values compare equal numerically.
+        if av.dtype != bv.dtype and not (av.dtype.kind == bv.dtype.kind
+                                         and av.dtype.kind in "OUS"):
+            return (f"DTYPE MISMATCH col={c} ray={av.dtype} ora={bv.dtype}")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             eq = (av == bv.astype(av.dtype))
             eq |= pd.isna(av) & pd.isna(bv)

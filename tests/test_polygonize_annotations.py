@@ -61,6 +61,38 @@ def test_trace_l_shape_area():
     assert abs(ring_signed_area(rings[0])) == 3.0
 
 
+def test_trace_pinch_junction_simple_rings():
+    # 3x3 minus center minus a corner: the cavity touches the exterior
+    # at a diagonal-pinch junction.  The sharpest-RIGHT-turn policy must
+    # keep every ring simple (no repeated vertices) and preserve the
+    # pixel-area invariant; the old left-turn preference crossed into
+    # the adjacent loop here and emitted a self-touching ring.
+    pix = {(y, x) for y in range(3) for x in range(3)} - {(1, 1), (2, 2)}
+    rings = trace_rings(pix)
+    for r in rings:
+        assert len(set(r)) == len(r), "non-simple ring at pinch junction"
+    areas = [ring_signed_area(r) for r in rings]
+    assert abs(abs(sum(areas)) - len(pix)) < 1e-9
+
+
+def test_trace_fuzz_simple_and_area_invariant():
+    # fuzz random masks: every component's rings are simple and the
+    # signed areas sum to +/- the component pixel count
+    rng = np.random.default_rng(20240817)
+    for _ in range(40):
+        m = (rng.random((10, 10)) < 0.55).astype(np.uint8)
+        labs = label_components(m)
+        for lab in np.unique(labs):
+            if lab == 0:
+                continue
+            ys, xs = np.nonzero(labs == lab)
+            pix = set(zip(ys.tolist(), xs.tolist()))
+            rings = trace_rings(pix)
+            assert all(len(set(r)) == len(r) for r in rings)
+            areas = [ring_signed_area(r) for r in rings]
+            assert abs(abs(sum(areas)) - len(pix)) < 1e-9
+
+
 def _tiles_from_dense(mask: np.ndarray, stride: int) -> pd.DataFrame:
     h, w = mask.shape
     rows = []
