@@ -127,14 +127,11 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_minhash_verified(sf_dir: str):
-    """MinHash-LSH candidates verified with exact shingle Jaccard."""
-    import ray
-
-    texts = {r["doc_id"]: r["text"]
-             for r in _docs_text(sf_dir).take_all()}
-    ref = ray.put(texts)
+    """MinHash-LSH candidates verified with exact shingle Jaccard —
+    distributed: only candidate doc IDS (ints) touch the driver; shingle
+    arrays are computed per batch and hash-joined to the pairs."""
     pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
-    return _dedup.jaccard_pairs(pairs, ref)
+    return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
 def q_polygons(sf_dir: str):

@@ -111,59 +111,94 @@ def ann_topk(sf_dir: str, k: int = TOPK_DEFAULT,
 
 
 LSH_BANDS = 8
-LSH_PLANES_PER_BAND = 3
+LSH_MIN_PLANES = 3
+LSH_TARGET_BUCKET = 32   # aim for ~this many vectors per (band, bucket)
+LSH_BUCKET_CAP = 512     # salt buckets above this before all-pairs
+
+
+def lsh_planes_for(n: int) -> int:
+    """Planes per band as a function of corpus size: bucket space grows
+    with n so the expected bucket stays ~LSH_TARGET_BUCKET (a fixed
+    plane count means buckets of n/2^planes rows -> O(n^2) all-pairs at
+    scale).  n=2e3 -> 6 planes, 1.3e5 -> 12, 1e12 -> 35 (fits int64)."""
+    return max(LSH_MIN_PLANES,
+               int(np.ceil(np.log2(max(2.0, n / LSH_TARGET_BUCKET)))))
 
 
 class HyperplaneLSH:
     """Banded random-hyperplane signatures (the ANN scale path):
-    LSH_BANDS bands of LSH_PLANES_PER_BAND sign bits each; a pair is a
-    candidate if ANY band matches (the MinHash-band pattern applied to
-    cosine space).  At cos=0.4 each band matches with p≈0.25, any-of-8
-    ≈ 0.9 recall, while random pairs (cos≈0) collide at ≈ 0.125 per
-    band — the groupby stays far below all-pairs."""
+    LSH_BANDS bands of ``planes`` sign bits each; a pair is a candidate
+    if ANY band matches (the MinHash-band pattern applied to cosine
+    space).  Bucket space scales with the corpus (lsh_planes_for), which
+    tunes the generator to the high-similarity near-dup regime: recall
+    at sim>=0.9 stays >~0.9 for any-of-8 bands, while the expected
+    bucket stays ~LSH_TARGET_BUCKET so the in-bucket all-pairs never
+    approaches O(n^2).  Emits gkey = band * 2^planes + bucket as one
+    int64 group key."""
 
-    def __init__(self, dim: int, seed: int = 20240817):
+    def __init__(self, dim: int, planes: int = LSH_MIN_PLANES,
+                 seed: int = 20240817):
         rng = np.random.default_rng(seed)
-        self.H = rng.standard_normal(
-            (LSH_BANDS * LSH_PLANES_PER_BAND, dim))
+        self.planes = planes
+        self.H = rng.standard_normal((LSH_BANDS * planes, dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
         M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False))
         bits = (M @ self.H.T) > 0  # (n, bands*planes)
         n = len(ids)
-        out_band = np.repeat(np.arange(LSH_BANDS, dtype=np.int64), n)
+        p = self.planes
         out_id = np.tile(ids, LSH_BANDS)
         emb_idx = np.tile(np.arange(n), LSH_BANDS)
-        buckets = np.empty((LSH_BANDS, n), dtype=np.int64)
+        gkeys = np.empty((LSH_BANDS, n), dtype=np.int64)
+        weights = (1 << np.arange(p)).astype(np.int64)
         for b in range(LSH_BANDS):
-            seg = bits[:, b * LSH_PLANES_PER_BAND:
-                       (b + 1) * LSH_PLANES_PER_BAND]
-            buckets[b] = (seg * (1 << np.arange(LSH_PLANES_PER_BAND))) \
-                .sum(axis=1)
+            seg = bits[:, b * p:(b + 1) * p]
+            gkeys[b] = (seg * weights).sum(axis=1) + (b << p)
         emb = batch["embedding"]
         return pa.table({
-            "band": pa.array(out_band),
-            "bucket": pa.array(buckets.reshape(-1)),
+            "gkey": pa.array(gkeys.reshape(-1)),
             "vec_id": pa.array(out_id),
             "embedding": emb.take(pa.array(emb_idx)),
         })
 
 
-def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400):
+def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
+                       bucket_cap: int = LSH_BUCKET_CAP):
     """Embedding-cosine near-dup pairs via banded hyperplane LSH:
     candidates from any matching (band, bucket), verified cosine >=
-    threshold, deduplicated.  Returns (vec_a, vec_b, sim_milli)."""
+    threshold, deduplicated.  Returns (vec_a, vec_b, sim_milli).
+
+    Scale path: planes-per-band grows with corpus size (bounded expected
+    bucket), and a counting pre-pass salts any bucket above
+    ``bucket_cap`` (shuffle.salt_plan — pairs split across salts of a
+    degenerate bucket are an accepted recall trade-off there, bounded by
+    MAX_SALTS).  Pair dedup is a vectorized Min aggregate, not
+    per-group Python."""
     import pyarrow.parquet as pq
     import ray.data as rd
+    from ray.data.aggregate import Min
 
+    from .shuffle import add_salt, key_counts, salt_plan
+
+    meta = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
+    n_rows = meta.num_rows
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
                             columns=["embedding"])["embedding"][0])
+    planes = lsh_planes_for(n_rows)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     ds = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
                         zero_copy_batch=True, concurrency=(1, 2),
-                        fn_constructor_kwargs={"dim": dim})
+                        fn_constructor_kwargs={"dim": dim,
+                                               "planes": planes})
+    # at 100 TB this re-executes the (cheap) signature stage for the
+    # count pre-pass instead of materializing the exploded table;
+    # signatures are ids + int keys + the embedding view, and the
+    # pre-pass only ships (gkey, partial count) rows
+    ds = ds.materialize()
+    plan = salt_plan(key_counts(ds, "gkey"), cap=bucket_cap)
+    salted = add_salt(ds, "gkey", plan, "vec_id")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         n = len(g)
@@ -183,8 +218,9 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400):
         return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
                              "sim_milli": sm[keep]})
 
-    pairs = ds.groupby(["band", "bucket"]).map_groups(
+    pairs = salted.groupby(["gkey", "salt"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    # a pair can fire in several bands -> distinct
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # a pair can fire in several bands -> distinct via a vectorized Min
+    # aggregate (sim_milli is identical for every firing of a pair)
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        Min("sim_milli", alias_name="sim_milli"))

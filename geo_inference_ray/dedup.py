@@ -222,35 +222,97 @@ def minhash_candidates(ds):
     return distinct.drop_columns(["_n"])
 
 
-def jaccard_pairs(pairs_ds, texts_by_id_ref):
-    """Verify candidate pairs with exact token-shingle Jaccard.
+def _empty_verified():
+    import ray.data as rd
 
-    ``texts_by_id_ref``: ray.put({doc_id: text}) broadcast — the verify
-    side is small (candidates only).  At 100 TB scale this becomes a
-    shuffle join of shingle-set sketches instead; documented trade-off.
+    return rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard_milli": pa.array([], pa.int64())}))
+
+
+def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
+    """Verify candidate pairs with exact token-shingle Jaccard — fully
+    distributed.
+
+    Document TEXT never reaches the driver: only the candidate doc-id
+    set does (ints, bounded by the duplicate rate, orders of magnitude
+    below the corpus).  Shingle-hash arrays are computed inside
+    map_batches for candidate docs only, then hash-joined to the pair
+    rows on each side; the Jaccard is an intersect of two sorted unique
+    uint64 arrays per pair.
     """
     import ray
+    import ray.data as rd
 
-    class Verify:
+    pairs = pairs_ds.materialize()  # candidate pairs only (small side)
+    cand: set = set()
+    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cand.update(b["doc_a"].to_pylist())
+        cand.update(b["doc_b"].to_pylist())
+    if not cand:
+        return _empty_verified()
+    ids_ref = ray.put(np.fromiter(cand, dtype=np.int64, count=len(cand)))
+
+    class CandShingles:
+        """Emit (doc_id, sh: binary) for candidate docs only.  The
+        shingle-hash array travels as raw uint64 bytes because Acero
+        hash joins accept binary payloads but not list columns."""
+
         def __init__(self):
-            self.texts = ray.get(texts_by_id_ref)
+            self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["doc_a"].to_numpy()
-            b = batch["doc_b"].to_numpy()
-            jac = np.empty(len(a))
-            for i in range(len(a)):
-                sa = set(_token_hashes(self.texts[int(a[i])]).tolist())
-                sb = set(_token_hashes(self.texts[int(b[i])]).tolist())
-                inter = len(sa & sb)
-                jac[i] = inter / max(1, (len(sa) + len(sb) - inter))
-            # milli-jaccard as int for exact comparisons
+            d = batch["doc_id"].to_numpy()
+            keep = np.isin(d, self.ids)
+            d = d[keep]
+            texts = batch.filter(pa.array(keep))["text"].to_pylist()
+            sh = [_token_hashes(t).tobytes() for t in texts]
             return pa.table({
-                "doc_a": pa.array(a), "doc_b": pa.array(b),
-                "jaccard_milli": pa.array((jac * 1000).astype(np.int64)),
+                "doc_id": pa.array(d),
+                "sh": pa.array(sh, pa.binary()),
             })
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
+    shingles = docs_ds.map_batches(CandShingles, batch_format="pyarrow",
+                                   zero_copy_batch=True, concurrency=(1, 4))
+
+    # ONE hash join only (chaining Ray 2.49 joins trips on empty
+    # schema-less partitions): explode each pair into two doc-keyed
+    # rows, join the shingle table once, then group by pair and
+    # intersect the two shingle arrays.
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([b, b])),
+        })
+
+    pairrows = pairs.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    j = pairrows.join(shingles, join_type="inner",
+                      num_partitions=num_partitions, on=("doc_id",))
+
+    import pandas as pd
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:  # a side vanished (shouldn't happen on inner)
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard_milli": pd.Series([], dtype=np.int64)})
+        xa = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
+        xb = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
+        inter = len(np.intersect1d(xa, xb, assume_unique=True))
+        jac = inter / max(1, len(xa) + len(xb) - inter)
+        return pd.DataFrame({
+            "doc_a": g["doc_a"].iloc[:1].astype(np.int64),
+            "doc_b": g["doc_b"].iloc[:1].astype(np.int64),
+            "jaccard_milli": np.array([int(jac * 1000)], dtype=np.int64)})
+
+    return j.groupby(["doc_a", "doc_b"]).map_groups(
+        per_pair, batch_format="pandas")
 
 
 class SimHasher:

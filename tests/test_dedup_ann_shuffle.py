@@ -94,6 +94,32 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert len(uniq) == 0
 
 
+def test_jaccard_verify_distributed(ray_session):
+    """Distributed shingle-join Jaccard verify: exact dup scores 1000,
+    near-dup scores high-but-below, without any driver text broadcast."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import jaccard_pairs, minhash_candidates
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    near = base.replace("sort", "order", 1)
+    rows = [{"doc_id": i,
+             "text": f"document {i} " + " ".join(
+                 f"w{i}x{j}" for j in range(40))} for i in range(20)]
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base},
+             {"doc_id": 102, "text": near}]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_candidates(docs)
+    out = jaccard_pairs(pairs, docs).to_pandas()
+    exact = out[(out["doc_a"] == 100) & (out["doc_b"] == 101)]
+    assert len(exact) == 1 and exact["jaccard_milli"].iloc[0] == 1000
+    nd = out[(out["doc_a"].isin([100, 101])) & (out["doc_b"] == 102)]
+    assert (nd["jaccard_milli"] < 1000).all()
+    assert (nd["jaccard_milli"] > 500).all()
+
+
 def test_ann_topk_matches_bruteforce(ray_session, sf_dir):
     from geo_inference_ray.ann import N_QUERIES_DEFAULT, ann_topk
 
@@ -138,3 +164,56 @@ def test_embedding_near_dup_finds_planted(ray_session, tmp_path):
     assert len(pairs) >= 1
     assert ((pairs["vec_a"] == 9000) & (pairs["vec_b"] == 9001)).any() or \
         ((pairs["vec_a"] == 0) & (pairs["vec_b"].isin([9000, 9001]))).any()
+
+
+def test_lsh_planes_scale_with_corpus():
+    from geo_inference_ray.ann import LSH_MIN_PLANES, lsh_planes_for
+
+    assert lsh_planes_for(100) == LSH_MIN_PLANES
+    assert lsh_planes_for(2_000) == 6
+    assert lsh_planes_for(130_000) == 12
+    assert lsh_planes_for(10**12) < 63  # gkey stays int64
+    assert lsh_planes_for(10**9) > lsh_planes_for(10**6)
+
+
+def test_embedding_near_dup_salts_degenerate_bucket(ray_session, tmp_path):
+    """300 identical vectors form one degenerate LSH bucket in every
+    band; with a low cap the bucket must be salted (bounded group size)
+    while near-dup pairs are still found within each salt group."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import HyperplaneLSH, embedding_near_dup
+    from geo_inference_ray.shuffle import (MAX_SALTS, add_salt, key_counts,
+                                           salt_plan)
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(16).astype(np.float32)
+    df = pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": [v.tolist()] * 300,
+    })
+    d = tmp_path / "emb2"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "embeddings.parquet"))
+    cap = 32
+    pairs = embedding_near_dup(str(d), bucket_cap=cap).to_pandas()
+    # identical vectors -> sim_milli 1000 pairs exist
+    assert (pairs["sim_milli"] == 1000).all()
+    assert len(pairs) >= 1
+    # verify the salted group sizes are bounded by ceil(n_bucket/n_salts)
+    ds = rd.read_parquet(str(d / "embeddings.parquet"))
+    lsh = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
+                         concurrency=(1, 2),
+                         fn_constructor_kwargs={"dim": 16}).materialize()
+    counts = key_counts(lsh, "gkey")
+    plan = salt_plan(counts, cap=cap)
+    assert plan  # the degenerate bucket is hot
+    salted = add_salt(lsh, "gkey", plan, "vec_id").to_pandas()
+    sizes = salted.groupby(["gkey", "salt"]).size()
+    for (gk, _), sz in sizes.items():
+        n_b = counts[gk]
+        bound = -(-n_b // plan.get(gk, 1))
+        assert sz <= max(bound, cap), (gk, sz, n_b)
+    assert sizes.max() <= -(-300 // MAX_SALTS) + cap
