@@ -32,6 +32,9 @@ from geo_inference_ray import textops as _textops
 
 _W = "WITH " + _synth.SQL_PAGES
 _WG = _W + "," + _synth.SQL_GEO
+# RECURSIVE variant for oracles with a recursive CTE (DuckDB accepts
+# non-recursive CTEs under WITH RECURSIVE)
+_WGR = "WITH RECURSIVE " + _synth.SQL_PAGES + "," + _synth.SQL_GEO
 _WH = _WG + "," + _synth.sql_hex_chain()
 _WP = _WH + "," + _synth.sql_polygon_edges() + """,
 pip AS (
@@ -55,6 +58,18 @@ def _langid_scores_sql() -> str:
                 f"(length(padded) - length(replace(padded, '{m}', ''))) // {len(m)}")
         score_cols.append(" + ".join(terms) + f" AS score_{lang}")
     return ", ".join(score_cols)
+
+
+def _tiling_sql_mask_tiles() -> str:
+    from geo_inference_ray.tiling import sql_mask_tiles
+
+    return sql_mask_tiles()
+
+
+def _tiling_sql_polygon_components() -> str:
+    from geo_inference_ray.tiling import sql_polygon_components
+
+    return sql_polygon_components()
 
 
 def _docs_text(sf_dir: str):
@@ -183,6 +198,23 @@ def q_polygons_dist(sf_dir: str):
     ds = polygons_distributed(tiles, _tiling.DEFAULT_GRID)
     return ds.select_columns(["comp_id", "class_id", "ring_idx",
                               "is_hole", "n_pixels"])
+
+
+def q_polygon_components(sf_dir: str):
+    """Per-component polygonize output (one row per connected component)
+    — the SQL-expressible core of the polygon chain (component
+    structure, class, pixel count); ring tracing stays pinned by golden
+    + property tests."""
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.polygonize import polygons_from_tiles
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, _tiling.DEFAULT_GRID)
+    comp = polys.drop_duplicates("comp_id")[
+        ["comp_id", "class_id", "n_pixels"]].reset_index(drop=True)
+    return comp.astype({"comp_id": "int64", "class_id": "int64",
+                        "n_pixels": "int64"})
 
 
 def q_manifest(sf_dir: str):
@@ -355,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
         "polygons_dist": q_polygons_dist,
+        "polygon_components": q_polygon_components,
         "manifest": q_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -462,6 +495,8 @@ SELECT CAST(floor((lon - -180.0) / 0.5) AS BIGINT) AS px,
        CAST(floor((90.0 - lat) / 0.5) AS BIGINT) AS py,
        count(*) AS n
 FROM geo GROUP BY 1, 2""",
+        "mask_tiles": _WG + "," + _tiling_sql_mask_tiles(),
+        "polygon_components": _WGR + "," + _tiling_sql_polygon_components(),
         "word_count": """
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

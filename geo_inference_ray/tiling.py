@@ -423,3 +423,151 @@ def reference_merge(contribs: list[np.ndarray], num_classes: int,
     if num_classes == 1:
         return (norm[0] > threshold).astype(np.uint8)
     return np.argmax(norm, axis=0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracle mirrors (DuckDB CTE fragments; compose after the geo CTE)
+# ---------------------------------------------------------------------------
+
+def sql_tile_ctes(grid: GridConfig = DEFAULT_GRID) -> str:
+    """CTE chain mirroring the tile pipeline's integer skeleton:
+
+    * ``pix``     — occupied raster pixels with counts (= rasterize);
+    * ``patches`` — LIVE patch keys that received >=1 occupied pixel
+      (last grid row/col is dead — reference parity, geo_dask.py:193);
+    * ``cells``   — output cells receiving >=1 windowed quadrant.
+
+    The scorer is pointwise and the merge normalizes by the summed
+    window, so mask semantics reduce to integer relations on these sets
+    (see sql_fg_cte) — no float scoring appears in the oracle."""
+    s, w, h = grid.stride, grid.width, grid.height
+    ny, nx = grid.ny, grid.nx
+    return f"""
+pix AS (
+  SELECT LEAST(GREATEST(CAST(floor((lon - {grid.min_lon!r}) / {grid.pix!r})
+                        AS BIGINT), 0), {w - 1}) AS px,
+         LEAST(GREATEST(CAST(floor(({grid.max_lat!r} - lat) / {grid.pix!r})
+                        AS BIGINT), 0), {h - 1}) AS py,
+         count(*) AS n
+  FROM geo GROUP BY 1, 2
+),
+patches AS (
+  SELECT DISTINCT (py // {s} + dy.d) AS ty, (px // {s} + dx.d) AS tx
+  FROM pix, (VALUES (0), (-1)) dy(d), (VALUES (0), (-1)) dx(d)
+  WHERE py // {s} + dy.d >= 0 AND px // {s} + dx.d >= 0
+    AND py // {s} + dy.d <= {ny - 2} AND px // {s} + dx.d <= {nx - 2}
+),
+cells AS (
+  SELECT DISTINCT ty + qy.q AS oy, tx + qx.q AS ox
+  FROM patches, (VALUES (0), (1)) qy(q), (VALUES (0), (1)) qx(q)
+)"""
+
+
+def sql_mask_tiles(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Final SELECT for the mask_tiles oracle: every output cell with its
+    count of valid (= occupied) pixels.  Every occupied pixel's own cell
+    always receives that pixel's raw count (its containing live patch
+    exists by construction), so valid == occupied."""
+    s = grid.stride
+    return sql_tile_ctes(grid) + f""",
+validpix AS (
+  SELECT py // {s} AS oy, px // {s} AS ox, count(*) AS nv
+  FROM pix GROUP BY 1, 2
+)
+SELECT c.oy, c.ox, CAST(COALESCE(v.nv, 0) AS BIGINT) AS n_valid
+FROM cells c LEFT JOIN validpix v ON c.oy = v.oy AND c.ox = v.ox"""
+
+
+_POS_ORDER = ("ul", "u", "ur", "l", "c", "r", "bl", "b", "br")
+
+
+def sql_window_positive(grid: GridConfig = DEFAULT_GRID) -> str:
+    """VALUES CTE of (pos, ry, rx) offsets where each of the 9 window
+    variants is strictly positive.  The mask oracle only needs the ZERO
+    structure of the windows (sum-of-weights > 0 <=> any covering window
+    positive), which is exact in both numpy and SQL."""
+    from .window import all_windows
+
+    wins = all_windows(grid.patch)
+    rows = []
+    for pi, p in enumerate(_POS_ORDER):
+        ys, xs = np.nonzero(wins[p] > 0)
+        rows.extend(f"({pi},{y},{x})" for y, x in zip(ys, xs))
+    return "winpos(pos, ry, rx) AS (VALUES " + ",".join(rows) + ")"
+
+
+def sql_fg_cte(grid: GridConfig = DEFAULT_GRID) -> str:
+    """``fg`` CTE: foreground mask pixels (class > 0, not nodata) with
+    their class, derived WITHOUT float scoring:
+
+    * the DensityScorer is pointwise, and the merge divides by the
+      summed window weight, so the normalized score of a pixel is
+      exactly the scorer's softmax of its own count whenever any
+      covering window weight is positive;
+    * argmax of that softmax is integer logic on the count: class 2 for
+      n in {1, 2}, class 1 for n >= 3 (the n = 3 logit tie resolves to
+      the lower index, matching np.argmax);
+    * zero summed weight -> all-zero scores -> argmax 0 -> background.
+    """
+    s = grid.stride
+    ny, nx = grid.ny, grid.nx
+    return sql_window_positive(grid) + f""",
+pcls AS (
+  SELECT ty, tx,
+    CASE WHEN tx >= {nx - 2} AND ty = 0 THEN 2
+         WHEN tx >= {nx - 2} AND ty > 0 AND ty < {ny - 2} THEN 5
+         WHEN tx >= {nx - 2} AND ty >= {ny - 2} THEN 8
+         WHEN ty >= {ny - 2} AND tx > 0 AND tx < {nx - 2} THEN 7
+         WHEN ty >= {ny - 2} AND tx = 0 THEN 6
+         WHEN ty = 0 AND tx = 0 THEN 0
+         WHEN tx = 0 AND ty > 0 THEN 3
+         WHEN tx > 0 AND tx < {nx - 2} AND ty = 0 THEN 1
+         ELSE 4 END AS pos
+  FROM patches
+),
+fg AS (
+  SELECT p.py, p.px,
+         CASE WHEN p.n >= 3 THEN 1 ELSE 2 END AS cls,
+         p.py * {grid.width} + p.px AS pk
+  FROM pix p
+  WHERE EXISTS (
+    SELECT 1 FROM pcls t JOIN winpos w ON w.pos = t.pos
+    WHERE t.ty IN (p.py // {s}, p.py // {s} - 1)
+      AND t.tx IN (p.px // {s}, p.px // {s} - 1)
+      AND w.ry = p.py - t.ty * {s} AND w.rx = p.px - t.tx * {s}
+  )
+)"""
+
+
+def sql_polygon_components(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for per-component polygonize output (comp_id, class_id,
+    n_pixels): 4-connected equal-class components of ``fg`` via a
+    recursive min-label propagation, renumbered in the engine's
+    deterministic order (tile-row-major first tile, then row-major first
+    pixel within it — the stitch's sorted (tkey, llab) root order)."""
+    s = grid.stride
+    return sql_tile_ctes(grid) + "," + sql_fg_cte(grid) + f""",
+adj AS (
+  SELECT a.pk AS src, b.pk AS dst FROM fg a JOIN fg b
+  ON a.cls = b.cls
+   AND ((a.py = b.py AND abs(a.px - b.px) = 1)
+     OR (a.px = b.px AND abs(a.py - b.py) = 1))
+),
+reach AS (
+  SELECT pk, pk AS lbl FROM fg
+  UNION
+  SELECT a.src AS pk, r.lbl FROM adj a JOIN reach r ON a.dst = r.pk
+),
+comp AS (SELECT pk, MIN(lbl) AS root FROM reach GROUP BY pk),
+kk AS (
+  SELECT f.pk, f.cls, c.root,
+         ((f.py // {s}) * {1 << 20} + (f.px // {s})) * {s * s}
+           + (f.py % {s}) * {s} + (f.px % {s}) AS ordkey
+  FROM fg f JOIN comp c ON f.pk = c.pk
+),
+cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls
+        FROM kk GROUP BY root)
+SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
+       CAST(cls AS BIGINT) AS class_id,
+       CAST(npx AS BIGINT) AS n_pixels
+FROM cst"""
