@@ -40,7 +40,57 @@ from .tiling import NODATA, GridConfig
 
 def label_components(mask: np.ndarray) -> np.ndarray:
     """4-connected components of equal value for value>0 and !=NODATA.
-    Returns int32 labels, 0 = background."""
+    Returns int64 labels, 0 = background; labels are dense 1..K in
+    first-encounter (row-major scan) order — the same relative order as
+    the per-pixel reference kernel, which downstream comp-id sorting
+    relies on.
+
+    Vectorized two-pass: row runs of equal value (numpy break-flag
+    cumsum) -> union-find over runs joined by vertical adjacency
+    (deduped pair list, bounded by run count, not pixels)."""
+    h, w = mask.shape
+    fg = (mask > 0) & (mask != NODATA)
+    if not fg.any():
+        return np.zeros((h, w), dtype=np.int64)
+    flat_fg = fg.reshape(-1)
+    vals = mask.reshape(-1).astype(np.int64)
+    newrow = np.zeros(h * w, dtype=bool)
+    newrow[::w] = True
+    prev_fg = np.concatenate([[False], flat_fg[:-1]])
+    prev_val = np.concatenate([[-1], vals[:-1]])
+    start = flat_fg & (newrow | ~prev_fg | (vals != prev_val))
+    run_id = np.cumsum(start) * flat_fg  # 0 = background, 1..K scan order
+    nruns = int(run_id.max())
+    r2 = run_id.reshape(h, w)
+    adj = fg[1:, :] & fg[:-1, :] & (mask[1:, :] == mask[:-1, :])
+    pa = r2[1:, :][adj]
+    pb = r2[:-1, :][adj]
+    pairs = np.unique(pa * np.int64(nruns + 1) + pb)
+    parent = np.arange(nruns + 1, dtype=np.int64)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for p in pairs.tolist():
+        x, y = divmod(p, nruns + 1)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = parent.copy()
+    while True:
+        nxt = roots[roots]
+        if np.array_equal(nxt, roots):
+            break
+        roots = nxt
+    return roots[run_id].reshape(h, w)
+
+
+def label_components_ref(mask: np.ndarray) -> np.ndarray:
+    """Per-pixel reference kernel (the original implementation) — kept
+    for equivalence tests and the vectorization benchmark."""
     h, w = mask.shape
     fg = (mask > 0) & (mask != NODATA)
     labels = np.zeros((h, w), dtype=np.int64)
@@ -85,15 +135,101 @@ def label_components(mask: np.ndarray) -> np.ndarray:
 # boundary tracing (pixel-edge following; interior on the left)
 # ---------------------------------------------------------------------------
 
+_VBIG = np.int64(1) << np.int64(32)
+
+
 def trace_rings(pixels: set[tuple[int, int]]):
-    """Boundary rings of a 4-connected pixel set.
+    """Boundary rings of a 4-connected pixel set (vectorized).
 
     Pixels are (y, x) cells of unit size; vertices are integer corners.
     Returns list of rings, each a list of (x, y) vertices; ring 0.. may
-    include holes (orientation distinguishes: outer rings are CCW in
-    (x, -y) i.e. CW in image coords, holes opposite — we report both
-    with an ``is_hole`` flag computed from signed area).
+    include holes (``is_hole`` decided downstream from signed area).
+
+    Array-based: boundary edges from sorted-key membership tests, a
+    successor permutation over EDGES (junction vertices resolved by the
+    sharpest-right-turn rule per incoming direction), then cycle
+    decomposition with vectorized collinear collapse.  Rings are
+    enumerated in row-major first-edge order (deterministic by
+    construction, unlike the reference kernel's set-iteration order).
     """
+    if not pixels:
+        return []
+    arr = np.array(list(pixels), dtype=np.int64)
+    return trace_rings_arrays(arr[:, 0], arr[:, 1])
+
+
+def trace_rings_arrays(pys: np.ndarray, pxs: np.ndarray):
+    """Array-native trace_rings (no set/sort round-trip) — the form the
+    pipeline kernels call with the np.nonzero output directly."""
+    key = pys * _VBIG + pxs
+    order0 = np.argsort(key, kind="stable")  # row-major pixel order
+    ys, xs = pys[order0], pxs[order0]
+    key = key[order0]
+
+    def member(yy, xx):
+        k = yy * _VBIG + xx
+        pos = np.clip(np.searchsorted(key, k), 0, len(key) - 1)
+        return key[pos] == k
+
+    # directed boundary edges, interior on the LEFT of direction;
+    # per-pixel side order (top, bottom, left, right)
+    top = ~member(ys - 1, xs)
+    bot = ~member(ys + 1, xs)
+    lef = ~member(ys, xs - 1)
+    rig = ~member(ys, xs + 1)
+    msk = np.stack([top, bot, lef, rig], axis=1).reshape(-1)
+    SX = np.stack([xs, xs + 1, xs, xs + 1], 1).reshape(-1)[msk]
+    SY = np.stack([ys, ys + 1, ys + 1, ys], 1).reshape(-1)[msk]
+    EX = np.stack([xs + 1, xs, xs, xs + 1], 1).reshape(-1)[msk]
+    EY = np.stack([ys, ys + 1, ys, ys + 1], 1).reshape(-1)[msk]
+    m = len(SX)
+    skey = SY * _VBIG + SX
+    ekey = EY * _VBIG + EX
+    order = np.argsort(skey, kind="stable")
+    s_sorted = skey[order]
+    lo = np.searchsorted(s_sorted, ekey)
+    hi = np.searchsorted(s_sorted, ekey, side="right")
+    cnt = hi - lo
+    dx = EX - SX
+    dy = EY - SY
+    succ = np.full(m, -1, dtype=np.int64)
+    simple = cnt == 1
+    succ[simple] = order[lo[simple]]
+    for i in np.nonzero(cnt > 1)[0].tolist():
+        cand = order[lo[i]:hi[i]]
+        turns = dx[i] * dy[cand] - dy[i] * dx[cand]
+        succ[i] = cand[int(np.argmin(turns))]
+    # the right-turn rule pairs each junction's in-edges with distinct
+    # out-edges; a collision would break the permutation
+    assert len(np.unique(succ)) == m, "junction pairing collision"
+    visited = np.zeros(m, dtype=bool)
+    succ_l = succ.tolist()
+    sx_l = SX.tolist()
+    sy_l = SY.tolist()
+    rings = []
+    for start_e in range(m):
+        if visited[start_e]:
+            continue
+        vx: list[int] = []
+        vy: list[int] = []
+        e = start_e
+        while not visited[e]:
+            visited[e] = True
+            vx.append(sx_l[e])
+            vy.append(sy_l[e])
+            e = succ_l[e]
+        X = np.array(vx, dtype=np.int64)
+        Y = np.array(vy, dtype=np.int64)
+        xp, yp = np.roll(X, 1), np.roll(Y, 1)
+        xn, yn = np.roll(X, -1), np.roll(Y, -1)
+        keep = (X - xp) * (yn - Y) != (Y - yp) * (xn - X)
+        rings.append(list(zip(X[keep].tolist(), Y[keep].tolist())))
+    return rings
+
+
+def trace_rings_ref(pixels: set[tuple[int, int]]):
+    """Per-edge dict-walking reference kernel (the original
+    implementation) — kept for equivalence tests and the benchmark."""
     # directed boundary edges, interior on the LEFT of direction
     edges = {}  # start vertex -> list of (end vertex)
     for (y, x) in pixels:
@@ -274,8 +410,8 @@ def stitch_polygons(tiles_df: pd.DataFrame, grid: GridConfig,
                         for t, l in zip(prows["tkey"], prows["llab"])]
     out = []
     for cid, g in prows.groupby("comp_id"):
-        pix = set(zip(g["py"].tolist(), g["px"].tolist()))
-        rings = trace_rings(pix)
+        rings = trace_rings_arrays(g["py"].to_numpy(dtype=np.int64),
+                                   g["px"].to_numpy(dtype=np.int64))
         # outer ring = largest |signed area|
         areas = [ring_signed_area(rg) for rg in rings]
         outer = int(np.argmax(np.abs(areas)))
@@ -291,7 +427,7 @@ def stitch_polygons(tiles_df: pd.DataFrame, grid: GridConfig,
                 "comp_id": cid,
                 "class_id": int(g["class_id"].iloc[0]),
                 "ring_idx": ri, "is_hole": ri != outer,
-                "n_pixels": len(pix), "area_px": area_px,
+                "n_pixels": len(g), "area_px": area_px,
                 "xs": lon, "ys": lat,
             })
     return pd.DataFrame(out)
@@ -422,8 +558,9 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
                                  concurrency=(1, 4))
 
     def trace_group(g: pd.DataFrame) -> pd.DataFrame:
-        pix = set(zip(g["py"].tolist(), g["px"].tolist()))
-        rings = trace_rings(pix)
+        rings = trace_rings_arrays(g["py"].to_numpy(dtype=np.int64),
+                                   g["px"].to_numpy(dtype=np.int64))
+        n_pix = len(g)
         areas = [ring_signed_area(r) for r in rings]
         outer = int(np.argmax(np.abs(areas)))
         area_px = abs(areas[outer])
@@ -445,7 +582,7 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
                 "comp_id": int(g["comp_id"].iloc[0]),
                 "class_id": int(g["class_id"].iloc[0]),
                 "ring_idx": ri, "is_hole": ri != outer,
-                "n_pixels": len(pix), "area_px": area_px,
+                "n_pixels": n_pix, "area_px": area_px,
                 "xs": grid.min_lon + xs * grid.pix,
                 "ys": grid.max_lat - ys * grid.pix,
             })

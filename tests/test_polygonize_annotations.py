@@ -75,6 +75,41 @@ def test_trace_pinch_junction_simple_rings():
     assert abs(abs(sum(areas)) - len(pix)) < 1e-9
 
 
+def test_vectorized_kernels_match_reference():
+    """The vectorized labeling/tracing must match the per-pixel
+    reference kernels: identical component partition in identical
+    first-encounter order, and identical ring-area multisets."""
+    from geo_inference_ray.polygonize import (label_components_ref,
+                                              trace_rings_ref)
+
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        m = (rng.random((13, 13)) < 0.5).astype(np.uint8) * \
+            rng.integers(1, 4, (13, 13)).astype(np.uint8)
+        a = label_components(m)
+        b = label_components_ref(m)
+
+        def parts(labs):
+            comp = {}
+            for y, x in zip(*np.nonzero(labs)):
+                comp.setdefault(labs[y, x], []).append((y, x))
+            return [frozenset(v) for _, v in
+                    sorted(comp.items(), key=lambda kv: min(kv[1]))]
+
+        assert parts(a) == parts(b)
+        for lab in np.unique(a):
+            if lab == 0:
+                continue
+            ys, xs = np.nonzero(a == lab)
+            pix = set(zip(ys.tolist(), xs.tolist()))
+            r1 = trace_rings(pix)
+            r2 = trace_rings_ref(pix)
+            a1 = sorted(round(ring_signed_area(r), 6) for r in r1)
+            a2 = sorted(round(ring_signed_area(r), 6) for r in r2)
+            assert a1 == a2
+            assert all(len(set(r)) == len(r) for r in r1)
+
+
 def test_trace_fuzz_simple_and_area_invariant():
     # fuzz random masks: every component's rings are simple and the
     # signed areas sum to +/- the component pixel count
