@@ -170,6 +170,17 @@ def run_bench() -> dict:
         _geo_ds(EXPAND_AUX, keep=["hex7", "lat", "lon"])).count())
     counters["cells"] = n_cells
 
+    # Q5/Q6 aux: high-cardinality grouped kernels (hash-partitioned,
+    # one vectorized kernel per partition — regression guard for the
+    # per-group-Python trap)
+    from geo_inference_ray import relational
+
+    counters["sessions"] = timed(
+        "sessionize", lambda: relational.sessionize(SF_DIR).count())
+    counters["topk_rows"] = timed(
+        "top_orders",
+        lambda: relational.top_orders_per_customer(SF_DIR).count())
+
     headline = round(queries["spatial_join"] + queries["tile_merge"], 3)
     result = {
         "metric": "joined rows/sec + tiles/sec, Common-Crawl-style "

@@ -192,15 +192,46 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
     keyed = orders.map_batches(add_cents, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cents", "o_orderkey"],
-                          ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["o_custkey", "o_orderkey", "cents", "rnk"]]
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized kernel for every customer in the partition:
+        # lexsort + per-group rank from run starts (a map_groups per
+        # customer costs one pandas call per group — death by overhead
+        # at millions of customers)
+        g = g.sort_values(["o_custkey", "cents", "o_orderkey"],
+                          ascending=[True, False, True],
+                          kind="stable").reset_index(drop=True)
+        ck = g["o_custkey"].to_numpy()
+        newc = np.ones(len(g), dtype=bool)
+        newc[1:] = ck[1:] != ck[:-1]
+        starts = np.flatnonzero(newc)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        rnk = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        g["rnk"] = rnk.astype(np.int64)
+        return g.loc[rnk <= k, ["o_custkey", "o_orderkey", "cents", "rnk"]]
 
-    return keyed.groupby("o_custkey").map_groups(topk,
-                                                 batch_format="pandas")
+    return _hash_partitioned(keyed, "o_custkey", topk_part)
+
+
+def _hash_partitioned(ds, key: str, kernel, num_partitions: int = 64):
+    """Hash-partition rows on an int key column, then run ONE vectorized
+    kernel per partition that handles ALL its groups (the knn._group_knn
+    pattern).  Replaces per-group ``map_groups`` for high-cardinality
+    keys, where one pandas call per tiny group dominates the runtime.
+    ``num_partitions`` bounds kernel-input size; scale with the cluster."""
+    import pyarrow as _pa
+
+    def add_pkey(batch: _pa.Table) -> _pa.Table:
+        kk = batch[key].to_numpy()
+        return batch.append_column(
+            "pkey", _pa.array((kk % num_partitions).astype(np.int64)))
+
+    keyed = ds.map_batches(add_pkey, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return kernel(g.drop(columns=["pkey"]))
+
+    return keyed.groupby("pkey").map_groups(run, batch_format="pandas")
 
 
 def _restore_us(col: str):
@@ -369,18 +400,26 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
 
     gap_us = gap_minutes * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ONE vectorized kernel for every user in the partition:
+        # sort by (user, ts), gap/new-user flags, per-user cumsum via
+        # global cumsum minus run-start offsets
+        g = g.sort_values(["user_id", "ts"],
+                          kind="stable").reset_index(drop=True)
         ts = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(ts), dtype=np.int64)
-        new[1:] = (ts[1:] - ts[:-1] > gap_us).astype(np.int64)
-        sess = np.cumsum(new)
-        out = pd.DataFrame({"ts": g["ts"], "session_idx": sess})
-        agg = out.groupby("session_idx", as_index=False).agg(
+        uid = g["user_id"].to_numpy()
+        newu = np.ones(len(g), dtype=bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        is_new = newu.copy()
+        is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        cs = np.cumsum(is_new.astype(np.int64))
+        starts = np.flatnonzero(newu)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        sess = cs - np.repeat(cs[starts] - 1, sizes)
+        out = pd.DataFrame({"user_id": uid, "session_idx": sess,
+                            "ts": g["ts"]})
+        return out.groupby(["user_id", "session_idx"], as_index=False).agg(
             n_events=("ts", "size"), start_ts=("ts", "min"),
             end_ts=("ts", "max"))
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
-        return agg
 
-    return ev.groupby("user_id").map_groups(per_user,
-                                            batch_format="pandas")
+    return _hash_partitioned(ev, "user_id", sessions_part)
