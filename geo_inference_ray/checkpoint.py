@@ -105,6 +105,66 @@ class PartitionedRun:
             computed.append(key)
         return {"computed": computed, "skipped": skipped}
 
+    def run_single_pass(self, keys: list[str], ds, key_fn,
+                        fingerprints: dict[str, str] | None = None,
+                        attempt: int = 1) -> dict:
+        """Write every pending partition in ONE dataset execution.
+
+        ``key_fn(batch) -> pa.Table`` appends a string ``part_key``
+        column; the write uses Ray's hive-partitioned parquet sink
+        (``partition_cols``), then each completed subdirectory is
+        atomically renamed into the ``key=<key>`` layout with its
+        lineage record.  Replaces the one-filter-pass-per-key pattern
+        (10 keys meant 10 full input scans); rows not belonging to any
+        pending key are filtered out before the write, so resume skips
+        finished partitions without recomputing them.
+        """
+        import pyarrow as pa
+
+        fingerprints = fingerprints or {}
+        done = self.completed(fingerprints if fingerprints else None)
+        pending = [k for k in keys if k not in done]
+        skipped = [k for k in keys if k in done]
+        if not pending:
+            return {"computed": [], "skipped": skipped}
+        t0 = time.time()
+        pend_set = set(pending)
+
+        def keyed(batch):
+            out = key_fn(batch)
+            keep = [k in pend_set for k in out["part_key"].to_pylist()]
+            return out.filter(pa.array(keep))
+
+        tmp_root = os.path.join(self.stage_dir, "_singlepass.tmp")
+        if os.path.exists(tmp_root):
+            shutil.rmtree(tmp_root)
+        os.makedirs(tmp_root)
+        ds.map_batches(keyed, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+          .write_parquet(tmp_root, partition_cols=["part_key"])
+        wall_ms = int((time.time() - t0) * 1000)
+        computed = []
+        for key in pending:
+            src = os.path.join(tmp_root, f"part_key={key}")
+            kdir = os.path.join(self.stage_dir, f"key={key}")
+            if os.path.exists(kdir):
+                shutil.rmtree(kdir)  # stale partial without manifest record
+            if os.path.isdir(src):
+                os.rename(src, kdir)
+            else:
+                os.makedirs(kdir)  # empty partitions still get a directory
+            rows, nbytes = _parquet_stats(kdir)
+            self._append({
+                "stage": self.stage, "key": key,
+                "input_fingerprint": fingerprints.get(key),
+                "rows_out": rows, "bytes_out": nbytes,
+                "wall_ms": wall_ms, "attempt": attempt,
+                "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            })
+            computed.append(key)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return {"computed": computed, "skipped": skipped}
+
     def read(self, keys: list[str] | None = None):
         """Dataset over completed partitions (all, or the given keys)."""
         import ray.data as rd

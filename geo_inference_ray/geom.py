@@ -102,14 +102,24 @@ class STRtree:
             cand = np.asarray(nxt, dtype=np.int64)
         return self.item_order[cand]
 
+    LINEAR_LAYER_MAX = 64
+
     def query_points_bulk(self, xs: np.ndarray, ys: np.ndarray):
         """Vectorized candidate generation: for each item, which probe points
-        fall in its bbox.  Returns list of (item_id, point_index_array).
+        fall in its bbox.  Returns list of (item_id, point_index_array),
+        items ascending, point indices ascending.
 
-        With a small broadcast layer (the common case: polygon layers are
-        tiny next to the point side) a dense per-item bbox mask beats tree
-        descent per point; the tree remains the path for large layers.
+        Small layers take a dense per-item bbox mask (O(items x points),
+        cheapest when the broadcast layer is tiny); above
+        ``LINEAR_LAYER_MAX`` items the probes descend the packed tree as
+        one batched frontier per level — O(points x log items) with pure
+        array ops, no per-point Python.
         """
+        if len(self.boxes) <= self.LINEAR_LAYER_MAX or not self.levels:
+            return self._bulk_linear(xs, ys)
+        return self._bulk_descend(xs, ys)
+
+    def _bulk_linear(self, xs: np.ndarray, ys: np.ndarray):
         out = []
         for i, b in enumerate(self.boxes):
             m = (xs >= b[0]) & (xs <= b[2]) & (ys >= b[1]) & (ys <= b[3])
@@ -117,6 +127,37 @@ class STRtree:
             if len(pts):
                 out.append((i, pts))
         return out
+
+    def _bulk_descend(self, xs: np.ndarray, ys: np.ndarray):
+        """Batched level-wise tree descent: the frontier is (point, node)
+        pair arrays; each level expands nodes to their child slices with
+        repeat/offset arithmetic and keeps pairs whose child bbox
+        contains the point."""
+        cap = self.node_capacity
+        pts = np.arange(len(xs), dtype=np.int64)
+        nodes = np.zeros(len(xs), dtype=np.int64)
+        for li in range(len(self.levels) - 1):
+            child = self.levels[li + 1]
+            lo = nodes * cap
+            counts = np.minimum(cap, len(child) - lo)
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            pos = np.arange(cum[-1]) - np.repeat(cum[:-1], counts)
+            cidx = np.repeat(lo, counts) + pos
+            rpts = np.repeat(pts, counts)
+            b = child[cidx]
+            px, py = xs[rpts], ys[rpts]
+            keep = ((px >= b[:, 0]) & (px <= b[:, 2])
+                    & (py >= b[:, 1]) & (py <= b[:, 3]))
+            pts, nodes = rpts[keep], cidx[keep]
+            if not len(pts):
+                return []
+        items = self.item_order[nodes]
+        order = np.argsort(items, kind="stable")
+        items_s, pts_s = items[order], pts[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], items_s[1:] != items_s[:-1]]))
+        ends = np.concatenate([starts[1:], [len(items_s)]])
+        return [(int(items_s[a]), pts_s[a:b]) for a, b in zip(starts, ends)]
 
 
 # ---------------------------------------------------------------------------

@@ -86,23 +86,22 @@ class GeoInferenceRay:
         run = PartitionedRun(self.work_dir, run_name)
 
         # checkpointed, partitioned outputs: one partition per cluster
-        # decile of the geocoded pages (pure function of the key)
+        # decile of the geocoded pages (pure function of the key),
+        # written in ONE dataset pass via the hive-partitioned sink
         geo_mat = geo.materialize()
-
-        def part_ds(key: str):
-            lo, hi = (int(x) for x in key.split("-"))
-
-            def pick(batch: pa.Table) -> pa.Table:
-                c = batch["cluster"].to_numpy()
-                return batch.filter(pa.array((c >= lo) & (c < hi)))
-
-            return geo_mat.map_batches(pick, batch_format="pyarrow",
-                                       zero_copy_batch=True) \
-                .drop_columns(["warc_ts"])
-
         keys = [f"{lo}-{lo + 10}" for lo in range(0, 100, 10)]
-        res = run.run(keys, part_ds,
-                      fingerprints={k: inference_input for k in keys})
+
+        def decile_key(batch: pa.Table) -> pa.Table:
+            c = batch["cluster"].to_numpy()
+            lo = (c // 10) * 10
+            part = np.char.add(np.char.add(lo.astype("U3"), "-"),
+                               (lo + 10).astype("U3"))
+            return batch.drop_columns(["warc_ts"]).append_column(
+                "part_key", pa.array(part.tolist(), pa.string()))
+
+        res = run.run_single_pass(
+            keys, geo_mat, decile_key,
+            fingerprints={k: inference_input for k in keys})
         out["pages_partitions"] = res
 
         tiles = mask_tiles(geo_mat, grid, self.scorer_cls)

@@ -72,6 +72,41 @@ def test_resume_after_failure(ray_session, tmp_path):
     assert len(df) == 4 + 5 + 6
 
 
+def test_single_pass_write_and_resume(ray_session, tmp_path):
+    """run_single_pass writes all pending partitions in one dataset
+    execution, records lineage per key, creates empty-key dirs, and a
+    resume only rewrites the missing keys."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    run = _mk(tmp_path)
+    df = pd.DataFrame({"k": ["a"] * 4 + ["b"] * 6, "v": range(10)})
+    ds = rd.from_pandas(df)
+
+    def key_fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column("part_key", batch["k"])
+
+    res = run.run_single_pass(["a", "b", "empty"], ds, key_fn)
+    assert sorted(res["computed"]) == ["a", "b", "empty"]
+    recs = {r["key"]: r for r in run.records()}
+    assert recs["a"]["rows_out"] == 4
+    assert recs["b"]["rows_out"] == 6
+    assert recs["empty"]["rows_out"] == 0
+    assert os.path.isdir(os.path.join(str(tmp_path), "stage1", "key=empty"))
+    # resume: nothing recomputed
+    res2 = run.run_single_pass(["a", "b", "empty"], ds, key_fn)
+    assert res2["computed"] == []
+    assert sorted(res2["skipped"]) == ["a", "b", "empty"]
+    # partial resume: drop one key dir -> only it is rewritten
+    import shutil
+
+    shutil.rmtree(os.path.join(str(tmp_path), "stage1", "key=b"))
+    res3 = run.run_single_pass(["a", "b", "empty"], ds, key_fn)
+    assert res3["computed"] == ["b"]
+    got = run.read(["a", "b"]).to_pandas()
+    assert len(got) == 10
+
+
 def test_fingerprint_invalidation(ray_session, tmp_path):
     run = _mk(tmp_path)
     run.run(["1"], _ds_for, fingerprints={"1": "a"})

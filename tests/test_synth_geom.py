@@ -110,6 +110,34 @@ def test_strtree_empty():
     assert len(tree.query_point(0, 0)) == 0
 
 
+def test_strtree_bulk_descend_matches_linear():
+    """Above LINEAR_LAYER_MAX items, query_points_bulk descends the
+    packed tree; the batched descent must return exactly the linear
+    scan's (item, point-index) candidates on a 1000-polygon layer."""
+    rng = np.random.default_rng(42)
+    n = 1000
+    boxes = np.empty((n, 4))
+    cx = rng.uniform(0, 100, n)
+    cy = rng.uniform(0, 100, n)
+    hw = rng.uniform(0.1, 3.0, n)
+    boxes[:, 0], boxes[:, 2] = cx - hw, cx + hw
+    boxes[:, 1], boxes[:, 3] = cy - hw, cy + hw
+    tree = STRtree(boxes)
+    xs = rng.uniform(-5, 105, 5000)
+    ys = rng.uniform(-5, 105, 5000)
+    lin = tree._bulk_linear(xs, ys)
+    dsc = tree._bulk_descend(xs, ys)
+    assert len(lin) == len(dsc)
+    for (ia, pa_), (ib, pb_) in zip(lin, dsc):
+        assert ia == ib
+        assert pa_.tolist() == pb_.tolist()
+    # dispatch: large layer takes the descent path
+    assert n > STRtree.LINEAR_LAYER_MAX
+    got = tree.query_points_bulk(xs, ys)
+    assert [(i, p.tolist()) for i, p in got] == \
+        [(i, p.tolist()) for i, p in dsc]
+
+
 def test_shoelace_area():
     xs = np.array([0.0, 4.0, 4.0, 0.0])
     ys = np.array([0.0, 0.0, 3.0, 3.0])
