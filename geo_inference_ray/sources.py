@@ -13,6 +13,8 @@ Reference parity:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -63,3 +65,141 @@ def union_sources(sf_dirs: list[str], table: str = "documents",
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Source seam (S1/S2): pluggable page sources
+# ---------------------------------------------------------------------------
+#
+# The reference reads rasters (GeoTIFF / Zarr / STAC,
+# geo_inference/geo_inference.py:249-302); this sandbox has no raster
+# stack, so the default source synthesizes the Common-Crawl-style pages
+# table from documents.parquet (sanctioned by BASELINE.json input_hint).
+# The seam makes that ONE implementation of a small protocol, so a
+# raster-backed source can plug into every pipeline without touching
+# them.
+
+class PagesSource:
+    """Protocol: ``dataset(path) -> ray.data.Dataset`` with the pages
+    schema (url, warc_ts, [html,] text, lang, doc_id)."""
+
+    name = "abstract"
+
+    def dataset(self, path: str, include_html: bool = True):
+        raise NotImplementedError
+
+
+class ParquetDocumentsSource(PagesSource):
+    """Default source: documents.parquet -> deterministic pages table
+    (synth.synth_pages_batch fused into the read)."""
+
+    name = "parquet-documents"
+
+    def dataset(self, path: str, include_html: bool = True):
+        from .synth import pages_dataset
+
+        return pages_dataset(path, include_html=include_html)
+
+
+class RasterSource(PagesSource):
+    """Placeholder for the reference's raster ingestion (GeoTIFF/Zarr/
+    STAC).  The container ships no rasterio/rioxarray, so constructing a
+    dataset raises with the documented divergence instead of failing
+    deep inside a worker."""
+
+    name = "raster"
+
+    def dataset(self, path: str, include_html: bool = True):
+        raise NotImplementedError(
+            "raster ingestion requires rasterio/rioxarray (not in this "
+            "environment); see SURVEY.md §2.1 — plug a reader in by "
+            "registering a PagesSource producing the pages schema")
+
+
+_SOURCES: dict[str, PagesSource] = {}
+
+
+def register_source(src: PagesSource) -> None:
+    _SOURCES[src.name] = src
+
+
+def get_source(name: str = "parquet-documents") -> PagesSource:
+    return _SOURCES[name]
+
+
+register_source(ParquetDocumentsSource())
+register_source(RasterSource())
+
+
+# ---------------------------------------------------------------------------
+# Model fetcher + work-dir cache (S6; reference utils/helpers.py:104-196)
+# ---------------------------------------------------------------------------
+
+def fetch_artifact(url: str, work_dir: str) -> str:
+    """Fetch-once-per-work-dir artifact cache.
+
+    Reference semantics (helpers.py:104-196): download the model
+    archive, extract tar.gz, cache under the work dir; later calls (and
+    other actors on the node) hit the cache.  This environment has no
+    network, so ``file://`` URLs / local paths are the supported scheme;
+    the caching/extraction contract is identical.
+
+    Returns the directory holding the extracted (or copied) artifact.
+    """
+    import hashlib
+    import shutil
+    import tarfile
+
+    src = url[7:] if url.startswith("file://") else url
+    if not os.path.exists(src):
+        raise FileNotFoundError(f"artifact not found: {url}")
+    key = hashlib.md5(url.encode()).hexdigest()[:12]
+    base = os.path.basename(src)
+    dest = os.path.join(work_dir, "artifacts", f"{base}.{key}")
+    marker = os.path.join(dest, ".complete")
+    if os.path.exists(marker):
+        return dest
+    tmp = dest + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    if base.endswith((".tar.gz", ".tgz")):
+        with tarfile.open(src, "r:gz") as tf:
+            tf.extractall(tmp, filter="data")
+    else:
+        shutil.copy2(src, os.path.join(tmp, base))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    if os.path.exists(dest):
+        shutil.rmtree(dest)
+    os.replace(tmp, dest)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return dest
+
+
+class ArtifactScorer:
+    """Scorer loaded from a fetched artifact (the S6 model-plugin path):
+    a JSON params file configures the density scorer.  Fetch + parse
+    happen once per actor in ``__init__`` — the fetch-once-per-worker
+    contract the reference gets from its work-dir cache."""
+
+    def __init__(self, num_classes: int = 3,
+                 url: str = "", work_dir: str = "/tmp/geo_inference_ray"):
+        import json as _json
+
+        from .tiling import DensityScorer
+
+        d = fetch_artifact(url, work_dir)
+        cfg_path = None
+        for root, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".json"):
+                    cfg_path = os.path.join(root, fn)
+        params = {}
+        if cfg_path:
+            with open(cfg_path) as f:
+                params = _json.load(f)
+        self.base = DensityScorer(params.get("num_classes", num_classes))
+
+    def __call__(self, patch_counts):
+        return self.base(patch_counts)

@@ -205,10 +205,13 @@ def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
 
 def geo_pipeline(sf_dir: str, mode: str | None = None,
                  with_cells: bool = True, batch_size: int = 8192,
-                 max_actors: int = 4):
-    """read pages at sf_dir and run :func:`transform_pages`
-    (the canonical SURVEY §7.2 slice)."""
-    ds = synth.pages_dataset(sf_dir)
+                 max_actors: int = 4, source: str = "parquet-documents"):
+    """read pages at sf_dir (via the named PagesSource — sources.py
+    seam) and run :func:`transform_pages` (the canonical SURVEY §7.2
+    slice)."""
+    from .sources import get_source
+
+    ds = get_source(source).dataset(sf_dir)
     return transform_pages(ds, mode=mode, with_cells=with_cells,
                            batch_size=batch_size, max_actors=max_actors)
 

@@ -81,3 +81,80 @@ def test_tta_pluggable_in_pipeline(ray_session, sf_dir):
     assert len(a) == len(b)
     for x, y in zip(a["mask"], b["mask"]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_source_seam_default_matches_pages(ray_session, sf_dir):
+    from geo_inference_ray.sources import get_source
+    from geo_inference_ray.synth import pages_dataset
+
+    a = get_source().dataset(sf_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = pages_dataset(sf_dir).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_raster_source_raises_documented():
+    import pytest as _pytest
+
+    from geo_inference_ray.sources import get_source
+
+    with _pytest.raises(NotImplementedError):
+        get_source("raster").dataset("/nope")
+
+
+def test_custom_source_plugs_into_pipeline(ray_session, sf_dir):
+    """A registered PagesSource flows through geo_pipeline unchanged."""
+    from geo_inference_ray import stages
+    from geo_inference_ray.sources import (PagesSource, get_source,
+                                           register_source)
+
+    class Halved(PagesSource):
+        name = "halved"
+
+        def dataset(self, path, include_html=True):
+            import pyarrow as pa
+
+            base = get_source().dataset(path, include_html)
+            return base.map_batches(
+                lambda b: b.filter(
+                    pa.array((b["doc_id"].to_numpy() % 2) == 0)),
+                batch_format="pyarrow")
+
+    register_source(Halved())
+    full = stages.geo_pipeline(sf_dir).count()
+    half = stages.geo_pipeline(sf_dir, source="halved").count()
+    assert 0 < half < full
+
+
+def test_fetch_artifact_cache_and_scorer(ray_session, tmp_path):
+    """Fetch a tar.gz once, extract into the work-dir cache; a second
+    fetch (second actor init) hits the cache without re-extracting; the
+    artifact-configured scorer loads its params from it."""
+    import json
+    import os
+    import tarfile
+
+    import numpy as np
+
+    from geo_inference_ray.sources import ArtifactScorer, fetch_artifact
+
+    src = tmp_path / "model"
+    src.mkdir()
+    with open(src / "params.json", "w") as f:
+        json.dump({"num_classes": 3}, f)
+    tar = tmp_path / "model.tar.gz"
+    with tarfile.open(tar, "w:gz") as tf:
+        tf.add(src / "params.json", arcname="params.json")
+    wd = str(tmp_path / "work")
+    os.makedirs(wd)
+    d1 = fetch_artifact(f"file://{tar}", wd)
+    assert os.path.exists(os.path.join(d1, "params.json"))
+    stamp = os.path.getmtime(os.path.join(d1, "params.json"))
+    d2 = fetch_artifact(f"file://{tar}", wd)
+    assert d2 == d1
+    assert os.path.getmtime(os.path.join(d1, "params.json")) == stamp
+    sc = ArtifactScorer(url=f"file://{tar}", work_dir=wd)
+    out = sc(np.ones((4, 4)))
+    assert out.shape == (3, 4, 4)
+    np.testing.assert_allclose(out.sum(axis=0), 1.0)
