@@ -53,6 +53,24 @@ def filter_min_area(polys: pd.DataFrame, min_area: float) -> pd.DataFrame:
     return polys[keep].reset_index(drop=True)
 
 
+def simplify_rings(polys: pd.DataFrame, tolerance: float) -> pd.DataFrame:
+    """M13: Douglas–Peucker simplify every ring (reference
+    ``mask_to_poly_geojson(simplify=True, tolerance=...)``,
+    polygon.py:67-68) — wired into the pipeline/CLI via
+    ``simplify_tolerance``."""
+    from .geom import simplify_dp
+
+    out = polys.copy()
+    xs_out, ys_out = [], []
+    for r in polys.itertuples():
+        x, y = simplify_dp(np.asarray(r.xs), np.asarray(r.ys), tolerance)
+        xs_out.append(x)
+        ys_out.append(y)
+    out["xs"] = xs_out
+    out["ys"] = ys_out
+    return out
+
+
 def reduce_precision(polys: pd.DataFrame, decimals: int) -> pd.DataFrame:
     """M10: round ring coordinates to n decimals (reference
     _reduce_geom_precision, geo_transforms.py:26-30)."""
@@ -100,7 +118,11 @@ def to_coco(polys: pd.DataFrame, grid: GridConfig,
             image_fname: str = "mask.tif",
             starting_id: int = 0,
             category_names: dict[int, str] | None = None,
-            preset_categories: list[str] | None = None) -> dict:
+            preset_categories: list[str] | None = None,
+            score_col: str | None = None,
+            license_id: int | None = None,
+            info: dict | None = None,
+            licenses: list[dict] | None = None) -> dict:
     """Outer rings -> single-document COCO dict (M16-M20, W4).
 
     Annotation ids are globally sequential in deterministic
@@ -108,7 +130,11 @@ def to_coco(polys: pd.DataFrame, grid: GridConfig,
     assignment (geo_transforms.py:469-470).  ``preset_categories``:
     classes whose name is not preset are bucketed into "other" with the
     next sequential id (M19 "other" bucketing,
-    geo_transforms.py:416-470)."""
+    geo_transforms.py:416-470).  ``score_col`` adds the reference's
+    optional per-annotation score (geo_transforms.py:474-493);
+    ``license_id`` stamps the image record, and ``info``/``licenses``
+    add the optional top-level COCO blocks (make_coco_image_dict,
+    geo_transforms.py:352-375)."""
     px = rings_to_px(polys[~polys["is_hole"]], grid) \
         .sort_values("comp_id", kind="stable")
     cats = sorted(px["class_id"].unique().tolist())
@@ -136,7 +162,7 @@ def to_coco(polys: pd.DataFrame, grid: GridConfig,
         seg = np.column_stack([xs, ys]).reshape(-1).tolist()
         minx, miny = float(xs.min()), float(ys.min())
         w, h = float(xs.max() - minx), float(ys.max() - miny)
-        annos.append({
+        rec = {
             "id": starting_id + i,
             "image_id": 1,
             "category_id": int(r.class_id),
@@ -144,13 +170,24 @@ def to_coco(polys: pd.DataFrame, grid: GridConfig,
             "area": float(shoelace_area(xs, ys)),
             "bbox": [minx, miny, w, h],
             "iscrowd": 0,
-        })
-    return {
-        "images": [{"id": 1, "file_name": image_fname,
-                    "width": grid.width, "height": grid.height}],
+        }
+        if score_col is not None:
+            rec["score"] = float(getattr(r, score_col))
+        annos.append(rec)
+    image_rec = {"id": 1, "file_name": image_fname,
+                 "width": grid.width, "height": grid.height}
+    if license_id is not None:
+        image_rec["license"] = license_id
+    out = {
+        "images": [image_rec],
         "categories": cat_records,
         "annotations": annos,
     }
+    if info is not None:
+        out["info"] = info
+    if licenses is not None:
+        out["licenses"] = licenses
+    return out
 
 
 def write_coco(coco: dict, path: str) -> None:

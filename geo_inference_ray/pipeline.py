@@ -45,7 +45,8 @@ class GeoInferenceRay:
                  mask_to_vec: bool = False, mask_to_coco: bool = False,
                  mask_to_yolo: bool = False, num_classes: int = 3,
                  prediction_threshold: float = 0.3,
-                 min_area: float = 0.0, workers: int = 4):
+                 min_area: float = 0.0, workers: int = 4,
+                 simplify_tolerance: float | None = None):
         self.scorer_cls = scorer_cls
         self.work_dir = work_dir
         self.mask_to_vec = mask_to_vec or mask_to_coco or mask_to_yolo
@@ -55,6 +56,9 @@ class GeoInferenceRay:
         self.prediction_threshold = prediction_threshold
         self.min_area = min_area
         self.workers = workers
+        # reference default tolerance is 0.5 px when simplify=True
+        # (polygon.py:67-68); None = no simplification
+        self.simplify_tolerance = simplify_tolerance
         os.makedirs(work_dir, exist_ok=True)
 
     def __call__(self, inference_input: str, patch_size: int = 16,
@@ -113,6 +117,10 @@ class GeoInferenceRay:
         if self.mask_to_vec:
             polys = polygons_from_tiles(tiles, grid)
             polys = filter_min_area(polys, self.min_area)
+            if self.simplify_tolerance is not None:
+                from .annotations import simplify_rings
+
+                polys = simplify_rings(polys, self.simplify_tolerance)
             vec_path = os.path.join(self.work_dir, f"{run_name}_polygons.json")
             with open(vec_path, "w") as f:
                 json.dump(_rings_to_geojson(polys), f)
@@ -204,7 +212,12 @@ def cmd_interface(argv=None) -> argparse.Namespace:
     p.add_argument("-c", "--mask-to-coco", action="store_true")
     p.add_argument("--num-classes", type=int, default=3)
     p.add_argument("--prediction-threshold", type=float, default=0.3)
-    p.add_argument("--min-area", type=float, default=0.0)
+    p.add_argument("--min-area", type=float, default=0.0,
+                   help="polygon area floor in px^2 (reference default "
+                        "is 40 on its full-resolution rasters)")
+    p.add_argument("--simplify-tolerance", type=float, default=None,
+                   help="Douglas-Peucker tolerance in coordinate units "
+                        "(reference simplify=True uses 0.5 px)")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--bbox", help="min_lon,min_lat,max_lon,max_lat")
     ns = p.parse_args(argv)
@@ -244,7 +257,8 @@ def main(argv=None) -> None:
             mask_to_yolo=ns.mask_to_yolo, mask_to_coco=ns.mask_to_coco,
             num_classes=ns.num_classes,
             prediction_threshold=ns.prediction_threshold,
-            min_area=ns.min_area, workers=ns.workers)
+            min_area=ns.min_area, workers=ns.workers,
+            simplify_tolerance=ns.simplify_tolerance)
         bbox = tuple(float(x) for x in ns.bbox.split(",")) if ns.bbox else None
         out = gi(ns.input, patch_size=ns.patch_size, bbox=bbox)
         print(json.dumps(out, default=str))

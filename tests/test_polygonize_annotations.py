@@ -1,6 +1,8 @@
 """Tests: connected-component labeling, boundary tracing, cross-tile
 stitching, and YOLO/COCO exports."""
 
+import json
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -347,3 +349,48 @@ def test_coco_other_bucketing():
                 if c["name"] == "other"][0]
     assert other_id == 3  # max preset id + 1
     assert any(a["category_id"] == other_id for a in coco["annotations"])
+
+
+def test_simplify_rings_and_pipeline_flag(ray_session, sf_dir, tmp_path):
+    """simplify_rings reduces vertex counts while keeping rings closed;
+    the pipeline flag wires it into the vector chain."""
+    from geo_inference_ray.annotations import simplify_rings
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    # zig-zag ring that collapses under a coarse tolerance
+    xs = np.array([0.0, 1.0, 2.0, 3.0, 4.0, 4.0, 0.0])
+    ys = np.array([0.0, 0.05, 0.0, 0.05, 0.0, 3.0, 3.0])
+    polys = pd.DataFrame([{"comp_id": 0, "class_id": 1, "ring_idx": 0,
+                           "is_hole": False, "n_pixels": 12,
+                           "area_px": 12.0, "xs": xs, "ys": ys}])
+    out = simplify_rings(polys, 0.1)
+    assert len(out["xs"].iloc[0]) < len(xs)
+    gi = GeoInferenceRay(work_dir=str(tmp_path), mask_to_vec=True,
+                         simplify_tolerance=0.25)
+    res = gi(sf_dir, run_name="simp")
+    gj = json.load(open(res["polygons"]))
+    assert len(gj["features"]) > 0
+
+
+def test_coco_score_license_info():
+    from geo_inference_ray.annotations import to_coco
+
+    polys = pd.DataFrame([{
+        "comp_id": 0, "class_id": 1, "ring_idx": 0, "is_hole": False,
+        "n_pixels": 4, "area_px": 4.0, "score": 0.875,
+        "xs": np.array([0.0, 1.0, 1.0, 0.0]),
+        "ys": np.array([0.0, 0.0, 1.0, 1.0])}])
+    grid = GridConfig(min_lon=0.0, max_lat=4.0, pix=1.0, width=4,
+                      height=4, stride=2)
+    coco = to_coco(polys, grid, score_col="score", license_id=2,
+                   info={"description": "test"},
+                   licenses=[{"id": 2, "name": "CC0"}])
+    assert coco["annotations"][0]["score"] == 0.875
+    assert coco["images"][0]["license"] == 2
+    assert coco["info"]["description"] == "test"
+    assert coco["licenses"][0]["name"] == "CC0"
+    # without the options the blocks are absent (reference behavior)
+    plain = to_coco(polys, grid)
+    assert "score" not in plain["annotations"][0]
+    assert "license" not in plain["images"][0]
+    assert "info" not in plain and "licenses" not in plain
