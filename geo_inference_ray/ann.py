@@ -192,11 +192,10 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
                         zero_copy_batch=True, concurrency=(1, 2),
                         fn_constructor_kwargs={"dim": dim,
                                                "planes": planes})
-    # at 100 TB this re-executes the (cheap) signature stage for the
-    # count pre-pass instead of materializing the exploded table;
-    # signatures are ids + int keys + the embedding view, and the
-    # pre-pass only ships (gkey, partial count) rows
-    ds = ds.materialize()
+    # NOT materialized: the count pre-pass re-executes the (cheap)
+    # signature stage instead of pinning the bands-exploded table (ids +
+    # embeddings x LSH_BANDS) in the object store; the pre-pass only
+    # ships (gkey, partial count) rows
     plan = salt_plan(key_counts(ds, "gkey"), cap=bucket_cap)
     salted = add_salt(ds, "gkey", plan, "vec_id")
 

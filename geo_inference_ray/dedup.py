@@ -169,10 +169,21 @@ def minhash_candidates(ds):
     import ray
     from ray.data.aggregate import Count
 
+    import tempfile
+
+    import ray.data as rd
+
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 4))
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow") \
-                .materialize()  # reused: count pre-pass + pair pass
+    # the band table is consumed twice (count pre-pass + pair pass) and
+    # MinHash signatures are expensive to recompute — spill the compact
+    # (band, key, doc_id) table to parquet scratch and re-read it,
+    # instead of pinning it in the object store (at 100 TB the spill is
+    # disk-backed and partition-resumable; plasma pinning is not)
+    spill = tempfile.mkdtemp(prefix="minhash_bands_", dir="/tmp")
+    sigs.map_batches(band_rows, batch_format="pyarrow") \
+        .write_parquet(spill)
+    bands = rd.read_parquet(spill)
 
     counts = bands.groupby(["band", "band_key"]).aggregate(
         Count(alias_name="n"))
@@ -247,11 +258,17 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
 
     pairs = pairs_ds.materialize()  # candidate pairs only (small side)
     cand: set = set()
+    n_pairs = 0
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n_pairs += len(b)
         cand.update(b["doc_a"].to_pylist())
         cand.update(b["doc_b"].to_pylist())
     if not cand:
         return _empty_verified()
+    # scale the join fan-out to the candidate volume: Ray 2.49's hash
+    # join emits schema-less empty partitions (which crash downstream),
+    # so never create more partitions than ~10k pair-rows can fill
+    num_partitions = max(1, min(num_partitions, -(-n_pairs // 10_000)))
     ids_ref = ray.put(np.fromiter(cand, dtype=np.int64, count=len(cand)))
 
     class CandShingles:

@@ -257,8 +257,11 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
     (full ring-1 neighborhood; probes stay keyed to their own cell)."""
     import ray
 
-    proj = ds.select_columns(["doc_id", "lat", "lon", "hex7"]) \
-             .materialize()  # reused by the count pre-pass and the join
+    # NOT materialized: the projection is re-executed by the count
+    # pre-pass and the salted pass.  Re-running a column-pruned fused
+    # read+transform twice streams; pinning an input-sized table in the
+    # object store does not survive 100 TB.
+    proj = ds.select_columns(["doc_id", "lat", "lon", "hex7"])
     counts = key_counts(proj, "hex7")
     plan = salt_plan(counts, cap)
     plan_ref = ray.put(plan)

@@ -91,8 +91,11 @@ class GeoInferenceRay:
 
         # checkpointed, partitioned outputs: one partition per cluster
         # decile of the geocoded pages (pure function of the key),
-        # written in ONE dataset pass via the hive-partitioned sink
-        geo_mat = geo.materialize()
+        # written in ONE dataset pass via the hive-partitioned sink.
+        # The lazy pipeline is re-executed per consumer (partition write,
+        # then tiles) — streaming re-execution of fused maps, never an
+        # input-sized object-store pin.
+        geo_mat = geo
         keys = [f"{lo}-{lo + 10}" for lo in range(0, 100, 10)]
 
         def decile_key(batch: pa.Table) -> pa.Table:
