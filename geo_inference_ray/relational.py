@@ -68,10 +68,13 @@ def top_customers(sf_dir: str, k: int = 10):
     import ray
     import ray.data as rd
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_name",
-                                    "c_mktsegment"]).to_pandas()
-    cust_ref = ray.put(cust.set_index("c_custkey"))
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_mktsegment"]) \
+        .rename_columns(["o_custkey", "c_name", "c_mktsegment"]) \
+        .replace_schema_metadata(None)
+    cust_ref = ray.put(cust)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
@@ -80,10 +83,12 @@ def top_customers(sf_dir: str, k: int = 10):
         t = pa.table({
             "o_custkey": batch["o_custkey"],
             "cents": _cents(batch["o_totalprice"]),
-        }).to_pandas()
-        g = t.groupby("o_custkey", as_index=False).agg(
-            tc=("cents", "sum"), n=("cents", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        })
+        g = t.group_by("o_custkey").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "tc": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
 
     from ray.data.aggregate import Sum
 
@@ -98,11 +103,10 @@ def top_customers(sf_dir: str, k: int = 10):
             self.cust = ray.get(cust_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            joined = df.join(self.cust, on="o_custkey", how="inner")
-            return pa.Table.from_pandas(
-                joined[["o_custkey", "c_name", "c_mktsegment",
-                        "total_cents", "n_orders"]], preserve_index=False)
+            joined = batch.join(self.cust, keys="o_custkey",
+                                join_type="inner")
+            return joined.select(["o_custkey", "c_name", "c_mktsegment",
+                                  "total_cents", "n_orders"])
 
     named = per_cust.map_batches(AttachName, batch_format="pyarrow",
                                  concurrency=(1, 2))
@@ -262,11 +266,13 @@ def events_hourly(sf_dir: str):
                      pa.int64())
         t = pa.table({"user_id": batch["user_id"],
                       "event_type": batch["event_type"],
-                      "hour": hour, "vm": vm}).to_pandas()
-        g = t.groupby(["user_id", "event_type", "hour"],
-                      as_index=False).agg(v=("vm", "sum"),
-                                          n=("vm", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+                      "hour": hour, "vm": vm})
+        g = t.group_by(["user_id", "event_type", "hour"]).aggregate(
+            [("vm", "sum"), ("vm", "count")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "hour": g["hour"], "v": g["vm_sum"],
+                         "n": pc.cast(g["vm_count"], pa.int64())})
 
     return ev.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
@@ -301,10 +307,11 @@ def native_join_agg(sf_dir: str, num_partitions: int = 8):
                          on=("o_custkey",), right_on=("c_custkey",))
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            tc=("cents", "sum"), n=("cents", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by("c_mktsegment").aggregate(
+            [("cents", "sum"), ("cents", "count")])
+        return pa.table({"c_mktsegment": g["c_mktsegment"],
+                         "tc": g["cents_sum"],
+                         "n": pc.cast(g["cents_count"], pa.int64())})
 
     return joined.map_batches(partial, batch_format="pyarrow") \
         .groupby("c_mktsegment").aggregate(
@@ -373,10 +380,11 @@ def events_sliding(sf_dir: str):
         return pa.concat_tables([t1, t2]).combine_chunks()
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["event_type", "window_start"],
-                       as_index=False).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.group_by(["event_type", "window_start"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_start": g["window_start"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
 
     return ev.map_batches(emit, batch_format="pyarrow",
                           zero_copy_batch=True) \
