@@ -72,6 +72,12 @@ def _tiling_sql_polygon_components() -> str:
     return sql_polygon_components()
 
 
+def _tiling_sql_polygon_rings() -> str:
+    from geo_inference_ray.tiling import sql_polygon_rings
+
+    return sql_polygon_rings()
+
+
 def _docs_text(sf_dir: str):
     import ray.data as rd
 
@@ -215,6 +221,28 @@ def q_polygon_components(sf_dir: str):
         ["comp_id", "class_id", "n_pixels"]].reset_index(drop=True)
     return comp.astype({"comp_id": "int64", "class_id": "int64",
                         "n_pixels": "int64"})
+
+
+def q_polygon_rings(sf_dir: str):
+    """Per-component RING structure (ring/hole counts + outer area) —
+    SQL-expressible via the background-cavity equivalence (a hole is an
+    enclosed 4-connected background cavity)."""
+    import pandas as pd
+
+    from geo_inference_ray import tiling as _tiling
+    from geo_inference_ray.polygonize import polygons_from_tiles
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    tiles = _tiling.mask_tiles(geo, _tiling.DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, _tiling.DEFAULT_GRID)
+    g = polys.groupby("comp_id", as_index=False).agg(
+        class_id=("class_id", "first"), n_pixels=("n_pixels", "first"),
+        n_rings=("ring_idx", "size"), n_holes=("is_hole", "sum"))
+    outer = polys[~polys["is_hole"]].set_index("comp_id")["area_px"]
+    g["area_px_int"] = g["comp_id"].map(outer).round().astype("int64")
+    return g.astype({"comp_id": "int64", "class_id": "int64",
+                     "n_pixels": "int64", "n_rings": "int64",
+                     "n_holes": "int64"})
 
 
 def q_manifest(sf_dir: str):
@@ -388,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coco_annotations": q_coco_annotations,
         "polygons_dist": q_polygons_dist,
         "polygon_components": q_polygon_components,
+        "polygon_rings": q_polygon_rings,
         "manifest": q_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -497,6 +526,7 @@ SELECT CAST(floor((lon - -180.0) / 0.5) AS BIGINT) AS px,
 FROM geo GROUP BY 1, 2""",
         "mask_tiles": _WG + "," + _tiling_sql_mask_tiles(),
         "polygon_components": _WGR + "," + _tiling_sql_polygon_components(),
+        "polygon_rings": _WGR + "," + _tiling_sql_polygon_rings(),
         "word_count": """
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

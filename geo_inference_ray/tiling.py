@@ -571,3 +571,81 @@ SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
        CAST(cls AS BIGINT) AS class_id,
        CAST(npx AS BIGINT) AS n_pixels
 FROM cst"""
+
+
+def sql_polygon_rings(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for per-component RING structure (comp_id, class_id,
+    n_pixels, n_rings, n_holes, area_px_int).
+
+    Holes of a 4-connected pixel component are exactly its enclosed
+    4-connected background cavities (consistent with the tracer's
+    interior-on-left + sharpest-right-turn pairing — a diagonal-pinch
+    cavity still counts as a hole).  Per component: enumerate the
+    bbox+1 cell frame, take cells not in the component, min-label
+    4-connected regions with a second recursive CTE, and count regions
+    with no frame contact.  Outer-ring area = pixels + cavity cells."""
+    return sql_polygon_components(grid).replace(
+        "SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT)"
+        " AS comp_id,\n       CAST(cls AS BIGINT) AS class_id,\n"
+        "       CAST(npx AS BIGINT) AS n_pixels\nFROM cst",
+        """
+SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
+       CAST(cls AS BIGINT) AS class_id,
+       CAST(npx AS BIGINT) AS n_pixels,
+       CAST(1 + COALESCE(h.n_holes, 0) AS BIGINT) AS n_rings,
+       CAST(COALESCE(h.n_holes, 0) AS BIGINT) AS n_holes,
+       CAST(npx + COALESCE(h.cav_px, 0) AS BIGINT) AS area_px_int
+FROM cst LEFT JOIN holes h ON cst.root = h.root""") \
+        .replace(
+        "cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls\n        FROM kk GROUP BY root)",
+        """cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls
+        FROM kk GROUP BY root),
+bb AS (
+  SELECT c.root, MIN(f.py) AS miny, MAX(f.py) AS maxy,
+         MIN(f.px) AS minx, MAX(f.px) AS maxx
+  FROM fg f JOIN comp c ON f.pk = c.pk GROUP BY c.root
+),
+bby AS (  -- unnest(generate_series(..)) supports column args;
+          -- the FROM-clause table function form does not
+  SELECT root, miny, maxy, minx, maxx,
+         unnest(generate_series(miny - 1, maxy + 1)) AS y
+  FROM bb
+),
+bbyx AS (
+  SELECT root, miny, maxy, minx, maxx, y,
+         unnest(generate_series(minx - 1, maxx + 1)) AS x
+  FROM bby
+),
+bgn AS (  -- background nodes: bbox+1 cells not in the component
+  SELECT b.root, b.y, b.x,
+         (b.root * 1099511627776 + (b.y - b.miny + 1) * 1048576
+          + (b.x - b.minx + 1)) AS nk,
+         (b.y = b.miny - 1 OR b.y = b.maxy + 1
+          OR b.x = b.minx - 1 OR b.x = b.maxx + 1) AS on_frame
+  FROM bbyx b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fg f JOIN comp c ON f.pk = c.pk
+    WHERE c.root = b.root AND f.py = b.y AND f.px = b.x)
+),
+badj AS (
+  SELECT a.nk AS src, b2.nk AS dst FROM bgn a JOIN bgn b2
+  ON a.root = b2.root
+   AND ((a.y = b2.y AND abs(a.x - b2.x) = 1)
+     OR (a.x = b2.x AND abs(a.y - b2.y) = 1))
+),
+breach AS (
+  SELECT nk, nk AS lbl FROM bgn
+  UNION
+  SELECT a.src AS nk, r.lbl FROM badj a JOIN breach r ON a.dst = r.nk
+),
+bcc AS (SELECT nk, MIN(lbl) AS blbl FROM breach GROUP BY nk),
+regions AS (
+  SELECT n.root, c.blbl, COUNT(*) AS n_cells,
+         BOOL_OR(n.on_frame) AS touches_frame
+  FROM bgn n JOIN bcc c ON n.nk = c.nk
+  GROUP BY n.root, c.blbl
+),
+holes AS (
+  SELECT root, COUNT(*) AS n_holes, SUM(n_cells) AS cav_px
+  FROM regions WHERE NOT touches_frame GROUP BY root
+)""")

@@ -394,3 +394,46 @@ def test_coco_score_license_info():
     assert "score" not in plain["annotations"][0]
     assert "license" not in plain["images"][0]
     assert "info" not in plain and "licenses" not in plain
+
+
+def test_polygon_rings_oracle_with_holes(ray_session):
+    """The driver-scale data has no holed components, so pin the
+    background-cavity SQL against the engine on a synthetic point set
+    that rasterizes into a ring with an enclosed cavity."""
+    import duckdb
+    import ray.data as rd
+
+    from geo_inference_ray.polygonize import polygons_from_tiles
+    from geo_inference_ray.tiling import (DEFAULT_GRID, mask_tiles,
+                                          sql_polygon_rings)
+
+    def center(py, px):
+        return (90.0 - (py + 0.5) * 0.5, -180.0 + (px + 0.5) * 0.5)
+
+    pts = []
+    # 3x3 ring around an empty center -> 1 hole; plus a solo pixel
+    for py in range(100, 103):
+        for px in range(200, 203):
+            if (py, px) != (101, 201):
+                pts.append(center(py, px))
+    pts.append(center(150, 300))
+    df = pd.DataFrame(pts, columns=["lat", "lon"])
+
+    geo = rd.from_pandas(df)
+    tiles = mask_tiles(geo, DEFAULT_GRID)
+    polys = polygons_from_tiles(tiles, DEFAULT_GRID)
+    eng = polys.groupby("comp_id", as_index=False).agg(
+        class_id=("class_id", "first"), n_pixels=("n_pixels", "first"),
+        n_rings=("ring_idx", "size"), n_holes=("is_hole", "sum"))
+    outer = polys[~polys["is_hole"]].set_index("comp_id")["area_px"]
+    eng["area_px_int"] = eng["comp_id"].map(outer).round().astype("int64")
+    assert eng["n_holes"].sum() == 1  # the cavity exists
+
+    vals = ",".join(f"({la!r},{lo!r})" for la, lo in pts)
+    sql = (f"WITH RECURSIVE geo(lat, lon) AS (VALUES {vals}),"
+           + sql_polygon_rings())
+    ora = duckdb.sql(sql).df()
+    a = eng.sort_values("comp_id").reset_index(drop=True).astype("int64")
+    b = ora.sort_values("comp_id").reset_index(drop=True) \
+        [a.columns.tolist()].astype("int64")
+    assert a.equals(b)
