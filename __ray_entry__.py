@@ -78,6 +78,18 @@ def _tiling_sql_polygon_rings() -> str:
     return sql_polygon_rings()
 
 
+def _tiling_sql_yolo() -> str:
+    from geo_inference_ray.tiling import sql_yolo
+
+    return sql_yolo()
+
+
+def _tiling_sql_coco() -> str:
+    from geo_inference_ray.tiling import sql_coco_annotations
+
+    return sql_coco_annotations()
+
+
 def _docs_text(sf_dir: str):
     import ray.data as rd
 
@@ -527,6 +539,8 @@ FROM geo GROUP BY 1, 2""",
         "mask_tiles": _WG + "," + _tiling_sql_mask_tiles(),
         "polygon_components": _WGR + "," + _tiling_sql_polygon_components(),
         "polygon_rings": _WGR + "," + _tiling_sql_polygon_rings(),
+        "yolo": _WGR + "," + _tiling_sql_yolo(),
+        "coco_annotations": _WGR + "," + _tiling_sql_coco(),
         "word_count": """
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -539,12 +539,10 @@ fg AS (
 )"""
 
 
-def sql_polygon_components(grid: GridConfig = DEFAULT_GRID) -> str:
-    """Oracle for per-component polygonize output (comp_id, class_id,
-    n_pixels): 4-connected equal-class components of ``fg`` via a
-    recursive min-label propagation, renumbered in the engine's
-    deterministic order (tile-row-major first tile, then row-major first
-    pixel within it — the stitch's sorted (tkey, llab) root order)."""
+def _sql_comp_chain(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Shared CTE chain: occupied pixels -> fg mask -> 4-connected
+    components (recursive min-label) -> per-component stats ``cst``
+    (root, mk order key, npx, cls) + pixel map ``comp``."""
     s = grid.stride
     return sql_tile_ctes(grid) + "," + sql_fg_cte(grid) + f""",
 adj AS (
@@ -566,45 +564,20 @@ kk AS (
   FROM fg f JOIN comp c ON f.pk = c.pk
 ),
 cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls
-        FROM kk GROUP BY root)
-SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
-       CAST(cls AS BIGINT) AS class_id,
-       CAST(npx AS BIGINT) AS n_pixels
-FROM cst"""
-
-
-def sql_polygon_rings(grid: GridConfig = DEFAULT_GRID) -> str:
-    """Oracle for per-component RING structure (comp_id, class_id,
-    n_pixels, n_rings, n_holes, area_px_int).
-
-    Holes of a 4-connected pixel component are exactly its enclosed
-    4-connected background cavities (consistent with the tracer's
-    interior-on-left + sharpest-right-turn pairing — a diagonal-pinch
-    cavity still counts as a hole).  Per component: enumerate the
-    bbox+1 cell frame, take cells not in the component, min-label
-    4-connected regions with a second recursive CTE, and count regions
-    with no frame contact.  Outer-ring area = pixels + cavity cells."""
-    return sql_polygon_components(grid).replace(
-        "SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT)"
-        " AS comp_id,\n       CAST(cls AS BIGINT) AS class_id,\n"
-        "       CAST(npx AS BIGINT) AS n_pixels\nFROM cst",
-        """
-SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
-       CAST(cls AS BIGINT) AS class_id,
-       CAST(npx AS BIGINT) AS n_pixels,
-       CAST(1 + COALESCE(h.n_holes, 0) AS BIGINT) AS n_rings,
-       CAST(COALESCE(h.n_holes, 0) AS BIGINT) AS n_holes,
-       CAST(npx + COALESCE(h.cav_px, 0) AS BIGINT) AS area_px_int
-FROM cst LEFT JOIN holes h ON cst.root = h.root""") \
-        .replace(
-        "cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls\n        FROM kk GROUP BY root)",
-        """cst AS (SELECT root, MIN(ordkey) AS mk, COUNT(*) AS npx, MIN(cls) AS cls
         FROM kk GROUP BY root),
 bb AS (
   SELECT c.root, MIN(f.py) AS miny, MAX(f.py) AS maxy,
          MIN(f.px) AS minx, MAX(f.px) AS maxx
   FROM fg f JOIN comp c ON f.pk = c.pk GROUP BY c.root
-),
+)"""
+
+
+def _sql_cavity_ctes() -> str:
+    """Background-cavity CTEs over the comp chain: enumerate each
+    component's bbox+1 cells, min-label the 4-connected background
+    regions with a second recursive CTE, keep regions with no frame
+    contact (= enclosed holes)."""
+    return """,
 bby AS (  -- unnest(generate_series(..)) supports column args;
           -- the FROM-clause table function form does not
   SELECT root, miny, maxy, minx, maxx,
@@ -648,4 +621,66 @@ regions AS (
 holes AS (
   SELECT root, COUNT(*) AS n_holes, SUM(n_cells) AS cav_px
   FROM regions WHERE NOT touches_frame GROUP BY root
-)""")
+)"""
+
+
+def sql_polygon_components(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for per-component polygonize output (comp_id, class_id,
+    n_pixels): 4-connected equal-class components of ``fg`` via a
+    recursive min-label propagation, renumbered in the engine's
+    deterministic order (tile-row-major first tile, then row-major first
+    pixel within it — the stitch's sorted (tkey, llab) root order)."""
+    return _sql_comp_chain(grid) + """
+SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
+       CAST(cls AS BIGINT) AS class_id,
+       CAST(npx AS BIGINT) AS n_pixels
+FROM cst"""
+
+
+def sql_polygon_rings(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for per-component RING structure (comp_id, class_id,
+    n_pixels, n_rings, n_holes, area_px_int).
+
+    Holes of a 4-connected pixel component are exactly its enclosed
+    4-connected background cavities (consistent with the tracer's
+    interior-on-left + sharpest-right-turn pairing — a diagonal-pinch
+    cavity still counts as a hole).  Outer-ring area = pixels + cavity
+    cells."""
+    return _sql_comp_chain(grid) + _sql_cavity_ctes() + """
+SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS comp_id,
+       CAST(cls AS BIGINT) AS class_id,
+       CAST(npx AS BIGINT) AS n_pixels,
+       CAST(1 + COALESCE(h.n_holes, 0) AS BIGINT) AS n_rings,
+       CAST(COALESCE(h.n_holes, 0) AS BIGINT) AS n_holes,
+       CAST(npx + COALESCE(h.cav_px, 0) AS BIGINT) AS area_px_int
+FROM cst LEFT JOIN holes h ON cst.root = h.root"""
+
+
+def sql_coco_annotations(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for the COCO annotation table (id, category_id, area,
+    iscrowd): annotation ids are the dense comp_id order, area is the
+    outer-ring pixel area (geo->px roundtrip is exact because the grid
+    affine uses power-of-two pixel size), iscrowd constant 0."""
+    return _sql_comp_chain(grid) + _sql_cavity_ctes() + """
+SELECT CAST(DENSE_RANK() OVER (ORDER BY mk) - 1 AS BIGINT) AS id,
+       CAST(cls AS BIGINT) AS category_id,
+       CAST(npx + COALESCE(h.cav_px, 0) AS DOUBLE) AS area,
+       CAST(0 AS BIGINT) AS iscrowd
+FROM cst LEFT JOIN holes h ON cst.root = h.root"""
+
+
+def sql_yolo(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for the YOLO export (class_id, x, y, w, h): bbox corners
+    come from the component's pixel extents (ring vertex max = pixel
+    max + 1), normalized with the engine's exact float expression
+    order.  The clip/overlap filter never fires for in-grid masks
+    (clip == identity, fraction 1 >= 0.66), so every component with a
+    nonzero outer ring emits one row."""
+    w, h = float(grid.width), float(grid.height)
+    return _sql_comp_chain(grid) + f"""
+SELECT CAST(cst.cls AS BIGINT) AS class_id,
+       (CAST(bb.minx AS DOUBLE) + (bb.maxx + 1)) / 2.0 / {w!r} AS x,
+       (CAST(bb.miny AS DOUBLE) + (bb.maxy + 1)) / 2.0 / {h!r} AS y,
+       (CAST(bb.maxx + 1 AS DOUBLE) - bb.minx) / {w!r} AS w,
+       (CAST(bb.maxy + 1 AS DOUBLE) - bb.miny) / {h!r} AS h
+FROM cst JOIN bb ON cst.root = bb.root"""
