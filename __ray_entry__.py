@@ -90,6 +90,12 @@ def _tiling_sql_coco() -> str:
     return sql_coco_annotations()
 
 
+def _tiling_sql_polygons() -> str:
+    from geo_inference_ray.tiling import sql_polygons
+
+    return sql_polygons()
+
+
 def _docs_text(sf_dir: str):
     import ray.data as rd
 
@@ -540,6 +546,8 @@ FROM geo GROUP BY 1, 2""",
         "polygon_components": _WGR + "," + _tiling_sql_polygon_components(),
         "polygon_rings": _WGR + "," + _tiling_sql_polygon_rings(),
         "yolo": _WGR + "," + _tiling_sql_yolo(),
+        "polygons": _WGR + "," + _tiling_sql_polygons(),
+        "polygons_dist": _WGR + "," + _tiling_sql_polygons(),
         "coco_annotations": _WGR + "," + _tiling_sql_coco(),
         "word_count": """
 SELECT token, COUNT(*) AS n FROM (

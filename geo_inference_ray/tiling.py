@@ -684,3 +684,32 @@ SELECT CAST(cst.cls AS BIGINT) AS class_id,
        (CAST(bb.maxx + 1 AS DOUBLE) - bb.minx) / {w!r} AS w,
        (CAST(bb.maxy + 1 AS DOUBLE) - bb.miny) / {h!r} AS h
 FROM cst JOIN bb ON cst.root = bb.root"""
+
+
+def sql_polygons(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for the ring-row polygonize output (comp_id, class_id,
+    ring_idx, is_hole, n_pixels).
+
+    The vectorized tracer enumerates rings by first boundary edge in
+    row-major order, so ring 0 is always the outer ring (the topmost-
+    leftmost pixel's top edge is the first edge) and rings 1..k are the
+    holes — the row set is fully determined by the per-component ring
+    count from the cavity CTEs."""
+    return _sql_comp_chain(grid) + _sql_cavity_ctes() + """,
+ranked AS (
+  SELECT DENSE_RANK() OVER (ORDER BY mk) - 1 AS comp_id,
+         cst.cls, cst.npx,
+         1 + COALESCE(h.n_holes, 0) AS nr
+  FROM cst LEFT JOIN holes h ON cst.root = h.root
+),
+expanded AS (
+  SELECT comp_id, cls, npx,
+         unnest(generate_series(0, nr - 1)) AS ring_idx
+  FROM ranked
+)
+SELECT CAST(comp_id AS BIGINT) AS comp_id,
+       CAST(cls AS BIGINT) AS class_id,
+       CAST(ring_idx AS BIGINT) AS ring_idx,
+       ring_idx <> 0 AS is_hole,
+       CAST(npx AS BIGINT) AS n_pixels
+FROM expanded"""

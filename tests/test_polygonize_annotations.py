@@ -428,6 +428,10 @@ def test_polygon_rings_oracle_with_holes(ray_session):
     outer = polys[~polys["is_hole"]].set_index("comp_id")["area_px"]
     eng["area_px_int"] = eng["comp_id"].map(outer).round().astype("int64")
     assert eng["n_holes"].sum() == 1  # the cavity exists
+    # canonical ring order: ring 0 is ALWAYS the outer ring (the
+    # polygons oracle relies on this)
+    assert not polys[polys["ring_idx"] == 0]["is_hole"].any()
+    assert polys[polys["ring_idx"] > 0]["is_hole"].all()
 
     vals = ",".join(f"({la!r},{lo!r})" for la, lo in pts)
     sql = (f"WITH RECURSIVE geo(lat, lon) AS (VALUES {vals}),"
