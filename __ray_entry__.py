@@ -654,6 +654,31 @@ s AS (
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM s GROUP BY user_id, session_idx""",
+        # The media table is synthesized deterministically from doc_id, so
+        # the (id, kind) projection and the frame layout (payload sizes ->
+        # frame counts) are pure integer SQL; feature VALUES stay pinned by
+        # golden decode tests (RNG bytes are not SQL-expressible).
+        "media_features": """
+SELECT doc_id AS id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind
+FROM documents""",
+        "media_frames": """
+WITH sz AS (
+  SELECT doc_id AS id,
+         CASE doc_id % 3
+           WHEN 0 THEN 13 + (16 + doc_id % 16) * (16 + doc_id % 8) * 3
+           WHEN 1 THEN (256 + doc_id % 512) * 2
+           ELSE 256 + doc_id % 512 END AS nbytes,
+         CASE doc_id % 3 WHEN 1 THEN 128 ELSE 64 END AS unit
+  FROM documents
+)
+SELECT id, CAST(unnest(generate_series(0, nbytes // unit - 1, 2))
+                AS BIGINT) AS frame_idx
+FROM sz WHERE nbytes // unit >= 1""",
         # s2_cells, fingerprint, minhash_pairs, simhash, embedding_near_dup:
-        # intentionally omitted (non-SQL-expressible; rows-only checks).
+        # intentionally omitted (non-SQL-expressible: S2 needs libm trig that
+        # differs from numpy by ULPs, the hash family needs blake2b, and the
+        # LSH planes come from a seeded RNG; rows-only checks + unit/golden
+        # tests pin them).
     }
