@@ -327,6 +327,13 @@ def q_ann_topk(sf_dir: str):
     return _ann.ann_topk(sf_dir)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-probed approximate ANN (coarse quantizer + nprobe cells) —
+    the scale path next to the exact brute-force baseline.  Approximate
+    by design, so rows-only; recall vs ann_topk pinned by test."""
+    return _ann.ivf_topk(sf_dir)
+
+
 def q_minhash_pairs(sf_dir: str):
     return _dedup.minhash_candidates(_docs_text(sf_dir))
 
@@ -446,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,

@@ -217,3 +217,17 @@ def test_embedding_near_dup_salts_degenerate_bucket(ray_session, tmp_path):
         bound = -(-n_b // plan.get(gk, 1))
         assert sz <= max(bound, cap), (gk, sz, n_b)
     assert sizes.max() <= -(-300 // MAX_SALTS) + cap
+
+
+def test_ivf_topk_recall_vs_exact(ray_session, sf_dir):
+    """IVF-probed ANN returns the same schema/row count as the exact
+    baseline and reaches >=0.85 recall at nprobe/nlist = 4/16."""
+    from geo_inference_ray.ann import ann_topk, ivf_topk
+
+    ex = ann_topk(sf_dir).to_pandas()
+    ap = ivf_topk(sf_dir).to_pandas()
+    assert list(ap.columns) == ["query_id", "neighbor_id", "rank"]
+    assert len(ap) == len(ex)
+    e = set(map(tuple, ex[["query_id", "neighbor_id"]].values.tolist()))
+    a = set(map(tuple, ap[["query_id", "neighbor_id"]].values.tolist()))
+    assert len(e & a) / len(e) >= 0.85
