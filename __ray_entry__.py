@@ -287,6 +287,12 @@ def q_token_count(sf_dir: str):
         _textops.token_count, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_token_regex(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _textops.RegexTokens, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4))
+
+
 def q_quality(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.quality_score, batch_format="pyarrow", zero_copy_batch=True)
@@ -446,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "token_count": q_token_count,
+        "token_regex": q_token_regex,
         "quality": q_quality,
         "langid": q_langid,
         "word_count": q_word_count,
@@ -531,6 +538,19 @@ FROM documents GROUP BY md5(text)""",
         "token_count": """
 SELECT doc_id,
        length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+FROM documents""",
+        "token_regex": """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+         AS n_word,
+       CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+         AS n_num,
+       CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_punct,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+'))
+            + length(regexp_extract_all(text, '[0-9]+'))
+            + length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+         AS n_bpe_tokens
 FROM documents""",
         "quality": """
 SELECT doc_id, length(text) AS n_chars,

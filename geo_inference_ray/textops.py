@@ -157,3 +157,33 @@ class Fingerprint:
                           dtype=np.int64, count=len(texts))
         return pa.table({"doc_id": batch["doc_id"],
                          "fingerprint": pa.array(fps)})
+
+
+# BPE-ish tokenizer pattern classes (brief: "token counting (whitespace
+# + a BPE-ish regex)").  ASCII-only classes so pyarrow's RE2 and
+# DuckDB's RE2 agree byte-for-byte.
+RE_WORD = "[A-Za-z]+"
+RE_NUM = "[0-9]+"
+RE_PUNCT = "[^A-Za-z0-9 ]"
+
+
+class RegexTokens:
+    """Regex token counting (actor-pool stage; pattern state is
+    per-actor).  Counts word / number / punctuation tokens with RE2 via
+    pyarrow count_substring_regex — mirrored in SQL by
+    length(regexp_extract_all(...)), both RE2 dialects."""
+
+    def __init__(self):
+        self.pats = {"n_word": RE_WORD, "n_num": RE_NUM,
+                     "n_punct": RE_PUNCT}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        out = {"doc_id": batch["doc_id"]}
+        total = None
+        for name, pat in self.pats.items():
+            c = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            out[name] = c
+            total = c if total is None else pc.add(total, c)
+        out["n_bpe_tokens"] = total
+        return pa.table(out)
