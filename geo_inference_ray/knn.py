@@ -47,7 +47,13 @@ def _emit_salted(plan_ref, k_col: str = "hex7", ring: int = 0):
     ``ring=1``: each row is additionally emitted as a *candidate* to its
     6 hex-neighbor cells (HEX_RING1_OFFSETS), so a probe's group holds
     the full ring-1 neighborhood — the north rule's "cell-local kNN over
-    sorted H3 rings"."""
+    sorted H3 rings".
+
+    Returns a stateless FUNCTION with per-worker memoized state (the
+    fused_page_fn pattern): a task-pool fn fuses into the upstream read
+    and, unlike an actor pool, never pins CPUs — an actor pool here
+    deadlocked 2-CPU sessions once the projection stopped being
+    materialized (read tasks + pool + shuffle aggregators competing)."""
     import ray
 
     offsets = HEX_RING1_OFFSETS if ring == 1 else (0,)
@@ -109,7 +115,21 @@ def _emit_salted(plan_ref, k_col: str = "hex7", ring: int = 0):
                 "is_probe": pa.array(is_probe),
             })
 
-    return Emit
+    memo_key = (plan_ref.hex(), k_col, ring)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        st = _EMIT_MEMO.get(memo_key)
+        if st is None:
+            if len(_EMIT_MEMO) > 16:
+                _EMIT_MEMO.clear()
+            st = Emit()
+            _EMIT_MEMO[memo_key] = st
+        return st(batch)
+
+    return fn
+
+
+_EMIT_MEMO: dict = {}
 
 
 def _topk_exact(d2: np.ndarray, ids_c: np.ndarray, kk: int) -> np.ndarray:
@@ -266,8 +286,7 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
     plan = salt_plan(counts, cap)
     plan_ref = ray.put(plan)
     salted = proj.map_batches(_emit_salted(plan_ref, ring=ring),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=(1, 8))
+                              batch_format="pyarrow", zero_copy_batch=True)
 
     def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
         return _group_knn(g, k)
