@@ -581,6 +581,25 @@ FROM geo GROUP BY 1, 2""",
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+        # Polynomial rolling hash over the utf-8 bytes; the corpus is
+        # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
+        # FP_MOD come from a recursive CTE bounded by the longest text.
+        "fingerprint": f"""
+WITH RECURSIVE pows(i, p) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT i + 1, (p * {_textops.FP_BASE}) % {_textops.FP_MOD} FROM pows
+  WHERE i < (SELECT max(strlen(text)) FROM documents)
+),
+chars AS (
+  SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i, text
+  FROM documents
+)
+SELECT c.doc_id,
+       CAST(SUM(ord(substr(c.text, c.i, 1)) * p.p % {_textops.FP_MOD})
+            % {_textops.FP_MOD} AS BIGINT) AS fingerprint
+FROM chars c JOIN pows p ON p.i = c.i - 1
+GROUP BY c.doc_id""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),

@@ -130,9 +130,10 @@ def word_count_topk(ds, k: int = 20):
 
 
 class Fingerprint:
-    """Polynomial rolling-hash document fingerprint (not SQL-expressible;
-    rows-only oracle check).  fp = sum(byte[i] * BASE^i) mod FP_MOD over
-    the utf-8 bytes, computed blockwise-vectorized."""
+    """Polynomial rolling-hash document fingerprint.
+    fp = sum(byte[i] * BASE^i) mod FP_MOD over the utf-8 bytes, computed
+    blockwise-vectorized.  SQL mirror: recursive powers CTE +
+    ord(substr(..)) per position (exact for ASCII corpora)."""
 
     def __init__(self):
         # precompute powers for a max chunk; extended lazily
