@@ -478,6 +478,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_sql_chain() -> str:
+    """Shared CTE chain: documents -> token 3-gram shingles -> MinHash
+    signatures -> LSH band keys -> candidate pairs.  Exact mirror of
+    dedup.py's derandomized mod-Mersenne-31 family (md5 token hashes,
+    LCG mixing constants, universal-hash coefficients embedded as
+    literals) — all operands < 2^31 so every product is BIGINT-safe."""
+    assert _dedup.NUM_PERM // _dedup.NUM_BANDS == 4  # SQL pivots 4 rows
+    M = _dedup.MERSENNE
+    KB = _dedup.BAND_KB
+
+    def th(x: str) -> str:
+        return f"(('0x' || substr(md5({x}),1,15))::BIGINT % {M})"
+
+    perm_vals = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(
+            zip(_dedup.MINHASH_A.tolist(), _dedup.MINHASH_B.tolist())))
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tpos AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts
+         FROM toks),
+sh AS (SELECT DISTINCT doc_id,
+        ({th('ts[i]')} * {_dedup.SH_C1} % {M}
+         + {th('ts[i+1]')} * {_dedup.SH_C2} % {M}
+         + {th('ts[i+2]')} * {_dedup.SH_C3} % {M}) % {M} AS sh
+       FROM tpos),
+perms AS (SELECT CAST(col0 AS BIGINT) AS perm, CAST(col1 AS BIGINT) AS a,
+                 CAST(col2 AS BIGINT) AS b
+          FROM (VALUES {perm_vals}) v(col0, col1, col2)),
+sigs AS (SELECT doc_id, perm, MIN((a * sh + b) % {M}) AS sig
+         FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+segs AS (SELECT doc_id, perm // 4 AS band,
+                MIN(CASE WHEN perm % 4 = 0 THEN sig END) AS s0,
+                MIN(CASE WHEN perm % 4 = 1 THEN sig END) AS s1,
+                MIN(CASE WHEN perm % 4 = 2 THEN sig END) AS s2,
+                MIN(CASE WHEN perm % 4 = 3 THEN sig END) AS s3
+         FROM sigs GROUP BY doc_id, perm // 4),
+bkeys AS (SELECT doc_id, band,
+        ((((s0 * {KB} % {M} + s1) % {M}) * {KB} % {M} + s2) % {M}
+         * {KB} % {M} + s3) % {M} AS band_key
+          FROM segs),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bkeys a JOIN bkeys b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id)"""
+
+
+def _simhash_sql() -> str:
+    """SimHash mirror: three LCG mixes of the 31-bit shingle hash give
+    the 64 vote bits (31+31+2); the assembled hash is emitted as the
+    two's-complement BIGINT bit pattern plus 4x16-bit segments.
+    power(2, b) is exact in float64 for all b <= 63."""
+    M = _dedup.MERSENNE
+    return f""",
+mix AS (SELECT doc_id,
+               (sh * {_dedup.SIM_G1} + {_dedup.SIM_H1}) % {M} AS g1,
+               (sh * {_dedup.SIM_G2} + {_dedup.SIM_H2}) % {M} AS g2,
+               (sh * {_dedup.SIM_G3} + {_dedup.SIM_H3}) % {M} AS g3
+        FROM sh),
+bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+votes AS (SELECT doc_id, b,
+    SUM(CASE WHEN (CASE
+          WHEN b < 31 THEN (g1 // CAST(power(2, b) AS BIGINT)) % 2
+          WHEN b < 62 THEN (g2 // CAST(power(2, b - 31) AS BIGINT)) % 2
+          ELSE (g3 // CAST(power(2, b - 62) AS BIGINT)) % 2 END) = 1
+        THEN 1 ELSE -1 END) AS v
+          FROM mix CROSS JOIN bits GROUP BY doc_id, b),
+sim AS (SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT)
+                        ELSE 0 END) AS s
+        FROM votes GROUP BY doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN s >= 9223372036854775808
+                 THEN s - 18446744073709551616::HUGEINT
+                 ELSE s END AS BIGINT) AS simhash,
+       CAST((s // 1) % 65536 AS BIGINT) AS seg0,
+       CAST((s // 65536) % 65536 AS BIGINT) AS seg1,
+       CAST((s // 4294967296) % 65536 AS BIGINT) AS seg2,
+       CAST((s // 281474976710656) % 65536 AS BIGINT) AS seg3
+FROM sim"""
+
+
 def oracle_sql() -> dict[str, str]:
     marker_scores = _langid_scores_sql()
     lang_case = ("CASE WHEN score_en >= score_de AND score_en >= score_fr "
@@ -723,9 +804,28 @@ WITH sz AS (
 SELECT id, CAST(unnest(generate_series(0, nbytes // unit - 1, 2))
                 AS BIGINT) AS frame_idx
 FROM sz WHERE nbytes // unit >= 1""",
-        # s2_cells, fingerprint, minhash_pairs, simhash, embedding_near_dup:
-        # intentionally omitted (non-SQL-expressible: S2 needs libm trig that
-        # differs from numpy by ULPs, the hash family needs blake2b, and the
-        # LSH planes come from a seeded RNG; rows-only checks + unit/golden
-        # tests pin them).
+        "minhash_pairs": "WITH " + _minhash_sql_chain() + """
+SELECT doc_a, doc_b FROM cand""",
+        # Exact shingle Jaccard over the candidate pairs; integer floor
+        # division mirrors the engine's 1000*inter // union.
+        "minhash_verified": "WITH " + _minhash_sql_chain() + """,
+cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM cand p
+          JOIN sh x ON x.doc_id = p.doc_a
+          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       (1000 * COALESCE(i.i, 0))
+         // (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard_milli
+FROM cand p
+JOIN cnts ca ON ca.doc_id = p.doc_a
+JOIN cnts cb ON cb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
+        "simhash": "WITH " + _minhash_sql_chain() + _simhash_sql(),
+        # s2_cells, ivf_topk, embedding_near_dup: intentionally omitted
+        # (non-SQL-expressible: S2 needs libm trig that differs from
+        # numpy by ULPs; IVF and the embedding-LSH planes are seeded-RNG
+        # approximate paths; rows-only checks + unit/golden tests pin
+        # them).
     }

@@ -7,10 +7,12 @@ embedding-cosine near-dup.  All designed as streaming Ray Data stages:
 * exact:    md5(text) column per batch -> groupby(hash) -> keep min doc_id.
             SQL oracle: md5() GROUP BY (DuckDB's md5 matches hashlib).
 * minhash:  per-batch shingle->minhash sigs (vectorized), explode to
-            (band, band_hash, doc_id) rows, groupby band buckets ->
-            candidate pairs -> n-gram Jaccard verify (rows-only oracle).
-* simhash:  64-bit simhash over token hashes; near-dup = hamming<=3 via
-            4-segment LSH (exact-match segments), rows-only oracle.
+            (band, band_key, doc_id) rows, groupby band buckets ->
+            candidate pairs -> n-gram Jaccard verify.  The whole family
+            is derandomized mod-Mersenne-31 arithmetic with an exact
+            DuckDB oracle (see __ray_entry__._minhash_sql_chain).
+* simhash:  64-bit simhash over shingle hashes; near-dup = hamming<=3
+            via 4-segment LSH (exact-match segments); exact SQL oracle.
 * embedding: cosine near-dup over the embeddings table (see ann.py).
 
 Scale notes: every step pre-aggregates inside map_batches before its
@@ -29,18 +31,39 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# MinHash parameters
+# MinHash parameters.  The whole hash family is DERANDOMIZED and kept
+# inside mod-Mersenne-31 arithmetic so every step has an exact DuckDB
+# mirror (operands < 2^31 keep all products < 2^62, i.e. BIGINT-safe on
+# both sides — see __ray_entry__.oracle_sql 'minhash_pairs'):
+#   token t  = ('0x' || substr(md5(tok), 1, 15))::BIGINT % M
+#   shingle  = (t1*C1 % M + t2*C2 % M + t3*C3 % M) % M     (token 3-gram)
+#   sig_p    = min over shingles of (a_p*sh + b_p) % M
+#   band key = fold over the band's sig rows: k = (k*KB % M + s) % M
 NUM_PERM = 64
 NUM_BANDS = 16  # rows per band = 4
 SHINGLE_K = 3   # token 3-grams
-MERSENNE = (1 << 31) - 1  # Mersenne-31: a*h < 2^62 fits uint64 (vectorized)
+MERSENNE = (1 << 31) - 1
 
-# SimHash
+# Public LCG multipliers/increments (Numerical Recipes, glibc, VAX,
+# Borland) as the fixed mixing constants — all < 2^31.
+SH_C1 = 1664525
+SH_C2 = 1103515245
+SH_C3 = 69069
+BAND_KB = 22695477
+
+# SimHash: three LCG mixes of the 31-bit shingle hash supply the 64
+# vote bits (31 + 31 + 2).
 SIM_BITS = 64
 SIM_SEGS = 4  # hamming<=3 guarantees one equal 16-bit segment
+SIM_G1, SIM_H1 = 1664525, 1013904223
+SIM_G2, SIM_H2 = 1103515245, 12345
+SIM_G3, SIM_H3 = 69069, 362437
 
 
 def _rng_coeffs(seed: int = 20240817):
+    """Fixed-seed universal-hash coefficients; the literal values are
+    embedded into the SQL oracle, so the RNG is just a one-time
+    constant generator."""
     rng = np.random.default_rng(seed)
     a = rng.integers(1, MERSENNE, NUM_PERM, dtype=np.int64)
     b = rng.integers(0, MERSENNE, NUM_PERM, dtype=np.int64)
@@ -49,45 +72,39 @@ def _rng_coeffs(seed: int = 20240817):
 
 MINHASH_A, MINHASH_B = _rng_coeffs()
 
-
-# shingle-combine multipliers (odd 64-bit constants; uint64 wraparound
-# multiplication is the mixing step — splitmix-style)
-_SH_A1 = np.uint64(0x9E3779B97F4A7C15)
-_SH_A2 = np.uint64(0xC2B2AE3D27D4EB4F)
-_SH_A3 = np.uint64(0x165667B19E3779F9)
-
 _TOKEN_CACHE: dict[str, int] = {}
 
 
 def _hash_tokens(toks: list[str]) -> np.ndarray:
-    """blake2b per UNIQUE token (process-cached — vocabularies are tiny
-    next to token streams), returned as a uint64 array."""
+    """md5-derived 31-bit hash per UNIQUE token (process-cached —
+    vocabularies are tiny next to token streams), as int64 < M.
+    Matches ('0x' || substr(md5(tok),1,15))::BIGINT % M in DuckDB."""
     cache = _TOKEN_CACHE
-    out = np.empty(len(toks), dtype=np.uint64)
+    out = np.empty(len(toks), dtype=np.int64)
     for i, t in enumerate(toks):
         h = cache.get(t)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                "little")
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MERSENNE
             cache[t] = h
         out[i] = h
     return out
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable 64-bit hashes of the (unique) token k-shingles of one
-    document: cached per-token blake2b + vectorized positional combine
-    (h1*A1 + h2*A2 + h3*A3, uint64 wraparound).  ~50x the per-shingle
-    digest loop on long documents."""
+    """Stable 31-bit hashes of the (unique) token k-shingles of one
+    document: cached per-token md5 + vectorized positional combine mod
+    Mersenne-31.  31-bit shingle identity is deliberate: collisions
+    only add rare false candidate pairs (verified downstream) and keep
+    the family SQL-expressible."""
     th = _hash_tokens(text.split(" "))
+    M = MERSENNE
     if len(th) < SHINGLE_K:
-        combo = np.zeros(1, dtype=np.uint64)
-        for i, h in enumerate(th):
-            combo = combo * _SH_A2 + h
-        return np.unique(combo)
-    with np.errstate(over="ignore"):
-        sh = th[:-2] * _SH_A1 + th[1:-1] * _SH_A2 + th[2:] * _SH_A3
+        combo = 0
+        for h in th.tolist():
+            combo = (combo * SH_C2 % M + h) % M
+        return np.array([combo], dtype=np.int64)
+    sh = (th[:-2] * SH_C1 % M + th[1:-1] * SH_C2 % M
+          + th[2:] * SH_C3 % M) % M
     return np.unique(sh)
 
 
@@ -115,16 +132,16 @@ def exact_dedup(ds):
 class MinHasher:
     """Per-batch MinHash signatures (actor pool; permutation coefficients
     are one-time state).  Fully vectorized: (NUM_PERM, n_shingles)
-    universal hashes (a*h+b) mod Mersenne-31 in uint64, column-min."""
+    universal hashes (a*h+b) mod Mersenne-31 in int64, column-min."""
 
     def __init__(self):
-        self.a = MINHASH_A.astype(np.uint64)[:, None]
-        self.b = MINHASH_B.astype(np.uint64)[:, None]
+        self.a = MINHASH_A[:, None]
+        self.b = MINHASH_B[:, None]
 
     def signature(self, text: str) -> np.ndarray:
-        th = (_token_hashes(text) & np.uint64(MERSENNE))[None, :]
-        v = (self.a * th + self.b) % np.uint64(MERSENNE)
-        return v.min(axis=1).astype(np.int64)
+        th = _token_hashes(text)[None, :]
+        v = (self.a * th + self.b) % MERSENNE
+        return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
@@ -144,14 +161,16 @@ def band_rows(batch: pa.Table) -> pa.Table:
     rows_per_band = NUM_PERM // NUM_BANDS
     out_band = np.repeat(np.arange(NUM_BANDS, dtype=np.int64), n)
     out_doc = np.tile(ids, NUM_BANDS)
-    keys = np.empty((NUM_BANDS, n), dtype=object)
+    keys = np.empty((NUM_BANDS, n), dtype=np.int64)
     for bnd in range(NUM_BANDS):
         seg = sig[:, bnd * rows_per_band:(bnd + 1) * rows_per_band]
-        keys[bnd] = [hashlib.blake2b(seg[i].tobytes(), digest_size=8)
-                     .hexdigest() for i in range(n)]
+        k = seg[:, 0].copy()
+        for r in range(1, rows_per_band):
+            k = (k * BAND_KB % MERSENNE + seg[:, r]) % MERSENNE
+        keys[bnd] = k
     return pa.table({
         "band": pa.array(out_band),
-        "band_key": pa.array(keys.reshape(-1), pa.string()),
+        "band_key": pa.array(keys.reshape(-1)),
         "doc_id": pa.array(out_doc),
     })
 
@@ -208,9 +227,9 @@ def minhash_candidates(ds):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bd = batch["band"].to_numpy()
-            keys = batch["band_key"].to_pylist()
+            keys = batch["band_key"].to_numpy()
             keep = np.fromiter(((b, k) in self.hot
-                                for b, k in zip(bd.tolist(), keys)),
+                                for b, k in zip(bd.tolist(), keys.tolist())),
                                dtype=bool, count=len(bd))
             return batch.filter(pa.array(keep))
 
@@ -319,34 +338,48 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
                 "doc_a": pd.Series([], dtype=np.int64),
                 "doc_b": pd.Series([], dtype=np.int64),
                 "jaccard_milli": pd.Series([], dtype=np.int64)})
-        xa = np.frombuffer(g["sh"].iloc[0], dtype=np.uint64)
-        xb = np.frombuffer(g["sh"].iloc[1], dtype=np.uint64)
+        xa = np.frombuffer(g["sh"].iloc[0], dtype=np.int64)
+        xb = np.frombuffer(g["sh"].iloc[1], dtype=np.int64)
         inter = len(np.intersect1d(xa, xb, assume_unique=True))
-        jac = inter / max(1, len(xa) + len(xb) - inter)
+        # pure integer arithmetic (floor), mirrored by // in the oracle
+        jac_milli = 1000 * inter // max(1, len(xa) + len(xb) - inter)
         return pd.DataFrame({
             "doc_a": g["doc_a"].iloc[:1].astype(np.int64),
             "doc_b": g["doc_b"].iloc[:1].astype(np.int64),
-            "jaccard_milli": np.array([int(jac * 1000)], dtype=np.int64)})
+            "jaccard_milli": np.array([jac_milli], dtype=np.int64)})
 
     return j.groupby(["doc_a", "doc_b"]).map_groups(
         per_pair, batch_format="pandas")
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes; emits 4x16-bit LSH segments."""
+    """64-bit SimHash over shingle hashes; emits 4x16-bit LSH segments.
+
+    The 64 vote bits per shingle come from three LCG mixes of the
+    31-bit shingle hash (31 + 31 + 2 bits), so every bit is exactly
+    SQL-expressible; the assembled simhash is emitted as the
+    two's-complement int64 bit pattern (BIGINT-comparable)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
         out = np.empty(len(ids), dtype=np.uint64)
+        M = np.uint64(MERSENNE)
+        shifts = np.arange(64, dtype=np.uint64)
         for i, t in enumerate(texts):
-            th = _token_hashes(t).astype(np.uint64)
-            bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            sh = _token_hashes(t).astype(np.uint64)
+            g1 = (sh * np.uint64(SIM_G1) + np.uint64(SIM_H1)) % M
+            g2 = (sh * np.uint64(SIM_G2) + np.uint64(SIM_H2)) % M
+            g3 = (sh * np.uint64(SIM_G3) + np.uint64(SIM_H3)) % M
+            vb = g1 | (g2 << np.uint64(31)) | ((g3 & np.uint64(3))
+                                               << np.uint64(62))
+            bits = ((vb[:, None] >> shifts[None, :])
                     & np.uint64(1)).astype(np.int64)
             vote = (2 * bits - 1).sum(axis=0)
             out[i] = np.bitwise_or.reduce(
-                (vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
-        tbl = {"doc_id": pa.array(ids), "simhash": pa.array(out, pa.uint64())}
+                (vote > 0).astype(np.uint64) << shifts)
+        tbl = {"doc_id": pa.array(ids),
+               "simhash": pa.array(out.view(np.int64))}
         for s in range(SIM_SEGS):
             seg = (out >> np.uint64(16 * s)) & np.uint64(0xFFFF)
             tbl[f"seg{s}"] = pa.array(seg.astype(np.int64))
