@@ -25,6 +25,7 @@ from geo_inference_ray import knn as _knn
 from geo_inference_ray import stages as _stages
 from geo_inference_ray import synth as _synth
 from geo_inference_ray import textops as _textops
+from geo_inference_ray.shuffle import MAX_SALTS as _MAX_SALTS
 
 # ---------------------------------------------------------------------------
 # SQL building blocks
@@ -349,7 +350,13 @@ def q_simhash(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
-    return _ann.embedding_near_dup(sf_dir)
+    """Near-dup pair set only: sim_milli stays in the library API but
+    is projected out of the checked contract — its last digit sits on a
+    float64 truncation boundary that the engine (normalize-then-matmul)
+    and DuckDB (list_cosine_similarity) can round differently, while
+    the pair SET is ULP-robust (no observed boundary at any sf)."""
+    return _ann.embedding_near_dup(sf_dir).select_columns(
+        ["vec_a", "vec_b"])
 
 
 def q_pricing_summary(sf_dir: str):
@@ -804,6 +811,38 @@ WITH sz AS (
 SELECT id, CAST(unnest(generate_series(0, nbytes // unit - 1, 2))
                 AS BIGINT) AS frame_idx
 FROM sz WHERE nbytes // unit >= 1""",
+        # IVF is approximate-but-deterministic: centroids are the first
+        # nlist embeddings, assignment/probe are cosine argmax/top-nprobe
+        # with index tie-breaks — all rank-only comparisons, so the SQL
+        # mirror is exact (same contract as ann_topk).
+        "ivf_topk": f"""
+WITH c0 AS (SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+            FROM embeddings ORDER BY vec_id LIMIT {_ann.IVF_NLIST_DEFAULT}),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),
+assign AS (SELECT e.vec_id, e.embedding, c.cidx,
+        ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY list_cosine_similarity(c.embedding, e.embedding) DESC,
+                   c.cidx) AS rn
+       FROM embeddings e CROSS JOIN c0 c),
+cell AS (SELECT vec_id, embedding, cidx FROM assign WHERE rn = 1),
+probe AS (SELECT q.query_id, c.cidx,
+        ROW_NUMBER() OVER (PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                   c.cidx) AS rn
+       FROM q CROSS JOIN c0 c),
+sims AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                list_cosine_similarity(q.embedding, v.embedding) AS sim
+         FROM q JOIN probe p ON p.query_id = q.query_id
+                            AND p.rn <= {_ann.IVF_NPROBE_DEFAULT}
+                JOIN cell v ON v.cidx = p.cidx
+         WHERE v.vec_id != q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS "rank"
+      FROM sims)
+SELECT query_id, neighbor_id, "rank" FROM r
+WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
         "minhash_pairs": "WITH " + _minhash_sql_chain() + """
 SELECT doc_a, doc_b FROM cand""",
         # Exact shingle Jaccard over the candidate pairs; integer floor
@@ -823,9 +862,56 @@ JOIN cnts ca ON ca.doc_id = p.doc_a
 JOIN cnts cb ON cb.doc_id = p.doc_b
 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
         "simhash": "WITH " + _minhash_sql_chain() + _simhash_sql(),
-        # s2_cells, ivf_topk, embedding_near_dup: intentionally omitted
-        # (non-SQL-expressible: S2 needs libm trig that differs from
-        # numpy by ULPs; IVF and the embedding-LSH planes are seeded-RNG
-        # approximate paths; rows-only checks + unit/golden tests pin
-        # them).
+        # Exact mirror of the full near-dup path: derandomized
+        # Rademacher plane signs (LCG mix), size-scaled planes-per-band,
+        # bucket-cap salting (vec_id % min(ceil(n/cap), MAX_SALTS)), and
+        # the cosine>=0.4 verification.  A sign flip would need a
+        # projection within float ULPs of zero — measure-zero for
+        # continuous embeddings.
+        "embedding_near_dup": f"""
+WITH params AS (
+  SELECT GREATEST({_ann.LSH_MIN_PLANES},
+         CAST(ceil(log2(GREATEST(2.0, count(*) / {_ann.LSH_TARGET_BUCKET}.0)))
+              AS BIGINT)) AS planes,
+         (SELECT len(embedding) FROM embeddings LIMIT 1) AS dim
+  FROM embeddings),
+pl AS (SELECT unnest(generate_series(0, {_ann.LSH_BANDS} * planes - 1)) AS p
+       FROM params),
+dims AS (SELECT unnest(generate_series(1, dim)) AS d FROM params),
+proj AS (SELECT e.vec_id, pl.p,
+                SUM(CASE WHEN ((pl.p * {_dedup.SH_C1}
+                                + (d.d - 1) * {_dedup.SH_C2})
+                               % {_dedup.MERSENNE}) % 2 = 0
+                         THEN CAST(e.embedding[d.d] AS DOUBLE)
+                         ELSE -CAST(e.embedding[d.d] AS DOUBLE) END) AS pr
+         FROM embeddings e CROSS JOIN pl CROSS JOIN dims d
+         GROUP BY e.vec_id, pl.p),
+buck AS (SELECT vec_id, p // planes AS band,
+                SUM(CASE WHEN pr > 0
+                         THEN CAST(power(2, p % planes) AS BIGINT)
+                         ELSE 0 END) AS bucket
+         FROM proj, params GROUP BY vec_id, p // planes, planes),
+gk AS (SELECT vec_id,
+              band * CAST(power(2, planes) AS BIGINT) + bucket AS gkey
+       FROM buck, params),
+bc AS (SELECT gkey, count(*) AS n FROM gk GROUP BY gkey),
+salted AS (SELECT g.vec_id, g.gkey,
+                  CASE WHEN b.n > {_ann.LSH_BUCKET_CAP}
+                       THEN g.vec_id % LEAST(
+                           (b.n + {_ann.LSH_BUCKET_CAP - 1})
+                             // {_ann.LSH_BUCKET_CAP}, {_MAX_SALTS})
+                       ELSE 0 END AS salt
+           FROM gk g JOIN bc b USING (gkey)),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM salted a JOIN salted b
+           ON a.gkey = b.gkey AND a.salt = b.salt AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 1000)
+      >= 400""",
+        # s2_cells: intentionally omitted (non-SQL-expressible: S2 needs
+        # libm trig that differs from numpy by ULPs; rows-only check +
+        # unit/golden tests pin it).
     }

@@ -134,13 +134,23 @@ class HyperplaneLSH:
     at sim>=0.9 stays >~0.9 for any-of-8 bands, while the expected
     bucket stays ~LSH_TARGET_BUCKET so the in-bucket all-pairs never
     approaches O(n^2).  Emits gkey = band * 2^planes + bucket as one
-    int64 group key."""
+    int64 group key.
 
-    def __init__(self, dim: int, planes: int = LSH_MIN_PLANES,
-                 seed: int = 20240817):
-        rng = np.random.default_rng(seed)
+    The plane entries are DERANDOMIZED Rademacher +-1 signs (Achlioptas
+    sparse-projection family) drawn from the engine's shared LCG mix —
+    sign(p, d) = +1 iff ((p*SH_C1 + d*SH_C2) mod M) is even — so the
+    whole bucketing step has an exact DuckDB mirror (a sign flip would
+    need a projection within float ULPs of zero; measure-zero for
+    continuous embeddings)."""
+
+    def __init__(self, dim: int, planes: int = LSH_MIN_PLANES):
+        from .dedup import MERSENNE, SH_C1, SH_C2
+
         self.planes = planes
-        self.H = rng.standard_normal((LSH_BANDS * planes, dim))
+        p = np.arange(LSH_BANDS * planes, dtype=np.int64)[:, None]
+        d = np.arange(dim, dtype=np.int64)[None, :]
+        mix = (p * SH_C1 + d * SH_C2) % MERSENNE
+        self.H = np.where(mix % 2 == 0, 1.0, -1.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
