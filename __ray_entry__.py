@@ -566,6 +566,84 @@ SELECT doc_id,
 FROM sim"""
 
 
+def _s2_sql() -> str:
+    """S2 level-12 cell mirror: lat/lon -> XYZ (trig; numpy and DuckDB
+    share the platform libm, so the same expression order is bit-exact
+    here) -> face/(u,v) gnomonic -> quadratic ST -> 12-step Hilbert
+    walk as a recursive CTE with the engine's own traversal tables
+    (cells._IJ_TO_POS / _POS_TO_ORIENTATION) inlined as CASEs.
+    Requires a WITH RECURSIVE prefix (_WGR)."""
+    from geo_inference_ray import cells as _cells
+
+    ij2pos = _cells._IJ_TO_POS
+    p2o = _cells._POS_TO_ORIENTATION
+    pcase = ("CASE orientation * 4 + (ib * 2 + jb) "
+             + " ".join(f"WHEN {o * 4 + ij} THEN {ij2pos[o, ij]}"
+                        for o in range(4) for ij in range(4)) + " END")
+    ocase = ("CASE pp " + " ".join(f"WHEN {p} THEN {p2o[p]}"
+                                   for p in range(4)) + " END")
+    level = _cells.S2_LEVEL
+    shift = 2 * (_cells._MAX_LEVEL - level)
+    n = 1 << level
+    return f"""
+xyz AS (
+  SELECT doc_id,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM geo),
+f0 AS (
+  SELECT doc_id, x, y, z,
+    CASE WHEN abs(x) >= abs(y)
+         THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+         ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS fa
+  FROM xyz),
+fc AS (
+  SELECT doc_id, x, y, z,
+    fa + CASE WHEN (CASE fa WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+              THEN 3 ELSE 0 END AS face
+  FROM f0),
+uv AS (
+  SELECT doc_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM fc),
+st AS (
+  SELECT doc_id, face,
+    CASE WHEN u >= 0 THEN 0.5 * sqrt(GREATEST(1.0 + 3.0 * u, 0.0))
+         ELSE 1.0 - 0.5 * sqrt(GREATEST(1.0 - 3.0 * u, 0.0)) END AS su,
+    CASE WHEN v >= 0 THEN 0.5 * sqrt(GREATEST(1.0 + 3.0 * v, 0.0))
+         ELSE 1.0 - 0.5 * sqrt(GREATEST(1.0 - 3.0 * v, 0.0)) END AS sv
+  FROM uv),
+ij AS (
+  SELECT doc_id, face,
+    LEAST(GREATEST(CAST(trunc(su * {n}) AS BIGINT), 0), {n - 1}) AS i,
+    LEAST(GREATEST(CAST(trunc(sv * {n}) AS BIGINT), 0), {n - 1}) AS j
+  FROM st),
+walk AS (
+  SELECT doc_id, face, i, j, {level} AS k,
+         face % 2 AS orientation, CAST(0 AS BIGINT) AS pos
+  FROM ij
+  UNION ALL
+  SELECT doc_id, face, i, j, k - 1,
+         xor(orientation, {ocase}), pos * 4 + pp
+  FROM (
+    SELECT doc_id, face, i, j, k, orientation, pos, {pcase} AS pp
+    FROM (
+      SELECT doc_id, face, i, j, k, orientation, pos,
+             (i // CAST(power(2, k - 1) AS BIGINT)) % 2 AS ib,
+             (j // CAST(power(2, k - 1) AS BIGINT)) % 2 AS jb
+      FROM walk WHERE k > 0))
+)
+SELECT doc_id,
+       CAST(CAST(face AS HUGEINT) * {1 << 61}
+            + CAST(pos AS HUGEINT) * {1 << (shift + 1)}
+            + {1 << shift} AS UBIGINT) AS s2_12
+FROM walk WHERE k = 0"""
+
+
 def oracle_sql() -> dict[str, str]:
     marker_scores = _langid_scores_sql()
     lang_case = ("CASE WHEN score_en >= score_de AND score_en >= score_fr "
@@ -577,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": _W + " SELECT url, doc_id, text FROM pages",
         "geocode": _WG + " SELECT url, doc_id, cluster, lat, lon FROM geo",
         "hex_cells": _WH + " SELECT doc_id, hex7, hex9 FROM hex9",
+        "s2_cells": _WGR + "," + _s2_sql(),
         "pip_inner": _WP + (" SELECT url, doc_id, lat, lon, hex7, poly_id,"
                             " class_id FROM pip"),
         "pip_semi": _WP + (" SELECT DISTINCT doc_id, lat, lon FROM pip"),
@@ -911,7 +990,4 @@ JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 1000)
       >= 400""",
-        # s2_cells: intentionally omitted (non-SQL-expressible: S2 needs
-        # libm trig that differs from numpy by ULPs; rows-only check +
-        # unit/golden tests pin it).
     }

@@ -11,9 +11,10 @@ reuse).
 
 S2 ids use the canonical 64-bit layout: 3 face bits, 2*level Hilbert
 position bits, then a trailing 1 ("lsb") marking the level.  Returned as
-uint64.  The driver oracle cannot reproduce Hilbert math in SQL, so S2
-queries get rows-only checks; determinism is pinned by unit tests
-(hierarchy and locality properties + golden values).
+uint64.  The DuckDB oracle mirrors the whole path exactly (same-libm
+trig + a recursive-CTE Hilbert walk over the tables below — see
+__ray_entry__._s2_sql); unit tests additionally pin hierarchy and
+locality properties + golden values.
 """
 
 from __future__ import annotations
