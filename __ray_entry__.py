@@ -309,6 +309,17 @@ def q_word_count(sf_dir: str):
     return _textops.word_count_topk(_docs_text(sf_dir))
 
 
+def q_repetition(sf_dir: str):
+    return _docs_text(sf_dir).map_batches(
+        _dedup.RepetitionRatio, batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4))
+
+
+def q_source_stats(sf_dir: str):
+    return _textops.source_stats(_synth.pages_dataset(sf_dir,
+                                                      include_html=False))
+
+
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
@@ -463,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "langid": q_langid,
         "word_count": q_word_count,
+        "repetition": q_repetition,
+        "source_stats": q_source_stats,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
@@ -748,6 +761,21 @@ FROM geo GROUP BY 1, 2""",
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+        # Duplicate-shingle ratio: reuses the minhash CTE chain (same
+        # token 3-gram hash family), pure integer arithmetic.
+        "repetition": "WITH " + _minhash_sql_chain() + """,
+tot AS (SELECT doc_id, GREATEST(len(ts) - 2, 1) AS n_shingles FROM toks),
+dis AS (SELECT doc_id, COUNT(*) AS n_distinct FROM sh GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles, d.n_distinct,
+       1000 * (t.n_shingles - d.n_distinct) // t.n_shingles AS rep_milli
+FROM tot t JOIN dis d USING (doc_id)""",
+        "source_stats": _W + """
+SELECT string_split(url, '/')[4] AS src,
+       COUNT(*) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+            AS BIGINT) AS total_tokens
+FROM pages GROUP BY 1""",
         # Polynomial rolling hash over the utf-8 bytes; the corpus is
         # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
         # FP_MOD come from a recursive CTE bounded by the longest text.

@@ -352,6 +352,29 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
         per_pair, batch_format="pandas")
 
 
+class RepetitionRatio:
+    """Per-document duplicate-shingle ratio (Gopher/C4-style web-text
+    quality signal): rep_milli = 1000 * (total - distinct) // total over
+    token 3-grams.  Shares the SQL-mirrorable shingle family, so the
+    oracle reuses the same CTE chain."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        tot = np.empty(len(ids), dtype=np.int64)
+        dis = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ntok = t.count(" ") + 1
+            tot[i] = max(ntok - (SHINGLE_K - 1), 1)
+            dis[i] = len(_token_hashes(t))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_shingles": pa.array(tot),
+            "n_distinct": pa.array(dis),
+            "rep_milli": pa.array(1000 * (tot - dis) // tot),
+        })
+
+
 class SimHasher:
     """64-bit SimHash over shingle hashes; emits 4x16-bit LSH segments.
 

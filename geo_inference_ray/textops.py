@@ -108,6 +108,34 @@ class LangId:
         return pa.table(out)
 
 
+def source_stats(ds):
+    """Per-source page aggregates — the per-domain stats sweep of a
+    web-text pipeline (the source is the URL path segment, the synthetic
+    analog of the registrable domain).  Map-side partials (one row per
+    source per batch) keep the shuffle bounded by the source key space,
+    never the page count."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = pc.list_element(pc.split_pattern(batch["url"], "/"), 3)
+        nch = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        ntok = pc.add(pc.cast(pc.count_substring(batch["text"], " "),
+                              pa.int64()), 1)
+        t = pa.table({"src": src,
+                      "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+                      "nch": nch, "ntok": ntok})
+        g = t.group_by("src").aggregate(
+            [("c", "sum"), ("nch", "sum"), ("ntok", "sum")])
+        return pa.table({"src": g["src"], "c": g["c_sum"],
+                         "nch": g["nch_sum"], "ntok": g["ntok_sum"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("src").aggregate(Sum("c", alias_name="n_pages"),
+                                  Sum("nch", alias_name="total_chars"),
+                                  Sum("ntok", alias_name="total_tokens"))
+
+
 def word_count_topk(ds, k: int = 20):
     """Global token frequencies, top-k by (count desc, token asc) — the
     canonical flat-map word count with map-side partial aggregation:

@@ -121,3 +121,40 @@ def test_pages_synth_roundtrip_invariant():
     out = ExtractText()(pages)
     assert out["text"].to_pylist() == docs["text"].to_pylist()
     assert out["url"].to_pylist() == ["https://example.org/srcX/7"]
+
+
+def test_repetition_ratio_bounds():
+    from geo_inference_ray.dedup import RepetitionRatio
+
+    rr = RepetitionRatio()
+    out = rr(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a a a a a a a",      # one distinct 3-gram
+                          "q w e r t y u i"]),    # all-distinct 3-grams
+    }))
+    tot = out["n_shingles"].to_pylist()
+    dis = out["n_distinct"].to_pylist()
+    rep = out["rep_milli"].to_pylist()
+    assert tot == [6, 6]
+    assert dis == [1, 6]
+    assert rep[0] == 1000 * 5 // 6 and rep[1] == 0
+
+
+def test_source_stats_partial_aggregation(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import source_stats
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["one two", "three", "four five six"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["srcA", "srcB", "srcA"]),
+    })
+    pages = synth.synth_pages_batch(docs)
+    out = source_stats(rd.from_arrow(pages)).to_pandas() \
+        .sort_values("src").reset_index(drop=True)
+    assert out["src"].tolist() == ["srcA", "srcB"]
+    assert out["n_pages"].tolist() == [2, 1]
+    assert out["total_tokens"].tolist() == [5, 1]
+    assert out["total_chars"].tolist() == [7 + 13, 5]
