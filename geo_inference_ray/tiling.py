@@ -317,7 +317,7 @@ class MergeCells:
 
 
 def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,
-               scorer_cls=DensityScorer):
+               scorer_cls=DensityScorer, scorer_resources=None):
     """Full tile pipeline: geocoded pages -> mask tile rows
     (oy, ox, mask uint8[s*s], n_valid).
 
@@ -326,11 +326,20 @@ def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,
     For grids under DRIVER_COMBINE_MAX_PIXELS the whole tile suffix runs
     driver-side with the same kernels (saves ~5 s of small-data operator
     latency per run); larger grids use the distributed groupby path
-    below — identical semantics, shared kernels."""
-    if grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS:
+    below — identical semantics, shared kernels.
+
+    ``scorer_resources`` maps the reference's device-selection step
+    (helpers.py:199-276: GPU probe + model placement) onto Ray resource
+    requests: e.g. ``{"num_gpus": 0.25}`` schedules the scoring stage
+    on GPU workers; ``None`` keeps the default CPU placement.  A dict
+    forces the distributed path (a device request is meaningless
+    driver-side)."""
+    if (scorer_resources is None
+            and grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS):
         pix_df = pixel_counts(geo_ds, grid).to_pandas()
         return _tiles_from_pixels_local(pix_df, grid, scorer_cls)
-    return mask_tiles_distributed(geo_ds, grid, scorer_cls)
+    return mask_tiles_distributed(geo_ds, grid, scorer_cls,
+                                  scorer_resources)
 
 
 def _tiles_from_pixels_local(pix_df: pd.DataFrame, grid: GridConfig,
@@ -361,9 +370,11 @@ def _tiles_from_pixels_local(pix_df: pd.DataFrame, grid: GridConfig,
 
 
 def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
-                           scorer_cls=DensityScorer):
+                           scorer_cls=DensityScorer, scorer_resources=None):
     """Distributed tile suffix (fine grids): groupby(patch) scoring and
-    groupby(cell) merge as Ray Data shuffles."""
+    groupby(cell) merge as Ray Data shuffles.  ``scorer_resources``
+    (e.g. {"num_gpus": 0.25}) is forwarded to the scoring stage's Ray
+    tasks — the ST3 device-selection analog."""
     # two-stage aggregation BEFORE the patch shuffle: per-batch partial
     # counts -> global per-pixel sum (the shuffle shrinks to the number
     # of occupied pixels, bounded by the raster grid — without this the
@@ -388,7 +399,8 @@ def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
         return _merge(g)
 
     scored = owned.groupby(["ty", "tx"]).map_groups(
-        score_patch_group, batch_format="pandas")
+        score_patch_group, batch_format="pandas",
+        **(scorer_resources or {}))
     merged = scored.groupby(["oy", "ox"]).map_groups(
         merge_cell_group, batch_format="pandas")
     return merged

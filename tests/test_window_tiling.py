@@ -261,3 +261,21 @@ def test_geocoder_geo_token_priority(ray_session):
     lat, lon, cl = synth.geocode_ids(np.array([6]))
     assert out["lat"].to_pylist()[1] == lat[0]
     assert out["cluster"].to_pylist()[1] == cl[0]
+
+
+def test_mask_tiles_scorer_resources_forwarded(ray_session, sf_dir):
+    """ST3 analog: a scorer_resources dict forces the distributed path
+    and is forwarded to the scoring stage's Ray tasks; output is
+    byte-identical to the default placement."""
+    from geo_inference_ray import stages
+    from geo_inference_ray.tiling import DEFAULT_GRID, mask_tiles
+
+    base = mask_tiles(stages.geo_pipeline(sf_dir, with_cells=False),
+                      DEFAULT_GRID).to_pandas() \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    res = mask_tiles(stages.geo_pipeline(sf_dir, with_cells=False),
+                     DEFAULT_GRID,
+                     scorer_resources={"num_cpus": 1}).to_pandas() \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    assert base["n_valid"].tolist() == res["n_valid"].tolist()
+    assert [list(m) for m in base["mask"]] == [list(m) for m in res["mask"]]
