@@ -320,6 +320,15 @@ def q_source_stats(sf_dir: str):
                                                       include_html=False))
 
 
+def q_dedup_clusters(sf_dir: str):
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    return _dedup.dedup_clusters(_docs_text(sf_dir), pairs)
+
+
+def q_length_quantiles(sf_dir: str):
+    return _textops.length_quantiles(_docs_text(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
@@ -476,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count": q_word_count,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
+        "dedup_clusters": q_dedup_clusters,
+        "length_quantiles": q_length_quantiles,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
@@ -761,6 +772,33 @@ FROM geo GROUP BY 1, 2""",
 SELECT token, COUNT(*) AS n FROM (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+        # Connected components over the candidate-pair graph: recursive
+        # label reachability (the polygonize min-label pattern), cluster
+        # = min doc_id reachable.  Needs WITH RECURSIVE.
+        "dedup_clusters": "WITH RECURSIVE "
+        + _minhash_sql_chain().lstrip() + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+)
+SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n""",
+        # Exact discrete quantiles: the ceil(q*n) rank uses the same
+        # double multiply as the engine, so ties in the float index are
+        # impossible to diverge.
+        "length_quantiles": """
+WITH ord AS (
+  SELECT length(text) AS L,
+         ROW_NUMBER() OVER (ORDER BY length(text)) AS rn,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN L END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN L END) AS p90,
+       MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN L END) AS p99
+FROM ord""",
         # Duplicate-shingle ratio: reuses the minhash CTE chain (same
         # token 3-gram hash family), pure integer arithmetic.
         "repetition": "WITH " + _minhash_sql_chain() + """,

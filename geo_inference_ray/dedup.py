@@ -352,6 +352,56 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
         per_pair, batch_format="pandas")
 
 
+def dedup_clusters(docs_ds, pairs_ds):
+    """Connected components over the near-dup pair graph -> one cluster
+    representative (min doc_id) per document; the "drop duplicates"
+    step after candidate generation.
+
+    Scale shape: the PAIR table is bounded by the duplicate rate —
+    orders of magnitude below the corpus (same argument as the Jaccard
+    verify) — so union-find runs driver-side over pair ids only; the
+    resulting cluster map is broadcast and joined to the full corpus
+    inside map_batches (no shuffle of the documents table at all).
+    """
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for b in pairs_ds.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+        for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
+            ra, rb = find(a), find(bb)
+            if ra != rb:  # union by min id keeps the rep deterministic
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+    cluster = {x: find(x) for x in list(parent)}
+    cmap_ref = ray.put(cluster)
+
+    class AttachCluster:
+        def __init__(self):
+            self.cmap = ray.get(cmap_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            out = np.fromiter((self.cmap.get(i, i) for i in ids.tolist()),
+                              dtype=np.int64, count=len(ids))
+            return pa.table({"doc_id": pa.array(ids),
+                             "cluster": pa.array(out)})
+
+    return docs_ds.map_batches(AttachCluster, batch_format="pyarrow",
+                               zero_copy_batch=True, concurrency=(1, 4))
+
+
 class RepetitionRatio:
     """Per-document duplicate-shingle ratio (Gopher/C4-style web-text
     quality signal): rep_milli = 1000 * (total - distinct) // total over

@@ -136,6 +136,48 @@ def source_stats(ds):
                                   Sum("ntok", alias_name="total_tokens"))
 
 
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def length_quantiles(ds):
+    """Exact discrete quantiles (p50/p90/p99) of document length via an
+    integer-histogram sketch: per-batch (length, count) partials ->
+    groupby length -> the tiny histogram (bounded by distinct lengths,
+    not rows) is folded on the driver.  The q-th quantile is the
+    ceil(q*n)-th smallest value — same double arithmetic as the SQL
+    mirror, so the index is bit-identical."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch["text"]).to_numpy()
+        u, c = np.unique(ln, return_counts=True)
+        return pa.table({"L": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("L").aggregate(Sum("c", alias_name="n"))
+    Ls, ns = [], []
+    for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        Ls.append(b["L"].to_numpy())
+        ns.append(b["n"].to_numpy())
+    L = np.concatenate(Ls)
+    n = np.concatenate(ns)
+    order = np.argsort(L)
+    L, n = L[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+    out = {}
+    for q in QUANTILES:
+        idx = math.ceil(q * total)  # 1-based rank, double math as in SQL
+        out[f"p{int(q * 100)}"] = pa.array(
+            [int(L[np.searchsorted(cum, idx)])], pa.int64())
+    return rd.from_arrow(pa.table(out))
+
+
 def word_count_topk(ds, k: int = 20):
     """Global token frequencies, top-k by (count desc, token asc) — the
     canonical flat-map word count with map-side partial aggregation:

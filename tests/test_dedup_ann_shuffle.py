@@ -231,3 +231,39 @@ def test_ivf_topk_recall_vs_exact(ray_session, sf_dir):
     e = set(map(tuple, ex[["query_id", "neighbor_id"]].values.tolist()))
     a = set(map(tuple, ap[["query_id", "neighbor_id"]].values.tolist()))
     assert len(e & a) / len(e) >= 0.85
+
+
+def test_dedup_clusters_transitive(ray_session):
+    """a-b and b-c pairs collapse into one cluster with the min id as
+    representative; untouched docs stay singletons."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import dedup_clusters
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 9], pa.int64()),
+        "text": pa.array(["x"] * 5),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2], pa.int64()),
+        "doc_b": pa.array([2, 3], pa.int64()),
+    }))
+    out = dedup_clusters(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["cluster"].tolist() == [1, 1, 1, 4, 9]
+
+
+def test_length_quantiles_golden(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import length_quantiles
+
+    texts = ["a" * n for n in range(1, 101)]  # lengths 1..100
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(100)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = length_quantiles(docs).to_pandas()
+    assert out["p50"].tolist() == [50]
+    assert out["p90"].tolist() == [90]
+    assert out["p99"].tolist() == [99]
