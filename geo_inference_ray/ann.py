@@ -227,8 +227,13 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
         return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
                              "sim_milli": sm[keep]})
 
-    pairs = salted.groupby(["gkey", "salt"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    from .shuffle import arrow_bridge
+
+    pairs = arrow_bridge(
+        salted.groupby(["gkey", "salt"]).map_groups(
+            bucket_pairs, batch_format="pandas"),
+        {"vec_a": pa.int64(), "vec_b": pa.int64(),
+         "sim_milli": pa.int64()})
     # a pair can fire in several bands -> distinct via a vectorized Min
     # aggregate (sim_milli is identical for every firing of a pair)
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(

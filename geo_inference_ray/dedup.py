@@ -7,7 +7,7 @@ embedding-cosine near-dup.  All designed as streaming Ray Data stages:
 * exact:    md5(text) column per batch -> groupby(hash) -> keep min doc_id.
             SQL oracle: md5() GROUP BY (DuckDB's md5 matches hashlib).
 * minhash:  per-batch shingle->minhash sigs (vectorized), explode to
-            (band, band_key, doc_id) rows, groupby band buckets ->
+            (gid, doc_id) rows, groupby band buckets ->
             candidate pairs -> n-gram Jaccard verify.  The whole family
             is derandomized mod-Mersenne-31 arithmetic with an exact
             DuckDB oracle (see __ray_entry__._minhash_sql_chain).
@@ -154,12 +154,14 @@ class MinHasher:
 
 
 def band_rows(batch: pa.Table) -> pa.Table:
-    """Explode signatures into (band, band_key, doc_id) rows for LSH."""
+    """Explode signatures into (gid, doc_id) rows for LSH, where
+    gid = band * 2^31 + band_key packs the (band, band_key < M31) pair
+    into one int64 group key (vectorized isin / partitioning all the
+    way down; the SQL oracle joins on the equivalent (band, key))."""
     ids = batch["doc_id"].to_numpy()
     sig = np.stack(batch["sig"].to_numpy(zero_copy_only=False))
     n, _ = sig.shape
     rows_per_band = NUM_PERM // NUM_BANDS
-    out_band = np.repeat(np.arange(NUM_BANDS, dtype=np.int64), n)
     out_doc = np.tile(ids, NUM_BANDS)
     keys = np.empty((NUM_BANDS, n), dtype=np.int64)
     for bnd in range(NUM_BANDS):
@@ -167,10 +169,9 @@ def band_rows(batch: pa.Table) -> pa.Table:
         k = seg[:, 0].copy()
         for r in range(1, rows_per_band):
             k = (k * BAND_KB % MERSENNE + seg[:, r]) % MERSENNE
-        keys[bnd] = k
+        keys[bnd] = k + (bnd << 31)
     return pa.table({
-        "band": pa.array(out_band),
-        "band_key": pa.array(keys.reshape(-1)),
+        "gid": pa.array(keys.reshape(-1)),
         "doc_id": pa.array(out_doc),
     })
 
@@ -196,7 +197,7 @@ def minhash_candidates(ds):
                           zero_copy_batch=True, concurrency=(1, 4))
     # the band table is consumed twice (count pre-pass + pair pass) and
     # MinHash signatures are expensive to recompute — spill the compact
-    # (band, key, doc_id) table to parquet scratch and re-read it,
+    # (gid, doc_id) table to parquet scratch and re-read it,
     # instead of pinning it in the object store (at 100 TB the spill is
     # disk-backed and partition-resumable; plasma pinning is not)
     spill = tempfile.mkdtemp(prefix="minhash_bands_", dir="/tmp")
@@ -204,16 +205,14 @@ def minhash_candidates(ds):
         .write_parquet(spill)
     bands = rd.read_parquet(spill)
 
-    counts = bands.groupby(["band", "band_key"]).aggregate(
-        Count(alias_name="n"))
-    hot = set()
+    counts = bands.groupby("gid").aggregate(Count(alias_name="n"))
+    hot_parts = []
     for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         n = b["n"].to_numpy()
-        bd = b["band"].to_numpy()
-        for band, key in zip(bd[n >= 2].tolist(),
-                             np.asarray(b["band_key"])[n >= 2].tolist()):
-            hot.add((band, key))
-    if not hot:
+        hot_parts.append(b["gid"].to_numpy()[n >= 2])
+    hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
+           else np.array([], dtype=np.int64))
+    if not len(hot):
         import ray.data as rd
         return rd.from_items([]).map_batches(
             lambda b: pa.table({"doc_a": pa.array([], pa.int64()),
@@ -223,33 +222,63 @@ def minhash_candidates(ds):
 
     class FilterHot:
         def __init__(self):
-            self.hot = ray.get(hot_ref)
+            self.hot = ray.get(hot_ref)  # sorted int64 gid array
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            bd = batch["band"].to_numpy()
-            keys = batch["band_key"].to_numpy()
-            keep = np.fromiter(((b, k) in self.hot
-                                for b, k in zip(bd.tolist(), keys.tolist())),
-                               dtype=bool, count=len(bd))
+            keep = np.isin(batch["gid"].to_numpy(), self.hot,
+                           assume_unique=False)
             return batch.filter(pa.array(keep))
 
     survivors = bands.map_batches(FilterHot, batch_format="pyarrow",
                                   zero_copy_batch=True, concurrency=(1, 4))
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].to_numpy())
-        if len(d) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(d), k=1)
-        return pd.DataFrame({"doc_a": d[ia], "doc_b": d[ib]})
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE kernel for every bucket in the partition: sort by
+        (gid, doc_id), find group runs, emit within-group all-pairs.
+        The per-group work is a 2-line numpy slice — the per-group
+        pandas-call trap only bites when each group is a map_groups
+        invocation."""
+        g = g.sort_values(["gid", "doc_id"], kind="stable") \
+            .reset_index(drop=True)
+        gi = g["gid"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = gi[1:] != gi[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        out_a, out_b = [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            d = ids[st:st + sz]  # already sorted within the run
+            ia, ib = np.triu_indices(sz, k=1)
+            out_a.append(d[ia])
+            out_b.append(d[ib])
+        if not out_a:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
-    pairs = survivors.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
-    # distinct pairs (same pair can fire in many bands) — vectorized
-    # Count aggregate, then drop the count column
-    distinct = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="_n"))
-    return distinct.drop_columns(["_n"])
+    from .relational import _hash_partitioned
+    from .shuffle import arrow_bridge
+
+    pairs = arrow_bridge(
+        _hash_partitioned(survivors, "gid", bucket_pairs_part),
+        {"doc_a": pa.int64(), "doc_b": pa.int64()})
+
+    # distinct pairs (the same pair fires in up to NUM_BANDS bands):
+    # hash-partition on doc_a (all firings of a pair share it) and
+    # drop_duplicates vectorized per partition — one single-key
+    # exchange instead of a two-key groupby over the pre-distinct pair
+    # volume (the two-key hash shuffle measured ~10x slower here)
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
+
+    return arrow_bridge(
+        _hash_partitioned(pairs, "doc_a", distinct_part),
+        {"doc_a": pa.int64(), "doc_b": pa.int64()})
 
 
 def _empty_verified():

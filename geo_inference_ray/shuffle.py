@@ -84,3 +84,25 @@ def add_salt(ds, key: str, plan: dict[int, int], id_col: str):
 
     return ds.map_batches(Salter, batch_format="pyarrow",
                           zero_copy_batch=True, concurrency=(1, 4))
+
+
+def arrow_bridge(ds, schema: "dict[str, pa.DataType]"):
+    """Typed Arrow re-emission between a pandas ``map_groups`` output and
+    a following all-to-all.
+
+    Ray 2.49 pathological path (measured): pandas group-kernel blocks
+    (including schema-less empties) feeding the next shuffle stall the
+    exchange at ~zero CPU — 58 s for a 540 K-row two-key groupby that
+    takes 6 s with one cheap Arrow normalization map in between.  Also
+    shields downstream operators from schema-less empty blocks (the
+    "RefBundle with a different schema" warnings)."""
+    names = list(schema)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or any(n not in batch.column_names
+                                         for n in names):
+            return pa.table({n: pa.array([], t) for n, t in schema.items()})
+        return pa.table({n: batch[n] for n in names}).cast(
+            pa.schema(schema))
+
+    return ds.map_batches(fix, batch_format="pyarrow")

@@ -398,9 +398,18 @@ def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
     def merge_cell_group(g: pd.DataFrame) -> pd.DataFrame:
         return _merge(g)
 
+    from .shuffle import arrow_bridge
+
     scored = owned.groupby(["ty", "tx"]).map_groups(
         score_patch_group, batch_format="pandas",
         **(scorer_resources or {}))
+    # typed Arrow re-emission between the two all-to-alls (see
+    # shuffle.arrow_bridge: pandas group blocks feeding a shuffle hit a
+    # Ray 2.49 stall)
+    scored = arrow_bridge(scored, {
+        "oy": pa.int64(), "ox": pa.int64(),
+        "src_ty": pa.int64(), "src_tx": pa.int64(),
+        "data": pa.list_(pa.float32())})
     merged = scored.groupby(["oy", "ox"]).map_groups(
         merge_cell_group, batch_format="pandas")
     return merged
