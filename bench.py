@@ -39,6 +39,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND_MAIN = int(os.environ.get("GRAFT_BENCH_EXPAND", "2048"))
 EXPAND_AUX = int(os.environ.get("GRAFT_BENCH_EXPAND_AUX", "64"))
+# dedup stress corpus: every doc 16x-duplicated -> every LSH bucket hot
+# (worst case for the pair stage).  Skipped in the scaling legs
+# (GRAFT_BENCH_DEDUP=0) — the scaling metric is the headline pair.
+EXPAND_DEDUP = int(os.environ.get("GRAFT_BENCH_EXPAND_DEDUP", "16"))
 SHARD_OFFSET = 10 ** 7
 
 
@@ -181,6 +185,23 @@ def run_bench() -> dict:
         "top_orders",
         lambda: relational.top_orders_per_customer(SF_DIR).count())
 
+    # Q7: MinHash-LSH near-dup candidates over the 16x-duplicated
+    # corpus (every band bucket hot — the pair-stage worst case)
+    if os.environ.get("GRAFT_BENCH_DEDUP", "1") != "0":
+        import ray.data as rd
+
+        from geo_inference_ray import dedup as _dedup
+
+        shard_dedup = ensure_shards(SF_DIR, EXPAND_DEDUP)
+
+        def run_dedup():
+            ds = rd.read_parquet(shard_dedup,
+                                 columns=["doc_id", "text"])
+            return _dedup.minhash_candidates(ds).count()
+
+        counters["dedup_pairs"] = timed("minhash_dedup", run_dedup)
+        counters["dedup_docs"] = n_docs * EXPAND_DEDUP
+
     headline = round(queries["spatial_join"] + queries["tile_merge"], 3)
     result = {
         "metric": "joined rows/sec + tiles/sec, Common-Crawl-style "
@@ -209,7 +230,8 @@ def run_scaling() -> dict:
     scaling, and the 8->32 pair is reported alongside as the
     worst-case same-box number."""
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DEDUP="0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
