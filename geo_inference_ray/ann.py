@@ -183,11 +183,11 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
     bucket), and a counting pre-pass salts any bucket above
     ``bucket_cap`` (shuffle.salt_plan — pairs split across salts of a
     degenerate bucket are an accepted recall trade-off there, bounded by
-    MAX_SALTS).  Pair dedup is a vectorized Min aggregate, not
-    per-group Python."""
+    MAX_SALTS).  The pair stage and the pair dedup are hash-partitioned
+    vectorized kernels (one call per partition, never per bucket or per
+    pair)."""
     import pyarrow.parquet as pq
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     from .shuffle import add_salt, key_counts, salt_plan
 
@@ -209,35 +209,72 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
     plan = salt_plan(key_counts(ds, "gkey"), cap=bucket_cap)
     salted = add_salt(ds, "gkey", plan, "vec_id")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
-                                 "vec_b": pd.Series([], dtype=np.int64),
-                                 "sim_milli": pd.Series([], dtype=np.int64)})
-        ids = g["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        M = np.stack(g["embedding"].to_numpy())[order].astype(np.float64)
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-        S = Mn @ Mn.T
-        ia, ib = np.triu_indices(n, k=1)
-        sm = (S[ia, ib] * 1000).astype(np.int64)
-        keep = sm >= sim_milli_threshold
-        return pd.DataFrame({"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]],
-                             "sim_milli": sm[keep]})
+    from .relational import _hash_partitioned
+    from .shuffle import MAX_SALTS, arrow_bridge
 
-    from .shuffle import arrow_bridge
+    def add_gsk(batch: pa.Table) -> pa.Table:
+        # one packed int64 group key: (gkey, salt) -> gkey*MAX_SALTS+salt
+        # (gkey < 2^38 for planes <= 35, so the product is int64-safe)
+        gk = batch["gkey"].to_numpy()
+        st = batch["salt"].to_numpy()
+        return batch.append_column(
+            "gsk", pa.array(gk * MAX_SALTS + st))
+
+    keyed = salted.map_batches(add_gsk, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE kernel for every (bucket, salt) group in the partition
+        (a map_groups per bucket is one pandas call per bucket — the
+        bucket count grows with the corpus via lsh_planes_for, so that
+        trap scales with n)."""
+        g = g.sort_values(["gsk", "vec_id"], kind="stable") \
+            .reset_index(drop=True)
+        gs = g["gsk"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        emb = g["embedding"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        oa, ob, om = [], [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            d = ids[st:st + sz]  # sorted within the run
+            M = np.stack(emb[st:st + sz]).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Mn.T
+            ia, ib = np.triu_indices(sz, k=1)
+            sm = (S[ia, ib] * 1000).astype(np.int64)
+            keep = sm >= sim_milli_threshold
+            oa.append(d[ia[keep]])
+            ob.append(d[ib[keep]])
+            om.append(sm[keep])
+        if not oa:
+            return pd.DataFrame({
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+                "sim_milli": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"vec_a": np.concatenate(oa),
+                             "vec_b": np.concatenate(ob),
+                             "sim_milli": np.concatenate(om)})
 
     pairs = arrow_bridge(
-        salted.groupby(["gkey", "salt"]).map_groups(
-            bucket_pairs, batch_format="pandas"),
+        _hash_partitioned(keyed, "gsk", bucket_pairs_part),
         {"vec_a": pa.int64(), "vec_b": pa.int64(),
          "sim_milli": pa.int64()})
-    # a pair can fire in several bands -> distinct via a vectorized Min
-    # aggregate (sim_milli is identical for every firing of a pair)
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        Min("sim_milli", alias_name="sim_milli"))
+
+    # a pair can fire in several bands with an identical sim_milli ->
+    # distinct via a single-key partitioned drop_duplicates (the
+    # two-key aggregate path measured ~10x slower at pair volume)
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["vec_a", "vec_b"])
+
+    return arrow_bridge(
+        _hash_partitioned(pairs, "vec_a", distinct_part),
+        {"vec_a": pa.int64(), "vec_b": pa.int64(),
+         "sim_milli": pa.int64()})
 
 
 # ---------------------------------------------------------------------------
