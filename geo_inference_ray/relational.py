@@ -163,8 +163,13 @@ def bucketed_join_agg(sf_dir: str, buckets: int = 16):
             nq=("q", "sum"), n=("q", "size"))
         return out
 
-    per_bucket = both.groupby("bucket").map_groups(join_bucket,
-                                                   batch_format="pandas")
+    from .shuffle import arrow_bridge
+
+    per_bucket = arrow_bridge(
+        both.groupby("bucket").map_groups(join_bucket,
+                                          batch_format="pandas"),
+        {"s1": pa.string(), "s2": pa.string(),
+         "nq": pa.int64(), "n": pa.int64()})
     agg = per_bucket.groupby(["s1", "s2"]).aggregate(
         Sum("nq", alias_name="sum_qty"), Sum("n", alias_name="n_rows"))
 
