@@ -329,6 +329,10 @@ def q_length_quantiles(sf_dir: str):
     return _textops.length_quantiles(_docs_text(sf_dir))
 
 
+def q_surprisal(sf_dir: str):
+    return _textops.unigram_surprisal(_docs_text(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
@@ -487,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": q_source_stats,
         "dedup_clusters": q_dedup_clusters,
         "length_quantiles": q_length_quantiles,
+        "surprisal": q_surprisal,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
@@ -785,6 +790,21 @@ reach(n, l) AS (
   SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
 )
 SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n""",
+        # Unigram surprisal: per-token integer milli-nats (same-libm ln,
+        # identical expression order) summed per doc — order-independent
+        # because the integerization happens before the sum.
+        "surprisal": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnts AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+total AS (SELECT COUNT(*) AS t FROM toks)
+SELECT k.doc_id,
+       CAST(SUM(CAST(floor(-1000.0 * ln(CAST(c.n AS DOUBLE)
+                                        / CAST(total.t AS DOUBLE)))
+                     AS BIGINT)) AS BIGINT) AS surprisal_milli,
+       COUNT(*) AS n_tokens
+FROM toks k JOIN cnts c ON c.token = k.token, total
+GROUP BY k.doc_id""",
         # Exact discrete quantiles: the ceil(q*n) rank uses the same
         # double multiply as the engine, so ties in the float index are
         # impossible to diverge.

@@ -178,6 +178,63 @@ def length_quantiles(ds):
     return rd.from_arrow(pa.table(out))
 
 
+def unigram_surprisal(ds):
+    """Per-document unigram surprisal score (milli-nats) — the
+    language-model-filtering quality signal: rare-token-heavy documents
+    score high.
+
+    Shape: flat-map to (doc_id, token) rows -> global token counts
+    (map-side partials) -> hash join tokens to counts -> per-token
+    integer surprisal floor(-1000*ln(count/total)) -> per-doc integer
+    Sum.  All-vectorized aggregates; the per-token surprisal is
+    integerized BEFORE summing so the result is order-independent and
+    exactly SQL-mirrorable (numpy and DuckDB share the platform libm,
+    so ln() in the same expression order is bit-exact)."""
+    from ray.data.aggregate import Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), n)),
+            "token": pc.list_flatten(toks),
+        })
+
+    tokens = ds.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"token": batch["token"],
+                      "c": pa.array(np.ones(len(batch), dtype=np.int64))})
+        g = t.group_by("token").aggregate([("c", "sum")])
+        return pa.table({"token": g["token"], "c": g["c_sum"]})
+
+    counts = tokens.map_batches(count_partial, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum("c", alias_name="n"))
+
+    total = int(tokens.count())
+
+    # hash join (token) — the open-vocabulary scale path; a bounded
+    # vocab could broadcast instead
+    j = tokens.join(counts, join_type="inner", num_partitions=8,
+                    on=("token",))
+
+    def surprise(batch: pa.Table) -> pa.Table:
+        c = batch["n"].to_numpy().astype(np.float64)
+        s = np.floor(-1000.0 * np.log(c / float(total))).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "s": pa.array(s),
+                         "one": pa.array(np.ones(len(batch),
+                                                 dtype=np.int64))})
+
+    return j.map_batches(surprise, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(
+            Sum("s", alias_name="surprisal_milli"),
+            Sum("one", alias_name="n_tokens"))
+
+
 def word_count_topk(ds, k: int = 20):
     """Global token frequencies, top-k by (count desc, token asc) — the
     canonical flat-map word count with map-side partial aggregation:

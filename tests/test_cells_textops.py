@@ -158,3 +158,19 @@ def test_source_stats_partial_aggregation(ray_session):
     assert out["n_pages"].tolist() == [2, 1]
     assert out["total_tokens"].tolist() == [5, 1]
     assert out["total_chars"].tolist() == [7 + 13, 5]
+
+
+def test_unigram_surprisal_ranks_rare_tokens(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import unigram_surprisal
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the the the the", "the zyx qqq wvu"]),
+    }))
+    out = unigram_surprisal(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [4, 4]
+    # rare-token doc scores strictly higher
+    assert out["surprisal_milli"][1] > out["surprisal_milli"][0]
