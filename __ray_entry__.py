@@ -361,7 +361,9 @@ def q_ann_topk(sf_dir: str):
 def q_ivf_topk(sf_dir: str):
     """IVF-probed approximate ANN (coarse quantizer + nprobe cells) —
     the scale path next to the exact brute-force baseline.  Approximate
-    by design, so rows-only; recall vs ann_topk pinned by test."""
+    but fully deterministic (first-n centroids, rank-only output), so
+    it carries an exact SQL oracle; recall vs ann_topk pinned by
+    test."""
     return _ann.ivf_topk(sf_dir)
 
 
@@ -534,11 +536,20 @@ def _minhash_sql_chain() -> str:
 toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
 tpos AS (SELECT doc_id, unnest(generate_series(1, len(ts) - 2)) AS i, ts
          FROM toks),
-sh AS (SELECT DISTINCT doc_id,
+sh AS (SELECT DISTINCT doc_id, sh FROM (
+       SELECT doc_id,
         ({th('ts[i]')} * {_dedup.SH_C1} % {M}
          + {th('ts[i+1]')} * {_dedup.SH_C2} % {M}
          + {th('ts[i+2]')} * {_dedup.SH_C3} % {M}) % {M} AS sh
-       FROM tpos),
+       FROM tpos
+       UNION ALL
+       -- short-doc fallback (dedup._token_hashes: fold of all tokens
+       -- when fewer than SHINGLE_K; split('') is [''] so len >= 1)
+       SELECT doc_id,
+        CASE WHEN len(ts) = 1 THEN {th('ts[1]')}
+             ELSE ({th('ts[1]')} * {_dedup.SH_C2} % {M}
+                   + {th('ts[2]')}) % {M} END AS sh
+       FROM toks WHERE len(ts) < 3)),
 perms AS (SELECT CAST(col0 AS BIGINT) AS perm, CAST(col1 AS BIGINT) AS a,
                  CAST(col2 AS BIGINT) AS b
           FROM (VALUES {perm_vals}) v(col0, col1, col2)),
@@ -848,11 +859,15 @@ chars AS (
   SELECT doc_id, unnest(generate_series(1, strlen(text))) AS i, text
   FROM documents
 )
-SELECT c.doc_id,
-       CAST(SUM(ord(substr(c.text, c.i, 1)) * p.p % {_textops.FP_MOD})
-            % {_textops.FP_MOD} AS BIGINT) AS fingerprint
-FROM chars c JOIN pows p ON p.i = c.i - 1
-GROUP BY c.doc_id""",
+,
+fps AS (
+  SELECT c.doc_id,
+         CAST(SUM(ord(substr(c.text, c.i, 1)) * p.p % {_textops.FP_MOD})
+              % {_textops.FP_MOD} AS BIGINT) AS fingerprint
+  FROM chars c JOIN pows p ON p.i = c.i - 1
+  GROUP BY c.doc_id)
+SELECT d.doc_id, COALESCE(f.fingerprint, 0) AS fingerprint
+FROM documents d LEFT JOIN fps f USING (doc_id)""",
         "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),

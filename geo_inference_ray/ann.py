@@ -265,11 +265,13 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
         {"vec_a": pa.int64(), "vec_b": pa.int64(),
          "sim_milli": pa.int64()})
 
-    # a pair can fire in several bands with an identical sim_milli ->
-    # distinct via a single-key partitioned drop_duplicates (the
-    # two-key aggregate path measured ~10x slower at pair volume)
+    # a pair can fire in several bands; per-bucket BLAS rounding can
+    # differ at the milli boundary, so take the MIN sim_milli per pair
+    # (deterministic, matching the previous Min aggregate) with one
+    # vectorized pandas groupby per partition — never per pair
     def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["vec_a", "vec_b"])
+        return g.groupby(["vec_a", "vec_b"], as_index=False).agg(
+            sim_milli=("sim_milli", "min"))
 
     return arrow_bridge(
         _hash_partitioned(pairs, "vec_a", distinct_part),

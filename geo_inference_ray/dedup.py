@@ -299,7 +299,7 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
     below the corpus).  Shingle-hash arrays are computed inside
     map_batches for candidate docs only, then hash-joined to the pair
     rows on each side; the Jaccard is an intersect of two sorted unique
-    uint64 arrays per pair.
+    int64 arrays per pair (31-bit shingle hashes).
     """
     import ray
     import ray.data as rd
@@ -321,7 +321,7 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
 
     class CandShingles:
         """Emit (doc_id, sh: binary) for candidate docs only.  The
-        shingle-hash array travels as raw uint64 bytes because Acero
+        shingle-hash array travels as raw int64 bytes because Acero
         hash joins accept binary payloads but not list columns."""
 
         def __init__(self):

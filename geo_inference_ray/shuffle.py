@@ -99,9 +99,16 @@ def arrow_bridge(ds, schema: "dict[str, pa.DataType]"):
     names = list(schema)
 
     def fix(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or any(n not in batch.column_names
-                                         for n in names):
+        if batch.num_rows == 0:
+            # the Ray 2.49 shield: schema-less/odd empty blocks
             return pa.table({n: pa.array([], t) for n, t in schema.items()})
+        # a POPULATED batch missing a column is a real schema bug in the
+        # upstream kernel — raise, never silently drop rows
+        missing = [n for n in names if n not in batch.column_names]
+        if missing:
+            raise KeyError(
+                f"arrow_bridge: populated batch missing {missing} "
+                f"(has {batch.column_names})")
         return pa.table({n: batch[n] for n in names}).cast(
             pa.schema(schema))
 

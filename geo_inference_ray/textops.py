@@ -209,16 +209,27 @@ def unigram_surprisal(ds):
         g = t.group_by("token").aggregate([("c", "sum")])
         return pa.table({"token": g["token"], "c": g["c_sum"]})
 
+    # the counts aggregate is vocab-bounded — materialize it once and
+    # derive the total token count from it (saves a full tokenize pass
+    # vs a separate tokens.count(), and a second one when the join
+    # consumes counts)
     counts = tokens.map_batches(count_partial, batch_format="pyarrow",
                                 zero_copy_batch=True) \
-        .groupby("token").aggregate(Sum("c", alias_name="n"))
-
-    total = int(tokens.count())
+        .groupby("token").aggregate(Sum("c", alias_name="n")) \
+        .materialize()
+    total = 0
+    for b in counts.iter_batches(batch_size=65536,
+                                 batch_format="pyarrow"):
+        total += int(np.sum(b["n"].to_numpy()))
 
     # hash join (token) — the open-vocabulary scale path; a bounded
-    # vocab could broadcast instead
-    j = tokens.join(counts, join_type="inner", num_partitions=8,
-                    on=("token",))
+    # vocab could broadcast instead.  Partition count is clamped to the
+    # token volume (Ray 2.49 hash joins emit schema-less empty
+    # partitions that crash downstream column access — dedup.py has the
+    # same guard)
+    num_partitions = max(1, min(8, -(-total // 100_000)))
+    j = tokens.join(counts, join_type="inner",
+                    num_partitions=num_partitions, on=("token",))
 
     def surprise(batch: pa.Table) -> pa.Table:
         c = batch["n"].to_numpy().astype(np.float64)

@@ -267,3 +267,48 @@ def test_length_quantiles_golden(ray_session):
     assert out["p50"].tolist() == [50]
     assert out["p90"].tolist() == [90]
     assert out["p99"].tolist() == [99]
+
+
+def test_short_doc_oracle_parity(tmp_path):
+    """Docs with fewer than SHINGLE_K tokens take the fold fallback in
+    _token_hashes; the SQL chain mirrors it with a UNION branch.  Pin
+    engine == oracle on a corpus of 1-, 2- and 3-token docs."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+    from geo_inference_ray.dedup import MinHasher, SimHasher, band_rows
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["one", "one two", "one two three", "one two"]),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+
+    # band keys: engine vs the shared SQL chain
+    bands = band_rows(MinHasher()(docs))
+    eng_keys = {(d, g) for d, g in zip(bands["doc_id"].to_pylist(),
+                                       bands["gid"].to_pylist())}
+    rows = con.execute(
+        "WITH RECURSIVE " + entry._minhash_sql_chain().lstrip()
+        + " SELECT doc_id, band * 2147483648 + band_key FROM bkeys"
+    ).fetchall()
+    assert {(d, g) for d, g in rows} == eng_keys
+    # docs 1 and 3 are identical 2-token texts -> a candidate pair on
+    # both sides
+    pair_rows = con.execute(
+        "WITH RECURSIVE " + entry._minhash_sql_chain().lstrip()
+        + " SELECT doc_a, doc_b FROM cand").fetchall()
+    assert (1, 3) in set(pair_rows)
+
+    # simhash rows exist (and match) for every doc incl. short ones
+    sh = SimHasher()(docs)
+    eng_sim = dict(zip(sh["doc_id"].to_pylist(),
+                       sh["simhash"].to_pylist()))
+    sim_rows = con.execute(
+        "WITH RECURSIVE " + entry._minhash_sql_chain().lstrip()
+        + entry._simhash_sql()).fetchall()
+    assert {r[0]: r[1] for r in sim_rows} == eng_sim
