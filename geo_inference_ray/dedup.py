@@ -281,6 +281,9 @@ def minhash_candidates(ds):
         {"doc_a": pa.int64(), "doc_b": pa.int64()})
 
 
+_CAND_MEMO: dict = {}
+
+
 def _empty_verified():
     import ray.data as rd
 
@@ -319,27 +322,32 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
     num_partitions = max(1, min(num_partitions, -(-n_pairs // 10_000)))
     ids_ref = ray.put(np.fromiter(cand, dtype=np.int64, count=len(cand)))
 
-    class CandShingles:
-        """Emit (doc_id, sh: binary) for candidate docs only.  The
-        shingle-hash array travels as raw int64 bytes because Acero
-        hash joins accept binary payloads but not list columns."""
+    # Stateless TASK fn (per-worker memoized candidate-id array): an
+    # actor pool here pins a CPU next to the hash-join aggregator
+    # actors, which deadlocks narrow sessions (2 CPUs: pool + join
+    # actor starve the read task).  Emits (doc_id, sh: binary) for
+    # candidate docs only; the shingle-hash array travels as raw int64
+    # bytes because Acero hash joins accept binary payloads but not
+    # list columns.
+    memo_key = ids_ref.hex()
 
-        def __init__(self):
-            self.ids = ray.get(ids_ref)
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        ids = _CAND_MEMO.get(memo_key)
+        if ids is None:
+            ids = ray.get(ids_ref)
+            _CAND_MEMO[memo_key] = ids
+        d = batch["doc_id"].to_numpy()
+        keep = np.isin(d, ids)
+        d = d[keep]
+        texts = batch.filter(pa.array(keep))["text"].to_pylist()
+        sh = [_token_hashes(t).tobytes() for t in texts]
+        return pa.table({
+            "doc_id": pa.array(d),
+            "sh": pa.array(sh, pa.binary()),
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d = batch["doc_id"].to_numpy()
-            keep = np.isin(d, self.ids)
-            d = d[keep]
-            texts = batch.filter(pa.array(keep))["text"].to_pylist()
-            sh = [_token_hashes(t).tobytes() for t in texts]
-            return pa.table({
-                "doc_id": pa.array(d),
-                "sh": pa.array(sh, pa.binary()),
-            })
-
-    shingles = docs_ds.map_batches(CandShingles, batch_format="pyarrow",
-                                   zero_copy_batch=True, concurrency=(1, 4))
+    shingles = docs_ds.map_batches(cand_shingles, batch_format="pyarrow",
+                                   zero_copy_batch=True)
 
     # ONE hash join only (chaining Ray 2.49 joins trips on empty
     # schema-less partitions): explode each pair into two doc-keyed

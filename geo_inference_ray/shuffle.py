@@ -53,37 +53,52 @@ def salt_plan(counts: dict[int, int], cap: int = DEFAULT_CAP,
             for k, n in counts.items() if n > cap}
 
 
+_SALT_MEMO: dict = {}
+
+
 def add_salt(ds, key: str, plan: dict[int, int], id_col: str):
     """Append a deterministic ``salt`` column: id % n_salts(key), 0 for
     cold keys.  Use before groupby([key, "salt"]) with per-salt partial
-    aggregation."""
+    aggregation.
+
+    A stateless TASK-pool fn (per-worker memoized plan, the
+    fused_page_fn pattern), not an actor pool: a second actor pool in
+    the same dataset pins another CPU even while idle, which deadlocks
+    narrow sessions (2 CPUs: upstream pool + this pool starve the read
+    task) — and task fns keep operator fusion available."""
     import ray
 
     plan_ref = ray.put(plan)
+    memo_key = plan_ref.hex()
 
-    class Salter:
-        def __init__(self):
-            self.plan = ray.get(plan_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = batch[key].to_numpy()
-            ids = batch[id_col].to_numpy()
-            n_salt = np.ones(len(k), dtype=np.int64)
-            if self.plan:
-                # vectorized lookup over the (bounded) hot-key map
-                hot_keys = np.fromiter(self.plan.keys(), dtype=np.int64)
-                hot_r = np.fromiter(self.plan.values(), dtype=np.int64)
+    def salter(batch: pa.Table) -> pa.Table:
+        plan_sorted = _SALT_MEMO.get(memo_key)
+        if plan_sorted is None:
+            p = ray.get(plan_ref)
+            if p:
+                hot_keys = np.fromiter(p.keys(), dtype=np.int64)
+                hot_r = np.fromiter(p.values(), dtype=np.int64)
                 order = np.argsort(hot_keys)
-                hot_keys, hot_r = hot_keys[order], hot_r[order]
-                pos = np.searchsorted(hot_keys, k)
-                pos = np.clip(pos, 0, len(hot_keys) - 1)
-                hit = hot_keys[pos] == k
-                n_salt[hit] = hot_r[pos[hit]]
-            salt = ids % n_salt
-            return batch.append_column("salt", pa.array(salt))
+                plan_sorted = (hot_keys[order], hot_r[order])
+            else:
+                plan_sorted = (np.array([], dtype=np.int64),
+                               np.array([], dtype=np.int64))
+            _SALT_MEMO[memo_key] = plan_sorted
+        hot_keys, hot_r = plan_sorted
+        k = batch[key].to_numpy()
+        ids = batch[id_col].to_numpy()
+        n_salt = np.ones(len(k), dtype=np.int64)
+        if len(hot_keys):
+            # vectorized lookup over the (bounded) hot-key map
+            pos = np.searchsorted(hot_keys, k)
+            pos = np.clip(pos, 0, len(hot_keys) - 1)
+            hit = hot_keys[pos] == k
+            n_salt[hit] = hot_r[pos[hit]]
+        salt = ids % n_salt
+        return batch.append_column("salt", pa.array(salt))
 
-    return ds.map_batches(Salter, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 4))
+    return ds.map_batches(salter, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def arrow_bridge(ds, schema: "dict[str, pa.DataType]"):

@@ -182,6 +182,22 @@ def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
     (deterministic startup, benchmark mode); the default autoscales
     (1, max_actors) which is friendlier to small interactive runs.
     """
+    import ray
+
+    # Narrow-session guard: each chained (1, N) actor pool pins >=1 CPU
+    # even while idle, so at session CPUs < n_pools + 1 the read task
+    # starves and the pipeline deadlocks (Ray 2.49).  A planner would
+    # pick the fused physical plan there — identical output, stage
+    # state memoized per worker task instead of per actor.
+    n_pools = 2 + (1 if mode else 0)
+    ncpu = (int(ray.cluster_resources().get("CPU", 0))
+            if ray.is_initialized() else 0)
+    if ncpu and ncpu < n_pools + 1:
+        return ds.map_batches(fused_page_fn(mode, with_cells),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=batch_size)
+
     cc = max_actors if fixed_pools else (1, max_actors)
     ds = ds.map_batches(ExtractText, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=batch_size,
