@@ -158,3 +158,24 @@ def test_fetch_artifact_cache_and_scorer(ray_session, tmp_path):
     out = sc(np.ones((4, 4)))
     assert out.shape == (3, 4, 4)
     np.testing.assert_allclose(out.sum(axis=0), 1.0)
+
+
+def test_fused_plan_matches_staged_pipeline(ray_session, sf_dir):
+    """The narrow-session fallback in transform_pages swaps the chained
+    actor pools for the fused stateless plan — pin that both physical
+    plans produce byte-identical rows (same columns, same values)."""
+    import ray.data as rd
+
+    from geo_inference_ray import stages, synth
+
+    def run(ds):
+        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    src = synth.pages_dataset(sf_dir)
+    staged = run(stages.transform_pages(src, mode="inner"))
+    fused = run(synth.pages_dataset(sf_dir).map_batches(
+        stages.fused_page_fn("inner", True), batch_format="pyarrow",
+        zero_copy_batch=True))
+    assert list(staged.columns) == list(fused.columns)
+    for c in staged.columns:
+        assert staged[c].tolist() == fused[c].tolist(), c
