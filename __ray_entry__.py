@@ -333,6 +333,12 @@ def q_surprisal(sf_dir: str):
     return _textops.unigram_surprisal(_docs_text(sf_dir))
 
 
+def q_stratified_sample(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.stratified_sample(sf_dir)
+
+
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
@@ -494,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "length_quantiles": q_length_quantiles,
         "surprisal": q_surprisal,
+        "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
@@ -801,6 +808,17 @@ reach(n, l) AS (
   SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
 )
 SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n""",
+        # Stratified per-source sample: reproducible hash rank, k per
+        # stratum (mod-before-multiply keeps the rank hash BIGINT-safe).
+        "stratified_sample": """
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % 2147483647 * 2654435761) % 2147483647,
+                    doc_id) AS rnk
+  FROM documents)
+SELECT source, doc_id, rnk FROM r WHERE rnk <= 5""",
         # Unigram surprisal: per-token integer milli-nats (same-libm ln,
         # identical expression order) summed per doc — order-independent
         # because the integerization happens before the sum.

@@ -343,6 +343,58 @@ def hash_sample(sf_dir: str, pct: int = 10):
                           zero_copy_batch=True)
 
 
+def stratified_sample(sf_dir: str, k: int = 5):
+    """Deterministic stratified sampling: the first ``k`` documents per
+    source, ranked by a reproducible integer hash — the data-mixing
+    primitive of a training pipeline (equal-ish representation per
+    stratum regardless of stratum size), stable across cluster sizes.
+
+    Rank hash: (doc_id % M31 * 2654435761) % M31 (mod-before-multiply:
+    product < 2^63 at any int64 id), ties broken by doc_id.  Strata are
+    hash-partitioned by an md5-derived int key, then ONE vectorized
+    lexsort+run-rank kernel per partition handles all its strata."""
+    import hashlib
+
+    import ray.data as rd
+
+    M = (1 << 31) - 1
+    K = 2654435761
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        h = (d % M * K) % M
+        skey = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M
+             for s in batch["source"].to_pylist()),
+            dtype=np.int64, count=len(batch))
+        return pa.table({"source": batch["source"], "doc_id": batch["doc_id"],
+                         "h": pa.array(h), "skey": pa.array(skey)})
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "h", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        src = g["source"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = src[1:] != src[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        rnk = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        g["rnk"] = rnk.astype(np.int64)
+        return g.loc[g["rnk"] <= k, ["source", "doc_id", "rnk"]]
+
+    from .shuffle import arrow_bridge
+
+    base = ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return arrow_bridge(
+        _hash_partitioned(base, "skey", rank_part),
+        {"source": pa.string(), "doc_id": pa.int64(),
+         "rnk": pa.int64()})
+
+
 def union_counts(sf_dir: str):
     """Set-op demo: union of region + nation name columns with source
     tags, counted per source (Dataset.union)."""
