@@ -332,9 +332,13 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
     memo_key = ids_ref.hex()
 
     def cand_shingles(batch: pa.Table) -> pa.Table:
+        # single-slot memo (replace on key mismatch): an unbounded dict
+        # would pin one plasma buffer per jaccard_pairs call for the
+        # life of the worker
         ids = _CAND_MEMO.get(memo_key)
         if ids is None:
             ids = ray.get(ids_ref)
+            _CAND_MEMO.clear()
             _CAND_MEMO[memo_key] = ids
         d = batch["doc_id"].to_numpy()
         keep = np.isin(d, ids)

@@ -366,10 +366,16 @@ def stratified_sample(sf_dir: str, k: int = 5):
     def keyed(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
         h = (d % M * K) % M
-        skey = np.fromiter(
+        # md5 per UNIQUE source only (stratum cardinality << rows), then
+        # a vectorized inverse-index expansion — same idiom as
+        # dedup._hash_tokens
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        ukeys = np.fromiter(
             (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M
-             for s in batch["source"].to_pylist()),
-            dtype=np.int64, count=len(batch))
+             for s in uniq.tolist()),
+            dtype=np.int64, count=len(uniq))
+        skey = ukeys[inv]
         return pa.table({"source": batch["source"], "doc_id": batch["doc_id"],
                          "h": pa.array(h), "skey": pa.array(skey)})
 

@@ -72,6 +72,8 @@ def add_salt(ds, key: str, plan: dict[int, int], id_col: str):
     memo_key = plan_ref.hex()
 
     def salter(batch: pa.Table) -> pa.Table:
+        # single-slot memo (replace on key mismatch) so repeated salted
+        # pipelines don't accumulate per-call plan arrays in the worker
         plan_sorted = _SALT_MEMO.get(memo_key)
         if plan_sorted is None:
             p = ray.get(plan_ref)
@@ -83,6 +85,7 @@ def add_salt(ds, key: str, plan: dict[int, int], id_col: str):
             else:
                 plan_sorted = (np.array([], dtype=np.int64),
                                np.array([], dtype=np.int64))
+            _SALT_MEMO.clear()
             _SALT_MEMO[memo_key] = plan_sorted
         hot_keys, hot_r = plan_sorted
         k = batch[key].to_numpy()

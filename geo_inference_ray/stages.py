@@ -193,6 +193,14 @@ def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
     ncpu = (int(ray.cluster_resources().get("CPU", 0))
             if ray.is_initialized() else 0)
     if ncpu and ncpu < n_pools + 1:
+        if fixed_pools:
+            import warnings
+
+            warnings.warn(
+                "transform_pages: fixed_pools=True requested but the "
+                f"session has only {ncpu} CPUs (< {n_pools + 1}); "
+                "running the fused task plan instead to avoid the "
+                "actor-pool deadlock", stacklevel=2)
         return ds.map_batches(fused_page_fn(mode, with_cells),
                               batch_format="pyarrow",
                               zero_copy_batch=True,
@@ -209,7 +217,6 @@ def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
         ds = ds.map_batches(encode_cells, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size)
     if mode:
-        import ray
         ref = ray.put(synth.polygon_arrays())
         ds = ds.map_batches(PIPJoiner, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=batch_size,

@@ -176,15 +176,15 @@ def test_unigram_surprisal_ranks_rare_tokens(ray_session):
     assert out["surprisal_milli"][1] > out["surprisal_milli"][0]
 
 
-def test_stratified_sample_k_per_stratum(ray_session):
+def test_stratified_sample_k_per_stratum(ray_session, sf_dir):
     from geo_inference_ray.relational import stratified_sample
 
-    out = stratified_sample("/root/testdata/sf0.001", k=3).to_pandas()
+    out = stratified_sample(sf_dir, k=3).to_pandas()
     per = out.groupby("source").size()
     assert (per <= 3).all() and len(per) > 1
     assert (out["rnk"] >= 1).all() and (out["rnk"] <= 3).all()
     # deterministic across runs
-    out2 = stratified_sample("/root/testdata/sf0.001", k=3).to_pandas()
+    out2 = stratified_sample(sf_dir, k=3).to_pandas()
     a = out.sort_values(["source", "rnk"]).reset_index(drop=True)
     b = out2.sort_values(["source", "rnk"]).reset_index(drop=True)
     assert a.equals(b)

@@ -169,7 +169,8 @@ def test_fused_plan_matches_staged_pipeline(ray_session, sf_dir):
     from geo_inference_ray import stages, synth
 
     def run(ds):
-        return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return ds.to_pandas().sort_values(["doc_id", "poly_id"]) \
+            .reset_index(drop=True)
 
     src = synth.pages_dataset(sf_dir)
     staged = run(stages.transform_pages(src, mode="inner"))
