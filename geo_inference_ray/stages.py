@@ -181,6 +181,11 @@ def transform_pages(ds, mode: str | None = None, with_cells: bool = True,
     pipeline serializes).  ``fixed_pools=True`` uses exact-size pools
     (deterministic startup, benchmark mode); the default autoscales
     (1, max_actors) which is friendlier to small interactive runs.
+
+    The narrow-session guard below counts only THIS function's pools:
+    a caller that chains further actor-pool stages onto the returned
+    dataset (without a materialize() barrier) must budget its own CPU
+    headroom or reuse the fused fallback pattern.
     """
     import ray
 
