@@ -176,40 +176,51 @@ def band_rows(batch: pa.Table) -> pa.Table:
     })
 
 
-def minhash_candidates(ds):
+def minhash_candidates(ds, max_actors: int | None = None,
+                       work_dir: str | None = None):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH.
 
-    Pipeline: MinHash sigs (actor pool) -> band explode -> bucket-size
-    pre-pass (vectorized Count aggregate; almost every bucket is a
-    singleton, and per-group Python over 80K singleton buckets was the
-    whole runtime) -> broadcast the >=2 bucket set -> pairs within the
-    surviving buckets -> distinct pairs.
+    Pipeline: MinHash sigs (actor pool, cap scales with session CPUs via
+    pools.pool_caps) -> band explode -> bucket-size pre-pass (vectorized
+    Count aggregate; almost every bucket is a singleton, and per-group
+    Python over 80K singleton buckets was the whole runtime) ->
+    broadcast the >=2 bucket set -> pairs within the surviving buckets
+    -> distinct pairs.  The pre-pass also yields exact row bounds for
+    the downstream hash-partitioned kernels (hot-bucket rows; per-bucket
+    C(n,2) pair bound) so partition counts scale with the data.
     """
     import pandas as pd
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
 
-    import tempfile
-
-    import ray.data as rd
+    from .pools import pool_caps, spill_dir
 
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 4))
+                          zero_copy_batch=True,
+                          concurrency=pool_caps(max_actors))
     # the band table is consumed twice (count pre-pass + pair pass) and
     # MinHash signatures are expensive to recompute — spill the compact
     # (gid, doc_id) table to parquet scratch and re-read it,
     # instead of pinning it in the object store (at 100 TB the spill is
-    # disk-backed and partition-resumable; plasma pinning is not)
-    spill = tempfile.mkdtemp(prefix="minhash_bands_", dir="/tmp")
+    # disk-backed and partition-resumable; plasma pinning is not).
+    # The scratch tree is per-process and removed at exit (pools.spill_dir)
+    spill = spill_dir("minhash_bands", work_dir)
     sigs.map_batches(band_rows, batch_format="pyarrow") \
         .write_parquet(spill)
     bands = rd.read_parquet(spill)
 
     counts = bands.groupby("gid").aggregate(Count(alias_name="n"))
     hot_parts = []
+    hot_rows = 0
+    pair_bound = 0
     for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         n = b["n"].to_numpy()
-        hot_parts.append(b["gid"].to_numpy()[n >= 2])
+        hm = n >= 2
+        hot_parts.append(b["gid"].to_numpy()[hm])
+        nh = n[hm]
+        hot_rows += int(nh.sum())
+        pair_bound += int((nh * (nh - 1) // 2).sum())
     hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
            else np.array([], dtype=np.int64))
     if not len(hot):
@@ -230,7 +241,8 @@ def minhash_candidates(ds):
             return batch.filter(pa.array(keep))
 
     survivors = bands.map_batches(FilterHot, batch_format="pyarrow",
-                                  zero_copy_batch=True, concurrency=(1, 4))
+                                  zero_copy_batch=True,
+                                  concurrency=pool_caps(max_actors))
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         """ONE kernel for every bucket in the partition: sort by
@@ -265,7 +277,8 @@ def minhash_candidates(ds):
     from .shuffle import arrow_bridge
 
     pairs = arrow_bridge(
-        _hash_partitioned(survivors, "gid", bucket_pairs_part),
+        _hash_partitioned(survivors, "gid", bucket_pairs_part,
+                          rows_hint=hot_rows),
         {"doc_a": pa.int64(), "doc_b": pa.int64()})
 
     # distinct pairs (the same pair fires in up to NUM_BANDS bands):
@@ -277,7 +290,8 @@ def minhash_candidates(ds):
         return g.drop_duplicates(["doc_a", "doc_b"])
 
     return arrow_bridge(
-        _hash_partitioned(pairs, "doc_a", distinct_part),
+        _hash_partitioned(pairs, "doc_a", distinct_part,
+                          rows_hint=pair_bound),
         {"doc_a": pa.int64(), "doc_b": pa.int64()})
 
 
@@ -293,65 +307,104 @@ def _empty_verified():
         "jaccard_milli": pa.array([], pa.int64())}))
 
 
-def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
+def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
+                  cand_driver_limit: int = 5_000_000):
     """Verify candidate pairs with exact token-shingle Jaccard — fully
     distributed.
 
-    Document TEXT never reaches the driver: only the candidate doc-id
-    set does (ints, bounded by the duplicate rate, orders of magnitude
-    below the corpus).  Shingle-hash arrays are computed inside
-    map_batches for candidate docs only, then hash-joined to the pair
-    rows on each side; the Jaccard is an intersect of two sorted unique
-    int64 arrays per pair (31-bit shingle hashes).
+    Document TEXT never reaches the driver.  Below
+    ``cand_driver_limit`` candidate ids (2 * pair count as the bound),
+    the candidate doc-id SET is collected and broadcast (ints, bounded
+    by the duplicate rate — cheap); above it, even the id set stays
+    distributed: candidate ids are deduped with a vectorized aggregate
+    and semi-joined to the documents table instead (web-crawl dup rates
+    make the pair table O(corpus), where a driver id set is an OOM).
+    Either way, shingle-hash arrays are computed inside map_batches for
+    candidate docs only, then hash-joined to the pair rows on each
+    side; the Jaccard is an intersect of two sorted unique int64 arrays
+    per pair (31-bit shingle hashes).
     """
     import ray
     import ray.data as rd
 
     pairs = pairs_ds.materialize()  # candidate pairs only (small side)
-    cand: set = set()
-    n_pairs = 0
-    for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n_pairs += len(b)
-        cand.update(b["doc_a"].to_pylist())
-        cand.update(b["doc_b"].to_pylist())
-    if not cand:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _empty_verified()
     # scale the join fan-out to the candidate volume: Ray 2.49's hash
     # join emits schema-less empty partitions (which crash downstream),
     # so never create more partitions than ~10k pair-rows can fill
     num_partitions = max(1, min(num_partitions, -(-n_pairs // 10_000)))
-    ids_ref = ray.put(np.fromiter(cand, dtype=np.int64, count=len(cand)))
 
-    # Stateless TASK fn (per-worker memoized candidate-id array): an
-    # actor pool here pins a CPU next to the hash-join aggregator
-    # actors, which deadlocks narrow sessions (2 CPUs: pool + join
-    # actor starve the read task).  Emits (doc_id, sh: binary) for
-    # candidate docs only; the shingle-hash array travels as raw int64
-    # bytes because Acero hash joins accept binary payloads but not
-    # list columns.
-    memo_key = ids_ref.hex()
+    if 2 * n_pairs > cand_driver_limit:
+        # distributed id filter: dedup candidate ids with a vectorized
+        # Count aggregate (never collected), inner-join the documents
+        # table to the id set, shingle only the matches
+        from ray.data.aggregate import Count
 
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        # single-slot memo (replace on key mismatch): an unbounded dict
-        # would pin one plasma buffer per jaccard_pairs call for the
-        # life of the worker
-        ids = _CAND_MEMO.get(memo_key)
-        if ids is None:
-            ids = ray.get(ids_ref)
-            _CAND_MEMO.clear()
-            _CAND_MEMO[memo_key] = ids
-        d = batch["doc_id"].to_numpy()
-        keep = np.isin(d, ids)
-        d = d[keep]
-        texts = batch.filter(pa.array(keep))["text"].to_pylist()
-        sh = [_token_hashes(t).tobytes() for t in texts]
-        return pa.table({
-            "doc_id": pa.array(d),
-            "sh": pa.array(sh, pa.binary()),
-        })
+        from .relational import partitions_for
 
-    shingles = docs_ds.map_batches(cand_shingles, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+        def explode_ids(batch: pa.Table) -> pa.Table:
+            a = batch["doc_a"].to_numpy()
+            b = batch["doc_b"].to_numpy()
+            return pa.table({"doc_id": pa.array(np.concatenate([a, b]))})
+
+        ids_ds = pairs.map_batches(explode_ids, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+            .groupby("doc_id").aggregate(Count(alias_name="nref"))
+        jp = max(num_partitions, partitions_for(2 * n_pairs))
+        cand_docs = docs_ds.select_columns(["doc_id", "text"]).join(
+            ids_ds, join_type="inner", num_partitions=jp, on=("doc_id",))
+
+        def shingle_all(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            sh = [_token_hashes(t).tobytes() for t in texts]
+            return pa.table({"doc_id": pa.array(d),
+                             "sh": pa.array(sh, pa.binary())})
+
+        shingles = cand_docs.map_batches(shingle_all,
+                                         batch_format="pyarrow")
+    else:
+        cand: set = set()
+        for b in pairs.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+            cand.update(b["doc_a"].to_pylist())
+            cand.update(b["doc_b"].to_pylist())
+        ids_ref = ray.put(np.fromiter(cand, dtype=np.int64,
+                                      count=len(cand)))
+
+        # Stateless TASK fn (per-worker memoized candidate-id array): an
+        # actor pool here pins a CPU next to the hash-join aggregator
+        # actors, which deadlocks narrow sessions (2 CPUs: pool + join
+        # actor starve the read task).  Emits (doc_id, sh: binary) for
+        # candidate docs only; the shingle-hash array travels as raw
+        # int64 bytes because Acero hash joins accept binary payloads
+        # but not list columns.
+        memo_key = ids_ref.hex()
+
+        def cand_shingles(batch: pa.Table) -> pa.Table:
+            # single-slot memo (replace on key mismatch): an unbounded
+            # dict would pin one plasma buffer per jaccard_pairs call
+            # for the life of the worker
+            ids = _CAND_MEMO.get(memo_key)
+            if ids is None:
+                ids = ray.get(ids_ref)
+                _CAND_MEMO.clear()
+                _CAND_MEMO[memo_key] = ids
+            d = batch["doc_id"].to_numpy()
+            keep = np.isin(d, ids)
+            d = d[keep]
+            texts = batch.filter(pa.array(keep))["text"].to_pylist()
+            sh = [_token_hashes(t).tobytes() for t in texts]
+            return pa.table({
+                "doc_id": pa.array(d),
+                "sh": pa.array(sh, pa.binary()),
+            })
+
+        shingles = docs_ds.map_batches(cand_shingles,
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
 
     # ONE hash join only (chaining Ray 2.49 joins trips on empty
     # schema-less partitions): explode each pair into two doc-keyed
@@ -409,23 +462,182 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8):
             "jaccard_milli": np.array(oj, dtype=np.int64)})
 
     return arrow_bridge(
-        _hash_partitioned(j, "doc_a", verify_part),
+        _hash_partitioned(j, "doc_a", verify_part,
+                          rows_hint=2 * n_pairs),
         {"doc_a": pa.int64(), "doc_b": pa.int64(),
          "jaccard_milli": pa.int64()})
 
 
-def dedup_clusters(docs_ds, pairs_ds):
+# ---------------------------------------------------------------------------
+# Connected components over the candidate-pair graph
+# ---------------------------------------------------------------------------
+#
+# Two paths, split on pair volume (the mask_tiles driver/distributed
+# pattern):
+#   * small pair tables -> driver union-find (fast, zero shuffles);
+#   * large -> distributed alternating large-star / small-star edge
+#     contraction (Kiveris et al., "Connected Components in MapReduce
+#     and Beyond", public algorithm): every round is ONE hash-partition
+#     shuffle of the (int64, int64) edge table + a vectorized
+#     per-partition kernel — no joins (Ray 2.49 chained-join traps),
+#     no driver state, O(log n) rounds.  At a web-crawl dup rate the
+#     pair table is O(corpus), where the driver path is an OOM.
+
+CC_DRIVER_PAIR_LIMIT = 200_000
+CC_MAX_ROUNDS = 64
+
+
+def _star_kernel(large: bool):
+    """One vectorized kernel per hash partition: for every node u in the
+    partition (all (u, v) rows co-located), compute
+    m = min(neighbors(u) | {u}) and emit the star edges —
+    large-star: (m, v) for neighbors v > u;
+    small-star: (m, v) for neighbors v < u plus (m, u).
+    Edges are emitted canonical (a=parent < b=child) and deduped within
+    the partition; cross-partition duplicates collapse next round."""
+    import pandas as pd
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy()
+        v = g["v"].to_numpy()
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        keep = np.ones(len(u), dtype=bool)
+        keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        u, v = u[keep], v[keep]
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(u)]]))
+        # v ascending within each run -> v[starts] is the min neighbor;
+        # min(N<=(u) | {u}) == min(N(u) | {u}) (see small-star note)
+        m = np.minimum(v[starts], u[starts])
+        mrep = np.repeat(m, sizes)
+        if large:
+            sel = v > u
+            child, par = v[sel], mrep[sel]
+        else:
+            sel = v < u
+            child = np.concatenate([v[sel], u[starts]])
+            par = np.concatenate([mrep[sel], m])
+        ok = child != par
+        return pd.DataFrame({"a": par[ok], "b": child[ok]})
+
+    return kernel
+
+
+def _cc_round(edges, large: bool, n_edges: int):
+    """One star-contraction round: explode to both directions,
+    hash-partition on u, run the star kernel, re-type, materialize
+    (each round is consumed by the next plus the convergence check)."""
+    from .relational import _hash_partitioned
+    from .shuffle import arrow_bridge
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        return pa.table({"u": pa.array(np.concatenate([a, b])),
+                         "v": pa.array(np.concatenate([b, a]))})
+
+    bd = edges.map_batches(bidir, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = arrow_bridge(
+        _hash_partitioned(bd, "u", _star_kernel(large),
+                          rows_hint=max(1, 2 * n_edges)),
+        {"a": pa.int64(), "b": pa.int64()})
+    return out.materialize()
+
+
+def _edges_fingerprint(edges) -> tuple[int, int]:
+    """(row count, order-independent checksum) of an edge table —
+    the convergence probe (two consecutive unchanged rounds = the
+    alternation hit its star-forest fixpoint).  Only two scalars reach
+    the driver."""
+    def cs_part(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy() % MERSENNE
+        b = batch["b"].to_numpy() % MERSENNE
+        s = int(((a * SH_C1 + b * SH_C2) % MERSENNE).sum() % MERSENNE)
+        return pa.table({"cs": pa.array([s], pa.int64())})
+
+    n = edges.count()
+    if n == 0:
+        return (0, 0)
+    cs = edges.map_batches(cs_part, batch_format="pyarrow").sum("cs")
+    return (n, int(cs) % MERSENNE)
+
+
+def distributed_components(pairs, n_pairs: int,
+                           max_rounds: int = CC_MAX_ROUNDS):
+    """Labels (doc_id, cluster=component min) for every node of the pair
+    graph, computed by alternating large/small-star contraction.
+    ``pairs`` must be materialized with doc_a < doc_b rows."""
+    def canon(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch["doc_a"], "b": batch["doc_b"]})
+
+    edges = pairs.map_batches(canon, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    n_edges = n_pairs
+    fp = _edges_fingerprint(edges)
+    streak = 0
+    for rnd in range(max_rounds):
+        edges = _cc_round(edges, large=(rnd % 2 == 0), n_edges=n_edges)
+        nfp = _edges_fingerprint(edges)
+        n_edges = nfp[0]
+        streak = streak + 1 if nfp == fp else 0
+        fp = nfp
+        # one unchanged large-star AND one unchanged small-star round
+        # back to back == star-forest fixpoint (a single unchanged round
+        # is NOT sufficient: a path graph has small-star-stable
+        # intermediate states that large-star still contracts)
+        if streak >= 2:
+            break
+    else:
+        raise RuntimeError(
+            f"distributed_components: no fixpoint in {max_rounds} rounds")
+
+    def as_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["b"], "cluster": batch["a"]})
+
+    return edges.map_batches(as_labels, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def dedup_clusters(docs_ds, pairs_ds, *,
+                   driver_pair_limit: int = CC_DRIVER_PAIR_LIMIT,
+                   force_distributed: bool = False,
+                   max_actors: int | None = None):
     """Connected components over the near-dup pair graph -> one cluster
     representative (min doc_id) per document; the "drop duplicates"
     step after candidate generation.
 
-    Scale shape: the PAIR table is bounded by the duplicate rate —
-    orders of magnitude below the corpus (same argument as the Jaccard
-    verify) — so union-find runs driver-side over pair ids only; the
-    resulting cluster map is broadcast and joined to the full corpus
-    inside map_batches (no shuffle of the documents table at all).
-    """
+    Below ``driver_pair_limit`` pairs, union-find runs driver-side over
+    pair ids only and the cluster map is broadcast (zero shuffles of the
+    corpus).  Above it (or with ``force_distributed``), components come
+    from distributed star contraction and the corpus is labeled with one
+    (doc_id, cluster) int-pair shuffle: docs union'd with the label
+    table, then a vectorized Min aggregate per doc_id (the component
+    root is the min id, so min(doc_id-as-label, any root label) is
+    exactly the cluster)."""
     import ray
+
+    from .pools import pool_caps
+
+    pairs = pairs_ds.materialize()
+    n_pairs = pairs.count()
+
+    if (force_distributed or n_pairs > driver_pair_limit) and n_pairs > 0:
+        from ray.data.aggregate import Min
+
+        labels = distributed_components(pairs, n_pairs)
+
+        def self_label(batch: pa.Table) -> pa.Table:
+            d = batch["doc_id"]
+            return pa.table({"doc_id": d, "cluster": d})
+
+        allmap = docs_ds.select_columns(["doc_id"]).map_batches(
+            self_label, batch_format="pyarrow", zero_copy_batch=True)
+        return allmap.union(labels).groupby("doc_id").aggregate(
+            Min("cluster", alias_name="cluster"))
 
     parent: dict[int, int] = {}
 
@@ -437,8 +649,8 @@ def dedup_clusters(docs_ds, pairs_ds):
             parent[x], x = r, parent[x]
         return r
 
-    for b in pairs_ds.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_size=65536,
+                                batch_format="pyarrow"):
         for a, bb in zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist()):
             ra, rb = find(a), find(bb)
             if ra != rb:  # union by min id keeps the rep deterministic
@@ -461,7 +673,8 @@ def dedup_clusters(docs_ds, pairs_ds):
                              "cluster": pa.array(out)})
 
     return docs_ds.map_batches(AttachCluster, batch_format="pyarrow",
-                               zero_copy_batch=True, concurrency=(1, 4))
+                               zero_copy_batch=True,
+                               concurrency=pool_caps(max_actors))
 
 
 class RepetitionRatio:
@@ -521,6 +734,9 @@ class SimHasher:
         return pa.table(tbl)
 
 
-def simhash_table(ds):
+def simhash_table(ds, max_actors: int | None = None):
+    from .pools import pool_caps
+
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 4))
+                          zero_copy_batch=True,
+                          concurrency=pool_caps(max_actors))

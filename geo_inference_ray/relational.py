@@ -218,16 +218,51 @@ def top_orders_per_customer(sf_dir: str, k: int = 3):
         g["rnk"] = rnk.astype(np.int64)
         return g.loc[rnk <= k, ["o_custkey", "o_orderkey", "cents", "rnk"]]
 
-    return _hash_partitioned(keyed, "o_custkey", topk_part)
+    return _hash_partitioned(
+        keyed, "o_custkey", topk_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/orders.parquet"))
 
 
-def _hash_partitioned(ds, key: str, kernel, num_partitions: int = 64):
+HP_TARGET_ROWS = 250_000   # per-partition kernel-input row bound
+HP_MIN_PARTITIONS = 8
+HP_MAX_PARTITIONS = 1 << 20
+
+
+def partitions_for(rows: int, target_rows: int = HP_TARGET_ROWS) -> int:
+    """Partition count that bounds each kernel's input to ~target_rows:
+    ceil(rows / target) clamped to [HP_MIN, HP_MAX].  Keeps the
+    single-task pandas kernel memory-bounded at ANY input size (a fixed
+    count means partition size = input/64 — a multi-terabyte DataFrame
+    per task at 100 TB)."""
+    return int(min(HP_MAX_PARTITIONS,
+                   max(HP_MIN_PARTITIONS, -(-int(rows) // target_rows))))
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata only (no data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(path).num_rows
+
+
+def _hash_partitioned(ds, key: str, kernel, num_partitions: int | None = None,
+                      *, rows_hint: int | None = None):
     """Hash-partition rows on an int key column, then run ONE vectorized
     kernel per partition that handles ALL its groups (the knn._group_knn
     pattern).  Replaces per-group ``map_groups`` for high-cardinality
     keys, where one pandas call per tiny group dominates the runtime.
-    ``num_partitions`` bounds kernel-input size; scale with the cluster."""
+
+    Partition count (bounds kernel-input size): explicit
+    ``num_partitions`` wins; else it is derived from ``rows_hint``
+    (an upper-bound row estimate — parquet footer metadata, a pre-pass
+    count, or a combinatorial bound) via ``partitions_for``; else a
+    64-partition legacy default.  Every hot-path caller passes one of
+    the first two so partitioning scales with the data."""
     import pyarrow as _pa
+
+    if num_partitions is None:
+        num_partitions = (partitions_for(rows_hint)
+                          if rows_hint is not None else 64)
 
     def add_pkey(batch: _pa.Table) -> _pa.Table:
         kk = batch[key].to_numpy()
@@ -396,7 +431,9 @@ def stratified_sample(sf_dir: str, k: int = 5):
     base = ds.map_batches(keyed, batch_format="pyarrow",
                           zero_copy_batch=True)
     return arrow_bridge(
-        _hash_partitioned(base, "skey", rank_part),
+        _hash_partitioned(
+            base, "skey", rank_part,
+            rows_hint=_parquet_rows(f"{sf_dir}/documents.parquet")),
         {"source": pa.string(), "doc_id": pa.int64(),
          "rnk": pa.int64()})
 
@@ -493,4 +530,6 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
             n_events=("ts", "size"), start_ts=("ts", "min"),
             end_ts=("ts", "max"))
 
-    return _hash_partitioned(ev, "user_id", sessions_part)
+    return _hash_partitioned(
+        ev, "user_id", sessions_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))

@@ -312,3 +312,152 @@ def test_short_doc_oracle_parity(tmp_path):
         "WITH RECURSIVE " + entry._minhash_sql_chain().lstrip()
         + entry._simhash_sql()).fetchall()
     assert {r[0]: r[1] for r in sim_rows} == eng_sim
+
+
+# ---------------------------------------------------------------------------
+# Round 3: distributed connected components, size-aware partitioning,
+# jaccard candidate-set guard, pool sizing, spill cleanup
+# ---------------------------------------------------------------------------
+
+def _synthetic_pair_graph(n_nodes=40_000, n_random=110_000, path_len=4_000,
+                          seed=11):
+    """Random edges (dense blobs) + one long path (diameter stress):
+    >=1e5 pairs, known-awkward for naive min-propagation."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_random)
+    b = rng.integers(0, n_nodes, n_random)
+    m = a != b
+    lo = np.minimum(a[m], b[m]).astype(np.int64)
+    hi = np.maximum(a[m], b[m]).astype(np.int64)
+    p = np.arange(n_nodes - path_len, n_nodes, dtype=np.int64)
+    lo = np.concatenate([lo, p[:-1]])
+    hi = np.concatenate([hi, p[1:]])
+    pairs = rd.from_arrow(pa.table({"doc_a": pa.array(lo),
+                                    "doc_b": pa.array(hi)}))
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(n_nodes, dtype=np.int64))}))
+    return docs, pairs, len(lo)
+
+
+def test_distributed_components_matches_driver(ray_session):
+    """The VERDICT r2 done-criterion: the distributed star-contraction
+    path produces IDENTICAL clusters to the driver union-find on a
+    >=1e5-pair synthetic graph (random blobs + a long path)."""
+    from geo_inference_ray.dedup import dedup_clusters
+
+    docs, pairs, n_pairs = _synthetic_pair_graph()
+    assert n_pairs >= 100_000
+    drv = dedup_clusters(docs, pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup_clusters(docs, pairs, force_distributed=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (drv["doc_id"].to_numpy() == dist["doc_id"].to_numpy()).all()
+    assert (drv["cluster"].to_numpy() == dist["cluster"].to_numpy()).all()
+    assert dist["cluster"].dtype == np.int64
+
+
+def test_star_kernels_on_path_and_clique():
+    """Kernel-level: large-star then small-star on a path contracts
+    toward the min; both are identity on a star."""
+    from geo_inference_ray.dedup import _star_kernel
+
+    def run(kern, edges):
+        bidir = pd.DataFrame({
+            "u": [e[0] for e in edges] + [e[1] for e in edges],
+            "v": [e[1] for e in edges] + [e[0] for e in edges]})
+        out = kern(bidir)
+        return set(zip(out["a"].tolist(), out["b"].tolist()))
+
+    star = [(1, 2), (1, 3), (1, 4)]
+    assert run(_star_kernel(True), star) == set(star)
+    assert run(_star_kernel(False), star) == set(star)
+    path = [(1, 2), (2, 3), (3, 4)]
+    l1 = run(_star_kernel(True), path)
+    assert l1 == {(1, 2), (1, 3), (2, 4)}
+    l2 = run(_star_kernel(False), list(l1))
+    l3 = run(_star_kernel(True), list(l2))
+    assert l3 == {(1, 2), (1, 3), (1, 4)}
+
+
+def test_partitions_scale_with_rows():
+    """_hash_partitioned partition count grows with the row hint and is
+    bounded per partition (VERDICT r2 item 2)."""
+    from geo_inference_ray.relational import (HP_MIN_PARTITIONS,
+                                              HP_TARGET_ROWS,
+                                              partitions_for)
+
+    assert partitions_for(0) == HP_MIN_PARTITIONS
+    assert partitions_for(HP_TARGET_ROWS * 100) == 100
+    assert partitions_for(HP_TARGET_ROWS * 100 + 1) == 101
+    # monotone growth, bounded per-partition rows
+    prev = 0
+    for rows in (10**4, 10**6, 10**8, 10**10):
+        np_ = partitions_for(rows)
+        assert np_ >= prev
+        assert rows / np_ <= HP_TARGET_ROWS or np_ == HP_MIN_PARTITIONS \
+            or rows / np_ <= HP_TARGET_ROWS + 1
+        prev = np_
+
+
+def test_jaccard_guard_join_path_matches_broadcast(ray_session):
+    """Forcing the distributed id-filter path (cand_driver_limit=0)
+    yields the same verified pairs as the broadcast path."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import jaccard_pairs
+
+    texts = ["alpha beta gamma delta epsilon zeta", 
+             "alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta",
+             "completely different words in here now"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts)}))
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 0, 2], pa.int64()),
+        "doc_b": pa.array([1, 2, 3], pa.int64())}))
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        return df
+
+    bc = norm(jaccard_pairs(pairs, docs))
+    jn = norm(jaccard_pairs(pairs, docs, cand_driver_limit=0))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert bc.loc[0, "jaccard_milli"] == 1000  # identical docs
+
+
+def test_pool_caps_scale_and_floor(ray_session):
+    import ray
+
+    from geo_inference_ray.pools import POOL_RESERVE, pool_caps
+
+    assert pool_caps(3) == (1, 3)
+    lo, hi = pool_caps()
+    assert lo == 1
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert hi == max(2, cpus - POOL_RESERVE)
+
+
+def test_spill_dir_cleanup(tmp_path):
+    """Spill dirs live under a per-pid tree (atexit-removed) and trees
+    from dead pids are swept on first use (ADVICE r2: /tmp leak)."""
+    import os
+
+    from geo_inference_ray import pools
+
+    base = str(tmp_path)
+    # plant a dead-pid tree: pid 1 is init (alive) -> kept;
+    # an absurd pid -> swept
+    root = os.path.join(base, "geo_inference_ray_spill")
+    os.makedirs(os.path.join(root, "pid999999999"))
+    d1 = pools.spill_dir("bands", work_dir=base)
+    assert os.path.isdir(d1)
+    assert not os.path.exists(os.path.join(root, "pid999999999"))
+    d2 = pools.spill_dir("bands", work_dir=base)
+    assert d1 != d2
+    assert os.path.dirname(d1) == os.path.dirname(d2)
+    assert os.path.basename(os.path.dirname(d1)) == f"pid{os.getpid()}"
