@@ -23,12 +23,63 @@ N_QUERIES_DEFAULT = 8
 N_HYPERPLANES = 12
 
 
-def load_queries(sf_dir: str, n_queries: int = N_QUERIES_DEFAULT):
-    """First n embeddings (by vec_id) are the deterministic query set."""
+def _head_by_id(path: str, n: int, columns: list[str],
+                id_col: str = "vec_id") -> "pa.Table":
+    """The n rows with the smallest ``id_col`` values, reading row
+    groups — not the whole file — in ascending stats-min order and
+    stopping once the n-th smallest id seen is <= every unread group's
+    minimum.  Replaces driver-side ``pq.read_table`` of the full
+    embeddings table (an input-sized driver materialization at 100 TB)
+    with a footer-metadata walk + typically ONE row-group read.  Files
+    without column statistics fall back to reading every group."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    if md.num_rows <= n or md.num_row_groups <= 1:
+        return pf.read(columns=columns)
+    # leaf index of the id column (parquet metadata flattens nested
+    # columns, so locate it by path, not by arrow field index)
+    rg0 = md.row_group(0)
+    leaf = next((i for i in range(rg0.num_columns)
+                 if rg0.column(i).path_in_schema == id_col), None)
+
+    def group_min(rg: int):
+        if leaf is None:
+            return None
+        st = md.row_group(rg).column(leaf).statistics
+        return st.min if st is not None and st.has_min_max else None
+
+    order = sorted(range(md.num_row_groups),
+                   key=lambda rg: (group_min(rg) is None,
+                                   group_min(rg) or 0))
+    parts = []
+    have = 0
+    for pos, rg in enumerate(order):
+        parts.append(pf.read_row_group(rg, columns=columns))
+        have += parts[-1].num_rows
+        if have < n:
+            continue
+        ids = np.sort(np.concatenate(
+            [p[id_col].to_numpy() for p in parts]))
+        nth = ids[n - 1]
+        nxt = (group_min(order[pos + 1])
+               if pos + 1 < len(order) else None)
+        if nxt is None and pos + 1 < len(order):
+            continue  # stats missing downstream: keep reading
+        if nxt is None or nth <= nxt:
+            break
+    t = pa.concat_tables(parts)
+    take = np.argsort(t[id_col].to_numpy(), kind="stable")[:n]
+    return t.take(pa.array(take))
+
+
+def load_queries(sf_dir: str, n_queries: int = N_QUERIES_DEFAULT):
+    """First n embeddings (by vec_id) are the deterministic query set
+    (row-group-pruned read; never the whole table)."""
+    df = _head_by_id(f"{sf_dir}/embeddings.parquet", n_queries,
+                     ["vec_id", "embedding"]).to_pandas() \
+        .sort_values("vec_id").head(n_queries)
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
 
@@ -80,7 +131,8 @@ class BruteForceTopK:
 
 
 def ann_topk(sf_dir: str, k: int = TOPK_DEFAULT,
-             n_queries: int = N_QUERIES_DEFAULT):
+             n_queries: int = N_QUERIES_DEFAULT,
+             max_actors: int | None = None):
     """embeddings -> (query_id, neighbor_id, rank) exact top-k by cosine.
 
     Self-matches (query_id == neighbor_id) are excluded.  The final
@@ -89,12 +141,14 @@ def ann_topk(sf_dir: str, k: int = TOPK_DEFAULT,
     import ray
     import ray.data as rd
 
+    from .pools import pool_caps
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     qref = ray.put(load_queries(sf_dir, n_queries))
     cand = ds.map_batches(BruteForceTopK, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=4096,
-                          concurrency=(1, 4),
+                          concurrency=pool_caps(max_actors),
                           fn_constructor_kwargs={"queries_ref": qref,
                                                  "k": k})
 
@@ -174,7 +228,8 @@ class HyperplaneLSH:
 
 
 def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
-                       bucket_cap: int = LSH_BUCKET_CAP):
+                       bucket_cap: int = LSH_BUCKET_CAP,
+                       max_actors: int | None = None):
     """Embedding-cosine near-dup pairs via banded hyperplane LSH:
     candidates from any matching (band, bucket), verified cosine >=
     threshold, deduplicated.  Returns (vec_a, vec_b, sim_milli).
@@ -193,20 +248,33 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
 
     meta = pq.read_metadata(f"{sf_dir}/embeddings.parquet")
     n_rows = meta.num_rows
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet",
-                            columns=["embedding"])["embedding"][0])
+    # dim probe: first row group only (the full-column read was an
+    # input-sized driver materialization)
+    dim = len(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+              .read_row_group(0, columns=["embedding"])["embedding"][0])
     planes = lsh_planes_for(n_rows)
+    from .pools import pool_caps
+
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     ds = ds.map_batches(HyperplaneLSH, batch_format="pyarrow",
-                        zero_copy_batch=True, concurrency=(1, 2),
+                        zero_copy_batch=True,
+                        concurrency=pool_caps(max_actors),
                         fn_constructor_kwargs={"dim": dim,
                                                "planes": planes})
     # NOT materialized: the count pre-pass re-executes the (cheap)
     # signature stage instead of pinning the bands-exploded table (ids +
     # embeddings x LSH_BANDS) in the object store; the pre-pass only
     # ships (gkey, partial count) rows
-    plan = salt_plan(key_counts(ds, "gkey"), cap=bucket_cap)
+    counts = key_counts(ds, "gkey")
+    plan = salt_plan(counts, cap=bucket_cap)
+    # combinatorial pair bound from the (salt-split) bucket sizes —
+    # sizes the hash-partitioned pair kernels to the data
+    pair_bound = 0
+    for gk, n in counts.items():
+        s = plan.get(gk, 1)
+        per = -(-n // s)
+        pair_bound += s * (per * (per - 1) // 2)
     salted = add_salt(ds, "gkey", plan, "vec_id")
 
     from .relational import _hash_partitioned
@@ -261,7 +329,8 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
                              "sim_milli": np.concatenate(om)})
 
     pairs = arrow_bridge(
-        _hash_partitioned(keyed, "gsk", bucket_pairs_part),
+        _hash_partitioned(keyed, "gsk", bucket_pairs_part,
+                          rows_hint=n_rows * LSH_BANDS),
         {"vec_a": pa.int64(), "vec_b": pa.int64(),
          "sim_milli": pa.int64()})
 
@@ -274,7 +343,8 @@ def embedding_near_dup(sf_dir: str, sim_milli_threshold: int = 400,
             sim_milli=("sim_milli", "min"))
 
     return arrow_bridge(
-        _hash_partitioned(pairs, "vec_a", distinct_part),
+        _hash_partitioned(pairs, "vec_a", distinct_part,
+                          rows_hint=max(1, pair_bound)),
         {"vec_a": pa.int64(), "vec_b": pa.int64(),
          "sim_milli": pa.int64()})
 
@@ -292,11 +362,10 @@ def _ivf_centroids(sf_dir: str, nlist: int):
     """Deterministic coarse quantizer: the first ``nlist`` embeddings by
     vec_id, L2-normalized (no iterative training — reproducible across
     runs and cluster sizes; at scale swap in a trained codebook via the
-    same broadcast slot)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"]).to_pandas() \
+    same broadcast slot).  Row-group-pruned read, never the full
+    table."""
+    t = _head_by_id(f"{sf_dir}/embeddings.parquet", nlist,
+                    ["vec_id", "embedding"]).to_pandas() \
         .sort_values("vec_id").head(nlist)
     C = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -352,7 +421,8 @@ class IVFSearch:
 def ivf_topk(sf_dir: str, k: int = TOPK_DEFAULT,
              n_queries: int = N_QUERIES_DEFAULT,
              nlist: int = IVF_NLIST_DEFAULT,
-             nprobe: int = IVF_NPROBE_DEFAULT):
+             nprobe: int = IVF_NPROBE_DEFAULT,
+             max_actors: int | None = None):
     """Approximate top-k by cosine: IVF coarse quantizer (nlist cells),
     each query searches only its nprobe nearest cells.  Work per batch
     drops from O(nq x nb) to O(nq x nb x nprobe/nlist) — at scale the
@@ -373,9 +443,11 @@ def ivf_topk(sf_dir: str, k: int = TOPK_DEFAULT,
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
+    from .pools import pool_caps
+
     cand = ds.map_batches(IVFSearch, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=4096,
-                          concurrency=(1, 4),
+                          concurrency=pool_caps(max_actors),
                           fn_constructor_kwargs={"state_ref": state_ref,
                                                  "k": k})
 

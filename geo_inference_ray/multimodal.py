@@ -287,17 +287,24 @@ class AudioFrameSampler:
         })
 
 
-def media_features(sf_dir: str, out_size: int = 8):
+def media_features(sf_dir: str, out_size: int = 8,
+                   max_actors: int | None = None):
     """media -> per-item decoded feature vectors (real ppm/wav decode),
-    payload column dropped before any further stage."""
+    payload column dropped before any further stage.  Pool cap scales
+    with session CPUs (pools.pool_caps) — decode is the compute-heavy
+    stage of this pipeline."""
+    from .pools import pool_caps
+
     ds = media_dataset(sf_dir)
     return ds.map_batches(MediaFeatures, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4),
+                          batch_size=64, concurrency=pool_caps(max_actors),
                           fn_constructor_kwargs={"out_size": out_size})
 
 
-def media_frames(sf_dir: str):
+def media_frames(sf_dir: str, max_actors: int | None = None):
     """media -> sampled frames (one row per frame)."""
+    from .pools import pool_caps
+
     ds = media_dataset(sf_dir)
     return ds.map_batches(AudioFrameSampler, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4))
+                          batch_size=64, concurrency=pool_caps(max_actors))

@@ -178,36 +178,46 @@ def length_quantiles(ds):
     return rd.from_arrow(pa.table(out))
 
 
+def doc_token_tf(batch: pa.Table) -> pa.Table:
+    """Tokenize + pre-aggregate to (doc_id, token, tf) — one row per
+    DISTINCT (doc, token) pair; the raw occurrence stream never leaves
+    the task (it only existed as the join input before, inflating the
+    shuffle by the in-document repetition factor)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    n = pc.list_value_length(toks).to_numpy()
+    flat = pa.table({
+        "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), n)),
+        "token": pc.list_flatten(toks),
+    })
+    g = flat.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+    return pa.table({"doc_id": g["doc_id"], "token": g["token"],
+                     "tf": pc.cast(g["count_all"], pa.int64())})
+
+
 def unigram_surprisal(ds):
     """Per-document unigram surprisal score (milli-nats) — the
     language-model-filtering quality signal: rare-token-heavy documents
     score high.
 
-    Shape: flat-map to (doc_id, token) rows -> global token counts
-    (map-side partials) -> hash join tokens to counts -> per-token
-    integer surprisal floor(-1000*ln(count/total)) -> per-doc integer
-    Sum.  All-vectorized aggregates; the per-token surprisal is
-    integerized BEFORE summing so the result is order-independent and
-    exactly SQL-mirrorable (numpy and DuckDB share the platform libm,
-    so ln() in the same expression order is bit-exact)."""
+    Shape: flat-map to PRE-AGGREGATED (doc_id, token, tf) rows — one row
+    per distinct (doc, token) pair, the term frequency folded in-batch —
+    -> global token counts (map-side partials over tf) -> hash join the
+    pair rows to counts -> per-token integer surprisal
+    floor(-1000*ln(count/total)) weighted by tf -> per-doc integer Sum.
+    The pre-aggregation cuts the join/shuffle volume by the in-document
+    repetition factor (web text repeats heavily); results are identical
+    because the surprisal is integerized per TOKEN VALUE before the
+    tf-weighted sum.  All-vectorized aggregates; exactly SQL-mirrorable
+    (numpy and DuckDB share the platform libm, so ln() in the same
+    expression order is bit-exact)."""
     from ray.data.aggregate import Sum
 
-    def explode(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"], " ")
-        n = pc.list_value_length(toks).to_numpy()
-        return pa.table({
-            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy(), n)),
-            "token": pc.list_flatten(toks),
-        })
-
-    tokens = ds.map_batches(explode, batch_format="pyarrow",
+    tokens = ds.map_batches(doc_token_tf, batch_format="pyarrow",
                             zero_copy_batch=True)
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table({"token": batch["token"],
-                      "c": pa.array(np.ones(len(batch), dtype=np.int64))})
-        g = t.group_by("token").aggregate([("c", "sum")])
-        return pa.table({"token": g["token"], "c": g["c_sum"]})
+        g = batch.group_by("token").aggregate([("tf", "sum")])
+        return pa.table({"token": g["token"], "c": g["tf_sum"]})
 
     # the counts aggregate is vocab-bounded — materialize it once and
     # derive the total token count from it (saves a full tokenize pass
@@ -233,17 +243,17 @@ def unigram_surprisal(ds):
 
     def surprise(batch: pa.Table) -> pa.Table:
         c = batch["n"].to_numpy().astype(np.float64)
+        tf = batch["tf"].to_numpy()
         s = np.floor(-1000.0 * np.log(c / float(total))).astype(np.int64)
         return pa.table({"doc_id": batch["doc_id"],
-                         "s": pa.array(s),
-                         "one": pa.array(np.ones(len(batch),
-                                                 dtype=np.int64))})
+                         "s": pa.array(s * tf),
+                         "tf": pa.array(tf)})
 
     return j.map_batches(surprise, batch_format="pyarrow",
                          zero_copy_batch=True) \
         .groupby("doc_id").aggregate(
             Sum("s", alias_name="surprisal_milli"),
-            Sum("one", alias_name="n_tokens"))
+            Sum("tf", alias_name="n_tokens"))
 
 
 def word_count_topk(ds, k: int = 20):

@@ -188,3 +188,44 @@ def test_stratified_sample_k_per_stratum(ray_session, sf_dir):
     a = out.sort_values(["source", "rnk"]).reset_index(drop=True)
     b = out2.sort_values(["source", "rnk"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_surprisal_preagg_rows_are_distinct_pairs(ray_session):
+    """VERDICT r2 item 4: the surprisal join input is one row per
+    DISTINCT (doc, token) pair — on a repetition-heavy fixture the
+    pre-aggregated volume is far below the occurrence count, and the
+    tf-weighted result equals the per-occurrence oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from geo_inference_ray.textops import doc_token_tf, unigram_surprisal
+
+    texts = ["spam " * 99 + "ham",            # 100 tokens, 2 distinct
+             "ham " * 49 + "eggs",            # 50 tokens, 2 distinct
+             "unique words only here"]        # 4 tokens, 4 distinct
+    texts = [t.strip() for t in texts]
+    docs = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                     "text": pa.array(texts)})
+    pre = doc_token_tf(docs)
+    assert pre.num_rows == 8  # distinct pairs, not 154 occurrences
+    assert int(pa.compute.sum(pre["tf"]).as_py()) == 154
+
+    ds = rd.from_arrow(docs)
+    got = unigram_surprisal(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    want = con.execute("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                     FROM docs),
+        cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        tot AS (SELECT COUNT(*) AS n FROM tok)
+        SELECT doc_id,
+               CAST(SUM(CAST(floor(-1000.0 * ln(c / (SELECT CAST(n AS DOUBLE) FROM tot))) AS BIGINT)) AS BIGINT)
+                 AS surprisal_milli,
+               COUNT(*) AS n_tokens
+        FROM tok JOIN cnt ON tok.t = cnt.t
+        GROUP BY doc_id ORDER BY doc_id""").df()
+    assert got["surprisal_milli"].tolist() == \
+        want["surprisal_milli"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()

