@@ -514,12 +514,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        # registered mid-dict on purpose: these two were the round-2
+        # additions the driver's CORRECTNESS file missed (50 of 52
+        # checked); keeping late additions out of the tail keeps the
+        # whole registry visible if the driver caps or truncates
+        "union_counts": q_union_counts,
+        "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
         "native_join": q_native_join,
         "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
-        "union_counts": q_union_counts,
-        "events_sliding": q_events_sliding,
     }
 
 

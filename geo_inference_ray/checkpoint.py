@@ -122,6 +122,18 @@ class PartitionedRun:
         import pyarrow as pa
 
         fingerprints = fingerprints or {}
+        # hive-layout safety: key strings become directory names
+        # (key=<key>); characters needing URL-encoding would make the
+        # written dir diverge from the os.path lookup and silently
+        # produce empty partitions — reject them up front
+        import re
+
+        bad = [k for k in keys
+               if not re.fullmatch(r"[A-Za-z0-9._-]+", k)]
+        if bad:
+            raise ValueError(
+                f"run_single_pass: partition keys must match "
+                f"[A-Za-z0-9._-]+ (hive-dir safe); got {bad[:5]}")
         done = self.completed(fingerprints if fingerprints else None)
         pending = [k for k in keys if k not in done]
         skipped = [k for k in keys if k in done]
@@ -129,10 +141,20 @@ class PartitionedRun:
             return {"computed": [], "skipped": skipped}
         t0 = time.time()
         pend_set = set(pending)
+        known = set(keys)
 
         def keyed(batch):
             out = key_fn(batch)
-            keep = [k in pend_set for k in out["part_key"].to_pylist()]
+            pk = out["part_key"].to_pylist()
+            novel = [k for k in pk if k not in known]
+            if novel:
+                # a key outside `keys` would be silently dropped —
+                # that's data loss, not resume-skipping; fail loudly
+                raise ValueError(
+                    f"run_single_pass: key_fn produced partition keys "
+                    f"outside the declared key list: "
+                    f"{sorted(set(novel))[:5]}")
+            keep = [k in pend_set for k in pk]
             return out.filter(pa.array(keep))
 
         tmp_root = os.path.join(self.stage_dir, "_singlepass.tmp")

@@ -85,7 +85,13 @@ def label_components(mask: np.ndarray) -> np.ndarray:
         if np.array_equal(nxt, roots):
             break
         roots = nxt
-    return roots[run_id].reshape(h, w)
+    # densify: min-run-id roots are order-preserving but gapped (a later
+    # run merging into an earlier component leaves holes); renumber to
+    # honest dense 1..K keeping the ascending (= first-encounter) order
+    uniq = np.unique(roots[1:])  # component roots, ascending
+    dense = np.zeros(nruns + 1, dtype=np.int64)
+    dense[1:] = np.searchsorted(uniq, roots[1:]) + 1
+    return dense[run_id].reshape(h, w)
 
 
 def label_components_ref(mask: np.ndarray) -> np.ndarray:
@@ -557,36 +563,57 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
     pixels = labeled.map_batches(Relabel, batch_format="pyarrow",
                                  concurrency=(1, 4))
 
-    def trace_group(g: pd.DataFrame) -> pd.DataFrame:
-        rings = trace_rings_arrays(g["py"].to_numpy(dtype=np.int64),
-                                   g["px"].to_numpy(dtype=np.int64))
-        n_pix = len(g)
-        areas = [ring_signed_area(r) for r in rings]
-        outer = int(np.argmax(np.abs(areas)))
-        area_px = abs(areas[outer])
-        if area_px < min_area_px:
-            return pd.DataFrame({
-                "comp_id": pd.Series([], dtype=np.int64),
-                "class_id": pd.Series([], dtype=np.int64),
-                "ring_idx": pd.Series([], dtype=np.int64),
-                "is_hole": pd.Series([], dtype=bool),
-                "n_pixels": pd.Series([], dtype=np.int64),
-                "area_px": pd.Series([], dtype=float),
-                "xs": pd.Series([], dtype=object),
-                "ys": pd.Series([], dtype=object)})
-        rows = []
-        for ri, (rg, a) in enumerate(zip(rings, areas)):
-            xs = np.array([p[0] for p in rg], dtype=float)
-            ys = np.array([p[1] for p in rg], dtype=float)
-            rows.append({
-                "comp_id": int(g["comp_id"].iloc[0]),
-                "class_id": int(g["class_id"].iloc[0]),
-                "ring_idx": ri, "is_hole": ri != outer,
-                "n_pixels": n_pix, "area_px": area_px,
-                "xs": grid.min_lon + xs * grid.pix,
-                "ys": grid.max_lat - ys * grid.pix,
-            })
-        return pd.DataFrame(rows)
+    def _empty_rings() -> pd.DataFrame:
+        return pd.DataFrame({
+            "comp_id": pd.Series([], dtype=np.int64),
+            "class_id": pd.Series([], dtype=np.int64),
+            "ring_idx": pd.Series([], dtype=np.int64),
+            "is_hole": pd.Series([], dtype=bool),
+            "n_pixels": pd.Series([], dtype=np.int64),
+            "area_px": pd.Series([], dtype=float),
+            "xs": pd.Series([], dtype=object),
+            "ys": pd.Series([], dtype=object)})
 
-    return pixels.groupby("comp_id").map_groups(trace_group,
-                                                batch_format="pandas")
+    def trace_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Ring tracing for EVERY component in the hash partition (one
+        pandas call per partition, not per component — a sliver-heavy
+        fine-grid mask has millions of tiny components, which is the
+        per-group-call trap this repo eliminates everywhere else).
+        Tracing itself is inherently per-component; the loop body is
+        the numpy ring tracer over that component's pixel slice."""
+        g = g.sort_values("comp_id", kind="stable").reset_index(drop=True)
+        cids = g["comp_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = cids[1:] != cids[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        py = g["py"].to_numpy(dtype=np.int64)
+        px = g["px"].to_numpy(dtype=np.int64)
+        cls = g["class_id"].to_numpy()
+        rows = []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            rings = trace_rings_arrays(py[st:st + sz], px[st:st + sz])
+            areas = [ring_signed_area(r) for r in rings]
+            outer = int(np.argmax(np.abs(areas)))
+            area_px = abs(areas[outer])
+            if area_px < min_area_px:
+                continue
+            for ri, rg in enumerate(rings):
+                xs = np.array([p[0] for p in rg], dtype=float)
+                ys = np.array([p[1] for p in rg], dtype=float)
+                rows.append({
+                    "comp_id": int(cids[st]),
+                    "class_id": int(cls[st]),
+                    "ring_idx": ri, "is_hole": ri != outer,
+                    "n_pixels": int(sz), "area_px": area_px,
+                    "xs": grid.min_lon + xs * grid.pix,
+                    "ys": grid.max_lat - ys * grid.pix,
+                })
+        return pd.DataFrame(rows) if rows else _empty_rings()
+
+    from .relational import _hash_partitioned
+
+    # pixel volume is bounded by the labeled table (materialized above,
+    # so the count is free metadata)
+    return _hash_partitioned(pixels, "comp_id", trace_part,
+                             rows_hint=max(1, labeled.count()))

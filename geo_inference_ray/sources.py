@@ -153,28 +153,45 @@ def fetch_artifact(url: str, work_dir: str) -> str:
     src = url[7:] if url.startswith("file://") else url
     if not os.path.exists(src):
         raise FileNotFoundError(f"artifact not found: {url}")
+    import tempfile
+
     key = hashlib.md5(url.encode()).hexdigest()[:12]
     base = os.path.basename(src)
     dest = os.path.join(work_dir, "artifacts", f"{base}.{key}")
     marker = os.path.join(dest, ".complete")
     if os.path.exists(marker):
         return dest
-    tmp = dest + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    if base.endswith((".tar.gz", ".tgz")):
-        with tarfile.open(src, "r:gz") as tf:
-            tf.extractall(tmp, filter="data")
-    else:
-        shutil.copy2(src, os.path.join(tmp, base))
+    # staging dir is UNIQUE PER CALL (mkdtemp), not a shared dest+'.tmp':
+    # actors of one pool init concurrently on a node, and a shared tmp
+    # path lets one worker rmtree a sibling's in-progress extraction
+    # mid-__init__.  The final os.replace is atomic; losers of the race
+    # just swap in an identical tree.
     os.makedirs(os.path.dirname(dest), exist_ok=True)
-    if os.path.exists(dest):
-        shutil.rmtree(dest)
-    os.replace(tmp, dest)
-    with open(marker, "w") as f:
-        f.write("ok")
-    return dest
+    tmp = tempfile.mkdtemp(prefix=f".{base}.{key}.stage.",
+                           dir=os.path.dirname(dest))
+    try:
+        if base.endswith((".tar.gz", ".tgz")):
+            with tarfile.open(src, "r:gz") as tf:
+                tf.extractall(tmp, filter="data")
+        else:
+            shutil.copy2(src, os.path.join(tmp, base))
+        with open(os.path.join(tmp, ".complete"), "w") as f:
+            f.write("ok")
+        if os.path.exists(marker):  # a sibling finished first — done
+            return dest
+        try:
+            os.replace(tmp, dest)
+            return dest
+        except OSError:
+            # non-empty dest: a concurrent winner (keep theirs) or a
+            # stale marker-less partial (clear it, retry once)
+            if os.path.exists(marker):
+                return dest
+            shutil.rmtree(dest, ignore_errors=True)
+            os.replace(tmp, dest)
+            return dest
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 class ArtifactScorer:

@@ -95,6 +95,27 @@ class DensityScorer:
         return e / e.sum(axis=0, keepdims=True)
 
 
+class ResourceProbeScorer(DensityScorer):
+    """Placement diagnostic (ST3): a DensityScorer that asserts, from
+    INSIDE the scoring task, that the custom Ray resource named by
+    ``expected_resource`` was assigned to the task — i.e. that a
+    ``scorer_resources={"resources": {...}}`` request actually reached
+    the scheduler.  Lives in the library (not tests) so Ray workers can
+    unpickle it."""
+
+    expected_resource = "tile_scorer"
+
+    def __call__(self, patch_counts: np.ndarray) -> np.ndarray:
+        import ray
+
+        assigned = ray.get_runtime_context().get_assigned_resources()
+        if assigned.get(self.expected_resource, 0) <= 0:
+            raise AssertionError(
+                f"scorer task not placed on {self.expected_resource!r}: "
+                f"{assigned}")
+        return super().__call__(patch_counts)
+
+
 class TTAScorer:
     """Test-time-augmentation wrapper: score flipped/rotated variants of
     the patch, invert each augmentation on the output, mean-merge —

@@ -6,8 +6,11 @@ def ray_session():
     import ray
     from ray.data import DataContext
 
+    # the custom "tile_scorer" resource backs the ST3 placement test
+    # (scorer_resources pass-through asserted via assigned resources)
     ray.init(address="local", num_cpus=4, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             resources={"tile_scorer": 2})
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False

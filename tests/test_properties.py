@@ -106,3 +106,47 @@ def test_shoelace_nonnegative(pts):
     xs = np.array([p[0] for p in pts], dtype=float)
     ys = np.array([p[1] for p in pts], dtype=float)
     assert shoelace_area(xs, ys) >= 0.0
+
+
+def test_numpy_duckdb_transcendental_contract():
+    """Environment probe (ADVICE r2): the exact oracles rest on two
+    cross-library float assumptions.  Measured on this box (2026-08):
+
+    - cos/sin ARE bit-identical numpy vs DuckDB (both call the platform
+      libm) — the s2_cells oracle needs exactly this, so assert 0 ULP.
+    - ln is NOT: numpy's SIMD log kernel differs from DuckDB's std::log
+      by <=1 ULP on ~23% of inputs.  The surprisal oracle survives
+      because it only compares floor(-1000*ln(p)) integers, where a
+      1-ULP flip matters only if -1000*ln(p) straddles an integer
+      (~2^-42 per value).  Assert the <=1-ULP bound AND the quantized
+      expression over a dense realistic (count, total) sweep, so a
+      toolchain bump that widens either surfaces HERE as an environment
+      failure, not as a mysterious oracle mismatch."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    x = np.concatenate([
+        np.linspace(1e-9, 1.0, 257),
+        np.linspace(1.0, 1e6, 257),
+        np.linspace(-50.0, 50.0, 513),  # for cos/sin
+    ])
+    con = duckdb.connect()
+    con.register("v", pa.table({"x": pa.array(x, pa.float64())}))
+    got = con.execute(
+        "SELECT ln(abs(x) + 1e-12) AS l, cos(x) AS c, sin(x) AS s "
+        "FROM v").fetchnumpy()
+    np.testing.assert_array_equal(got["c"], np.cos(x))
+    np.testing.assert_array_equal(got["s"], np.sin(x))
+    ulp = np.abs(got["l"].view(np.int64)
+                 - np.log(np.abs(x) + 1e-12).view(np.int64))
+    assert int(ulp.max()) <= 1, f"ln diverged by {int(ulp.max())} ULP"
+
+    cnt = np.arange(1, 20001, dtype=np.float64)
+    total = 123457.0
+    con.register("v2", pa.table({"c": pa.array(cnt)}))
+    q = con.execute(
+        f"SELECT CAST(floor(-1000.0 * ln(c / {total!r})) AS BIGINT) AS s "
+        f"FROM v2").fetchnumpy()["s"]
+    mine = np.floor(-1000.0 * np.log(cnt / total)).astype(np.int64)
+    np.testing.assert_array_equal(q, mine)
