@@ -427,6 +427,18 @@ def q_sessionize(sf_dir: str):
     return _rel.sessionize(sf_dir)
 
 
+def q_asof_prior_anchor(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.asof_prior_anchor(sf_dir)
+
+
+def q_anchor_window_follow(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.anchor_window_follow(sf_dir)
+
+
 def q_native_join(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -521,6 +533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_counts": q_union_counts,
         "events_sliding": q_events_sliding,
         "sessionize": q_sessionize,
+        "asof_prior_anchor": q_asof_prior_anchor,
+        "anchor_window_follow": q_anchor_window_follow,
         "native_join": q_native_join,
         "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
@@ -991,6 +1005,33 @@ s AS (
 SELECT user_id, session_idx, COUNT(*) AS n_events,
        MIN(ts) AS start_ts, MAX(ts) AS end_ts
 FROM s GROUP BY user_id, session_idx""",
+        # backward as-of join: latest strictly-prior purchase per user;
+        # tie rule = max event_id among equal anchor timestamps (the
+        # engine's merge_asof takes the last row of the (ts, event_id)-
+        # sorted right frame)
+        "asof_prior_anchor": """
+WITH j AS (
+  SELECT e.event_id, e.user_id, e.ts, e.event_type,
+         p.event_id AS anchor_event_id, p.ts AS anchor_ts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM events e LEFT JOIN events p
+    ON p.user_id = e.user_id AND p.event_type = 'purchase'
+       AND p.ts < e.ts)
+SELECT event_id, user_id, ts, event_type, anchor_event_id, anchor_ts
+FROM j WHERE rn = 1""",
+        # interval join via cumulative-frame differencing: events of the
+        # same user in (ts, ts + 60 min] per signup anchor
+        "anchor_window_follow": """
+SELECT a.event_id, a.user_id, a.ts,
+       COUNT(f.event_id) AS n_follow,
+       CAST(COALESCE(SUM(CAST(round(f.value * 1000) AS BIGINT)), 0)
+            AS BIGINT) AS vm_follow
+FROM events a LEFT JOIN events f
+  ON f.user_id = a.user_id AND f.ts > a.ts
+     AND f.ts <= a.ts + INTERVAL 60 MINUTE
+WHERE a.event_type = 'signup'
+GROUP BY a.event_id, a.user_id, a.ts""",
         # The media table is synthesized deterministically from doc_id, so
         # the (id, kind) projection and the frame layout (payload sizes ->
         # frame counts) are pure integer SQL; feature VALUES stay pinned by

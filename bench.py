@@ -202,6 +202,47 @@ def run_bench() -> dict:
         counters["dedup_pairs"] = timed("minhash_dedup", run_dedup)
         counters["dedup_docs"] = n_docs * EXPAND_DEDUP
 
+    # Q8: many-component polygonize (VERDICT r2 item 7 done-criterion).
+    # Synthetic dot-pattern mask: every even (y, x) pixel is a 1-pixel
+    # component -> 16 isolated components per 8x8 tile, 128x128 tiles =
+    # 262144 components.  This is the sliver-heavy fine-grid shape that
+    # made the old one-pandas-call-per-component map_groups tracer
+    # pathological; the hash-partitioned tracer does one call per
+    # partition.
+    if os.environ.get("GRAFT_BENCH_POLY", "1") != "0":
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from geo_inference_ray.polygonize import polygons_distributed
+        from geo_inference_ray.tiling import GridConfig
+
+        pgrid = GridConfig(width=1024, height=1024)
+        s = pgrid.stride
+        tiles_x = pgrid.width // s
+
+        def dot_tiles(batch):
+            idx = batch["id"].to_numpy()
+            m = np.zeros((s, s), dtype=np.uint8)
+            m[::2, ::2] = 1
+            flat = m.reshape(-1)
+            return pa.table({
+                "oy": pa.array(idx // tiles_x),
+                "ox": pa.array(idx % tiles_x),
+                "mask": pa.array([flat] * len(idx),
+                                 pa.list_(pa.uint8())),
+            })
+
+        n_tiles_poly = (pgrid.width // s) * (pgrid.height // s)
+
+        def run_poly():
+            tiles = rd.range(n_tiles_poly, override_num_blocks=64) \
+                      .map_batches(dot_tiles, batch_format="pyarrow")
+            return polygons_distributed(tiles, pgrid).count()
+
+        counters["poly_rings"] = timed("polygonize_multi", run_poly)
+        counters["poly_components"] = n_tiles_poly * (s // 2) ** 2
+
     headline = round(queries["spatial_join"] + queries["tile_merge"], 3)
     result = {
         "metric": "joined rows/sec + tiles/sec, Common-Crawl-style "
@@ -231,7 +272,7 @@ def run_scaling() -> dict:
     worst-case same-box number."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_DEDUP="0")
+                   GRAFT_BENCH_DEDUP="0", GRAFT_BENCH_POLY="0")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -468,10 +468,19 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
 
     stride = grid.stride
 
+    # node encoding: (tkey, llab) -> tkey * mult + llab.  llab is dense
+    # 1..K per tile with K <= stride^2, so mult = stride^2 + 1 keeps the
+    # int64 node order identical to (tkey, llab) tuple order — comp ids
+    # match the previous tuple-keyed implementation bit for bit.
+    mult = stride * stride + 1
+
     def tile_stage(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         prows, brows = _tile_components(df, stride)
-        # pack both row kinds into one table; kind=0 pixel, 1 border
+        # pack three row kinds into one table:
+        # kind=0 pixel, 1 border, 2 component registry (one row per
+        # distinct (tkey, llab) — lets the driver learn the component
+        # universe without ever pulling pixel rows)
         p = pa.table({
             "kind": pa.array(np.zeros(len(prows), dtype=np.int8)),
             "tkey": pa.array(prows["tkey"].to_numpy(dtype=np.int64)),
@@ -489,71 +498,79 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
                            + brows["side"].to_numpy(dtype=np.int64))),
             "b": pa.array(brows["offset"].to_numpy(dtype=np.int64)),
         })
-        return pa.concat_tables([p, q])
+        reg = prows[["tkey", "llab"]].drop_duplicates()
+        z = np.zeros(len(reg), dtype=np.int64)
+        r = pa.table({
+            "kind": pa.array(np.full(len(reg), 2, dtype=np.int8)),
+            "tkey": pa.array(reg["tkey"].to_numpy(dtype=np.int64)),
+            "llab": pa.array(reg["llab"].to_numpy(dtype=np.int64)),
+            "class_id": pa.array(z), "a": pa.array(z), "b": pa.array(z),
+        })
+        return pa.concat_tables([p, q, r])
 
     labeled = tiles_ds.map_batches(tile_stage, batch_format="pyarrow") \
                       .materialize()
 
-    # driver: bounded border set -> union-find
-    bdf_parts = []
-    for bt in labeled.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        m = bt.filter(pa.array(np.asarray(bt["kind"]) == 1))
-        if len(m):
-            bdf_parts.append(m.to_pandas())
-    parent: dict = {}
+    # driver combine, all vectorized (the grid-bounded small side:
+    # border + registry rows only — pixel payload is dropped remotely
+    # and never crosses to the driver)
+    def drop_pixels(bt: pa.Table) -> pa.Table:
+        return bt.filter(pa.array(np.asarray(bt["kind"]) != 0))
 
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    sm = labeled.map_batches(drop_pixels,
+                             batch_format="pyarrow").to_pandas()
+    reg = sm[sm["kind"] == 2]
+    nodes = np.unique(reg["tkey"].to_numpy() * mult
+                      + reg["llab"].to_numpy())
+    parent = np.arange(len(nodes), dtype=np.int64)
 
-    def union(x, y):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)
-
-    if bdf_parts:
-        bdf = pd.concat(bdf_parts, ignore_index=True)
+    bdf = sm[sm["kind"] == 1].copy()
+    if len(bdf):
         bdf["edge_key"] = bdf["a"] // 4
         bdf["side"] = bdf["a"] % 4
         bdf["offset"] = bdf["b"]
-        for key in set(zip(bdf["tkey"], bdf["llab"])):
-            find(key)
-        for _, g in bdf.groupby("edge_key"):
-            x = g[g["side"].isin([0, 2])]
-            y = g[g["side"].isin([1, 3])]
-            m = x.merge(y, on="offset", suffixes=("_a", "_b"))
-            m = m[m["class_id_a"] == m["class_id_b"]]
-            for r in m.itertuples():
-                union((r.tkey_a, r.llab_a), (r.tkey_b, r.llab_b))
-    # also register components with no border presence
-    for bt in labeled.iter_batches(batch_size=65536,
-                                   batch_format="pyarrow"):
-        m = bt.filter(pa.array(np.asarray(bt["kind"]) == 0))
-        for t, l in set(zip(np.asarray(m["tkey"]).tolist(),
-                            np.asarray(m["llab"]).tolist())):
-            find((t, l))
-    roots = {k: find(k) for k in list(parent)}
-    uniq = sorted(set(roots.values()))
-    gid = {r: i for i, r in enumerate(uniq)}
-    gmap = {k: gid[v] for k, v in roots.items()}
-    gmap_ref = ray.put(gmap)
+        # ONE vectorized self-merge replaces the per-edge_key groupby
+        # loop (the former driver hot spot on many-component masks)
+        x = bdf[bdf["side"].isin([0, 2])]
+        y = bdf[bdf["side"].isin([1, 3])]
+        m = x.merge(y, on=["edge_key", "offset"], suffixes=("_a", "_b"))
+        m = m[m["class_id_a"] == m["class_id_b"]]
+        if len(m):
+            ia = np.searchsorted(nodes, m["tkey_a"].to_numpy() * mult
+                                 + m["llab_a"].to_numpy())
+            ib = np.searchsorted(nodes, m["tkey_b"].to_numpy() * mult
+                                 + m["llab_b"].to_numpy())
+            # min-label propagation to fixpoint (<= log(diameter)
+            # rounds; edge pairs are grid-perimeter-bounded)
+            while True:
+                ra, rb = parent[ia], parent[ib]
+                lo = np.minimum(ra, rb)
+                np.minimum.at(parent, ia, lo)
+                np.minimum.at(parent, ib, lo)
+                nxt = parent[parent]
+                while not np.array_equal(nxt, parent):
+                    parent = nxt
+                    nxt = parent[parent]
+                if np.array_equal(parent[ia], parent[ib]):
+                    break
+    # dense global ids in ascending root order == ascending (tkey, llab)
+    # order of each component's minimal member (unchanged semantics)
+    uroot = np.unique(parent)
+    gid = np.searchsorted(uroot, parent)
+    nodes_ref = ray.put(nodes)
+    gid_ref = ray.put(gid)
 
     class Relabel:
         def __init__(self):
-            self.gmap = ray.get(gmap_ref)
+            self.nodes = ray.get(nodes_ref)
+            self.gid = ray.get(gid_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keep = np.asarray(batch["kind"]) == 0
             m = batch.filter(pa.array(keep))
-            comp = np.fromiter(
-                (self.gmap[(t, l)]
-                 for t, l in zip(np.asarray(m["tkey"]).tolist(),
-                                 np.asarray(m["llab"]).tolist())),
-                dtype=np.int64, count=len(m))
+            node = (np.asarray(m["tkey"], dtype=np.int64) * mult
+                    + np.asarray(m["llab"], dtype=np.int64))
+            comp = self.gid[np.searchsorted(self.nodes, node)]
             return pa.table({
                 "comp_id": pa.array(comp),
                 "class_id": m["class_id"],
@@ -590,6 +607,33 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
         py = g["py"].to_numpy(dtype=np.int64)
         px = g["px"].to_numpy(dtype=np.int64)
         cls = g["class_id"].to_numpy()
+        # vectorized fast path: a 1-pixel component's only ring is the
+        # unit square [(x,y),(x+1,y),(x+1,y+1),(x,y+1)], area 1 — no
+        # tracer call.  Sliver-heavy masks are mostly this case (the
+        # 262k-component bench spends ~240 us per tracer call, ~62 s
+        # single-threaded, vs ~0.1 s here).
+        single = sizes == 1
+        parts = []
+        if bool(single.any()) and min_area_px <= 1.0:
+            si = starts[single]
+            fx = px[si].astype(float)
+            fy = py[si].astype(float)
+            xs4 = grid.min_lon + np.stack(
+                [fx, fx + 1.0, fx + 1.0, fx], axis=1) * grid.pix
+            ys4 = grid.max_lat - np.stack(
+                [fy, fy, fy + 1.0, fy + 1.0], axis=1) * grid.pix
+            n1 = len(si)
+            parts.append(pd.DataFrame({
+                "comp_id": cids[si].astype(np.int64),
+                "class_id": cls[si].astype(np.int64),
+                "ring_idx": np.zeros(n1, dtype=np.int64),
+                "is_hole": np.zeros(n1, dtype=bool),
+                "n_pixels": np.ones(n1, dtype=np.int64),
+                "area_px": np.ones(n1, dtype=float),
+                "xs": list(xs4), "ys": list(ys4)}))
+        starts = starts[~single]
+        sizes = sizes[~single]
+
         rows = []
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             rings = trace_rings_arrays(py[st:st + sz], px[st:st + sz])
@@ -609,7 +653,11 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
                     "xs": grid.min_lon + xs * grid.pix,
                     "ys": grid.max_lat - ys * grid.pix,
                 })
-        return pd.DataFrame(rows) if rows else _empty_rings()
+        if rows:
+            parts.append(pd.DataFrame(rows))
+        if not parts:
+            return _empty_rings()
+        return pd.concat(parts, ignore_index=True)
 
     from .relational import _hash_partitioned
 

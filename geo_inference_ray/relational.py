@@ -533,3 +533,102 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     return _hash_partitioned(
         ev, "user_id", sessions_part,
         rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))
+
+
+def asof_prior_anchor(sf_dir: str, anchor_type: str = "purchase"):
+    """Backward as-of join, the classic Ray-Data gap: every event is
+    joined to the same user's latest STRICTLY-prior anchor event
+    (``event_type == anchor_type``), null if none exists yet.
+
+    Scale shape: one hash-partition shuffle on user_id, then ONE
+    ``pd.merge_asof`` (C merge over two sorted frames) per partition —
+    no per-key Python, no pairwise blowup.  Partitioning assumption:
+    a single user's events fit in a partition (bounded by
+    ``partitions_for``'s per-partition row target).
+
+    Tie rule (shared with the SQL mirror): among equal anchor
+    timestamps the max event_id wins — the right frame is sorted by
+    (ts, event_id) and merge_asof takes the last matching row.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        anchors = g.loc[g["event_type"] == anchor_type,
+                        ["user_id", "ts", "event_id"]].copy()
+        anchors["anchor_ts"] = anchors["ts"]
+        m = pd.merge_asof(g, anchors, on="ts", by="user_id",
+                          direction="backward",
+                          allow_exact_matches=False,
+                          suffixes=("", "_anchor"))
+        m["anchor_event_id"] = m["event_id_anchor"].astype("Int64")
+        return m[["event_id", "user_id", "ts", "event_type",
+                  "anchor_event_id", "anchor_ts"]]
+
+    return _hash_partitioned(
+        ev, "user_id", asof_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))
+
+
+def anchor_window_follow(sf_dir: str, anchor_type: str = "signup",
+                         within_minutes: int = 60):
+    """Windowed range join: for each anchor event, the count and
+    milli-value sum of the same user's events in
+    ``(ts, ts + within_minutes]`` — an interval join with NO pairwise
+    row blowup.
+
+    Per partition the window aggregate is two ``merge_asof`` probes
+    against the user-cumulative count/sum frame: F(ts + w) - F(ts),
+    where F is the per-user running (count, sum) at-or-before a time.
+    That turns an O(anchors x window_size) join into O(n log n) sorts
+    plus two C merges, independent of window width — the shape that
+    survives hot users at 100 TB.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    # microsecond-unit timedelta: parquet timestamps are [us] and a
+    # default pd.Timedelta upcasts the probe column to [ns], which
+    # merge_asof rejects against the [us] cumulative frame
+    w = np.timedelta64(within_minutes * 60 * 10 ** 6, "us")
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        vm = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        cum = pd.DataFrame({
+            "user_id": g["user_id"],
+            "ts": g["ts"],
+            "cum_n": g.groupby("user_id").cumcount().to_numpy() + 1,
+            "cum_v": pd.Series(vm).groupby(
+                g["user_id"].to_numpy()).cumsum().to_numpy(),
+        })
+        anchors = g.loc[g["event_type"] == anchor_type,
+                        ["event_id", "user_id", "ts"]].reset_index(
+                            drop=True)
+        # F(ts): events at-or-before the anchor (the anchor itself
+        # included — subtracted out, making the window ts-exclusive)
+        lo = pd.merge_asof(anchors, cum, on="ts", by="user_id",
+                           direction="backward")
+        hi_probe = anchors.assign(ts=anchors["ts"] + w)
+        hi = pd.merge_asof(hi_probe, cum, on="ts", by="user_id",
+                           direction="backward")
+        n = (hi["cum_n"].fillna(0) - lo["cum_n"].fillna(0)) \
+            .to_numpy().astype(np.int64)
+        v = (hi["cum_v"].fillna(0) - lo["cum_v"].fillna(0)) \
+            .to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "event_id": anchors["event_id"], "user_id":
+            anchors["user_id"], "ts": anchors["ts"],
+            "n_follow": n, "vm_follow": v})
+
+    return _hash_partitioned(
+        ev, "user_id", window_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))

@@ -229,3 +229,60 @@ def test_surprisal_preagg_rows_are_distinct_pairs(ray_session):
     assert got["surprisal_milli"].tolist() == \
         want["surprisal_milli"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_asof_prior_anchor_semantics(ray_session, sf_dir):
+    """Backward as-of join: strictly-prior anchors only, per-user, null
+    when the event precedes every purchase; pinned against a pandas
+    reference built independently of merge_asof."""
+    import pandas as pd
+
+    from geo_inference_ray.relational import asof_prior_anchor
+
+    got = asof_prior_anchor(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    assert len(got) == len(ev)
+    anchors = ev[ev["event_type"] == "purchase"]
+    by_user = {u: g.sort_values(["ts", "event_id"])
+               for u, g in anchors.groupby("user_id")}
+    sample = ev.sort_values("event_id").head(300)
+    gm = got.set_index("event_id")
+    for r in sample.itertuples():
+        g = by_user.get(r.user_id)
+        want = None
+        if g is not None:
+            prior = g[g["ts"] < r.ts]
+            if len(prior):
+                last = prior.iloc[-1]
+                want = int(last["event_id"])
+        have = gm.loc[r.event_id, "anchor_event_id"]
+        if want is None:
+            assert pd.isna(have)
+        else:
+            assert int(have) == want
+
+
+def test_anchor_window_follow_counts(ray_session, sf_dir):
+    """Interval join via cumulative differencing == brute-force window
+    count/sum for every signup anchor."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_inference_ray.relational import anchor_window_follow
+
+    got = anchor_window_follow(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    w = np.timedelta64(60 * 60 * 10 ** 6, "us")
+    anchors = ev[ev["event_type"] == "signup"]
+    assert len(got) == len(anchors)
+    gm = got.set_index("event_id")
+    vm = np.round(ev["value"].to_numpy() * 1000.0).astype(np.int64)
+    for r in anchors.head(200).itertuples():
+        m = ((ev["user_id"] == r.user_id) & (ev["ts"] > r.ts)
+             & (ev["ts"] <= r.ts + w)).to_numpy()
+        assert int(gm.loc[r.event_id, "n_follow"]) == int(m.sum())
+        assert int(gm.loc[r.event_id, "vm_follow"]) == int(vm[m].sum())
