@@ -325,8 +325,28 @@ def q_dedup_clusters(sf_dir: str):
     return _dedup.dedup_clusters(_docs_text(sf_dir), pairs)
 
 
+def q_dedup_apply(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    return _dedup.dedup_apply(docs, pairs)
+
+
 def q_length_quantiles(sf_dir: str):
     return _textops.length_quantiles(_docs_text(sf_dir))
+
+
+def q_ngram_topk(sf_dir: str):
+    return _textops.ngram_topk(_docs_text(sf_dir))
+
+
+def q_tfidf_topk(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.tfidf_topk(_docs_text(sf_dir), n_docs)
 
 
 def q_surprisal(sf_dir: str):
@@ -510,8 +530,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "source_stats": q_source_stats,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
         "length_quantiles": q_length_quantiles,
         "surprisal": q_surprisal,
+        "ngram_topk": q_ngram_topk,
+        "tfidf_topk": q_tfidf_topk,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
@@ -826,6 +849,53 @@ reach(n, l) AS (
   SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
 )
 SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n""",
+        # Dedup end product: the corpus minus non-representative cluster
+        # members — reuses the recursive reachability CC as a CTE.
+        "dedup_apply": "WITH RECURSIVE "
+        + _minhash_sql_chain().lstrip() + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+),
+cc AS (SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN cc ON cc.doc_id = d.doc_id
+WHERE cc.doc_id = cc.cluster""",
+        # Corpus-wide top-k bigrams (n-gram LM count table).
+        "ngram_topk": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT t[g.i] || ' ' || t[g.i + 1] AS ngram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+)
+SELECT ngram, COUNT(*) AS n FROM grams
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+        # Per-doc top-k tf-idf terms: integer milli-nat idf (same-libm
+        # ln, identical expression order — see the transcendental
+        # contract probe test), row_number tie-broken on the ASCII
+        # token so pandas and DuckDB sort identically.
+        "tfidf_topk": """
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM flat GROUP BY doc_id, token),
+dfs AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.token,
+         t.tf * CAST(floor(1000.0 * ln(CAST(nd.n_docs AS DOUBLE)
+                                       / CAST(d.df AS DOUBLE))) AS BIGINT)
+             AS score_milli
+  FROM toks t JOIN dfs d ON d.token = t.token, nd),
+ranked AS (
+  SELECT doc_id, token, score_milli,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score_milli DESC, token) AS rk
+  FROM scored)
+SELECT doc_id, token, score_milli, rk FROM ranked WHERE rk <= 3""",
         # Stratified per-source sample: reproducible hash rank, k per
         # stratum (mod-before-multiply keeps the rank hash BIGINT-safe).
         "stratified_sample": """

@@ -677,6 +677,67 @@ def dedup_clusters(docs_ds, pairs_ds, *,
                                concurrency=pool_caps(max_actors))
 
 
+def dedup_apply(docs_ds, pairs_ds, *,
+                drop_driver_limit: int = 5_000_000, **cluster_kw):
+    """The dedup END PRODUCT: the corpus with every near-duplicate
+    cluster reduced to its representative (min doc_id) — what a
+    training-data pipeline actually writes out after candidate
+    generation, verification and clustering.
+
+    Only the DROP SET (non-representative cluster members, bounded by
+    the duplicate count, not the corpus) leaves the cluster stage.
+    Below ``drop_driver_limit`` ids it is collected and broadcast
+    (``ray.put`` once, ``np.isin`` filter per batch — zero shuffles of
+    the corpus); above it, a native ``left_anti`` hash join keeps
+    everything distributed (web-crawl dup rates make the drop set
+    O(corpus)).  ``docs_ds`` needs (doc_id, text) for clustering; all
+    its other columns pass through to the output."""
+    import ray
+
+    from .pools import pool_caps
+    from .relational import partitions_for
+
+    clusters = dedup_clusters(
+        docs_ds.select_columns(["doc_id", "text"])
+        if "text" in docs_ds.schema().names else docs_ds,
+        pairs_ds, **cluster_kw)
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        c = batch["cluster"].to_numpy()
+        return pa.table({"doc_id": pa.array(d[d != c])})
+
+    drops = clusters.map_batches(non_reps, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    n_drop = drops.count()
+    out_cols = [c for c in docs_ds.schema().names if c != "text"]
+    corpus = docs_ds.select_columns(out_cols)
+
+    if n_drop == 0:
+        return corpus
+    if n_drop > drop_driver_limit:
+        return corpus.join(
+            drops, join_type="left_anti",
+            num_partitions=partitions_for(n_drop), on=("doc_id",))
+
+    ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy() for b in
+         drops.iter_batches(batch_size=65536, batch_format="pyarrow")]))
+    ids_ref = ray.put(ids)
+
+    class KeepFilter:
+        def __init__(self):
+            self.drop = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = ~np.isin(batch["doc_id"].to_numpy(), self.drop)
+            return batch.filter(pa.array(keep))
+
+    return corpus.map_batches(KeepFilter, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              concurrency=pool_caps(None))
+
+
 class RepetitionRatio:
     """Per-document duplicate-shingle ratio (Gopher/C4-style web-text
     quality signal): rep_milli = 1000 * (total - distinct) // total over

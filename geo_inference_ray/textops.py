@@ -336,3 +336,119 @@ class RegexTokens:
             total = c if total is None else pc.add(total, c)
         out["n_bpe_tokens"] = total
         return pa.table(out)
+
+
+def ngram_topk(ds, n: int = 2, k: int = 20):
+    """Corpus-wide top-k token n-grams — the n-gram LM count-table
+    build of a training-data pipeline.
+
+    Per-batch kernel: flatten the token lists once, form n-gram starts
+    by index shifting (a start is valid iff its n-th token is in the
+    same document), join with spaces, value_counts — ONE (ngram, count)
+    row per distinct n-gram per batch crosses the shuffle, then a
+    vectorized Sum and a k-row sort.  The shuffle is bounded by the
+    n-gram vocabulary per batch, never the token stream."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if n < 2:
+        raise ValueError("use word_count_topk for unigrams")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        m = len(flat) - (n - 1)
+        empty = pa.table({"ngram": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        if m <= 0:
+            return empty
+        did = np.repeat(np.arange(len(lens)), lens)
+        ok = did[:m] == did[n - 1:]
+        if not ok.any():
+            return empty
+        s = pd.Series(flat[:m][ok], dtype=object)
+        for j in range(1, n):
+            s = s + " " + pd.Series(flat[j:j + m][ok], dtype=object)
+        vc = s.value_counts()
+        return pa.table({
+            "ngram": pa.array(vc.index.to_numpy(), pa.string()),
+            "c": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("ngram").aggregate(Sum("c", alias_name="n"))
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def tfidf_topk(ds, n_docs: int, k: int = 3,
+               pair_rows_hint: int | None = None):
+    """Per-document top-k terms by tf-idf — keyword extraction over the
+    corpus (milli-nat integer idf keeps the oracle hash exact).
+
+    Shape: (doc, token, tf) distinct pairs (``doc_token_tf`` folds the
+    occurrence stream in-batch) -> vocab-bounded document-frequency
+    aggregate (materialized once — small side) -> hash join pairs⋈df on
+    token (open-vocab scale path) -> integer score tf *
+    floor(1000*ln(N/df)) -> per-doc top-k through ``_hash_partitioned``
+    (one vectorized rank kernel per partition, never one pandas call
+    per document).  ``n_docs`` comes from parquet footer metadata —
+    no extra pass over the corpus."""
+    from ray.data.aggregate import Sum
+
+    from .relational import _hash_partitioned
+
+    pairs = ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "d": pc.cast(g["count_all"], pa.int64())})
+
+    dfs = pairs.map_batches(df_partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("token").aggregate(Sum("d", alias_name="df")) \
+        .materialize()
+
+    # clamp the join fan-out to the pair volume (Ray 2.49 hash joins
+    # emit schema-less empty partitions that crash downstream access —
+    # same guard as unigram_surprisal / dedup.jaccard_pairs)
+    hint = pair_rows_hint if pair_rows_hint is not None else n_docs * 64
+    num_partitions = max(1, min(8, -(-int(hint) // 100_000)))
+    j = pairs.join(dfs, join_type="inner",
+                   num_partitions=num_partitions, on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfv = batch["df"].to_numpy().astype(np.float64)
+        idf = np.floor(1000.0 * np.log(float(n_docs) / dfv)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "token": batch["token"],
+            "score_milli": pa.array(batch["tf"].to_numpy() * idf),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def topk_part(g):
+        # one lexsort + run-start rank for EVERY doc in the partition
+        # (the top_orders_per_customer kernel shape); string tie-break
+        # is bytewise in both pandas and DuckDB for the ASCII corpus
+        g = g.sort_values(["doc_id", "score_milli", "token"],
+                          ascending=[True, False, True],
+                          kind="stable").reset_index(drop=True)
+        d = g["doc_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        rnk = np.arange(len(g)) - np.repeat(starts, sizes) + 1
+        g["rk"] = rnk.astype(np.int64)
+        return g.loc[g["rk"] <= k,
+                     ["doc_id", "token", "score_milli", "rk"]]
+
+    return _hash_partitioned(scored, "doc_id", topk_part,
+                             rows_hint=hint)

@@ -286,3 +286,94 @@ def test_anchor_window_follow_counts(ray_session, sf_dir):
              & (ev["ts"] <= r.ts + w)).to_numpy()
         assert int(gm.loc[r.event_id, "n_follow"]) == int(m.sum())
         assert int(gm.loc[r.event_id, "vm_follow"]) == int(vm[m].sum())
+
+
+def test_ngram_topk_counts(ray_session):
+    """Bigram counts respect document boundaries (no gram spans docs)
+    and tie-break by (count desc, ngram asc)."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import ngram_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a b a b", "b a", "x"]),
+    }))
+    out = ngram_topk(docs, n=2, k=10).to_pandas()
+    got = dict(zip(out["ngram"], out["n"]))
+    # doc0: "a b","b a","a b"; doc1: "b a"; doc2 (1 token): none
+    assert got == {"a b": 2, "b a": 2}
+    # deterministic order: count desc, then ngram asc
+    assert out["ngram"].tolist() == ["a b", "b a"]
+
+
+def test_ngram_topk_trigrams(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import ngram_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["p q r p q r", "q r"]),
+    }))
+    out = ngram_topk(docs, n=3, k=5).to_pandas()
+    got = dict(zip(out["ngram"], out["n"]))
+    assert got == {"p q r": 2, "q r p": 1, "r p q": 1}
+
+
+def test_tfidf_topk_scores(ray_session):
+    """tf-idf: a corpus-universal token scores 0 (ln 1); a doc-unique
+    token scores tf * floor(1000*ln(N/1))."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import tfidf_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["common rare rare", "common", "common",
+                          "common"]),
+    }))
+    out = tfidf_topk(docs, n_docs=4, k=2).to_pandas() \
+        .sort_values(["doc_id", "rk"]).reset_index(drop=True)
+    d0 = out[out["doc_id"] == 0]
+    assert d0["token"].tolist() == ["rare", "common"]
+    # tf=2, idf = floor(1000*ln(4/1)) = 1386 -> 2772
+    assert d0["score_milli"].tolist() == [2772, 0]
+    assert (out[out["token"] == "common"]["score_milli"] == 0).all()
+    # every doc has rank 1..k rows at most
+    per = out.groupby("doc_id")["rk"].max()
+    assert (per <= 2).all()
+
+
+def test_dedup_apply_keeps_representatives(ray_session):
+    """dedup_apply drops exactly the non-representative cluster members
+    and passes non-text columns through; broadcast and left_anti paths
+    agree."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import dedup_apply
+
+    # 6 docs: {0,1,2} identical, {4,5} identical, 3 unique
+    texts = ["dup one text here alpha beta gamma delta"] * 3 + \
+            ["totally different words entirely unique content row x"] + \
+            ["second cluster text with other tokens zz yy xx ww"] * 2
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array([f"s{i}" for i in range(6)]),
+    })
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([0, 1, 4], pa.int64()),
+        "doc_b": pa.array([1, 2, 5], pa.int64()),
+    }))
+    kept = dedup_apply(rd.from_arrow(docs), pairs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert kept["doc_id"].tolist() == [0, 3, 4]
+    assert kept.columns.tolist() == ["doc_id", "lang", "source"]
+    assert kept["source"].tolist() == ["s0", "s3", "s4"]
+    # distributed anti-join path (force the threshold to 0)
+    kept2 = dedup_apply(rd.from_arrow(docs), pairs,
+                        drop_driver_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert kept2["doc_id"].tolist() == [0, 3, 4]
