@@ -328,7 +328,8 @@ def cell_aggregate(ds):
         })
 
     partials = ds.select_columns(["hex7", "lat", "lon"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True)
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
     return partials.groupby("hex7").aggregate(
         Sum("pc", alias_name="n_pages"),
         Min("mnlat", alias_name="min_lat"), Max("mxlat", alias_name="max_lat"),

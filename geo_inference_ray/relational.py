@@ -53,7 +53,7 @@ def pricing_summary(sf_dir: str):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True, batch_size=None)
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sq", alias_name="sum_qty"),
         Sum("sb", alias_name="sum_base_cents"),
@@ -93,7 +93,7 @@ def top_customers(sf_dir: str, k: int = 10):
     from ray.data.aggregate import Sum
 
     per_cust = orders.map_batches(partial, batch_format="pyarrow",
-                                  zero_copy_batch=True) \
+                                  zero_copy_batch=True, batch_size=None) \
         .groupby("o_custkey").aggregate(
             Sum("tc", alias_name="total_cents"),
             Sum("n", alias_name="n_orders"))
@@ -315,7 +315,7 @@ def events_hourly(sf_dir: str):
                          "n": pc.cast(g["vm_count"], pa.int64())})
 
     return ev.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
+                          zero_copy_batch=True, batch_size=None) \
         .groupby(["user_id", "event_type", "hour"]).aggregate(
             Sum("v", alias_name="value_milli"),
             Sum("n", alias_name="n_events")) \
@@ -488,7 +488,8 @@ def events_sliding(sf_dir: str):
 
     return ev.map_batches(emit, batch_format="pyarrow",
                           zero_copy_batch=True) \
-        .map_batches(partial, batch_format="pyarrow") \
+        .map_batches(partial, batch_format="pyarrow",
+                     batch_size=None) \
         .groupby(["event_type", "window_start"]).aggregate(
             Sum("n", alias_name="n_events")) \
         .map_batches(_restore_us("window_start"), batch_format="pyarrow",

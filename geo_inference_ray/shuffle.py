@@ -36,7 +36,8 @@ def key_counts(ds, key: str) -> dict[int, int]:
                          "cnt": pa.array(c.astype(np.int64))})
 
     agg = ds.select_columns([key]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True) \
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None) \
         .groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
     out = {}
     for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):

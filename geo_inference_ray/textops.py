@@ -130,7 +130,7 @@ def source_stats(ds):
                          "nch": g["nch_sum"], "ntok": g["ntok_sum"]})
 
     return ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
+                          zero_copy_batch=True, batch_size=None) \
         .groupby("src").aggregate(Sum("c", alias_name="n_pages"),
                                   Sum("nch", alias_name="total_chars"),
                                   Sum("ntok", alias_name="total_tokens"))
@@ -158,7 +158,7 @@ def length_quantiles(ds):
                          "c": pa.array(c.astype(np.int64))})
 
     hist = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True) \
+                          zero_copy_batch=True, batch_size=None) \
         .groupby("L").aggregate(Sum("c", alias_name="n"))
     Ls, ns = [], []
     for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -213,7 +213,7 @@ def unigram_surprisal(ds):
     from ray.data.aggregate import Sum
 
     tokens = ds.map_batches(doc_token_tf, batch_format="pyarrow",
-                            zero_copy_batch=True)
+                            zero_copy_batch=True, batch_size=None)
 
     def count_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("token").aggregate([("tf", "sum")])
@@ -224,7 +224,7 @@ def unigram_surprisal(ds):
     # vs a separate tokens.count(), and a second one when the join
     # consumes counts)
     counts = tokens.map_batches(count_partial, batch_format="pyarrow",
-                                zero_copy_batch=True) \
+                                zero_copy_batch=True, batch_size=None) \
         .groupby("token").aggregate(Sum("c", alias_name="n")) \
         .materialize()
     total = 0
@@ -272,7 +272,7 @@ def word_count_topk(ds, k: int = 20):
         })
 
     counts = ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
+                            zero_copy_batch=True, batch_size=None) \
         .groupby("token").aggregate(Sum("c", alias_name="n"))
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
@@ -376,8 +376,11 @@ def ngram_topk(ds, n: int = 2, k: int = 20):
             "c": pa.array(vc.to_numpy().astype(np.int64)),
         })
 
+    # 16384-doc batches: the kernel materializes the token stream as
+    # Python objects, so whole 128 MB blocks would be memory-heavy; 16x
+    # the default still folds most in-batch n-gram repetition
     counts = ds.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
+                            zero_copy_batch=True, batch_size=16384) \
         .groupby("ngram").aggregate(Sum("c", alias_name="n"))
     return counts.sort(["n", "ngram"], descending=[True, False]).limit(k)
 
@@ -400,7 +403,7 @@ def tfidf_topk(ds, n_docs: int, k: int = 3,
     from .relational import _hash_partitioned
 
     pairs = ds.map_batches(doc_token_tf, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True, batch_size=None)
 
     def df_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("token").aggregate([([], "count_all")])
@@ -408,7 +411,7 @@ def tfidf_topk(ds, n_docs: int, k: int = 3,
                          "d": pc.cast(g["count_all"], pa.int64())})
 
     dfs = pairs.map_batches(df_partial, batch_format="pyarrow",
-                            zero_copy_batch=True) \
+                            zero_copy_batch=True, batch_size=None) \
         .groupby("token").aggregate(Sum("d", alias_name="df")) \
         .materialize()
 

@@ -183,8 +183,13 @@ def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
     (dominant) map stage.  Larger grids take the distributed groupby.
     """
     cols = [c for c in ("lat", "lon") if c in geo_ds.schema().names]
+    # batch_size=None: one partial per BLOCK, not per 1024-row default
+    # slice — measured 13.5x fewer partial rows (80 K vs 1.08 M at the
+    # bench's 10.24 M-row input) for the same per-task memory (the
+    # kernel touches two int64 columns only)
     part = geo_ds.select_columns(cols).map_batches(
-        rasterize_partial(grid), batch_format="pyarrow", zero_copy_batch=True)
+        rasterize_partial(grid), batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
     if grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS:
         import ray.data as rd
 
