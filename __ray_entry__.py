@@ -342,6 +342,14 @@ def q_ngram_topk(sf_dir: str):
     return _textops.ngram_topk(_docs_text(sf_dir))
 
 
+def q_chunk_docs(sf_dir: str):
+    return _textops.chunk_docs(_docs_text(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    return _textops.pack_sequences(_docs_text(sf_dir))
+
+
 def q_tfidf_topk(sf_dir: str):
     import pyarrow.parquet as _pq
 
@@ -535,6 +543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surprisal": q_surprisal,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
+        "chunk_docs": q_chunk_docs,
+        "pack_sequences": q_pack_sequences,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
@@ -896,6 +906,34 @@ ranked AS (
                             ORDER BY score_milli DESC, token) AS rk
   FROM scored)
 SELECT doc_id, token, score_milli, rk FROM ranked WHERE rk <= 3""",
+        # Context-window chunking: stride = 24 (32-token chunks, 8
+        # overlap); starts advance while < n_tokens.  s is always a
+        # multiple of the stride so the // is exact.
+        "chunk_docs": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, s.s // 24 AS chunk_id,
+         list_slice(t, s.s + 1, s.s + 32) AS ct
+  FROM toks, unnest(generate_series(0, len(t) - 1, 24)) AS s(s)
+)
+SELECT doc_id, chunk_id, len(ct) AS n_chunk_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM chunks""",
+        # Sequence packing: exclusive prefix-sum of token counts in
+        # doc_id order // seq length (integer // = floor, matching the
+        # engine's int64 floor division — CAST(double) would ROUND).
+        "pack_sequences": """
+WITH n AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM n)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(pre // 512 AS BIGINT) AS pack_id FROM p""",
         # Stratified per-source sample: reproducible hash rank, k per
         # stratum (mod-before-multiply keeps the rank hash BIGINT-safe).
         "stratified_sample": """

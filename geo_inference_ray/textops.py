@@ -455,3 +455,129 @@ def tfidf_topk(ds, n_docs: int, k: int = 3,
 
     return _hash_partitioned(scored, "doc_id", topk_part,
                              rows_hint=hint)
+
+
+def chunk_docs(ds, chunk_tokens: int = 32, overlap: int = 8):
+    """Context-window chunking: each document's token stream split into
+    chunks of ``chunk_tokens`` with ``overlap`` tokens carried between
+    consecutive chunks (stride = chunk_tokens - overlap; starts advance
+    while < n_tokens, so the tail chunk may be short) — the
+    chunk-for-training step of an LLM data pipeline.
+
+    Fully batch-local (no shuffle): chunk starts/ends are derived with
+    integer vectors from the token-list offsets; only the final chunk
+    join runs per OUTPUT row (C-speed ``str.join``, same per-row cost
+    class as the fingerprint kernel)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        nch = -(-lens // step)           # ceil: starts 0, step, … < n
+        did = batch["doc_id"].to_numpy()
+        out_doc = np.repeat(did, nch)
+        coff = np.concatenate([[0], np.cumsum(nch)[:-1]])
+        cidx = np.arange(int(nch.sum())) - np.repeat(coff, nch)
+        s = cidx * step
+        o = np.repeat(doc_off, nch)
+        e = np.minimum(s + chunk_tokens, np.repeat(lens, nch))
+        texts = [" ".join(flat[a:b]) for a, b in zip(o + s, o + e)]
+        return pa.table({
+            "doc_id": pa.array(out_doc),
+            "chunk_id": pa.array(cidx.astype(np.int64)),
+            "n_chunk_tokens": pa.array((e - s).astype(np.int64)),
+            "chunk_text": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=16384)
+
+
+PACK_RANGE_DOCS = 65536
+
+
+def pack_sequences(ds, seq_tokens: int = 512,
+                   range_docs: int = PACK_RANGE_DOCS):
+    """Greedy fixed-token sequence packing: pack_id = floor(exclusive
+    prefix-sum of n_tokens in doc_id order / seq_tokens) — which
+    training sequence each document lands in when the corpus is
+    concatenated in id order.
+
+    This is a distributed EXCLUSIVE PREFIX SUM (windowed scan), done in
+    two bounded stages instead of a global sort + single-task scan:
+    (1) per-range totals (range = doc_id // range_docs) aggregate to one
+    row per range — the only driver-side state, corpus/range_docs rows
+    (~15 M at 10^12 docs; raise range_docs to shrink it) — and an
+    exclusive cumsum over the sorted ranges is broadcast once;
+    (2) each hash partition holds complete ranges (key = rkey), where a
+    segmented vectorized scan adds the local exclusive cumsum to the
+    range's global offset.  SQL mirror: SUM() OVER (ORDER BY doc_id
+    ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import _hash_partitioned
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        nsp = pc.subtract(
+            pc.utf8_length(text),
+            pc.utf8_length(pc.replace_substring(text, " ", "")))
+        n = pc.cast(pc.add(nsp, 1), pa.int64())
+        d = batch["doc_id"]
+        return pa.table({
+            "doc_id": d, "n_tokens": n,
+            "rkey": pa.array(d.to_numpy() // range_docs)})
+
+    cnts = ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).materialize()
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["rkey", "n_tokens"]).group_by("rkey") \
+            .aggregate([("n_tokens", "sum")])
+        return pa.table({"rkey": g["rkey"], "t": g["n_tokens_sum"]})
+
+    rk_list, tot_list = [], []
+    for b in cnts.map_batches(range_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .groupby("rkey").aggregate(Sum("t", alias_name="t")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rk_list.append(b["rkey"].to_numpy())
+        tot_list.append(b["t"].to_numpy())
+    if not rk_list:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "pack_id": pa.array([], pa.int64())}))
+    rk = np.concatenate(rk_list)
+    tot = np.concatenate(tot_list)
+    order = np.argsort(rk)
+    rk, tot = rk[order], tot[order]
+    offs = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    state_ref = ray.put((rk, offs))
+
+    def scan_part(g):
+        rkeys, offsets = ray.get(state_ref)
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        r = g["rkey"].to_numpy()
+        c = np.cumsum(n) - n
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = r[1:] != r[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        seg = c - np.repeat(c[starts], sizes)
+        pre = seg + offsets[np.searchsorted(rkeys, r)]
+        g["pack_id"] = (pre // seq_tokens).astype(np.int64)
+        return g[["doc_id", "n_tokens", "pack_id"]]
+
+    n_ranges = len(rk)
+    return _hash_partitioned(cnts, "rkey", scan_part,
+                             rows_hint=max(1, n_ranges) * range_docs)

@@ -377,3 +377,53 @@ def test_dedup_apply_keeps_representatives(ray_session):
                         drop_driver_limit=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert kept2["doc_id"].tolist() == [0, 3, 4]
+
+
+def test_chunk_docs_overlap_semantics(ray_session):
+    """Chunks stride by (chunk - overlap); consecutive chunks share
+    `overlap` tokens; the tail chunk may be short but never empty."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import chunk_docs
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array([" ".join(toks), "solo"]),
+    }))
+    out = chunk_docs(docs, chunk_tokens=4, overlap=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    d7 = out[out["doc_id"] == 7]
+    # starts 0,2,4,6,8 -> 5 chunks; last = t8 t9
+    assert d7["chunk_id"].tolist() == [0, 1, 2, 3, 4]
+    assert d7["chunk_text"].iloc[0] == "t0 t1 t2 t3"
+    assert d7["chunk_text"].iloc[1] == "t2 t3 t4 t5"
+    assert d7["chunk_text"].iloc[4] == "t8 t9"
+    assert d7["n_chunk_tokens"].tolist() == [4, 4, 4, 4, 2]
+    d8 = out[out["doc_id"] == 8]
+    assert d8["chunk_text"].tolist() == ["solo"]
+
+
+def test_pack_sequences_multi_range_prefix_sum(ray_session):
+    """The two-stage distributed exclusive prefix-sum equals the numpy
+    scan when docs span many ranges (range_docs=8 forces 13 ranges)."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import pack_sequences
+
+    rng = np.random.RandomState(7)
+    n_docs = 100
+    ntoks = rng.randint(1, 40, size=n_docs)
+    texts = [" ".join(["w"] * k) for k in ntoks]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts),
+    }))
+    out = pack_sequences(docs, seq_tokens=64, range_docs=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pre = np.cumsum(ntoks) - ntoks
+    assert out["n_tokens"].tolist() == ntoks.tolist()
+    assert out["pack_id"].tolist() == (pre // 64).tolist()
+    # packs are contiguous monotone ids starting at 0
+    assert out["pack_id"].iloc[0] == 0
+    assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
