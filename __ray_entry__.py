@@ -97,6 +97,12 @@ def _tiling_sql_polygons() -> str:
     return sql_polygons()
 
 
+def _pool_caps(max_actors):
+    from geo_inference_ray.pools import pool_caps
+
+    return pool_caps(max_actors)
+
+
 def _docs_text(sf_dir: str):
     import ray.data as rd
 
@@ -115,7 +121,7 @@ def q_pages(sf_dir: str):
 def q_extract_text(sf_dir: str):
     ds = _synth.pages_dataset(sf_dir)
     ds = ds.map_batches(_stages.ExtractText, batch_format="pyarrow",
-                        zero_copy_batch=True, concurrency=(1, 4))
+                        zero_copy_batch=True, concurrency=_pool_caps(None))
     return ds.select_columns(["url", "doc_id", "text"])
 
 
@@ -291,7 +297,7 @@ def q_token_count(sf_dir: str):
 def q_token_regex(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.RegexTokens, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        concurrency=_pool_caps(None))
 
 
 def q_quality(sf_dir: str):
@@ -302,7 +308,7 @@ def q_quality(sf_dir: str):
 def q_langid(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.LangId, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        concurrency=_pool_caps(None))
 
 
 def q_word_count(sf_dir: str):
@@ -312,7 +318,7 @@ def q_word_count(sf_dir: str):
 def q_repetition(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _dedup.RepetitionRatio, batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 4))
+        zero_copy_batch=True, concurrency=_pool_caps(None))
 
 
 def q_source_stats(sf_dir: str):
@@ -370,7 +376,7 @@ def q_stratified_sample(sf_dir: str):
 def q_fingerprint(sf_dir: str):
     return _docs_text(sf_dir).map_batches(
         _textops.Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4))
+        concurrency=_pool_caps(None))
 
 
 def q_rasterize(sf_dir: str):

@@ -577,8 +577,10 @@ def polygons_distributed(tiles_ds, grid: GridConfig,
                 "py": m["a"], "px": m["b"],
             })
 
+    from .pools import pool_caps
+
     pixels = labeled.map_batches(Relabel, batch_format="pyarrow",
-                                 concurrency=(1, 4))
+                                 concurrency=pool_caps(None))
 
     def _empty_rings() -> pd.DataFrame:
         return pd.DataFrame({

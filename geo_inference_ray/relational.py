@@ -108,8 +108,10 @@ def top_customers(sf_dir: str, k: int = 10):
             return joined.select(["o_custkey", "c_name", "c_mktsegment",
                                   "total_cents", "n_orders"])
 
+    from .pools import pool_caps
+
     named = per_cust.map_batches(AttachName, batch_format="pyarrow",
-                                 concurrency=(1, 2))
+                                 concurrency=pool_caps(None))
     # exact global top-k: sort is a small shuffle over the aggregate
     top = named.sort(["total_cents", "o_custkey"],
                      descending=[True, False]).limit(k)
