@@ -367,6 +367,32 @@ def q_surprisal(sf_dir: str):
     return _textops.unigram_surprisal(_docs_text(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    return _textops.decontaminate(_docs_text(sf_dir))
+
+
+def q_chunk_dedup(sf_dir: str):
+    return _textops.chunk_dedup(_docs_text(sf_dir))
+
+
+def q_quality_filter(sf_dir: str):
+    return _textops.quality_filter(_docs_text(sf_dir))
+
+
+def q_inverted_index(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.inverted_index(_docs_text(sf_dir),
+                                   rows_hint=n_docs * 64)
+
+
+def q_train_shuffle(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.train_shuffle(sf_dir)
+
+
 def q_stratified_sample(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -551,6 +577,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "chunk_dedup": q_chunk_dedup,
+        "quality_filter": q_quality_filter,
+        "inverted_index": q_inverted_index,
+        "train_shuffle": q_train_shuffle,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
@@ -940,6 +971,64 @@ p AS (
   FROM n)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(pre // 512 AS BIGINT) AS pack_id FROM p""",
+        # Benchmark decontamination: distinct token trigrams shared
+        # with the self-derived benchmark set (doc_id % 97 == 0).
+        "decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2] AS g
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+ov AS (SELECT gr.doc_id, COUNT(*) AS n
+       FROM grams gr JOIN bench b USING (g) GROUP BY gr.doc_id)
+SELECT d.doc_id, COALESCE(o.n, 0) AS n_overlap,
+       CAST(CASE WHEN d.doc_id % 97 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_benchmark
+FROM documents d LEFT JOIN ov o ON o.doc_id = d.doc_id""",
+        # Chunk-level corpus dedup: 32-token non-overlapping chunks,
+        # each distinct chunk text kept at its first (doc_id, chunk_id).
+        "chunk_dedup": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+chunks AS (
+  SELECT doc_id, s.s // 32 AS chunk_id,
+         array_to_string(list_slice(t, s.s + 1, s.s + 32), ' ') AS ct
+  FROM toks, unnest(generate_series(0, len(t) - 1, 32)) AS s(s)),
+w AS (SELECT doc_id, chunk_id,
+        ROW_NUMBER() OVER (PARTITION BY ct
+                           ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM w GROUP BY doc_id""",
+        # Exact global p90 length threshold filter: the quantile is the
+        # ceil(0.9*n)-th smallest n_chars (double math both sides).
+        "quality_filter": """
+WITH n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn FROM n),
+c AS (SELECT COUNT(*) AS total FROM n),
+thr AS (SELECT r.n_chars AS t FROM r, c
+        WHERE r.rn = CAST(ceil(0.9 * total) AS BIGINT))
+SELECT doc_id, n_chars FROM n, thr WHERE n_chars >= thr.t""",
+        # Inverted index: token -> df + comma-joined sorted postings.
+        "inverted_index": """
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+pairs AS (SELECT DISTINCT doc_id, token FROM flat)
+SELECT token, COUNT(*) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+FROM pairs GROUP BY token""",
+        # Deterministic training shuffle: hash shard + exact in-shard
+        # rank (mod-before-multiply keeps the hash BIGINT-safe).
+        "train_shuffle": """
+WITH h AS (SELECT doc_id,
+                  (doc_id % 2147483647 * 2654435761) % 2147483647 AS h
+           FROM documents)
+SELECT doc_id, h % 8 AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+FROM h""",
         # Stratified per-source sample: reproducible hash rank, k per
         # stratum (mod-before-multiply keeps the rank hash BIGINT-safe).
         "stratified_sample": """

@@ -635,3 +635,98 @@ def anchor_window_follow(sf_dir: str, anchor_type: str = "signup",
     return _hash_partitioned(
         ev, "user_id", window_part,
         rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))
+
+
+TS_HASH_M = (1 << 31) - 1
+TS_HASH_K = 2654435761
+TS_RANGE_BITS = 23   # hash-range buckets: M31 >> 23 = 256 ranges
+
+
+def train_shuffle(sf_dir: str, num_shards: int = 8):
+    """Deterministic training shuffle: assign every document a shard and
+    an exact position inside it — the materialize-shuffled-shards step
+    that turns a curated corpus into training input.  Reproducible
+    across cluster sizes (pure function of doc_id, unlike
+    ``random_shuffle``): h = (doc_id % M31 * K) % M31, shard = h %
+    num_shards, pos = 1-based rank of (h, doc_id) within the shard.
+
+    The rank is a distributed two-stage prefix sum (the
+    ``pack_sequences`` scan shape — no global sort): (1) counts per
+    (shard, hash-range) aggregate to num_shards * 256 rows; the driver
+    cumsums per shard and broadcasts the offset table once; (2) each
+    hash partition holds complete (shard, range) cells, where one
+    vectorized sort + local rank + broadcast offset yields exact global
+    positions.  SQL mirror: ROW_NUMBER() OVER (PARTITION BY shard
+    ORDER BY h, doc_id)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    M, K = TS_HASH_M, TS_HASH_K
+    n_ranges = (M >> TS_RANGE_BITS) + 1
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        h = (d % M * K) % M
+        shard = h % num_shards
+        rng = h >> TS_RANGE_BITS
+        return pa.table({
+            "doc_id": batch["doc_id"], "h": pa.array(h),
+            "shard": pa.array(shard),
+            "cell": pa.array(shard * n_ranges + rng)})
+
+    # NOT materialized: the keyed view is a cheap projection of the
+    # doc_id column — re-executing the read for the second pass beats
+    # pinning an input-sized table in the object store at 100 TB
+    base = ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["cell"].to_numpy(), return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cells, counts = [], []
+    for b in base.map_batches(cell_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .groupby("cell").aggregate(Sum("c", alias_name="n")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        cells.append(b["cell"].to_numpy())
+        counts.append(b["n"].to_numpy())
+    cells = np.concatenate(cells)
+    counts = np.concatenate(counts)
+    order = np.argsort(cells)
+    cells, counts = cells[order], counts[order]
+    # exclusive cumsum per shard: reset at each shard's first cell
+    offs = np.cumsum(counts) - counts
+    shard_of = cells // n_ranges
+    first = np.ones(len(cells), dtype=bool)
+    first[1:] = shard_of[1:] != shard_of[:-1]
+    shard_base = offs[np.flatnonzero(first)]
+    offs = offs - np.repeat(shard_base,
+                            np.diff(np.concatenate(
+                                [np.flatnonzero(first), [len(cells)]])))
+    state = ray.put((cells, offs))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        cell_keys, cell_offs = ray.get(state)
+        g = g.sort_values(["cell", "h", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        cellv = g["cell"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = cellv[1:] != cellv[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        local = np.arange(len(g)) - np.repeat(starts, sizes)
+        pos = local + cell_offs[np.searchsorted(cell_keys,
+                                                cellv)] + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "shard": g["shard"],
+            "pos": pos.astype(np.int64)})
+
+    return _hash_partitioned(
+        base, "cell", rank_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/documents.parquet"))

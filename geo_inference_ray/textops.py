@@ -497,6 +497,250 @@ def chunk_docs(ds, chunk_tokens: int = 32, overlap: int = 8):
                           zero_copy_batch=True, batch_size=16384)
 
 
+DECON_BENCH_MOD = 97      # doc_id % MOD == 0 -> benchmark ("eval") doc
+DECON_NGRAM = 3
+
+
+def decontaminate(ds, bench_ds=None, n: int = DECON_NGRAM,
+                  bench_mod: int = DECON_BENCH_MOD):
+    """Benchmark decontamination: per-document count of distinct token
+    ``n``-grams shared with a benchmark/eval set — the overlap filter a
+    training pipeline runs before training so eval data doesn't leak
+    into the corpus (the GPT-3-style n-gram decontamination step).
+
+    ``bench_ds`` defaults to the corpus rows with ``doc_id % bench_mod
+    == 0`` (a deterministic self-derived eval set for tests; in
+    production it is the real benchmark corpus).  Scale shape: the
+    benchmark n-gram set is SMALL by construction (eval suites are MBs
+    against a 100 TB corpus), so it is collected once, deduplicated,
+    and broadcast via ``ray.put`` — membership is then a fully
+    batch-local vectorized ``isin`` with NO shuffle over the corpus.
+    Output: one row per document, ``n_overlap`` distinct shared
+    n-grams, ``is_benchmark`` flag."""
+    import pandas as pd
+    import ray
+
+    if bench_ds is None:
+        def pick_bench(batch: pa.Table) -> pa.Table:
+            keep = batch["doc_id"].to_numpy() % bench_mod == 0
+            return batch.filter(pa.array(keep))
+
+        bench_ds = ds.map_batches(pick_bench, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def doc_ngrams(batch: pa.Table):
+        """(doc_row_idx, ngram) DISTINCT pairs for the batch."""
+        toks = pc.split_pattern(batch["text"], " ")
+        lens = pc.list_value_length(toks).to_numpy()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        m = len(flat) - (n - 1)
+        if m <= 0:
+            return (np.array([], dtype=np.int64),
+                    pd.Series([], dtype=object))
+        did = np.repeat(np.arange(len(lens)), lens)
+        ok = did[:m] == did[n - 1:]
+        s = pd.Series(flat[:m][ok], dtype=object)
+        for j in range(1, n):
+            s = s + " " + pd.Series(flat[j:j + m][ok], dtype=object)
+        df = pd.DataFrame({"i": did[:m][ok], "g": s})
+        df = df.drop_duplicates()
+        return df["i"].to_numpy(), df["g"]
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        _, g = doc_ngrams(batch)
+        return pa.table({"g": pa.array(g.drop_duplicates(), pa.string())})
+
+    # distinct benchmark n-grams: per-batch dedup partials -> one small
+    # global distinct aggregate -> driver list (bench-set-bounded)
+    bench_grams = bench_ds.map_batches(
+        bench_partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None).groupby("g").count()
+    gset = []
+    for b in bench_grams.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        gset.append(b["g"].to_numpy(zero_copy_only=False))
+    gset = (pd.Index(np.concatenate(gset)) if gset
+            else pd.Index([], dtype=object))
+    gref = ray.put(gset)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        grams = ray.get(gref)
+        idx, g = doc_ngrams(batch)
+        cnt = np.zeros(len(batch), dtype=np.int64)
+        if len(idx):
+            hit = g.isin(grams).to_numpy()
+            np.add.at(cnt, idx[hit], 1)
+        d = batch["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_overlap": pa.array(cnt),
+            "is_benchmark": pa.array((d % bench_mod == 0)
+                                     .astype(np.int64)),
+        })
+
+    return ds.map_batches(overlap, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=16384)
+
+
+CHUNK_ID_BITS = 20   # chunk_id < 2^20 (doc len / stride bound); the
+# packed winner key doc_id << 20 | chunk_id stays int64-safe to 2^43 ids
+
+
+def chunk_dedup(ds, chunk_tokens: int = 32):
+    """Chunk-level (paragraph-analog) corpus dedup — the CCNet-style
+    boilerplate-removal step: split every document into non-overlapping
+    ``chunk_tokens`` windows, keep each distinct chunk text only at its
+    FIRST occurrence (lowest (doc_id, chunk_id)), and report per
+    document how many of its chunks survive.
+
+    Scale shape: only (md5(chunk), packed doc/chunk id) rows cross the
+    shuffle — never chunk text; the winner per chunk hash is a
+    vectorized ``Min`` aggregate (same reduce as ``exact_dedup``); the
+    per-doc roll-up joins two partial aggregates through one
+    ``groupby(doc_id)`` Sum.  Output: (doc_id, n_chunks, n_kept)."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    chunks = chunk_docs(ds, chunk_tokens=chunk_tokens, overlap=0)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in batch["chunk_text"].to_pylist()]
+        packed = (batch["doc_id"].to_numpy() << CHUNK_ID_BITS) \
+            | batch["chunk_id"].to_numpy()
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "packed": pa.array(packed)})
+
+    winners = chunks.map_batches(keyed, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("h").aggregate(Min("packed", alias_name="w"))
+
+    def kept_partial(batch: pa.Table) -> pa.Table:
+        d = batch["w"].to_numpy() >> CHUNK_ID_BITS
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "n_chunks": pa.array(np.zeros(len(u),
+                                                       dtype=np.int64)),
+                         "n_kept": pa.array(c.astype(np.int64))})
+
+    def total_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "n_chunks": pa.array(c.astype(np.int64)),
+                         "n_kept": pa.array(np.zeros(len(u),
+                                                     dtype=np.int64))})
+
+    kept = winners.map_batches(kept_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    totals = chunks.map_batches(total_partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+    return totals.union(kept).groupby("doc_id").aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_kept", alias_name="n_kept"))
+
+
+def quality_filter(ds, q: float = 0.9):
+    """Exact global quantile threshold filter: keep documents whose
+    length (n_chars) is >= the corpus's exact ``q``-quantile — the
+    top-(1-q) selection step of a quality-filtered training mix.
+
+    The threshold comes from the same integer-histogram sketch as
+    ``length_quantiles`` (shuffle bounded by DISTINCT lengths, not
+    rows; the driver folds only the tiny histogram), then the filter
+    itself is batch-local — no second shuffle.  The quantile is the
+    ceil(q*n)-th smallest value, double arithmetic matching the SQL
+    mirror bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(batch["text"]).to_numpy()
+        u, c = np.unique(ln, return_counts=True)
+        return pa.table({"L": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("L").aggregate(Sum("c", alias_name="n"))
+    Ls, ns = [], []
+    for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        Ls.append(b["L"].to_numpy())
+        ns.append(b["n"].to_numpy())
+    L = np.concatenate(Ls)
+    cnt = np.concatenate(ns)
+    order = np.argsort(L)
+    L, cnt = L[order], cnt[order]
+    cum = np.cumsum(cnt)
+    thr = int(L[np.searchsorted(cum, math.ceil(q * int(cum[-1])))])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        t = pa.table({"doc_id": batch["doc_id"], "n_chars": ln})
+        return t.filter(pc.greater_equal(ln, thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def inverted_index(ds, rows_hint: int | None = None):
+    """Inverted index build: token -> (df, comma-joined sorted posting
+    list of doc_ids) — the retrieval-index / decontamination-lookup
+    structure over the corpus.
+
+    Shape: distinct (doc_id, token) pairs from ``doc_token_tf`` (the
+    occurrence stream folds in-batch) are hash-partitioned on an
+    md5-derived token key; ONE vectorized sort + segmented-join kernel
+    per partition emits every token's postings (never one Python call
+    per token).  Postings are strings so the oracle compare is a plain
+    column (DuckDB string_agg ORDER BY doc_id)."""
+    import hashlib
+
+    import pandas as pd
+
+    from .relational import _hash_partitioned
+
+    pairs = ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .select_columns(["doc_id", "token"])
+
+    M = (1 << 31) - 1
+
+    def add_tkey(batch: pa.Table) -> pa.Table:
+        tok = np.asarray(batch["token"].to_pylist(), dtype=object)
+        uniq, inv = np.unique(tok, return_inverse=True)
+        ukeys = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % M
+             for t in uniq.tolist()),
+            dtype=np.int64, count=len(uniq))
+        return batch.append_column("tkey", pa.array(ukeys[inv]))
+
+    keyed = pairs.map_batches(add_tkey, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def postings_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        tok = g["token"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        ids = g["doc_id"].astype(str).to_numpy()
+        posts = [",".join(ids[a:a + sz])
+                 for a, sz in zip(starts, sizes)]
+        return pd.DataFrame({
+            "token": tok[starts],
+            "df": sizes.astype(np.int64),
+            "postings": posts,
+        })
+
+    return _hash_partitioned(keyed, "tkey", postings_part,
+                             rows_hint=rows_hint or 1)
+
+
 PACK_RANGE_DOCS = 65536
 
 

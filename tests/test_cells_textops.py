@@ -427,3 +427,110 @@ def test_pack_sequences_multi_range_prefix_sum(ray_session):
     # packs are contiguous monotone ids starting at 0
     assert out["pack_id"].iloc[0] == 0
     assert (np.diff(out["pack_id"].to_numpy()) >= 0).all()
+
+
+def test_decontaminate_overlap_counts(ray_session):
+    """Docs sharing trigrams with the benchmark set get the exact
+    DISTINCT-trigram overlap count; disjoint docs get 0; benchmark
+    docs are flagged."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import decontaminate
+
+    # doc 0 is benchmark (0 % 97 == 0); doc 1 repeats a shared trigram
+    # twice (must count ONCE); doc 2 disjoint; doc 3 shares two
+    # distinct trigrams
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c d e",              # bench grams: abc bcd cde
+            "a b c x a b c",          # abc twice, "c x a"/"x a b" no
+            "q r s t",                # disjoint
+            "a b c d x c d e",        # abc, bcd... wait: see below
+        ]),
+    }))
+    out = decontaminate(docs).to_pandas().set_index("doc_id")
+    assert out.loc[0, "is_benchmark"] == 1
+    assert (out.loc[[1, 2, 3], "is_benchmark"] == 0).all()
+    # doc1: distinct trigrams {abc, bcx, cxa, xab} -> only abc shared
+    assert out.loc[1, "n_overlap"] == 1
+    assert out.loc[2, "n_overlap"] == 0
+    # doc3 trigrams: abc bcd cdx dxc xcd cde -> shared {abc, bcd, cde}
+    assert out.loc[3, "n_overlap"] == 3
+    # benchmark doc overlaps itself fully (3 trigrams)
+    assert out.loc[0, "n_overlap"] == 3
+
+
+def test_chunk_dedup_first_occurrence_wins(ray_session):
+    """Chunk-level dedup: an exact duplicate doc keeps 0 chunks; a doc
+    sharing only its first 32-token chunk keeps the rest."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import chunk_dedup
+
+    base = " ".join(f"t{i}" for i in range(64))        # 2 chunks
+    tail = " ".join(f"u{i}" for i in range(32))
+    shared_first = " ".join(f"t{i}" for i in range(32)) + " " + tail
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([base, base, shared_first]),
+    }))
+    out = chunk_dedup(docs).to_pandas().set_index("doc_id")
+    assert out.loc[10, "n_chunks"] == 2 and out.loc[10, "n_kept"] == 2
+    assert out.loc[11, "n_chunks"] == 2 and out.loc[11, "n_kept"] == 0
+    assert out.loc[12, "n_chunks"] == 2 and out.loc[12, "n_kept"] == 1
+
+
+def test_quality_filter_exact_threshold(ray_session):
+    """Threshold = ceil(q*n)-th smallest length, filter inclusive."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import quality_filter
+
+    texts = ["x" * ln for ln in (10, 20, 30, 40, 50, 60, 70, 80, 90, 99)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = quality_filter(docs, q=0.9).to_pandas()
+    # ceil(0.9 * 10) = 9th smallest = 90 -> keeps lengths 90, 99
+    assert sorted(out["n_chars"]) == [90, 99]
+
+
+def test_inverted_index_postings_sorted(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import inverted_index
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 3, 9], pa.int64()),
+        "text": pa.array(["w a w", "a b", "b a w"]),
+    }))
+    out = inverted_index(docs, rows_hint=9).to_pandas() \
+        .set_index("token")
+    assert out.loc["a", "df"] == 3
+    assert out.loc["a", "postings"] == "3,5,9"   # sorted doc ids
+    assert out.loc["w", "postings"] == "5,9"     # in-doc repeat folded
+    assert out.loc["b", "df"] == 2
+
+
+def test_train_shuffle_exact_shard_ranks(ray_session, sf_dir, duck):
+    """Every shard's positions are exactly 1..shard_size and agree with
+    the window-rank oracle."""
+    from geo_inference_ray.relational import train_shuffle
+
+    out = train_shuffle(sf_dir).to_pandas()
+    for _, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    ora = duck.execute("""
+        WITH h AS (SELECT doc_id,
+                   (doc_id % 2147483647 * 2654435761) % 2147483647 AS h
+                   FROM documents)
+        SELECT doc_id, h % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY h % 8
+                                  ORDER BY h, doc_id) AS pos
+        FROM h""").fetchdf()
+    m = out.sort_values("doc_id").reset_index(drop=True)
+    o = ora.sort_values("doc_id").reset_index(drop=True)
+    assert (m["shard"].to_numpy() == o["shard"].to_numpy()).all()
+    assert (m["pos"].to_numpy() == o["pos"].to_numpy()).all()
