@@ -67,6 +67,24 @@ def _tiling_sql_mask_tiles() -> str:
     return sql_mask_tiles()
 
 
+def _tiling_sql_tile_pyramid() -> str:
+    from geo_inference_ray.tiling import sql_tile_pyramid
+
+    return sql_tile_pyramid()
+
+
+def _tiling_sql_pix_cte() -> str:
+    from geo_inference_ray.tiling import sql_pix_cte
+
+    return sql_pix_cte()
+
+
+def _tiling_sql_zonal_stats() -> str:
+    from geo_inference_ray.tiling import sql_zonal_stats
+
+    return sql_zonal_stats()
+
+
 def _tiling_sql_polygon_components() -> str:
     from geo_inference_ray.tiling import sql_polygon_components
 
@@ -420,6 +438,20 @@ def q_mask_tiles(sf_dir: str):
     return tiles.select_columns(["oy", "ox", "n_valid"])
 
 
+def q_tile_pyramid(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    return _tiling.tile_pyramid(geo, _tiling.DEFAULT_GRID)
+
+
+def q_zonal_stats(sf_dir: str):
+    from geo_inference_ray import tiling as _tiling
+
+    geo = _stages.geo_pipeline(sf_dir, with_cells=False)
+    return _tiling.zonal_stats(geo, _tiling.DEFAULT_GRID)
+
+
 def q_ann_topk(sf_dir: str):
     return _ann.ann_topk(sf_dir)
 
@@ -586,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
+        "tile_pyramid": q_tile_pyramid,
+        "zonal_stats": q_zonal_stats,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -873,6 +907,10 @@ SELECT CAST(floor((lon - -180.0) / 0.5) AS BIGINT) AS px,
        count(*) AS n
 FROM geo GROUP BY 1, 2""",
         "mask_tiles": _WG + "," + _tiling_sql_mask_tiles(),
+        "tile_pyramid": _WG + "," + _tiling_sql_tile_pyramid(),
+        "zonal_stats": (_WG + "," + _tiling_sql_pix_cte() + ","
+                        + _synth.sql_polygon_edges()
+                        + _tiling_sql_zonal_stats()),
         "polygon_components": _WGR + "," + _tiling_sql_polygon_components(),
         "polygon_rings": _WGR + "," + _tiling_sql_polygon_rings(),
         "yolo": _WGR + "," + _tiling_sql_yolo(),

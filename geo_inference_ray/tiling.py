@@ -441,6 +441,153 @@ def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
     return merged
 
 
+PYRAMID_LEVELS = 4
+
+
+def tile_pyramid(geo_ds, grid: GridConfig = DEFAULT_GRID,
+                 levels: int = PYRAMID_LEVELS):
+    """Raster overview pyramid — the gdaladdo/COG-overviews analog: for
+    each zoom level ``l`` in 0..levels-1, per-pixel page counts at 2^l x
+    coarser resolution (level-l pixel (py, px) sums the level-0 counts
+    of the 2^l x 2^l block it covers).
+
+    One pass: the (grid-bounded) level-0 pixel aggregate is flat-emitted
+    to its ``levels`` ancestor keys, then ONE groupby(level, py, px)
+    Sum — shuffle volume is occupied-pixels x levels, never input rows.
+    At 100 TB the input reduction happens in ``pixel_counts``; the
+    pyramid itself touches only raster-bounded data."""
+    from ray.data.aggregate import Sum
+
+    pix = pixel_counts(geo_ds, grid)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        py = batch["py"].to_numpy()
+        px = batch["px"].to_numpy()
+        n = pc_cast_i64(batch["n"]).to_numpy()
+        lv = np.repeat(np.arange(levels, dtype=np.int64), len(py))
+        pyt = np.tile(py, levels) >> lv
+        pxt = np.tile(px, levels) >> lv
+        return pa.table({
+            "level": pa.array(lv), "py": pa.array(pyt),
+            "px": pa.array(pxt),
+            "n": pa.array(np.tile(n, levels))})
+
+    return pix.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["level", "py", "px"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
+def zonal_stats(geo_ds, grid: GridConfig = DEFAULT_GRID,
+                polygons_ref=None):
+    """Zonal statistics — per-polygon aggregate of the rasterized page
+    density (the classic raster<->vector zonal-sum: for every polygon,
+    how many occupied pixels fall inside it and how many pages they
+    hold).  A pixel belongs to a polygon iff its CENTER is inside
+    (exact ray-cast, same kernel as the PIP join); pixels inside
+    multiple overlapping polygons count for each.
+
+    Scale shape: the input reduction is ``pixel_counts`` (shuffle
+    bounded by the raster grid); the polygon layer is broadcast once
+    (``ray.put``) and probed batch-locally; the final groupby is
+    polygon-bounded."""
+    from ray.data.aggregate import Count, Sum
+
+    from . import synth
+    from .geom import STRtree, point_in_polygon
+
+    class ZonalJoiner:
+        def __init__(self, polygons_ref=None):
+            if polygons_ref is not None:
+                import ray
+
+                polys = ray.get(polygons_ref)
+            else:
+                polys = synth.polygon_arrays()
+            self.polys = polys
+            self.tree = STRtree(np.array([p["bbox"] for p in polys]))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            py = batch["py"].to_numpy()
+            px = batch["px"].to_numpy()
+            n = pc_cast_i64(batch["n"]).to_numpy()
+            # pixel centers, same expression order as the SQL mirror
+            lonc = grid.min_lon + (px + 0.5) * grid.pix
+            latc = grid.max_lat - (py + 0.5) * grid.pix
+            rows, pids = [], []
+            for item, pts in self.tree.query_points_bulk(lonc, latc):
+                p = self.polys[item]
+                inside = point_in_polygon(lonc[pts], latc[pts],
+                                          p["x1"], p["y1"],
+                                          p["x2"], p["y2"])
+                hit = pts[inside]
+                if len(hit):
+                    rows.append(hit)
+                    pids.append(np.full(len(hit), p["poly_id"],
+                                        dtype=np.int64))
+            if not rows:
+                return pa.table({"poly_id": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            r = np.concatenate(rows)
+            return pa.table({
+                "poly_id": pa.array(np.concatenate(pids)),
+                "n": pa.array(n[r])})
+
+    pix = pixel_counts(geo_ds, grid)
+    import ray
+
+    ref = polygons_ref or ray.put(synth.polygon_arrays())
+    joiner = ZonalJoiner(ref)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        return joiner(batch)
+
+    # the pixel stream is raster-bounded (small), so a stateless task fn
+    # with the broadcast ref captured is cheaper than an actor pool here
+    return pix.map_batches(probe, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby("poly_id").aggregate(
+            Count(alias_name="n_pixels"),
+            Sum("n", alias_name="n_pages"))
+
+
+def sql_tile_pyramid(grid: GridConfig = DEFAULT_GRID,
+                     levels: int = PYRAMID_LEVELS) -> str:
+    """Oracle for :func:`tile_pyramid` (compose after the geo CTE):
+    integer ancestor keys via right-shift, one GROUP BY."""
+    lv = ", ".join(f"({i})" for i in range(levels))
+    return sql_pix_cte(grid) + f""",
+lv(l) AS (VALUES {lv})
+SELECT CAST(l AS BIGINT) AS level, py >> l AS py, px >> l AS px,
+       CAST(SUM(n) AS BIGINT) AS n
+FROM pix, lv GROUP BY 1, 2, 3"""
+
+
+def sql_zonal_stats(grid: GridConfig = DEFAULT_GRID) -> str:
+    """Oracle for :func:`zonal_stats`: pixel centers against the same
+    edge-crossing PIP predicate as the join oracles (compose after
+    geo + polygon edges CTEs)."""
+    return f""",
+pixc AS (
+  SELECT py, px, n,
+         {grid.min_lon!r} + (px + 0.5) * {grid.pix!r} AS lonc,
+         {grid.max_lat!r} - (py + 0.5) * {grid.pix!r} AS latc
+  FROM pix
+),
+zhits AS (
+  SELECT g.n, p.poly_id
+  FROM pixc g, polys p
+  WHERE (SELECT count(*) FROM edges e
+         WHERE e.poly_id = p.poly_id
+           AND ((e.ey1 > g.latc) != (e.ey2 > g.latc))
+           AND g.lonc < (e.ex2 - e.ex1) * (g.latc - e.ey1)
+                        / (e.ey2 - e.ey1) + e.ex1
+        ) % 2 = 1
+)
+SELECT poly_id, COUNT(*) AS n_pixels, CAST(SUM(n) AS BIGINT) AS n_pages
+FROM zhits GROUP BY poly_id"""
+
+
 def tiles_to_dense(tiles_df: pd.DataFrame,
                    grid: GridConfig = DEFAULT_GRID) -> np.ndarray:
     """Assemble mask tiles into a dense (H, W) uint8 raster (driver-side
@@ -476,6 +623,22 @@ def reference_merge(contribs: list[np.ndarray], num_classes: int,
 # SQL oracle mirrors (DuckDB CTE fragments; compose after the geo CTE)
 # ---------------------------------------------------------------------------
 
+def sql_pix_cte(grid: GridConfig = DEFAULT_GRID) -> str:
+    """``pix`` CTE: occupied raster pixels with page counts — the SQL
+    mirror of :func:`pixel_counts` (floor + clip arithmetic identical
+    to ``rasterize_partial``).  Compose after the geo CTE."""
+    w, h = grid.width, grid.height
+    return f"""
+pix AS (
+  SELECT LEAST(GREATEST(CAST(floor((lon - {grid.min_lon!r}) / {grid.pix!r})
+                        AS BIGINT), 0), {w - 1}) AS px,
+         LEAST(GREATEST(CAST(floor(({grid.max_lat!r} - lat) / {grid.pix!r})
+                        AS BIGINT), 0), {h - 1}) AS py,
+         count(*) AS n
+  FROM geo GROUP BY 1, 2
+)"""
+
+
 def sql_tile_ctes(grid: GridConfig = DEFAULT_GRID) -> str:
     """CTE chain mirroring the tile pipeline's integer skeleton:
 
@@ -487,17 +650,9 @@ def sql_tile_ctes(grid: GridConfig = DEFAULT_GRID) -> str:
     The scorer is pointwise and the merge normalizes by the summed
     window, so mask semantics reduce to integer relations on these sets
     (see sql_fg_cte) — no float scoring appears in the oracle."""
-    s, w, h = grid.stride, grid.width, grid.height
+    s = grid.stride
     ny, nx = grid.ny, grid.nx
-    return f"""
-pix AS (
-  SELECT LEAST(GREATEST(CAST(floor((lon - {grid.min_lon!r}) / {grid.pix!r})
-                        AS BIGINT), 0), {w - 1}) AS px,
-         LEAST(GREATEST(CAST(floor(({grid.max_lat!r} - lat) / {grid.pix!r})
-                        AS BIGINT), 0), {h - 1}) AS py,
-         count(*) AS n
-  FROM geo GROUP BY 1, 2
-),
+    return sql_pix_cte(grid) + f""",
 patches AS (
   SELECT DISTINCT (py // {s} + dy.d) AS ty, (px // {s} + dx.d) AS tx
   FROM pix, (VALUES (0), (-1)) dy(d), (VALUES (0), (-1)) dx(d)

@@ -301,3 +301,55 @@ def test_scorer_resources_custom_placement(ray_session, sf_dir):
         .sort_values(["oy", "ox"]).reset_index(drop=True)
     assert base["n_valid"].tolist() == res["n_valid"].tolist()
     assert [list(m) for m in base["mask"]] == [list(m) for m in res["mask"]]
+
+
+def test_tile_pyramid_parent_child_sums(ray_session, sf_dir):
+    """Every level's total equals the page count, and each level-l+1
+    pixel is the sum of its <=4 level-l children."""
+    from geo_inference_ray import stages
+    from geo_inference_ray.tiling import DEFAULT_GRID, tile_pyramid
+
+    geo = stages.geo_pipeline(sf_dir, with_cells=False)
+    pyr = tile_pyramid(geo, DEFAULT_GRID).to_pandas()
+    totals = pyr.groupby("level")["n"].sum()
+    assert (totals == totals.iloc[0]).all()
+    for lvl in range(3):
+        child = pyr[pyr["level"] == lvl].copy()
+        child["ppy"] = child["py"] // 2
+        child["ppx"] = child["px"] // 2
+        rolled = child.groupby(["ppy", "ppx"])["n"].sum().reset_index()
+        parent = pyr[pyr["level"] == lvl + 1][["py", "px", "n"]]
+        m = rolled.merge(parent, left_on=["ppy", "ppx"],
+                         right_on=["py", "px"], how="outer")
+        assert (m["n_x"].to_numpy() == m["n_y"].to_numpy()).all()
+
+
+def test_zonal_stats_against_driver_reference(ray_session, sf_dir):
+    """zonal_stats equals a driver-side recomputation from the pixel
+    aggregate + exact PIP on pixel centers."""
+    import numpy as np
+
+    from geo_inference_ray import stages, synth
+    from geo_inference_ray.geom import point_in_polygon
+    from geo_inference_ray.tiling import (DEFAULT_GRID, pixel_counts,
+                                          zonal_stats)
+
+    geo = stages.geo_pipeline(sf_dir, with_cells=False)
+    out = zonal_stats(geo, DEFAULT_GRID).to_pandas() \
+        .set_index("poly_id").sort_index()
+    pix = pixel_counts(
+        stages.geo_pipeline(sf_dir, with_cells=False),
+        DEFAULT_GRID).to_pandas()
+    lonc = DEFAULT_GRID.min_lon + (pix["px"].to_numpy() + 0.5) \
+        * DEFAULT_GRID.pix
+    latc = DEFAULT_GRID.max_lat - (pix["py"].to_numpy() + 0.5) \
+        * DEFAULT_GRID.pix
+    n = pix["n"].to_numpy()
+    for p in synth.polygon_arrays():
+        inside = point_in_polygon(lonc, latc, p["x1"], p["y1"],
+                                  p["x2"], p["y2"])
+        if p["poly_id"] in out.index:
+            assert out.loc[p["poly_id"], "n_pixels"] == int(inside.sum())
+            assert out.loc[p["poly_id"], "n_pages"] == int(n[inside].sum())
+        else:
+            assert not inside.any()
