@@ -461,3 +461,108 @@ def ivf_topk(sf_dir: str, k: int = TOPK_DEFAULT,
 
     return cand.groupby("query_id").map_groups(final_topk,
                                                batch_format="pandas")
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+KMEANS_SCALE = 1 << 20   # fixed-point quantization: qx = floor(x * 2^20)
+
+
+def _quantize(emb_col) -> np.ndarray:
+    """float32 list column -> (n, d) int64 fixed-point matrix.
+    floor(double(x) * 2^20): float32 widens exactly, the product and
+    floor are the same IEEE ops as the SQL mirror — bit-exact."""
+    M = np.stack(emb_col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    return np.floor(M * KMEANS_SCALE).astype(np.int64)
+
+
+def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS):
+    """Lloyd's k-means over the embedding column, integer-exact — the
+    corpus-clustering step of a training-data pipeline (semantic
+    balancing / cluster-based curation).  Returns the final
+    (vec_id, cluster, dist) assignment.
+
+    Determinism contract (shared with the SQL oracle):
+    * vectors quantized to int64 fixed-point (floor(x * 2^20)) — every
+      distance is an EXACT integer, order-independent;
+    * initial centroids = the quantized embeddings of the k smallest
+      vec_ids (footer-pruned ``_head_by_id`` read, never the table);
+    * assignment = argmin squared L2, ties to the lowest cluster id;
+    * update = elementwise floor(double(sum)/count) (exact while
+      |sum| < 2^53 — documented bound; same IEEE division both sides);
+      empty clusters keep their previous centroid.
+
+    Scale shape per iteration: centroids broadcast via ``ray.put``;
+    ONE map_batches pass emits per-batch partial (cluster, count,
+    dim-sum) rows — k x (d+2) ints per batch — folded on the driver
+    (k-bounded state, like the reference's grid-bounded merges); no
+    shuffle of the vectors, ``iters`` passes over the data total."""
+    import ray
+    import ray.data as rd
+
+    head = _head_by_id(f"{sf_dir}/embeddings.parquet", k,
+                       ["vec_id", "embedding"])
+    order = np.argsort(head["vec_id"].to_numpy())[:k]
+    cents = _quantize(head["embedding"].combine_chunks())[order]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def assign(Q: np.ndarray, C: np.ndarray):
+        """(n,d) x (k,d) -> (labels, dists): exact int64 argmin with
+        lowest-cluster tie-break (np.argmin takes the first min)."""
+        dists = np.empty((len(Q), len(C)), dtype=np.int64)
+        for ci in range(len(C)):
+            diff = Q - C[ci][None, :]
+            dists[:, ci] = np.einsum("ij,ij->i", diff, diff)
+        lab = np.argmin(dists, axis=1)
+        return lab, dists[np.arange(len(Q)), lab]
+
+    for _ in range(iters - 1):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            C = ray.get(cref)
+            Q = _quantize(batch["embedding"])
+            lab, _ = assign(Q, C)
+            rows = []
+            for ci in np.unique(lab):
+                sel = Q[lab == ci]
+                rows.append((int(ci), len(sel),
+                             sel.sum(axis=0, dtype=np.int64)))
+            return pa.table({
+                "cid": pa.array([r[0] for r in rows], pa.int64()),
+                "cnt": pa.array([r[1] for r in rows], pa.int64()),
+                "s": pa.array([r[2] for r in rows],
+                              pa.list_(pa.int64()))})
+
+        cnt = np.zeros(k, dtype=np.int64)
+        acc = np.zeros_like(cents)
+        for b in ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None) \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            ci = b["cid"].to_numpy()
+            cnt_b = b["cnt"].to_numpy()
+            S = np.stack(b["s"].to_numpy(zero_copy_only=False))
+            np.add.at(cnt, ci, cnt_b)
+            np.add.at(acc, ci, S)
+        nz = cnt > 0
+        # same IEEE double division + floor as the SQL mirror
+        cents = cents.copy()
+        cents[nz] = np.floor(acc[nz].astype(np.float64)
+                             / cnt[nz, None].astype(np.float64)) \
+            .astype(np.int64)
+
+    cref = ray.put(cents)
+
+    def final(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Q = _quantize(batch["embedding"])
+        lab, d = assign(Q, C)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(lab.astype(np.int64)),
+                         "dist": pa.array(d)})
+
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -493,3 +493,41 @@ def test_head_by_id_prunes_row_groups(tmp_path):
     for i, e in zip(out2["vec_id"].to_pylist(),
                     out2["embedding"].to_pylist()):
         assert e == want[i]
+
+
+def test_kmeans_assign_invariants(ray_session, sf_dir):
+    """Every vector lands on its exact nearest final centroid (driver
+    recompute), cluster ids are within range, distances are exact
+    integers reproduced from the quantized data."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import (KMEANS_K, KMEANS_SCALE,
+                                       kmeans_assign)
+
+    out = kmeans_assign(sf_dir).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    Q = np.floor(np.stack(df["embedding"].to_numpy()).astype(np.float64)
+                 * KMEANS_SCALE).astype(np.int64)
+    assert out["cluster"].between(0, KMEANS_K - 1).all()
+    assert (out["vec_id"].to_numpy() == df["vec_id"].to_numpy()).all()
+    # recompute the 2-iteration Lloyd driver-side
+    seed = Q[np.argsort(df["vec_id"].to_numpy())[:KMEANS_K]]
+    def assign(C):
+        d = ((Q[:, None, :] - C[None, :, :]).astype(np.int64) ** 2) \
+            .sum(axis=2)
+        lab = np.argmin(d, axis=1)
+        return lab, d[np.arange(len(Q)), lab]
+    lab1, _ = assign(seed)
+    C = seed.copy()
+    for ci in range(KMEANS_K):
+        sel = Q[lab1 == ci]
+        if len(sel):
+            C[ci] = np.floor(sel.sum(axis=0).astype(np.float64)
+                             / float(len(sel))).astype(np.int64)
+    lab2, d2 = assign(C)
+    assert (out["cluster"].to_numpy() == lab2).all()
+    assert (out["dist"].to_numpy() == d2).all()
