@@ -537,6 +537,13 @@ def q_native_join(sf_dir: str):
     return _rel.native_join_agg(sf_dir)
 
 
+def q_simhash_pairs(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _dedup.simhash_pairs(_docs_text(sf_dir), rows_hint=n)
+
+
 def q_kmeans(sf_dir: str):
     return _ann.kmeans_assign(sf_dir)
 
@@ -629,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -705,9 +713,9 @@ cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
           AND a.doc_id < b.doc_id)"""
 
 
-def _simhash_sql() -> str:
-    """SimHash mirror: three LCG mixes of the 31-bit shingle hash give
-    the 64 vote bits (31+31+2); the assembled hash is emitted as the
+def _simhash_chain_sql() -> str:
+    """SimHash CTE chain: three LCG mixes of the 31-bit shingle hash
+    give the 64 vote bits (31+31+2); ``simt`` holds the assembled
     two's-complement BIGINT bit pattern plus 4x16-bit segments.
     power(2, b) is exact in float64 for all b <= 63."""
     M = _dedup.MERSENNE
@@ -728,8 +736,8 @@ votes AS (SELECT doc_id, b,
 sim AS (SELECT doc_id,
                SUM(CASE WHEN v > 0 THEN CAST(power(2, b) AS HUGEINT)
                         ELSE 0 END) AS s
-        FROM votes GROUP BY doc_id)
-SELECT doc_id,
+        FROM votes GROUP BY doc_id),
+simt AS (SELECT doc_id,
        CAST(CASE WHEN s >= 9223372036854775808
                  THEN s - 18446744073709551616::HUGEINT
                  ELSE s END AS BIGINT) AS simhash,
@@ -737,7 +745,33 @@ SELECT doc_id,
        CAST((s // 65536) % 65536 AS BIGINT) AS seg1,
        CAST((s // 4294967296) % 65536 AS BIGINT) AS seg2,
        CAST((s // 281474976710656) % 65536 AS BIGINT) AS seg3
-FROM sim"""
+FROM sim)"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_chain_sql() + """
+SELECT doc_id, simhash, seg0, seg1, seg2, seg3 FROM simt"""
+
+
+def _simhash_pairs_sql() -> str:
+    """simhash_pairs mirror: unpivot the 4 segments, same-segment
+    candidate join (doc_a < doc_b), DISTINCT pair, exact Hamming via
+    bit_count(xor(...)) on the two's-complement bit patterns (DuckDB's
+    BIGINT xor/bit_count operate on the raw 64-bit pattern — same as
+    the engine's uint64 popcount)."""
+    return _simhash_chain_sql() + f""",
+simsegs AS (
+  SELECT doc_id, simhash, k.k,
+         CASE k.k WHEN 0 THEN seg0 WHEN 1 THEN seg1
+                  WHEN 2 THEN seg2 ELSE seg3 END AS seg
+  FROM simt, (VALUES (0), (1), (2), (3)) k(k)),
+simcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM simsegs a JOIN simsegs b
+    ON a.k = b.k AND a.seg = b.seg AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM simcand WHERE bit_count(xor(ha, hb)) <= {_dedup.SIM_MAX_HAMMING}"""
 
 
 def _s2_sql() -> str:
@@ -1429,6 +1463,8 @@ JOIN cnts ca ON ca.doc_id = p.doc_a
 JOIN cnts cb ON cb.doc_id = p.doc_b
 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
         "simhash": "WITH " + _minhash_sql_chain() + _simhash_sql(),
+        "simhash_pairs": "WITH " + _minhash_sql_chain()
+        + _simhash_pairs_sql(),
         # Exact mirror of the full near-dup path: derandomized
         # Rademacher plane signs (LCG mix), size-scaled planes-per-band,
         # bucket-cap salting (vec_id % min(ceil(n/cap), MAX_SALTS)), and

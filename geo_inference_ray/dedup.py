@@ -801,3 +801,101 @@ def simhash_table(ds, max_actors: int | None = None):
     return ds.map_batches(SimHasher, batch_format="pyarrow",
                           zero_copy_batch=True,
                           concurrency=pool_caps(max_actors))
+
+
+SIM_MAX_HAMMING = 3   # with 4 segments, pigeonhole guarantees recall 1.0
+
+
+def simhash_pairs(ds, max_hamming: int = SIM_MAX_HAMMING,
+                  max_actors: int | None = None,
+                  rows_hint: int | None = None):
+    """SimHash near-duplicate pairs: segment-LSH candidates + exact
+    Hamming verification — the third dedup family (MinHash covers set
+    similarity, embedding-LSH covers cosine; SimHash covers weighted
+    bit-vector similarity with guaranteed recall: hamming <= 3 over 4
+    x 16-bit segments pigeonholes at least one equal segment).
+
+    Scale shape mirrors ``minhash_candidates``: only (segment-key,
+    doc_id, simhash) ints cross the shuffle; pair generation +
+    dedup + popcount verify are hash-partitioned vectorized kernels
+    (one pandas call per partition).  Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b, hamming <= max_hamming."""
+    import pandas as pd
+
+    from .relational import _hash_partitioned
+    from .shuffle import arrow_bridge
+
+    sims = simhash_table(ds, max_actors=max_actors)
+
+    def seg_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        h = batch["simhash"].to_numpy()
+        keys, docs, hs = [], [], []
+        for s in range(SIM_SEGS):
+            seg = batch[f"seg{s}"].to_numpy()
+            keys.append(seg + (s << 16))
+            docs.append(ids)
+            hs.append(h)
+        return pa.table({
+            "gid": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(docs)),
+            "h": pa.array(np.concatenate(hs))})
+
+    segs = sims.map_batches(seg_rows, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    # rows_hint: pass the corpus row count (parquet footer) to skip the
+    # counting pass over the doc pipeline
+    n_rows = SIM_SEGS * (rows_hint if rows_hint is not None
+                         else ds.count())
+
+    def bucket_pairs_part(g):
+        g = g.sort_values(["gid", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        gi = g["gid"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        hs = g["h"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = gi[1:] != gi[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        oa, ob, ha, hb = [], [], [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            ia, ib = np.triu_indices(sz, k=1)
+            oa.append(ids[st:st + sz][ia])
+            ob.append(ids[st:st + sz][ib])
+            ha.append(hs[st:st + sz][ia])
+            hb.append(hs[st:st + sz][ib])
+        if not oa:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "ha": pd.Series([], dtype=np.int64),
+                "hb": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(oa),
+                             "doc_b": np.concatenate(ob),
+                             "ha": np.concatenate(ha),
+                             "hb": np.concatenate(hb)})
+
+    pairs = arrow_bridge(
+        _hash_partitioned(segs, "gid", bucket_pairs_part,
+                          rows_hint=n_rows),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(),
+         "ha": pa.int64(), "hb": pa.int64()})
+
+    def verify_part(g):
+        g = g.drop_duplicates(["doc_a", "doc_b"])
+        x = np.bitwise_xor(g["ha"].to_numpy().view(np.uint64),
+                           g["hb"].to_numpy().view(np.uint64))
+        ham = np.unpackbits(x.view(np.uint8)).reshape(-1, 64) \
+            .sum(axis=1).astype(np.int64)
+        g = g.assign(hamming=ham)
+        return g.loc[g["hamming"] <= max_hamming,
+                     ["doc_a", "doc_b", "hamming"]]
+
+    return arrow_bridge(
+        _hash_partitioned(pairs, "doc_a", verify_part,
+                          rows_hint=n_rows),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(),
+         "hamming": pa.int64()})

@@ -531,3 +531,36 @@ def test_kmeans_assign_invariants(ray_session, sf_dir):
     lab2, d2 = assign(C)
     assert (out["cluster"].to_numpy() == lab2).all()
     assert (out["dist"].to_numpy() == d2).all()
+
+
+def test_simhash_pairs_hamming_semantics(ray_session):
+    """Identical docs pair at hamming 0; near-identical docs pair with
+    small hamming; unrelated docs with distant hashes don't pair."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import (SIM_MAX_HAMMING, SimHasher,
+                                         simhash_pairs)
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base + " extra"
+    other = " ".join(f"zzz{i}" for i in range(60))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, base, near, other]),
+    }))
+    out = simhash_pairs(docs, rows_hint=4).to_pandas()
+    pairs = {(a, b): h for a, b, h in
+             out[["doc_a", "doc_b", "hamming"]].itertuples(index=False)}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= SIM_MAX_HAMMING for h in pairs.values())
+    # exact hamming cross-check against the per-doc table
+    tab = SimHasher()(pa.table({
+        "doc_id": pa.array([1, 3], pa.int64()),
+        "text": pa.array([base, near])}))
+    h1, h3 = (np.uint64(v.as_py() & 0xFFFFFFFFFFFFFFFF)
+              for v in tab["simhash"])
+    true_ham = bin(int(h1 ^ h3)).count("1")
+    if true_ham <= SIM_MAX_HAMMING:
+        assert pairs.get((1, 3)) == true_ham
+    else:
+        assert (1, 3) not in pairs
