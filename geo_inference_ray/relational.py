@@ -716,6 +716,13 @@ def train_shuffle(sf_dir: str, num_shards: int = 8):
             .iter_batches(batch_size=65536, batch_format="pyarrow"):
         cells.append(b["cell"].to_numpy())
         counts.append(b["n"].to_numpy())
+    if not cells:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "shard": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64())}))
     cells = np.concatenate(cells)
     counts = np.concatenate(counts)
     order = np.argsort(cells)

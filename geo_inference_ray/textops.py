@@ -669,6 +669,12 @@ def quality_filter(ds, q: float = 0.9):
     for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
         Ls.append(b["L"].to_numpy())
         ns.append(b["n"].to_numpy())
+    if not Ls:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64())}))
     L = np.concatenate(Ls)
     cnt = np.concatenate(ns)
     order = np.argsort(L)

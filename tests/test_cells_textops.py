@@ -534,3 +534,20 @@ def test_train_shuffle_exact_shard_ranks(ray_session, sf_dir, duck):
     o = ora.sort_values("doc_id").reset_index(drop=True)
     assert (m["shard"].to_numpy() == o["shard"].to_numpy()).all()
     assert (m["pos"].to_numpy() == o["pos"].to_numpy()).all()
+
+
+def test_new_ops_empty_input(ray_session):
+    """quality_filter / train-shuffle-style ops return typed empty
+    results on an empty corpus instead of crashing (np.concatenate on
+    an empty list was the round-2 ADVICE failure shape)."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (chunk_dedup, decontaminate,
+                                           quality_filter)
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert quality_filter(empty).count() == 0
+    assert decontaminate(empty).count() == 0
+    assert chunk_dedup(empty).count() == 0
