@@ -301,6 +301,12 @@ def q_media_features(sf_dir: str):
     return ds.select_columns(["id", "kind"])
 
 
+def q_image_thumbs(sf_dir: str):
+    from geo_inference_ray import multimodal as _mm
+
+    return _mm.image_thumbs(sf_dir)
+
+
 def q_media_frames(sf_dir: str):
     from geo_inference_ray import multimodal as _mm
 
@@ -605,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "manifest": q_manifest,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "image_thumbs": q_image_thumbs,
         "token_count": q_token_count,
         "token_regex": q_token_regex,
         "quality": q_quality,
@@ -1355,6 +1362,20 @@ GROUP BY a.event_id, a.user_id, a.ts""",
         # the (id, kind) projection and the frame layout (payload sizes ->
         # frame counts) are pure integer SQL; feature VALUES stay pinned by
         # golden decode tests (RNG bytes are not SQL-expressible).
+        # NN thumbnail of the red channel: src pixel (py*h//4, px*w//4),
+        # value = (sy*7 + sx*3 + id) % 256 (the deterministic channel of
+        # the synthetic PPM) - pins the REAL decode per pixel value.
+        "image_thumbs": """
+WITH img AS (
+  SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+g AS (SELECT id, w, h, y.y AS py, x.x AS px
+      FROM img, (VALUES (0), (1), (2), (3)) y(y),
+                (VALUES (0), (1), (2), (3)) x(x))
+SELECT id, CAST(py AS BIGINT) AS py, CAST(px AS BIGINT) AS px,
+       CAST(((py * h // 4) * 7 + (px * w // 4) * 3 + id) % 256
+            AS BIGINT) AS r
+FROM g""",
         "media_features": """
 SELECT doc_id AS id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

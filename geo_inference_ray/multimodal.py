@@ -308,3 +308,63 @@ def media_frames(sf_dir: str, max_actors: int | None = None):
     ds = media_dataset(sf_dir)
     return ds.map_batches(AudioFrameSampler, batch_format="pyarrow",
                           batch_size=64, concurrency=pool_caps(max_actors))
+
+
+THUMB_SIZE = 4
+
+
+class ThumbSampler:
+    """Image -> nearest-neighbor thumbnail of the red channel (actor
+    pool; decode is the stateful/compute stage).  Sample rule:
+    src_y = out_y * h // T, src_x = out_x * w // T (integer floor) —
+    the standard NN downsample, exactly mirrorable in SQL.  Emits one
+    row per (id, py, px) with the sampled uint8 value as int64, so the
+    oracle pins the REAL decode path per PIXEL VALUE (media_features'
+    oracle only checks kind/shape arithmetic)."""
+
+    def __init__(self, size: int = THUMB_SIZE):
+        self.size = size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = self.size
+        ids_out, py_out, px_out, val_out = [], [], [], []
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        ids = batch["id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        grid_y, grid_x = np.mgrid[0:t, 0:t]
+        gy, gx = grid_y.reshape(-1), grid_x.reshape(-1)
+        for i in range(len(batch)):
+            if kinds[i] != "image":
+                continue
+            px = decode_ppm(payloads[i])
+            h, w = px.shape[:2]
+            sy = gy * h // t
+            sx = gx * w // t
+            v = px[sy, sx, 0].astype(np.int64)
+            ids_out.append(np.full(t * t, ids[i], dtype=np.int64))
+            py_out.append(gy.astype(np.int64))
+            px_out.append(gx.astype(np.int64))
+            val_out.append(v)
+        if not ids_out:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "py": pa.array([], pa.int64()),
+                             "px": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        return pa.table({
+            "id": pa.array(np.concatenate(ids_out)),
+            "py": pa.array(np.concatenate(py_out)),
+            "px": pa.array(np.concatenate(px_out)),
+            "r": pa.array(np.concatenate(val_out))})
+
+
+def image_thumbs(sf_dir: str, size: int = THUMB_SIZE,
+                 max_actors: int | None = None):
+    """media -> NN thumbnails of every image payload (one row per
+    output pixel); payloads never cross a shuffle — decode + sample
+    happen in the same actor task that synthesized them."""
+    from .pools import pool_caps
+
+    ds = media_dataset(sf_dir)
+    return ds.map_batches(ThumbSampler, batch_format="pyarrow",
+                          batch_size=64, concurrency=pool_caps(max_actors),
+                          fn_constructor_kwargs={"size": size})

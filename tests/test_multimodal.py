@@ -102,3 +102,28 @@ def test_media_pipelines_end_to_end(ray_session, sf_dir):
     assert all(len(f) == 64 for f in feats["feature"])
     frames = media_frames(sf_dir)
     assert frames.count() > 0
+
+
+def test_image_thumbs_pixel_values(ray_session, sf_dir):
+    """NN thumbnail values equal a driver-side re-decode + NN sample
+    (and hence the deterministic red channel of the synthetic PPM)."""
+    import numpy as np
+
+    from geo_inference_ray.multimodal import (THUMB_SIZE, decode_ppm,
+                                              image_thumbs, media_dataset)
+
+    out = image_thumbs(sf_dir).to_pandas()
+    assert set(out["py"]) == set(range(THUMB_SIZE))
+    med = media_dataset(sf_dir).to_pandas()
+    med = med[med["kind"] == "image"].set_index("id")
+    for iid, grp in out.groupby("id"):
+        px = decode_ppm(med.loc[iid, "payload"])
+        h, w = px.shape[:2]
+        for _, row in grp.iterrows():
+            sy = int(row["py"]) * h // THUMB_SIZE
+            sx = int(row["px"]) * w // THUMB_SIZE
+            assert row["r"] == int(px[sy, sx, 0])
+        break  # one image is enough for the per-pixel loop
+    # every image contributes exactly size^2 rows
+    assert (out.groupby("id").size() == THUMB_SIZE ** 2).all()
+    assert set(out["id"]) == set(med.index)
