@@ -550,6 +550,14 @@ def q_simhash_pairs(sf_dir: str):
     return _dedup.simhash_pairs(_docs_text(sf_dir), rows_hint=n)
 
 
+def q_bloom_probe(sf_dir: str):
+    return _dedup.bloom_probe(_docs_text(sf_dir))
+
+
+def q_hll_registers(sf_dir: str):
+    return _dedup.hll_registers(_docs_text(sf_dir))
+
+
 def q_kmeans(sf_dir: str):
     return _ann.kmeans_assign(sf_dir)
 
@@ -644,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "bloom_probe": q_bloom_probe,
+        "hll_registers": q_hll_registers,
         "embedding_near_dup": q_embedding_near_dup,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1486,6 +1496,41 @@ LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
         "simhash": "WITH " + _minhash_sql_chain() + _simhash_sql(),
         "simhash_pairs": "WITH " + _minhash_sql_chain()
         + _simhash_pairs_sql(),
+        # Bloom probe: Kirsch-Mitzenmacher double hashing from disjoint
+        # md5 halves; filter over even doc_ids, probe over odd.
+        "bloom_probe": f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT % {_dedup.BLOOM_M}
+             AS h1,
+         ('0x' || substr(md5(text), 17, 15))::BIGINT % {_dedup.BLOOM_M}
+             AS h2
+  FROM documents),
+bpos AS (
+  SELECT DISTINCT (h1 + i.i * h2) % {_dedup.BLOOM_M} AS p
+  FROM h, (VALUES (0), (1), (2), (3)) i(i) WHERE doc_id % 2 = 0),
+probe AS (
+  SELECT doc_id, (h1 + i.i * h2) % {_dedup.BLOOM_M} AS p
+  FROM h, (VALUES (0), (1), (2), (3)) i(i) WHERE doc_id % 2 = 1)
+SELECT doc_id,
+       CAST(CASE WHEN COUNT(*) FILTER (WHERE p IN (SELECT p FROM bpos))
+                      = {_dedup.BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+           AS maybe_seen
+FROM probe GROUP BY doc_id""",
+        # HLL registers: bucket = h % 256, rho = 1 + lowest-set-bit rank
+        # of h // 256 (log2 of an exact power of two is exact in double;
+        # zero suffix -> 53).  Register-bounded shuffle.
+        "hll_registers": f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+r AS (SELECT h % {_dedup.HLL_BUCKETS} AS bucket,
+             h // {_dedup.HLL_BUCKETS} AS rest FROM h)
+SELECT bucket,
+       MAX(CASE WHEN rest = 0 THEN 53
+                ELSE CAST(floor(log2(CAST(rest & -rest AS DOUBLE)))
+                          AS BIGINT) + 1 END) AS rho
+FROM r GROUP BY bucket""",
         # Exact mirror of the full near-dup path: derandomized
         # Rademacher plane signs (LCG mix), size-scaled planes-per-band,
         # bucket-cap salting (vec_id % min(ceil(n/cap), MAX_SALTS)), and

@@ -899,3 +899,115 @@ def simhash_pairs(ds, max_hamming: int = SIM_MAX_HAMMING,
                           rows_hint=n_rows),
         {"doc_a": pa.int64(), "doc_b": pa.int64(),
          "hamming": pa.int64()})
+
+
+BLOOM_M = 1 << 16   # filter bits
+BLOOM_K = 4         # probes per key
+
+
+def bloom_probe(ds, m: int = BLOOM_M, k: int = BLOOM_K):
+    """Bloom-filter membership probe — the incremental-dedup sketch: a
+    filter is built over the "seen" half of the corpus (doc_id % 2 ==
+    0, the deterministic stand-in for a previously-ingested crawl) and
+    every new doc (doc_id % 2 == 1) is probed against it.
+
+    Double hashing (Kirsch–Mitzenmacher, public construction):
+    pos_i = (h1 + i*h2) % m with h1/h2 from disjoint md5 halves.
+    Scale shape: per-batch partial DISTINCT positions (bounded by m,
+    never rows) -> one small global distinct -> the m-bit mask is
+    broadcast once (8 KB at m=2^16) -> probing is batch-local with no
+    shuffle.  Returns (doc_id, maybe_seen 0/1) for the probe half."""
+    import ray
+    from ray.data.aggregate import Count
+
+    def hashes(batch: pa.Table):
+        hx = [hashlib.md5(t.encode()).hexdigest()
+              for t in batch["text"].to_pylist()]
+        h1 = np.fromiter((int(x[0:15], 16) % m for x in hx),
+                         dtype=np.int64, count=len(hx))
+        h2 = np.fromiter((int(x[16:31], 16) % m for x in hx),
+                         dtype=np.int64, count=len(hx))
+        return h1, h2
+
+    def build_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        sel = d % 2 == 0
+        if not sel.any():
+            return pa.table({"p": pa.array([], pa.int64())})
+        h1, h2 = hashes(batch.filter(pa.array(sel)))
+        pos = (h1[:, None] + np.arange(k)[None, :] * h2[:, None]) % m
+        return pa.table({"p": pa.array(np.unique(pos))})
+
+    bits = ds.map_batches(build_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("p").aggregate(Count(alias_name="c"))
+    mask = np.zeros(m, dtype=bool)
+    for b in bits.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mask[b["p"].to_numpy()] = True
+    mref = ray.put(mask)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(mref)
+        d = batch["doc_id"].to_numpy()
+        sel = d % 2 == 1
+        if not sel.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "maybe_seen": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(sel))
+        h1, h2 = hashes(sub)
+        pos = (h1[:, None] + np.arange(k)[None, :] * h2[:, None]) % m
+        seen = bm[pos].all(axis=1).astype(np.int64)
+        return pa.table({"doc_id": sub["doc_id"],
+                         "maybe_seen": pa.array(seen)})
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+HLL_BUCKETS_LOG2 = 8   # 256 registers
+HLL_BUCKETS = 1 << HLL_BUCKETS_LOG2
+
+
+def hll_registers(ds):
+    """HyperLogLog register table over the corpus's token stream —
+    the cardinality-sketch build of a distinct-count pipeline (the
+    registers ARE the mergeable sketch; the float estimate is a
+    driver-side epilogue and deliberately not part of the exact
+    contract).
+
+    Register math (integer-exact, same in SQL): token hash h = md5
+    60-bit int; bucket = h % 256; rho = 1 + floor(log2(lowbit(h //
+    256))) (lowest-set-bit rank of the remaining bits; log2 of an
+    exact power of two is exact in double), rho = 53 for a zero
+    suffix.  Shuffle is register-bounded: per-batch partial MAX per
+    bucket -> one 256-row global Max."""
+    from ray.data.aggregate import Max
+
+    B = HLL_BUCKETS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(batch["text"], " "))
+        uniq = pc.unique(toks).to_pylist()
+        if not uniq:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+             for t in uniq), dtype=np.int64, count=len(uniq))
+        bucket = h % B
+        rest = h // B
+        low = rest & -rest
+        # log2 of an exact power of 2 is exact; zero suffix -> 53
+        rho = np.where(rest == 0, np.int64(53),
+                       np.floor(np.log2(
+                           np.maximum(low, 1).astype(np.float64)))
+                       .astype(np.int64) + 1)
+        t = pa.table({"bucket": pa.array(bucket),
+                      "rho": pa.array(rho)})
+        g = t.group_by("bucket").aggregate([("rho", "max")])
+        return pa.table({"bucket": g["bucket"], "rho": g["rho_max"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("bucket").aggregate(Max("rho", alias_name="rho"))

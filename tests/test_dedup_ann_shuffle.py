@@ -564,3 +564,63 @@ def test_simhash_pairs_hamming_semantics(ray_session):
         assert pairs.get((1, 3)) == true_ham
     else:
         assert (1, 3) not in pairs
+
+
+def test_bloom_probe_no_false_negatives(ray_session):
+    """A probe doc whose text exists in the build half MUST hit
+    (Bloom filters have no false negatives); a probe with a unique
+    text is almost surely a miss at this fill factor."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import bloom_probe
+
+    texts = [f"unique build text {i}" for i in range(40)]
+    docs, ids = [], []
+    for i in range(40):
+        ids.append(2 * i)          # build half (even)
+        docs.append(texts[i])
+    ids.append(1); docs.append(texts[0])       # dup of a build doc
+    ids.append(3); docs.append("never seen before text")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(docs, pa.string())}))
+    out = bloom_probe(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "maybe_seen"] == 1
+    assert out.loc[3, "maybe_seen"] == 0   # 160/65536 bits set -> fp ~1e-10
+
+
+def test_hll_registers_match_reference(ray_session, sf_dir):
+    """Registers equal a driver-side recompute over the exact distinct
+    token set, and the standard HLL estimate lands near the true
+    cardinality."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.dedup import HLL_BUCKETS, hll_registers
+
+    out = hll_registers(
+        __import__("ray").data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ).to_pandas().set_index("bucket")["rho"]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    vocab = set()
+    for txt in t["text"].to_pylist():
+        vocab.update(txt.split(" "))
+    regs = {}
+    for tok in vocab:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        b, rest = h % HLL_BUCKETS, h // HLL_BUCKETS
+        rho = 53 if rest == 0 else (rest & -rest).bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    assert dict(out) == regs
+    # epilogue estimate (not part of the exact contract): within 2x
+    m = HLL_BUCKETS
+    full = [regs.get(b, 0) for b in range(m)]
+    z = sum(2.0 ** -r for r in full)
+    est = 0.7213 / (1 + 1.079 / m) * m * m / z
+    nz = sum(1 for r in full if r == 0)
+    if est <= 2.5 * m and nz:
+        import math
+        est = m * math.log(m / nz)
+    assert 0.5 * len(vocab) <= est <= 2.0 * len(vocab)
