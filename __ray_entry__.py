@@ -571,6 +571,12 @@ def q_pip_count_by_poly(sf_dir: str):
         Count(alias_name="n_hits"))
 
 
+def q_funnel(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.funnel_stages(sf_dir)
+
+
 def q_hash_sample(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -670,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_prior_anchor": q_asof_prior_anchor,
         "anchor_window_follow": q_anchor_window_follow,
         "native_join": q_native_join,
+        "funnel": q_funnel,
         "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
     }
@@ -1305,6 +1312,27 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment""",
         "pip_count_by_poly": _WP + """
 SELECT poly_id, COUNT(*) AS n_hits FROM pip GROUP BY poly_id""",
+        # Strict-order funnel: stage k needs an event of step k strictly
+        # after the MIN completion time of stage k-1.
+        "funnel": """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM events e JOIN t1 ON t1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t
+       FROM events e JOIN t2 ON t2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+       GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage
+FROM u LEFT JOIN t1 ON t1.user_id = u.user_id
+       LEFT JOIN t2 ON t2.user_id = u.user_id
+       LEFT JOIN t3 ON t3.user_id = u.user_id""",
         "hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id % 100 * 2654435761) % 100 < 10""",

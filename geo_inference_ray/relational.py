@@ -757,3 +757,45 @@ def train_shuffle(sf_dir: str, num_shards: int = 8):
     return _hash_partitioned(
         base, "cell", rank_part,
         rows_hint=_parquet_rows(f"{sf_dir}/documents.parquet"))
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_stages(sf_dir: str, steps: tuple = FUNNEL_STEPS):
+    """Funnel analysis: per user, the deepest strictly-ordered funnel
+    stage reached — stage k requires an event of type steps[k-1]
+    STRICTLY AFTER the earliest completion time of stage k-1 (classic
+    product-analytics funnel; deterministic because each stage keeps
+    the MIN qualifying timestamp).
+
+    Scale shape: hash-partitioned on user_id (every user's events
+    co-located), ONE vectorized kernel per partition running
+    len(steps) groupby-min passes — no per-user Python, no driver
+    state.  Returns (user_id, stage) with stage 0..len(steps)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        stage = pd.Series(np.zeros(len(users), dtype=np.int64),
+                          index=users["user_id"].to_numpy())
+        prev_t = None  # Series: user -> stage-(k-1) completion time
+        for k, ev in enumerate(steps, start=1):
+            sub = g[g["event_type"] == ev]
+            if prev_t is not None:
+                lim = sub["user_id"].map(prev_t)
+                sub = sub[lim.notna() & (sub["ts"] > lim)]
+            if sub.empty:
+                break
+            cur = sub.groupby("user_id")["ts"].min()
+            stage.loc[cur.index] = k
+            prev_t = cur
+        return pd.DataFrame({"user_id": stage.index.to_numpy(),
+                             "stage": stage.to_numpy()})
+
+    return _hash_partitioned(
+        ds, "user_id", kernel,
+        rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))

@@ -551,3 +551,34 @@ def test_new_ops_empty_input(ray_session):
     assert quality_filter(empty).count() == 0
     assert decontaminate(empty).count() == 0
     assert chunk_dedup(empty).count() == 0
+
+
+def test_funnel_strict_order_semantics(ray_session, tmp_path):
+    """Hand-built event log: stage requires strictly-later events in
+    step order; out-of-order clicks don't count."""
+    import pandas as pd
+
+    from geo_inference_ray.relational import funnel_stages
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # user 1: full ordered funnel
+        (1, t0, "view"), (1, t0 + s, "click"), (1, t0 + 2 * s, "purchase"),
+        # user 2: click BEFORE the first view -> stage stops at 1
+        (2, t0, "click"), (2, t0 + s, "view"),
+        # user 3: purchase before click -> stage 2
+        (3, t0, "view"), (3, t0 + s, "purchase"), (3, t0 + 2 * s, "click"),
+        # user 4: only errors -> stage 0
+        (4, t0, "error"),
+        # user 5: click at EXACTLY the view time -> strict > fails
+        (5, t0, "view"), (5, t0, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["event_id"] = range(len(df))
+    df["value"] = 0.0
+    df["props"] = "{}"
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    out = funnel_stages(str(tmp_path)).to_pandas() \
+        .set_index("user_id")["stage"]
+    assert dict(out) == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
