@@ -571,6 +571,18 @@ def q_pip_count_by_poly(sf_dir: str):
         Count(alias_name="n_hits"))
 
 
+def q_events_rollup(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.events_rollup(sf_dir)
+
+
+def q_distinct_users(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.distinct_users(sf_dir)
+
+
 def q_funnel(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -666,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "top_orders_per_customer": q_top_orders_per_customer,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
+        "distinct_users": q_distinct_users,
         # registered mid-dict on purpose: these two were the round-2
         # additions the driver's CORRECTNESS file missed (50 of 52
         # checked); keeping late additions out of the tail keeps the
@@ -1303,6 +1317,27 @@ SELECT user_id, event_type,
          AS value_milli,
        COUNT(*) AS n_events
 FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
+        # Rollup: three grouping levels in one result; sentinels 'ALL'/-1
+        # mirror the engine's non-nullable group keys.  Hour key =
+        # epoch-microseconds // 3600e6 (integer floor, both sides).
+        "events_rollup": """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+             AS hour,
+         CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT CAST(0 AS BIGINT) AS level, event_type, hour,
+       CAST(SUM(vm) AS BIGINT) AS value_milli, COUNT(*) AS n_events
+FROM e GROUP BY event_type, hour
+UNION ALL
+SELECT 1, event_type, -1, CAST(SUM(vm) AS BIGINT), COUNT(*)
+FROM e GROUP BY event_type
+UNION ALL
+SELECT 2, 'ALL', -1, CAST(SUM(vm) AS BIGINT), COUNT(*) FROM e""",
+        "distinct_users": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type""",
         "native_join": """
 SELECT c.c_mktsegment,
        CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)

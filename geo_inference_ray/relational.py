@@ -799,3 +799,81 @@ def funnel_stages(sf_dir: str, steps: tuple = FUNNEL_STEPS):
     return _hash_partitioned(
         ds, "user_id", kernel,
         rows_hint=_parquet_rows(f"{sf_dir}/events.parquet"))
+
+
+ROLLUP_ALL = "ALL"          # sentinel for rolled-up string keys
+ROLLUP_HOUR_ALL = -1        # sentinel for rolled-up hour keys
+
+
+def events_rollup(sf_dir: str):
+    """GROUPING-SETS rollup over the events stream: (event_type, hour),
+    (event_type), and grand-total aggregates in ONE shuffle — the
+    warehouse rollup pattern: every batch emits partials for all three
+    levels (key space = 3x types x hours, never rows), then a single
+    groupby Sum.  Rolled-up keys use sentinels ('ALL', -1) instead of
+    NULLs so the group keys stay non-nullable through Ray's shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                       pa.timestamp("us"))
+        # epoch-hour as int64 so the rolled-up sentinel stays one dtype
+        hkey = pc.divide(pc.cast(hour, pa.int64()), 3600 * 1000000)
+        vm = pc.cast(pc.round(pc.multiply(batch["value"], 1000.0)),
+                     pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "hour": pc.cast(hkey, pa.int64()), "vm": vm})
+        levels = []
+        for lvl in range(3):
+            et = (t["event_type"] if lvl < 2
+                  else pa.array([ROLLUP_ALL] * len(t), pa.string()))
+            hr = (t["hour"] if lvl < 1
+                  else pa.array(np.full(len(t), ROLLUP_HOUR_ALL,
+                                        dtype=np.int64)))
+            lt = pa.table({
+                "level": pa.array(np.full(len(t), lvl, dtype=np.int64)),
+                "event_type": et, "hour": hr, "vm": t["vm"]})
+            g = lt.group_by(["level", "event_type", "hour"]).aggregate(
+                [("vm", "sum"), ("vm", "count")])
+            levels.append(pa.table({
+                "level": g["level"], "event_type": g["event_type"],
+                "hour": g["hour"], "v": g["vm_sum"],
+                "n": pc.cast(g["vm_count"], pa.int64())}))
+        return pa.concat_tables(levels)
+
+    return ev.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["level", "event_type", "hour"]).aggregate(
+            Sum("v", alias_name="value_milli"),
+            Sum("n", alias_name="n_events"))
+
+
+def distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type via two-stage
+    distinct: per-batch (type, user) dedup partials -> one global
+    distinct groupby -> a type-bounded count aggregate.  The shuffle
+    carries one row per DISTINCT (type, user) pair, never the event
+    stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate([])
+        return g
+
+    pairs = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "user_id"]).count()
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "user_id"])
+
+    return pairs.map_batches(drop_cnt, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Count(alias_name="n_users"))

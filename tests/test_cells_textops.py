@@ -582,3 +582,31 @@ def test_funnel_strict_order_semantics(ray_session, tmp_path):
     out = funnel_stages(str(tmp_path)).to_pandas() \
         .set_index("user_id")["stage"]
     assert dict(out) == {1: 3, 2: 1, 3: 2, 4: 0, 5: 1}
+
+
+def test_events_rollup_levels_consistent(ray_session, sf_dir):
+    """Level-1 totals equal the sum of their level-0 rows; the grand
+    total equals the sum of level-1."""
+    from geo_inference_ray.relational import events_rollup
+
+    out = events_rollup(sf_dir).to_pandas()
+    l0 = out[out["level"] == 0]
+    l1 = out[out["level"] == 1].set_index("event_type")
+    l2 = out[out["level"] == 2]
+    for et, grp in l0.groupby("event_type"):
+        assert l1.loc[et, "n_events"] == grp["n_events"].sum()
+        assert l1.loc[et, "value_milli"] == grp["value_milli"].sum()
+    assert len(l2) == 1
+    assert l2["n_events"].iloc[0] == l1["n_events"].sum()
+    assert (l2["event_type"] == "ALL").all()
+
+
+def test_distinct_users_exact(ray_session, sf_dir, duck):
+    from geo_inference_ray.relational import distinct_users
+
+    out = distinct_users(sf_dir).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    ora = duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY event_type ORDER BY event_type").fetchdf()
+    assert (out["n_users"].to_numpy() == ora["n_users"].to_numpy()).all()
