@@ -583,6 +583,12 @@ def q_distinct_users(sf_dir: str):
     return _rel.distinct_users(sf_dir)
 
 
+def q_length_rank(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.length_percentile_rank(sf_dir)
+
+
 def q_funnel(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -680,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "events_rollup": q_events_rollup,
         "distinct_users": q_distinct_users,
+        "length_rank": q_length_rank,
         # registered mid-dict on purpose: these two were the round-2
         # additions the driver's CORRECTNESS file missed (50 of 52
         # checked); keeping late additions out of the tail keeps the
@@ -1335,6 +1342,19 @@ SELECT 1, event_type, -1, CAST(SUM(vm) AS BIGINT), COUNT(*)
 FROM e GROUP BY event_type
 UNION ALL
 SELECT 2, 'ALL', -1, CAST(SUM(vm) AS BIGINT), COUNT(*) FROM e""",
+        # Global rank/percentile by (n_chars, doc_id); integer floor
+        # percentile so ties and scaling are exact.
+        "length_rank": """
+WITH n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+c AS (SELECT COUNT(*) AS total FROM n),
+r AS (SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+      FROM n)
+SELECT doc_id, n_chars, rnk,
+       CAST(CASE WHEN total > 1 THEN (rnk - 1) * 1000 // (total - 1)
+                 ELSE 0 END AS BIGINT) AS pct_milli
+FROM r, c""",
         "distinct_users": """
 SELECT event_type, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type""",

@@ -877,3 +877,75 @@ def distinct_users(sf_dir: str):
 
     return pairs.map_batches(drop_cnt, batch_format="pyarrow") \
         .groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def length_percentile_rank(sf_dir: str):
+    """Global order statistics: each document's exact rank and
+    milli-percentile by (n_chars, doc_id) order — the corpus-wide
+    percentile feature of a quality-scoring pipeline, WITHOUT a global
+    sort: ranks come from the two-stage distributed prefix sum
+    (per-length counts -> broadcast exclusive cumsum over the sorted
+    length histogram -> per-partition local rank + offset), the same
+    scan shape as ``train_shuffle``/``pack_sequences``.  The driver
+    state is one row per DISTINCT length (value-space-bounded)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_chars": n})
+
+    base = ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["n_chars"].to_numpy(), return_counts=True)
+        return pa.table({"L": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    Ls, cs = [], []
+    for b in base.map_batches(hist_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .groupby("L").aggregate(Sum("c", alias_name="n")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        Ls.append(b["L"].to_numpy())
+        cs.append(b["n"].to_numpy())
+    if not Ls:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "pct_milli": pa.array([], pa.int64())}))
+    L = np.concatenate(Ls)
+    c = np.concatenate(cs)
+    order = np.argsort(L)
+    L, c = L[order], c[order]
+    offs = np.cumsum(c) - c
+    total = int(c.sum())
+    state = ray.put((L, offs))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        lens, offsets = ray.get(state)
+        g = g.sort_values(["n_chars", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        nc = g["n_chars"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = nc[1:] != nc[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        local = np.arange(len(g)) - np.repeat(starts, sizes)
+        rnk = local + offsets[np.searchsorted(lens, nc)] + 1
+        pct = ((rnk - 1) * 1000 // max(1, total - 1)) \
+            if total > 1 else np.zeros(len(g), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"], "n_chars": nc,
+            "rnk": rnk.astype(np.int64),
+            "pct_milli": np.asarray(pct, dtype=np.int64)})
+
+    return _hash_partitioned(
+        base, "n_chars", rank_part,
+        rows_hint=_parquet_rows(f"{sf_dir}/documents.parquet"))

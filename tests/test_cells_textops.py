@@ -610,3 +610,17 @@ def test_distinct_users_exact(ray_session, sf_dir, duck):
         "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY event_type ORDER BY event_type").fetchdf()
     assert (out["n_users"].to_numpy() == ora["n_users"].to_numpy()).all()
+
+
+def test_length_percentile_rank_is_permutation(ray_session, sf_dir):
+    """Ranks are exactly 1..n and percentiles are monotone in rank."""
+    from geo_inference_ray.relational import length_percentile_rank
+
+    out = length_percentile_rank(sf_dir).to_pandas() \
+        .sort_values("rnk").reset_index(drop=True)
+    n = len(out)
+    assert list(out["rnk"]) == list(range(1, n + 1))
+    assert out["pct_milli"].iloc[0] == 0
+    assert out["pct_milli"].iloc[-1] == 1000
+    assert out["pct_milli"].is_monotonic_increasing
+    assert out["n_chars"].is_monotonic_increasing
