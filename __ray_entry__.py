@@ -595,6 +595,32 @@ def q_funnel(sf_dir: str):
     return _rel.funnel_stages(sf_dir)
 
 
+def q_multi_source(sf_dir: str):
+    """S3 seam exercised end-to-end: two per-source reads assembled
+    into one logical dataset by sources.union_sources (the STAC
+    per-band union analog), then a grouped aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from geo_inference_ray.sources import union_sources
+
+    u = union_sources([sf_dir, sf_dir], columns=["text", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "nch": pc.cast(pc.utf8_length(batch["text"]), pa.int64())})
+        g = t.group_by("lang").aggregate([("nch", "sum"),
+                                          ("nch", "count")])
+        return pa.table({"lang": g["lang"], "tc": g["nch_sum"],
+                         "n": pc.cast(g["nch_count"], pa.int64())})
+
+    return u.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)         .groupby("lang").aggregate(Sum("tc", alias_name="total_chars"),
+                                   Sum("n", alias_name="n_docs"))
+
+
 def q_hash_sample(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -698,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_window_follow": q_anchor_window_follow,
         "native_join": q_native_join,
         "funnel": q_funnel,
+        "multi_source": q_multi_source,
         "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
     }
@@ -1388,6 +1415,12 @@ SELECT u.user_id,
 FROM u LEFT JOIN t1 ON t1.user_id = u.user_id
        LEFT JOIN t2 ON t2.user_id = u.user_id
        LEFT JOIN t3 ON t3.user_id = u.user_id""",
+        "multi_source": """
+WITH u AS (SELECT text, lang FROM documents
+           UNION ALL SELECT text, lang FROM documents)
+SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_docs
+FROM u GROUP BY lang""",
         "hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id % 100 * 2654435761) % 100 < 10""",
