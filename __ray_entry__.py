@@ -391,6 +391,14 @@ def q_surprisal(sf_dir: str):
     return _textops.unigram_surprisal(_docs_text(sf_dir))
 
 
+def q_bigram_surprisal(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.bigram_surprisal(_docs_text(sf_dir),
+                                     rows_hint=n * 64)
+
+
 def q_decontaminate(sf_dir: str):
     return _textops.decontaminate(_docs_text(sf_dir))
 
@@ -681,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_apply": q_dedup_apply,
         "length_quantiles": q_length_quantiles,
         "surprisal": q_surprisal,
+        "bigram_surprisal": q_bigram_surprisal,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
         "chunk_docs": q_chunk_docs,
@@ -1122,6 +1131,25 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(pre // 512 AS BIGINT) AS pack_id FROM p""",
         # Benchmark decontamination: distinct token trigrams shared
         # with the self-derived benchmark set (doc_id % 97 == 0).
+        # Bigram conditional surprisal: P(w2|w1) from the corpus bigram
+        # table; per-bigram integer milli-nats (same-libm ln, identical
+        # expression order), tf-weighted per-doc sum.
+        "bigram_surprisal": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (SELECT doc_id, ts[g.i] AS w1, ts[g.i] || ' ' || ts[g.i + 1] AS b
+       FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+bpairs AS (SELECT doc_id, b, COUNT(*) AS tf FROM bg GROUP BY doc_id, b),
+cb AS (SELECT b, MIN(w1) AS w1, COUNT(*) AS n FROM bg GROUP BY b),
+cw AS (SELECT w1, SUM(n) AS cn FROM cb GROUP BY w1),
+sc AS (SELECT cb.b,
+              CAST(floor(-1000.0 * ln(CAST(cb.n AS DOUBLE)
+                                      / CAST(cw.cn AS DOUBLE)))
+                   AS BIGINT) AS s
+       FROM cb JOIN cw USING (w1))
+SELECT p.doc_id,
+       CAST(SUM(sc.s * p.tf) AS BIGINT) AS bigram_surprisal_milli,
+       CAST(SUM(p.tf) AS BIGINT) AS n_bigrams
+FROM bpairs p JOIN sc ON sc.b = p.b GROUP BY p.doc_id""",
         "decontaminate": """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -831,3 +831,102 @@ def pack_sequences(ds, seq_tokens: int = 512,
     n_ranges = len(rk)
     return _hash_partitioned(cnts, "rkey", scan_part,
                              rows_hint=max(1, n_ranges) * range_docs)
+
+
+def doc_bigram_tf(batch: pa.Table) -> pa.Table:
+    """Tokenize + pre-aggregate to (doc_id, bigram, w1, tf) — one row
+    per DISTINCT (doc, bigram); the occurrence stream never leaves the
+    task (same contract as ``doc_token_tf``)."""
+    import pandas as pd
+
+    toks = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy()
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    m = len(flat) - 1
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.string()),
+                      "w1": pa.array([], pa.string()),
+                      "tf": pa.array([], pa.int64())})
+    if m <= 0:
+        return empty
+    did_all = np.repeat(batch["doc_id"].to_numpy(), lens)
+    row = np.repeat(np.arange(len(lens)), lens)
+    ok = row[:m] == row[1:]
+    if not ok.any():
+        return empty
+    w1 = pd.Series(flat[:m][ok], dtype=object)
+    b = w1 + " " + pd.Series(flat[1:][ok], dtype=object)
+    df = pd.DataFrame({"doc_id": did_all[:m][ok], "b": b, "w1": w1})
+    g = df.groupby(["doc_id", "b", "w1"], as_index=False).size()
+    return pa.table({
+        "doc_id": pa.array(g["doc_id"].to_numpy()),
+        "b": pa.array(g["b"].to_numpy(), pa.string()),
+        "w1": pa.array(g["w1"].to_numpy(), pa.string()),
+        "tf": pa.array(g["size"].to_numpy().astype(np.int64))})
+
+
+def bigram_surprisal(ds, rows_hint: int | None = None):
+    """Per-document BIGRAM conditional surprisal (milli-nats) — the
+    n-gram-LM quality filter (CCNet-style): score = sum over bigram
+    occurrences of floor(-1000 * ln(c(w1 w2) / c(w1 ·))), i.e. the
+    corpus-trained bigram model's negative log-likelihood, integerized
+    per bigram VALUE so the tf-weighted per-doc sum is
+    order-independent and hash-exact.
+
+    Shape: distinct (doc, bigram, tf) pre-aggregated in-batch ->
+    bigram count table (vocab^2-bounded) -> context counts derived
+    FROM the bigram table (no second corpus pass) -> one small
+    cb x cw join scores every bigram -> ONE hash join of the pair
+    rows to scores -> per-doc Sum."""
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(doc_bigram_tf, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=16384)
+
+    def cb_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["b", "w1", "tf"]).group_by(["b", "w1"]) \
+            .aggregate([("tf", "sum")])
+        return pa.table({"b": g["b"], "w1": g["w1"],
+                         "n": g["tf_sum"]})
+
+    cb = pairs.map_batches(cb_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["b", "w1"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    def cw_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["w1", "n"]).group_by("w1") \
+            .aggregate([("n", "sum")])
+        return pa.table({"w1": g["w1"], "c": g["n_sum"]})
+
+    cw = cb.map_batches(cw_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .groupby("w1").aggregate(Sum("c", alias_name="cn"))
+
+    hint = rows_hint if rows_hint is not None else 1
+    np_small = max(1, min(8, -(-int(hint) // 100_000)))
+    scored = cb.join(cw, join_type="inner", num_partitions=np_small,
+                     on=("w1",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        cn = batch["cn"].to_numpy().astype(np.float64)
+        s = np.floor(-1000.0 * np.log(n / cn)).astype(np.int64)
+        return pa.table({"b": batch["b"], "s": pa.array(s)})
+
+    sc = scored.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = pairs.join(sc, join_type="inner", num_partitions=np_small,
+                   on=("b",))
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy()
+        return pa.table({"doc_id": batch["doc_id"],
+                         "sm": pa.array(batch["s"].to_numpy() * tf),
+                         "tf": pa.array(tf)})
+
+    return j.map_batches(weigh, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(
+            Sum("sm", alias_name="bigram_surprisal_milli"),
+            Sum("tf", alias_name="n_bigrams"))

@@ -624,3 +624,39 @@ def test_length_percentile_rank_is_permutation(ray_session, sf_dir):
     assert out["pct_milli"].iloc[-1] == 1000
     assert out["pct_milli"].is_monotonic_increasing
     assert out["n_chars"].is_monotonic_increasing
+
+
+def test_bigram_surprisal_ambiguous_transitions_score_higher(ray_session):
+    """Ambiguous contexts (P(w2|w1) < 1) accrue surprisal; fully
+    deterministic transition chains score exactly 0; exact values
+    match a driver recompute of the bigram model."""
+    import math
+
+    import ray.data as rd
+
+    from geo_inference_ray.textops import bigram_surprisal
+
+    texts = ["a b a b a b a b", "a c a c a c a c",
+             "q r s t u v w x"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts)}))
+    out = bigram_surprisal(docs).to_pandas().set_index("doc_id")
+    # doc 0 has 4 occurrences of the 50/50 'a ->' context: 4*693
+    assert out.loc[0, "bigram_surprisal_milli"] \
+        > out.loc[2, "bigram_surprisal_milli"] == 0
+    assert (out["n_bigrams"] == 7).all()
+    # driver recompute
+    from collections import Counter
+    cb, cw = Counter(), Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            cb[(ws[i], ws[i + 1])] += 1
+            cw[ws[i]] += 1
+    for did, t in enumerate(texts):
+        ws = t.split(" ")
+        s = sum(math.floor(-1000.0 * math.log(cb[(ws[i], ws[i + 1])]
+                                              / cw[ws[i]]))
+                for i in range(len(ws) - 1))
+        assert out.loc[did, "bigram_surprisal_milli"] == s
