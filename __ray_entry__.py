@@ -1580,45 +1580,6 @@ r AS (SELECT query_id, neighbor_id,
       FROM sims)
 SELECT query_id, neighbor_id, "rank" FROM r
 WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
-        # Integer-exact Lloyd's k-means (2 iterations, fixed-point
-        # 2^20 quantization): every distance is an exact int; the
-        # centroid mean is the same IEEE double floor-division both
-        # sides.  SUM(BIGINT) -> HUGEINT, hence the outer casts.
-        "kmeans": f"""
-WITH elems AS (
-  SELECT vec_id, g.i AS dim,
-         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
-              AS BIGINT) AS qx
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
-seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-          FROM (SELECT vec_id FROM embeddings
-                ORDER BY vec_id LIMIT {_ann.KMEANS_K})),
-c0 AS (SELECT s.cid, e.dim, e.qx AS qc
-       FROM seeds s JOIN elems e USING (vec_id)),
-d1 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c0 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid),
-a1 AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY dist, cid) AS rn
-         FROM d1) WHERE rn = 1),
-m1 AS (SELECT a.cid, e.dim,
-              CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
-       FROM a1 a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
-c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
-       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
-d2 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c1 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid)
-SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
-FROM (SELECT vec_id, cid, dist,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY dist, cid) AS rn
-      FROM d2) WHERE rn = 1""",
         "minhash_pairs": "WITH " + _minhash_sql_chain() + """
 SELECT doc_a, doc_b FROM cand""",
         # Exact shingle Jaccard over the candidate pairs; integer floor

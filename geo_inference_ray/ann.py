@@ -50,8 +50,12 @@ def _head_by_id(path: str, n: int, columns: list[str],
         st = md.row_group(rg).column(leaf).statistics
         return st.min if st is not None and st.has_min_max else None
 
+    # stats-less groups FIRST: their min is UNKNOWN (could be the
+    # smallest id), so they must be read unconditionally before the
+    # ascending-min early stop below can be trusted; sorting them last
+    # would let `nth <= next group's min` break before reading them
     order = sorted(range(md.num_row_groups),
-                   key=lambda rg: (group_min(rg) is None,
+                   key=lambda rg: (group_min(rg) is not None,
                                    group_min(rg) or 0))
     parts = []
     have = 0

@@ -96,13 +96,17 @@ class GeoInferenceRay:
         # then tiles) — streaming re-execution of fused maps, never an
         # input-sized object-store pin.
         geo_mat = geo
-        keys = [f"{lo}-{lo + 10}" for lo in range(0, 100, 10)]
+        # "geo" partition: rows geocoded from an explicit geo-token get
+        # cluster = -1 (stages.Geocoder, FIXTURES F1) — without a
+        # declared key they'd trip run_single_pass's novel-key guard
+        keys = ["geo"] + [f"{lo}-{lo + 10}" for lo in range(0, 100, 10)]
 
         def decile_key(batch: pa.Table) -> pa.Table:
             c = batch["cluster"].to_numpy()
             lo = (c // 10) * 10
             part = np.char.add(np.char.add(lo.astype("U3"), "-"),
                                (lo + 10).astype("U3"))
+            part = np.where(c < 0, "geo", part)
             return batch.drop_columns(["warc_ts"]).append_column(
                 "part_key", pa.array(part.tolist(), pa.string()))
 

@@ -260,6 +260,21 @@ def partitions_for(rows: int, target_rows: int = HP_TARGET_ROWS) -> int:
                    max(floor, -(-rows // target_rows))))
 
 
+JOIN_TARGET_ROWS = 50_000   # min rows to justify one extra join partition
+
+
+def join_partitions_for(rows: int) -> int:
+    """Partition count for Ray 2.49 hash joins: grows with the input
+    (ceil(rows / JOIN_TARGET_ROWS), so per-partition join input stays
+    bounded at ANY size — a fixed cap of 8 meant ~10^9 rows per
+    aggregator at the 100 TB design point), but stays at 1 for tiny
+    inputs (Ray 2.49 hash joins emit schema-less EMPTY partitions that
+    crash downstream column access when over-partitioned)."""
+    rows = int(rows)
+    return max(1, min(partitions_for(rows),
+                      -(-rows // JOIN_TARGET_ROWS)))
+
+
 def _parquet_rows(path: str) -> int:
     """Row count from parquet footer metadata only (no data read)."""
     import pyarrow.parquet as pq

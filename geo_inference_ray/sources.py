@@ -179,17 +179,25 @@ def fetch_artifact(url: str, work_dir: str) -> str:
             f.write("ok")
         if os.path.exists(marker):  # a sibling finished first — done
             return dest
-        try:
-            os.replace(tmp, dest)
-            return dest
-        except OSError:
-            # non-empty dest: a concurrent winner (keep theirs) or a
-            # stale marker-less partial (clear it, retry once)
+        # bounded retry loop: every failed os.replace means a sibling
+        # touched dest — either a finished winner (marker: keep theirs)
+        # or a stale marker-less partial (clear and retry).  Two racers
+        # can each rmtree and re-replace, so the RETRY replace needs the
+        # same marker-check guard as the first attempt: a loser whose
+        # retry fails against a now-complete dest must return it, not
+        # crash its actor __init__ mid-pool-start.
+        for _ in range(8):
             if os.path.exists(marker):
                 return dest
-            shutil.rmtree(dest, ignore_errors=True)
-            os.replace(tmp, dest)
-            return dest
+            try:
+                os.replace(tmp, dest)
+                return dest
+            except OSError:
+                if os.path.exists(marker):
+                    return dest
+                shutil.rmtree(dest, ignore_errors=True)
+        raise OSError(f"fetch_artifact: could not stage {dest} "
+                      "after 8 attempts (livelock?)")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -139,16 +139,14 @@ def source_stats(ds):
 QUANTILES = (0.5, 0.9, 0.99)
 
 
-def length_quantiles(ds):
-    """Exact discrete quantiles (p50/p90/p99) of document length via an
-    integer-histogram sketch: per-batch (length, count) partials ->
-    groupby length -> the tiny histogram (bounded by distinct lengths,
-    not rows) is folded on the driver.  The q-th quantile is the
-    ceil(q*n)-th smallest value — same double arithmetic as the SQL
-    mirror, so the index is bit-identical."""
-    import math
-
-    import ray.data as rd
+def length_histogram(ds):
+    """Sorted (lengths, counts) int64 arrays of the corpus's document
+    lengths via the integer-histogram sketch: per-batch (length, count)
+    partials -> groupby length -> the tiny histogram (bounded by
+    DISTINCT lengths, never rows) folds on the driver.  Shared by
+    ``length_quantiles`` / ``quality_filter`` (and mirrored by
+    relational.length_percentile_rank's keyed variant).  Returns two
+    empty arrays for an empty corpus."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -164,10 +162,25 @@ def length_quantiles(ds):
     for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
         Ls.append(b["L"].to_numpy())
         ns.append(b["n"].to_numpy())
+    if not Ls:
+        return (np.array([], dtype=np.int64),
+                np.array([], dtype=np.int64))
     L = np.concatenate(Ls)
     n = np.concatenate(ns)
     order = np.argsort(L)
-    L, n = L[order], n[order]
+    return L[order], n[order]
+
+
+def length_quantiles(ds):
+    """Exact discrete quantiles (p50/p90/p99) of document length over
+    the ``length_histogram`` sketch.  The q-th quantile is the
+    ceil(q*n)-th smallest value — same double arithmetic as the SQL
+    mirror, so the index is bit-identical."""
+    import math
+
+    import ray.data as rd
+
+    L, n = length_histogram(ds)
     cum = np.cumsum(n)
     total = int(cum[-1])
     out = {}
@@ -233,11 +246,12 @@ def unigram_surprisal(ds):
         total += int(np.sum(b["n"].to_numpy()))
 
     # hash join (token) — the open-vocabulary scale path; a bounded
-    # vocab could broadcast instead.  Partition count is clamped to the
-    # token volume (Ray 2.49 hash joins emit schema-less empty
-    # partitions that crash downstream column access — dedup.py has the
-    # same guard)
-    num_partitions = max(1, min(8, -(-total // 100_000)))
+    # vocab could broadcast instead.  Partition count grows with the
+    # token volume and stays 1 for tiny inputs (see
+    # relational.join_partitions_for for both bounds)
+    from .relational import join_partitions_for
+
+    num_partitions = join_partitions_for(total)
     j = tokens.join(counts, join_type="inner",
                     num_partitions=num_partitions, on=("token",))
 
@@ -415,11 +429,12 @@ def tfidf_topk(ds, n_docs: int, k: int = 3,
         .groupby("token").aggregate(Sum("d", alias_name="df")) \
         .materialize()
 
-    # clamp the join fan-out to the pair volume (Ray 2.49 hash joins
-    # emit schema-less empty partitions that crash downstream access —
-    # same guard as unigram_surprisal / dedup.jaccard_pairs)
+    # join fan-out scales with the pair volume, floor 1 for tiny inputs
+    # (see relational.join_partitions_for)
+    from .relational import join_partitions_for
+
     hint = pair_rows_hint if pair_rows_hint is not None else n_docs * 64
-    num_partitions = max(1, min(8, -(-int(hint) // 100_000)))
+    num_partitions = join_partitions_for(hint)
     j = pairs.join(dfs, join_type="inner",
                    num_partitions=num_partitions, on=("token",))
 
@@ -520,7 +535,11 @@ def decontaminate(ds, bench_ds=None, n: int = DECON_NGRAM,
     import pandas as pd
     import ray
 
-    if bench_ds is None:
+    # the doc_id % bench_mod flag only describes the DEFAULT
+    # self-derived split; with an external bench_ds the corpus rows are
+    # all training docs and is_benchmark must be 0 for every row
+    self_bench = bench_ds is None
+    if self_bench:
         def pick_bench(batch: pa.Table) -> pa.Table:
             keep = batch["doc_id"].to_numpy() % bench_mod == 0
             return batch.filter(pa.array(keep))
@@ -571,11 +590,13 @@ def decontaminate(ds, bench_ds=None, n: int = DECON_NGRAM,
             hit = g.isin(grams).to_numpy()
             np.add.at(cnt, idx[hit], 1)
         d = batch["doc_id"].to_numpy()
+        bench_flag = ((d % bench_mod == 0).astype(np.int64)
+                      if self_bench
+                      else np.zeros(len(d), dtype=np.int64))
         return pa.table({
             "doc_id": batch["doc_id"],
             "n_overlap": pa.array(cnt),
-            "is_benchmark": pa.array((d % bench_mod == 0)
-                                     .astype(np.int64)),
+            "is_benchmark": pa.array(bench_flag),
         })
 
     return ds.map_batches(overlap, batch_format="pyarrow",
@@ -654,31 +675,13 @@ def quality_filter(ds, q: float = 0.9):
     mirror bit-for-bit."""
     import math
 
-    from ray.data.aggregate import Sum
-
-    def partial(batch: pa.Table) -> pa.Table:
-        ln = pc.utf8_length(batch["text"]).to_numpy()
-        u, c = np.unique(ln, return_counts=True)
-        return pa.table({"L": pa.array(u.astype(np.int64)),
-                         "c": pa.array(c.astype(np.int64))})
-
-    hist = ds.map_batches(partial, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None) \
-        .groupby("L").aggregate(Sum("c", alias_name="n"))
-    Ls, ns = [], []
-    for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        Ls.append(b["L"].to_numpy())
-        ns.append(b["n"].to_numpy())
-    if not Ls:
+    L, cnt = length_histogram(ds)
+    if not len(L):
         import ray.data as rd
 
         return rd.from_arrow(pa.table({
             "doc_id": pa.array([], pa.int64()),
             "n_chars": pa.array([], pa.int64())}))
-    L = np.concatenate(Ls)
-    cnt = np.concatenate(ns)
-    order = np.argsort(L)
-    L, cnt = L[order], cnt[order]
     cum = np.cumsum(cnt)
     thr = int(L[np.searchsorted(cum, math.ceil(q * int(cum[-1])))])
 
@@ -783,9 +786,12 @@ def pack_sequences(ds, seq_tokens: int = 512,
             "doc_id": d, "n_tokens": n,
             "rkey": pa.array(d.to_numpy() // range_docs)})
 
+    # NOT materialized: the counts view is a cheap integer projection —
+    # re-executing the read for the scan pass beats pinning an
+    # input-sized table in the object store at 100 TB (same reasoning
+    # as relational.train_shuffle)
     cnts = ds.map_batches(counts, batch_format="pyarrow",
-                          zero_copy_batch=True,
-                          batch_size=None).materialize()
+                          zero_copy_batch=True, batch_size=None)
 
     def range_partial(batch: pa.Table) -> pa.Table:
         g = batch.select(["rkey", "n_tokens"]).group_by("rkey") \
@@ -903,8 +909,10 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
                         zero_copy_batch=True, batch_size=None) \
         .groupby("w1").aggregate(Sum("c", alias_name="cn"))
 
+    from .relational import join_partitions_for
+
     hint = rows_hint if rows_hint is not None else 1
-    np_small = max(1, min(8, -(-int(hint) // 100_000)))
+    np_small = join_partitions_for(hint)
     scored = cb.join(cw, join_type="inner", num_partitions=np_small,
                      on=("w1",))
 

@@ -660,3 +660,27 @@ def test_bigram_surprisal_ambiguous_transitions_score_higher(ray_session):
                                               / cw[ws[i]]))
                 for i in range(len(ws) - 1))
         assert out.loc[did, "bigram_surprisal_milli"] == s
+
+
+def test_decontaminate_explicit_bench_ds(ray_session):
+    """With an external benchmark set, is_benchmark must be 0 for all
+    corpus rows (the doc_id % mod flag only describes the default
+    self-derived split) while overlap still counts correctly."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import decontaminate
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 97, 5], pa.int64()),   # 0,97 % 97 == 0
+        "text": pa.array(["a b c d", "q r s t", "x y z w"]),
+    }))
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1000], pa.int64()),
+        "text": pa.array(["a b c zz"]),
+    }))
+    out = decontaminate(corpus, bench_ds=bench).to_pandas() \
+        .set_index("doc_id")
+    assert (out["is_benchmark"] == 0).all()
+    assert out.loc[0, "n_overlap"] == 1      # shares "a b c"
+    assert out.loc[97, "n_overlap"] == 0
+    assert out.loc[5, "n_overlap"] == 0

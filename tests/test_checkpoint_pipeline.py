@@ -135,7 +135,8 @@ def test_pipeline_api_end_to_end(ray_session, sf_dir, tmp_path):
     # checkpointed partitions + lineage present
     man = os.path.join(str(tmp_path), "run", "manifest.jsonl")
     assert os.path.exists(man)
-    assert len(open(man).read().splitlines()) == 10
+    # 10 cluster deciles + the "geo" partition for geo-token rows
+    assert len(open(man).read().splitlines()) == 11
 
 
 def test_pipeline_bbox_crop(ray_session, sf_dir, tmp_path):
@@ -172,3 +173,35 @@ def test_cli_requires_input():
 
     with pytest.raises(SystemExit):
         cmd_interface([])
+
+
+def test_pipeline_geo_token_rows_partition(ray_session, tmp_path):
+    """Regression (self-review r3): rows geocoded from an explicit
+    geo:{lat},{lon} token get cluster = -1; before the 'geo' partition
+    key existed they tripped run_single_pass's novel-key guard and
+    aborted the whole run."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "text": pa.array(
+            ["see geo:12.5,-33.25 for details"] +
+            [f"regular document number {i} with words" for i in range(19)]),
+        "lang": pa.array(["en"] * 20),
+        "source": pa.array(["src0"] * 20),
+        "n_chars": pa.array([30] * 20, pa.int64()),
+    })
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pq.write_table(docs, corpus / "documents.parquet")
+    gi = GeoInferenceRay(work_dir=str(tmp_path / "work"))
+    out = gi(str(corpus), run_name="geo")  # must not raise
+    assert out["mask_tiles"]
+    geo_part = os.path.join(str(tmp_path / "work"), "geo", "key=geo")
+    assert os.path.isdir(geo_part)
+    rows = pd.read_parquet(geo_part)
+    assert (rows["cluster"] == -1).all() and len(rows) == 1
