@@ -654,20 +654,72 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ROUND-4 ROTATION (see README "Driver correctness window"): the
+    # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
+    # so the dict is ordered by evidence need, not by theme:
+    #   slots 1-11   the 11 queries never driver-checked in r1-r3
+    #   slots 12-27  the 16 queries green in r2 but outside r3's window
+    #   slots 28-50  the 23 r3-green queries whose implementation is
+    #                touched this round (kNN kernel, pixel_counts
+    #                switch, dedup token-cache/join sizing, textops
+    #                guards, spatial-join bisect) — re-verified here
+    #   slots 51-77  r3-green queries with unchanged code
+    # Round 5 should rotate slots 51-77 back into the window.
     return {
+        # -- never driver-checked before this round --
+        "kmeans": q_kmeans,
+        "simhash_pairs": q_simhash_pairs,
+        "bloom_probe": q_bloom_probe,
+        "hll_registers": q_hll_registers,
+        "funnel": q_funnel,
+        "events_rollup": q_events_rollup,
+        "distinct_users": q_distinct_users,
+        "length_rank": q_length_rank,
+        "multi_source": q_multi_source,
+        "asof_prior_anchor": q_asof_prior_anchor,
+        "anchor_window_follow": q_anchor_window_follow,
+        # -- green in r2, outside r3's window --
+        "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "bucketed_join": q_bucketed_join,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "events_hourly": q_events_hourly,
+        "union_counts": q_union_counts,
+        "events_sliding": q_events_sliding,
+        "sessionize": q_sessionize,
+        "native_join": q_native_join,
+        "pip_count_by_poly": q_pip_count_by_poly,
+        "hash_sample": q_hash_sample,
+        # -- r3-green, implementation touched in round 4 --
+        "knn_cell": q_knn_cell,
+        "knn_ring1": q_knn_ring1,
+        "rasterize": q_rasterize,
+        "mask_tiles": q_mask_tiles,
+        "tile_pyramid": q_tile_pyramid,
+        "zonal_stats": q_zonal_stats,
+        "dedup_exact": q_dedup_exact,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
+        "minhash_verified": q_minhash_verified,
+        "chunk_dedup": q_chunk_dedup,
+        "length_quantiles": q_length_quantiles,
+        "bigram_surprisal": q_bigram_surprisal,
+        "quality_filter": q_quality_filter,
+        "pip_inner": q_pip_inner,
+        "pip_semi": q_pip_semi,
+        "pip_left": q_pip_left,
         "pages": q_pages,
         "extract_text": q_extract_text,
         "geocode": q_geocode,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
-        "pip_inner": q_pip_inner,
-        "pip_semi": q_pip_semi,
-        "pip_left": q_pip_left,
         "cell_agg": q_cell_agg,
-        "knn_cell": q_knn_cell,
-        "knn_ring1": q_knn_ring1,
-        "dedup_exact": q_dedup_exact,
-        "minhash_verified": q_minhash_verified,
+        # -- r3-green, unchanged this round (rotate back in r5) --
         "polygons": q_polygons,
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
@@ -685,57 +737,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_count": q_word_count,
         "repetition": q_repetition,
         "source_stats": q_source_stats,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_apply": q_dedup_apply,
-        "length_quantiles": q_length_quantiles,
         "surprisal": q_surprisal,
-        "bigram_surprisal": q_bigram_surprisal,
         "ngram_topk": q_ngram_topk,
         "tfidf_topk": q_tfidf_topk,
         "chunk_docs": q_chunk_docs,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
-        "chunk_dedup": q_chunk_dedup,
-        "quality_filter": q_quality_filter,
         "inverted_index": q_inverted_index,
         "train_shuffle": q_train_shuffle,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
-        "rasterize": q_rasterize,
-        "mask_tiles": q_mask_tiles,
-        "tile_pyramid": q_tile_pyramid,
-        "zonal_stats": q_zonal_stats,
-        "ann_topk": q_ann_topk,
-        "ivf_topk": q_ivf_topk,
-        "kmeans": q_kmeans,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
-        "bloom_probe": q_bloom_probe,
-        "hll_registers": q_hll_registers,
-        "embedding_near_dup": q_embedding_near_dup,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "bucketed_join": q_bucketed_join,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "events_hourly": q_events_hourly,
-        "events_rollup": q_events_rollup,
-        "distinct_users": q_distinct_users,
-        "length_rank": q_length_rank,
-        # registered mid-dict on purpose: these two were the round-2
-        # additions the driver's CORRECTNESS file missed (50 of 52
-        # checked); keeping late additions out of the tail keeps the
-        # whole registry visible if the driver caps or truncates
-        "union_counts": q_union_counts,
-        "events_sliding": q_events_sliding,
-        "sessionize": q_sessionize,
-        "asof_prior_anchor": q_asof_prior_anchor,
-        "anchor_window_follow": q_anchor_window_follow,
-        "native_join": q_native_join,
-        "funnel": q_funnel,
-        "multi_source": q_multi_source,
-        "pip_count_by_poly": q_pip_count_by_poly,
-        "hash_sample": q_hash_sample,
     }
 
 
