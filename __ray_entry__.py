@@ -358,10 +358,13 @@ def q_dedup_clusters(sf_dir: str):
 def q_dedup_apply(sf_dir: str):
     import ray.data as rd
 
+    import pyarrow.parquet as _pq
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "lang", "source"])
     pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
-    return _dedup.dedup_apply(docs, pairs)
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _dedup.dedup_apply(docs, pairs, rows_hint=n)
 
 
 def q_length_quantiles(sf_dir: str):
@@ -853,10 +856,18 @@ def _simhash_pairs_sql() -> str:
     the engine's uint64 popcount)."""
     return _simhash_chain_sql() + f""",
 simsegs AS (
-  SELECT doc_id, simhash, k.k,
-         CASE k.k WHEN 0 THEN seg0 WHEN 1 THEN seg1
-                  WHEN 2 THEN seg2 ELSE seg3 END AS seg
-  FROM simt, (VALUES (0), (1), (2), (3)) k(k)),
+  SELECT doc_id, simhash, k, seg FROM (
+    SELECT doc_id, simhash, k.k,
+           CASE k.k WHEN 0 THEN seg0 WHEN 1 THEN seg1
+                    WHEN 2 THEN seg2 ELSE seg3 END AS seg,
+           -- engine's SIM_BUCKET_CAP recall guard: each LSH bucket is
+           -- truncated to the cap smallest doc_ids (dedup.py)
+           row_number() OVER (PARTITION BY k.k,
+             CASE k.k WHEN 0 THEN seg0 WHEN 1 THEN seg1
+                      WHEN 2 THEN seg2 ELSE seg3 END
+             ORDER BY doc_id) AS rn
+    FROM simt, (VALUES (0), (1), (2), (3)) k(k))
+  WHERE rn <= {_dedup.SIM_BUCKET_CAP}),
 simcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS ha, b.simhash AS hb

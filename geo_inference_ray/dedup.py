@@ -73,11 +73,17 @@ def _rng_coeffs(seed: int = 20240817):
 MINHASH_A, MINHASH_B = _rng_coeffs()
 
 _TOKEN_CACHE: dict[str, int] = {}
+# Hard cap on the per-worker token->hash memo: web-scale corpora have
+# an effectively unbounded long-tail vocabulary, so an uncapped dict
+# grows with every distinct token the worker ever sees.  Clear-on-full
+# (same policy as _SALT_MEMO/_CAND_MEMO) keeps the hot head cached —
+# Zipf means the head re-fills instantly and the tail misses anyway.
+_TOKEN_CACHE_MAX = 1_000_000
 
 
 def _hash_tokens(toks: list[str]) -> np.ndarray:
-    """md5-derived 31-bit hash per UNIQUE token (process-cached —
-    vocabularies are tiny next to token streams), as int64 < M.
+    """md5-derived 31-bit hash per UNIQUE token (process-cached with a
+    _TOKEN_CACHE_MAX clear-on-full bound), as int64 < M.
     Matches ('0x' || substr(md5(tok),1,15))::BIGINT % M in DuckDB."""
     cache = _TOKEN_CACHE
     out = np.empty(len(toks), dtype=np.int64)
@@ -85,6 +91,8 @@ def _hash_tokens(toks: list[str]) -> np.ndarray:
         h = cache.get(t)
         if h is None:
             h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MERSENNE
+            if len(cache) >= _TOKEN_CACHE_MAX:
+                cache.clear()
             cache[t] = h
         out[i] = h
     return out
@@ -678,7 +686,8 @@ def dedup_clusters(docs_ds, pairs_ds, *,
 
 
 def dedup_apply(docs_ds, pairs_ds, *,
-                drop_driver_limit: int = 5_000_000, **cluster_kw):
+                drop_driver_limit: int = 5_000_000,
+                rows_hint: int | None = None, **cluster_kw):
     """The dedup END PRODUCT: the corpus with every near-duplicate
     cluster reduced to its representative (min doc_id) — what a
     training-data pipeline actually writes out after candidate
@@ -695,7 +704,7 @@ def dedup_apply(docs_ds, pairs_ds, *,
     import ray
 
     from .pools import pool_caps
-    from .relational import partitions_for
+    from .relational import join_partitions_for
 
     clusters = dedup_clusters(
         docs_ds.select_columns(["doc_id", "text"])
@@ -716,9 +725,15 @@ def dedup_apply(docs_ds, pairs_ds, *,
     if n_drop == 0:
         return corpus
     if n_drop > drop_driver_limit:
+        # size the join by the CORPUS side (rows_hint: parquet footer
+        # count or caller estimate), not the drop set — the drop set is
+        # the small side and under-sizes the big probe side at scale
+        corpus_rows = rows_hint if rows_hint is not None else max(
+            n_drop * 2, docs_ds.count())
         return corpus.join(
             drops, join_type="left_anti",
-            num_partitions=partitions_for(n_drop), on=("doc_id",))
+            num_partitions=join_partitions_for(corpus_rows),
+            on=("doc_id",))
 
     ids = np.sort(np.concatenate(
         [b["doc_id"].to_numpy() for b in
@@ -806,9 +821,23 @@ def simhash_table(ds, max_actors: int | None = None):
 SIM_MAX_HAMMING = 3   # with 4 segments, pigeonhole guarantees recall 1.0
 
 
+# Per-LSH-bucket size cap for simhash pair generation.  A web-scale
+# boilerplate cluster can put millions of near-identical simhashes in
+# ONE 16-bit-segment bucket; uncapped all-pairs is O(size^2) rows from
+# a single partition (minhash/embedding-LSH already guard this with
+# salting).  Buckets over the cap are truncated to the cap SMALLEST
+# doc_ids (deterministic, SQL-mirrorable via row_number()<=cap).
+# Recall trade-off: a true pair whose members both sort beyond the cap
+# in ALL four segment buckets is missed — run exact dedup first (the
+# standard pipeline order), which collapses the identical-text mass
+# that creates such buckets.
+SIM_BUCKET_CAP = 4096
+
+
 def simhash_pairs(ds, max_hamming: int = SIM_MAX_HAMMING,
                   max_actors: int | None = None,
-                  rows_hint: int | None = None):
+                  rows_hint: int | None = None,
+                  bucket_cap: int = SIM_BUCKET_CAP):
     """SimHash near-duplicate pairs: segment-LSH candidates + exact
     Hamming verification — the third dedup family (MinHash covers set
     similarity, embedding-LSH covers cosine; SimHash covers weighted
@@ -859,14 +888,24 @@ def simhash_pairs(ds, max_hamming: int = SIM_MAX_HAMMING,
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [len(g)]]))
         oa, ob, ha, hb = [], [], [], []
+        n_truncated = 0
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz < 2:
                 continue
+            if sz > bucket_cap:
+                # rows are sorted by (gid, doc_id): the first
+                # bucket_cap rows of the run ARE the smallest doc_ids
+                n_truncated += 1
+                sz = bucket_cap
             ia, ib = np.triu_indices(sz, k=1)
             oa.append(ids[st:st + sz][ia])
             ob.append(ids[st:st + sz][ib])
             ha.append(hs[st:st + sz][ia])
             hb.append(hs[st:st + sz][ib])
+        if n_truncated:
+            print(f"simhash_pairs: truncated {n_truncated} LSH "
+                  f"bucket(s) over {bucket_cap} members to the cap "
+                  "smallest doc_ids (recall guard; see SIM_BUCKET_CAP)")
         if not oa:
             return pd.DataFrame({
                 "doc_a": pd.Series([], dtype=np.int64),

@@ -181,6 +181,10 @@ def length_quantiles(ds):
     import ray.data as rd
 
     L, n = length_histogram(ds)
+    if len(n) == 0:  # empty corpus: no defined quantiles
+        return rd.from_arrow(pa.table(
+            {f"p{int(q * 100)}": pa.array([], pa.int64())
+             for q in QUANTILES}))
     cum = np.cumsum(n)
     total = int(cum[-1])
     out = {}
@@ -628,8 +632,16 @@ def chunk_dedup(ds, chunk_tokens: int = 32):
     def keyed(batch: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest()
              for t in batch["chunk_text"].to_pylist()]
-        packed = (batch["doc_id"].to_numpy() << CHUNK_ID_BITS) \
-            | batch["chunk_id"].to_numpy()
+        d = batch["doc_id"].to_numpy()
+        c = batch["chunk_id"].to_numpy()
+        # cheap vectorized guard: silent int64 bit-collision above
+        # these bounds would corrupt winner selection
+        if len(c) and (int(c.max()) >= (1 << CHUNK_ID_BITS)
+                       or int(d.max()) >= (1 << (63 - CHUNK_ID_BITS))):
+            raise ValueError(
+                "chunk_dedup packed-key overflow: need chunk_id < 2^20 "
+                "and doc_id < 2^43")
+        packed = (d << CHUNK_ID_BITS) | c
         return pa.table({"h": pa.array(h, pa.string()),
                          "packed": pa.array(packed)})
 
@@ -911,7 +923,11 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
 
     from .relational import join_partitions_for
 
-    hint = rows_hint if rows_hint is not None else 1
+    # hint sizes the corpus-scale hash joins below; when the caller
+    # has no footer count, derive one (docs x ~64 distinct bigrams,
+    # the same bound surprisal() uses) instead of defaulting to a
+    # single join partition
+    hint = rows_hint if rows_hint is not None else ds.count() * 64
     np_small = join_partitions_for(hint)
     scored = cb.join(cw, join_type="inner", num_partitions=np_small,
                      on=("w1",))

@@ -624,3 +624,82 @@ def test_hll_registers_match_reference(ray_session, sf_dir):
         import math
         est = m * math.log(m / nz)
     assert 0.5 * len(vocab) <= est <= 2.0 * len(vocab)
+
+
+def test_simhash_pairs_bucket_cap(ray_session):
+    """A degenerate LSH bucket (many identical simhashes — web
+    boilerplate) is truncated to the cap SMALLEST doc_ids: pair count
+    stays O(cap^2) and every surviving pair is within the cap set."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    n = 12
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+        "text": pa.array([base] * n),
+    }))
+    cap = 5
+    out = simhash_pairs(docs, rows_hint=n, bucket_cap=cap).to_pandas()
+    # identical docs: every within-cap pair survives at hamming 0
+    assert len(out) == cap * (cap - 1) // 2
+    assert out["doc_a"].max() < cap + 1 and out["doc_b"].max() <= cap
+    assert (out["hamming"] == 0).all()
+    # uncapped control: the full quadratic set
+    full = simhash_pairs(docs, rows_hint=n).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+
+
+def test_length_quantiles_empty_corpus(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import length_quantiles
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    res = length_quantiles(docs)
+    assert res.schema().names == ["p50", "p90", "p99"]
+    assert len(res.to_pandas()) == 0
+
+
+def test_chunk_dedup_packed_key_guard(ray_session):
+    """doc_id beyond 2^43 must raise instead of silently corrupting
+    the packed winner key."""
+    import pytest
+    import ray.data as rd
+
+    from geo_inference_ray.textops import chunk_dedup
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1 << 44], pa.int64()),
+        "text": pa.array(["a b c d"]),
+    }))
+    with pytest.raises(Exception, match="overflow"):
+        chunk_dedup(docs, chunk_tokens=2).to_pandas()
+
+
+def test_token_cache_bounded():
+    """The per-worker token->hash memo clears at its cap instead of
+    growing with corpus vocabulary."""
+    from geo_inference_ray import dedup as dd
+
+    saved = dict(dd._TOKEN_CACHE)
+    saved_max = dd._TOKEN_CACHE_MAX
+    try:
+        dd._TOKEN_CACHE.clear()
+        dd._TOKEN_CACHE_MAX = 100
+        for i in range(5):
+            dd._hash_tokens([f"t{i}_{j}" for j in range(60)])
+            assert len(dd._TOKEN_CACHE) <= 100
+        # determinism across a clear: same token -> same hash
+        h1 = dd._hash_tokens(["stable_tok"])[0]
+        dd._TOKEN_CACHE.clear()
+        h2 = dd._hash_tokens(["stable_tok"])[0]
+        assert h1 == h2
+    finally:
+        dd._TOKEN_CACHE_MAX = saved_max
+        dd._TOKEN_CACHE.clear()
+        dd._TOKEN_CACHE.update(saved)
