@@ -101,12 +101,7 @@ def _emit_salted(plan_ref, k_col: str = "hex7", ring: int = 0):
             idx = np.concatenate([p[1] for p in parts])
             salt = np.concatenate([p[2] for p in parts])
             is_probe = np.concatenate([p[3] for p in parts])
-            # hashed leading group key: spreads hot (cell, salt) groups
-            # across the sort's range partitions (pure function of the
-            # group identity, so groups are never split)
-            gkey = (tcell * 131071 + salt * 8191) % 997
             return pa.table({
-                "gkey": pa.array(gkey.astype(np.int64)),
                 "doc_id": pa.array(ids[idx]),
                 "lat": pa.array(lat[idx]),
                 "lon": pa.array(lon[idx]),
@@ -158,8 +153,13 @@ def _topk_exact(d2: np.ndarray, ids_c: np.ndarray, kk: int) -> np.ndarray:
 _DENSE_GRID_THRESHOLD = 4096
 
 
-def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
-    """Exact kNN for one (cell, salt) group.
+def _group_knn_arrays(ids: np.ndarray, lat: np.ndarray, lon: np.ndarray,
+                      probe: np.ndarray, k: int):
+    """Exact kNN for one (cell, salt) group, array-in/array-out:
+    returns (doc_id, neighbor_id, rank) int64 arrays or None for an
+    empty result.  Array form so the hash-partitioned caller pays ZERO
+    pandas construction per group (the per-group dispatch overhead was
+    the whole runtime on high-cardinality keys — dedup.py:247).
 
     Dense cells (> _DENSE_GRID_THRESHOLD candidates) use sub-grid ring
     pruning — the "sorted rings" scale path: candidates are binned into
@@ -167,18 +167,12 @@ def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
     worst kk-th distance in the bin beats the bound to the unsearched
     region (R * min_bin_size), which keeps the result EXACT while
     cutting the n^2 distance matrix to the local neighborhood."""
-    ids = g["doc_id"].to_numpy()
-    lat = g["lat"].to_numpy()
-    lon = g["lon"].to_numpy()
-    probe = g["is_probe"].to_numpy().astype(bool)
+    probe = probe.astype(bool)
     order = np.argsort(ids, kind="stable")  # candidates in id order
     ids_c, lat_c, lon_c = ids[order], lat[order], lon[order]
     p_idx = np.nonzero(probe)[0]
-    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                          "neighbor_id": pd.Series([], dtype=np.int64),
-                          "rank": pd.Series([], dtype=np.int64)})
     if len(ids_c) < 2 or len(p_idx) == 0:
-        return empty
+        return None
     ids_p, lat_p, lon_p = ids[p_idx], lat[p_idx], lon[p_idx]
     n_cand = len(ids_c)
     kk = min(k, n_cand - 1)
@@ -198,11 +192,9 @@ def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
             out_doc[pos:pos + m * kk] = np.repeat(ids_p[s:e], kk)
             out_nbr[pos:pos + m * kk] = ids_c[sel.reshape(-1)]
             pos += m * kk
-        return pd.DataFrame({
-            "doc_id": out_doc, "neighbor_id": out_nbr,
-            "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64),
-                            len(ids_p)),
-        })
+        return (out_doc, out_nbr,
+                np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                        len(ids_p)))
     # ---- dense path: sub-grid ring pruning ----
     nb = max(2, int(np.sqrt(n_cand / 64.0)))
     minx, maxx = lon_c.min(), lon_c.max()
@@ -254,18 +246,26 @@ def _group_knn(g: pd.DataFrame, k: int) -> pd.DataFrame:
                     bound2 = (R * bmin) * (R * bmin)
                     if full_cover or (ckk == kk
                                       and bool((kth < bound2).all())):
-                        out_frames.append(pd.DataFrame({
-                            "doc_id": np.repeat(pids, ckk),
-                            "neighbor_id": ids_c[cand][sel.reshape(-1)],
-                            "rank": np.tile(
+                        out_frames.append((
+                            np.repeat(pids, ckk),
+                            ids_c[cand][sel.reshape(-1)],
+                            np.tile(
                                 np.arange(1, ckk + 1, dtype=np.int64),
                                 len(pids)),
-                        }))
+                        ))
                         break
             R += 1
     if not out_frames:
-        return empty
-    return pd.concat(out_frames, ignore_index=True)
+        return None
+    return (np.concatenate([f[0] for f in out_frames]),
+            np.concatenate([f[1] for f in out_frames]),
+            np.concatenate([f[2] for f in out_frames]))
+
+
+# salt fits in the low bits of the partition id: gid = hex7 << 24 | salt
+# (hex7 < 2^33 packed axial id -> gid < 2^57; salt < 2^24 means a single
+# cell can carry cap * 2^24 rows before the packing would collide)
+_SALT_BITS = 24
 
 
 def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
@@ -274,8 +274,18 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
     rank) within-cell kNN, salted for hot cells.
 
     ``ring=1`` widens the candidate set to the 6 hex-neighbor cells
-    (full ring-1 neighborhood; probes stay keyed to their own cell)."""
+    (full ring-1 neighborhood; probes stay keyed to their own cell).
+
+    The kernel is HASH-PARTITIONED (relational._hash_partitioned
+    pattern): rows shuffle once on pkey = gid % n_partitions, then ONE
+    vectorized kernel per partition run-detects every (cell, salt)
+    group over sorted gid and calls the array-form group kernel — a
+    per-GROUP map_groups here paid one pandas dispatch per (cell,
+    salt, probe-bin) group, which dominated the runtime (group count
+    is cells x salts; cf. dedup.py bucket_pairs_part)."""
     import ray
+
+    from .relational import partitions_for
 
     # NOT materialized: the projection is re-executed by the count
     # pre-pass and the salted pass.  Re-running a column-pruned fused
@@ -288,11 +298,78 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
     salted = proj.map_batches(_emit_salted(plan_ref, ring=ring),
                               batch_format="pyarrow", zero_copy_batch=True)
 
-    def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
-        return _group_knn(g, k)
+    # exact emitted-row count from the driver-side count + salt plan
+    # (each row replicates to every salt bucket of each target cell):
+    # sizes the partition count so per-kernel input stays bounded
+    ck = np.fromiter(counts.keys(), dtype=np.int64) if counts \
+        else np.empty(0, np.int64)
+    cv = np.fromiter(counts.values(), dtype=np.int64) if counts \
+        else np.empty(0, np.int64)
+    if plan:
+        pk = np.fromiter(plan.keys(), dtype=np.int64)
+        pv = np.fromiter(plan.values(), dtype=np.int64)
+        o = np.argsort(pk)
+        pk, pv = pk[o], pv[o]
+    else:
+        pk = np.empty(0, np.int64)
+        pv = np.empty(0, np.int64)
 
-    return salted.groupby(["gkey", "hex7", "salt"]).map_groups(
-        cell_knn, batch_format="pandas")
+    def n_salt(cells_arr: np.ndarray) -> np.ndarray:
+        n = np.ones(len(cells_arr), dtype=np.int64)
+        if len(pk) and len(cells_arr):
+            pos = np.clip(np.searchsorted(pk, cells_arr), 0, len(pk) - 1)
+            hit = pk[pos] == cells_arr
+            n[hit] = pv[pos[hit]]
+        return n
+
+    offsets = HEX_RING1_OFFSETS if ring == 1 else (0,)
+    emitted = int(sum(int((cv * n_salt(ck + off)).sum())
+                      for off in offsets))
+    num_partitions = partitions_for(max(1, emitted))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        gid = (batch["hex7"].to_numpy() << _SALT_BITS) \
+            | batch["salt"].to_numpy()
+        return batch.append_column(
+            "pkey", pa.array((gid % num_partitions).astype(np.int64)))
+
+    keyed = salted.map_batches(add_pkey, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def knn_part(g: pd.DataFrame) -> pd.DataFrame:
+        gid = (g["hex7"].to_numpy() << _SALT_BITS) \
+            | g["salt"].to_numpy()
+        order = np.argsort(gid, kind="stable")
+        gid = gid[order]
+        ids = g["doc_id"].to_numpy()[order]
+        lat = g["lat"].to_numpy()[order]
+        lon = g["lon"].to_numpy()[order]
+        probe = g["is_probe"].to_numpy()[order]
+        new = np.ones(len(gid), dtype=bool)
+        new[1:] = gid[1:] != gid[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(gid))
+        docs, nbrs, ranks = [], [], []
+        for st, en in zip(starts.tolist(), ends.tolist()):
+            res = _group_knn_arrays(ids[st:en], lat[st:en],
+                                    lon[st:en], probe[st:en], k)
+            if res is not None:
+                docs.append(res[0])
+                nbrs.append(res[1])
+                ranks.append(res[2])
+        if not docs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "neighbor_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(docs),
+                             "neighbor_id": np.concatenate(nbrs),
+                             "rank": np.concatenate(ranks)})
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return knn_part(g.drop(columns=["pkey"]))
+
+    return keyed.groupby("pkey").map_groups(run, batch_format="pandas")
 
 
 def cell_aggregate(ds):

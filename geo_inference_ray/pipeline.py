@@ -116,9 +116,27 @@ class GeoInferenceRay:
         out["pages_partitions"] = res
 
         tiles = mask_tiles(geo_mat, grid, self.scorer_cls)
-        tiles_df = tiles.to_pandas()
+        if self.mask_to_vec:
+            # consumed twice (parquet sink + vectorization): pin the
+            # grid-bounded merge OUTPUT (tiles, never input rows) so
+            # the scoring pipeline doesn't re-execute
+            tiles = tiles.materialize()
         mask_path = os.path.join(self.work_dir, f"{run_name}_mask_tiles.parquet")
-        tiles_df.to_parquet(mask_path)
+        # streaming distributed sink (a to_pandas() here would funnel
+        # every tile through the driver — the grid grows with raster
+        # size at 100x)
+        tiles.write_parquet(mask_path)
+        if not os.path.exists(mask_path):
+            # Ray writes no files for an empty dataset (e.g. a bbox
+            # crop that excludes every page): emit a typed empty file
+            # so the artifact path always reads back
+            import pyarrow.parquet as pq
+
+            from .tiling import TILE_SCHEMA
+
+            os.makedirs(mask_path, exist_ok=True)
+            pq.write_table(TILE_SCHEMA.empty_table(),
+                           os.path.join(mask_path, "empty.parquet"))
         out["mask_tiles"] = mask_path
 
         if self.mask_to_vec:

@@ -170,6 +170,16 @@ def rasterize_partial(grid: GridConfig):
 
 
 DRIVER_COMBINE_MAX_PIXELS = 4_000_000
+# Bail-out bound on the PARTIAL stream (blocks x occupied pixels): the
+# grid-size rule alone is not volume-aware — at 100x input the block
+# count grows ~100x and the driver combine becomes a single-threaded
+# funnel even on a small grid.  Combined buffer stays <= ~256 MB
+# (16 M rows x 16 B) before the switch fires.
+DRIVER_COMBINE_MAX_PARTIAL_ROWS = 16_000_000
+
+# diagnostic: which combine path the last pixel_counts call took
+# ("driver" | "distributed") — read by tests, never by library code
+_LAST_COMBINE_PATH: str | None = None
 
 
 def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
@@ -177,11 +187,16 @@ def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
 
     The partial stream is bounded by (n_batches x occupied pixels) and
     the final key space by the raster grid, NOT the input rows.  For
-    grids up to DRIVER_COMBINE_MAX_PIXELS the combine is a streaming
-    driver-side np.unique over iter_batches — measured 2x faster than
-    the groupby at 8 CPUs because a downstream AllToAll throttles the
-    (dominant) map stage.  Larger grids take the distributed groupby.
-    """
+    grids up to DRIVER_COMBINE_MAX_PIXELS the combine STARTS as a
+    streaming driver-side np.unique over iter_batches — measured 2x
+    faster than the groupby at 8 CPUs because a downstream AllToAll
+    throttles the (dominant) map stage — but BAILS OUT to the
+    distributed groupby the moment the partial stream exceeds
+    DRIVER_COMBINE_MAX_PARTIAL_ROWS (many-block inputs), costing one
+    abandoned partial pass only at the scale where the driver funnel
+    would dominate.  Grids over the pixel bound go distributed
+    directly."""
+    global _LAST_COMBINE_PATH
     cols = [c for c in ("lat", "lon") if c in geo_ds.schema().names]
     # batch_size=None: one partial per BLOCK, not per 1024-row default
     # slice — measured 13.5x fewer partial rows (80 K vs 1.08 M at the
@@ -195,28 +210,38 @@ def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
 
         keys = []
         cnts = []
+        total = 0
+        overflow = False
         for b in part.iter_batches(batch_size=65536,
                                    batch_format="pyarrow"):
             keys.append(b["py"].to_numpy() * grid.width
                         + b["px"].to_numpy())
             cnts.append(b["n"].to_numpy())
-        if not keys:
-            return rd.from_arrow(pa.table(
-                {"py": pa.array([], pa.int64()),
-                 "px": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}))
-        k = np.concatenate(keys)
-        c = np.concatenate(cnts)
-        uk, inv = np.unique(k, return_inverse=True)
-        sums = np.zeros(len(uk), dtype=np.int64)
-        np.add.at(sums, inv, c)
-        return rd.from_arrow(pa.table({
-            "py": pa.array(uk // grid.width),
-            "px": pa.array(uk % grid.width),
-            "n": pa.array(sums),
-        }))
+            total += len(cnts[-1])
+            if total > DRIVER_COMBINE_MAX_PARTIAL_ROWS:
+                overflow = True
+                break
+        if not overflow:
+            _LAST_COMBINE_PATH = "driver"
+            if not keys:
+                return rd.from_arrow(pa.table(
+                    {"py": pa.array([], pa.int64()),
+                     "px": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())}))
+            k = np.concatenate(keys)
+            c = np.concatenate(cnts)
+            uk, inv = np.unique(k, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, c)
+            return rd.from_arrow(pa.table({
+                "py": pa.array(uk // grid.width),
+                "px": pa.array(uk % grid.width),
+                "n": pa.array(sums),
+            }))
+        del keys, cnts  # release the buffered partials before re-exec
     from ray.data.aggregate import Sum
 
+    _LAST_COMBINE_PATH = "distributed"
     return part.groupby(["py", "px"]).aggregate(Sum("n", alias_name="n"))
 
 
@@ -340,6 +365,12 @@ class MergeCells:
             "mask": [mask.reshape(-1)],
             "n_valid": [int(valid.sum())],
         })
+
+
+# output schema of the tile pipeline (mask_tiles / mask_tiles_distributed)
+TILE_SCHEMA = pa.schema([
+    ("oy", pa.int64()), ("ox", pa.int64()),
+    ("mask", pa.list_(pa.uint8())), ("n_valid", pa.int64())])
 
 
 def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,

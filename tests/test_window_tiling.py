@@ -353,3 +353,34 @@ def test_zonal_stats_against_driver_reference(ray_session, sf_dir):
             assert out.loc[p["poly_id"], "n_pages"] == int(n[inside].sum())
         else:
             assert not inside.any()
+
+
+def test_pixel_counts_volume_bailout(ray_session, monkeypatch):
+    """A many-block partial stream must route to the distributed
+    groupby even when the GRID is small (driver-funnel guard), with
+    identical results on both paths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray import tiling
+    from geo_inference_ray.tiling import DEFAULT_GRID, pixel_counts
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    tab = pa.table({
+        "lat": pa.array(rng.uniform(-80, 80, n)),
+        "lon": pa.array(rng.uniform(-170, 170, n)),
+    })
+    # many blocks -> many partials per occupied pixel
+    ds = rd.from_arrow(tab).repartition(16).materialize()
+
+    ref = pixel_counts(ds, DEFAULT_GRID).to_pandas() \
+        .sort_values(["py", "px"]).reset_index(drop=True)
+    assert tiling._LAST_COMBINE_PATH == "driver"
+
+    monkeypatch.setattr(tiling, "DRIVER_COMBINE_MAX_PARTIAL_ROWS", 100)
+    out = pixel_counts(ds, DEFAULT_GRID).to_pandas() \
+        .sort_values(["py", "px"]).reset_index(drop=True)
+    assert tiling._LAST_COMBINE_PATH == "distributed"
+    assert out.equals(ref)
+    assert int(out["n"].sum()) == n
