@@ -101,19 +101,146 @@ class ParquetDocumentsSource(PagesSource):
         return pages_dataset(path, include_html=include_html)
 
 
+def raster_window_grid(width: int, height: int,
+                       transform: tuple[float, float, float,
+                                        float, float, float],
+                       tile: int = 512):
+    """Enumerate the read-window grid of a raster: (idx, row_off,
+    col_off, win_h, win_w, lat, lon) arrays, where (lat, lon) is the
+    georeferenced window centroid via the affine ``transform``
+    (GDAL/rasterio coefficient order a,b,c,d,e,f: x = a*col + b*row
+    + c, y = d*col + e*row + f).  Pure numpy so the rasterio branch
+    and the contract-test fake share one implementation (reference
+    window logic: geo_inference/geo_inference.py:249-302)."""
+    import numpy as np
+
+    a, b, c, d, e, f = transform
+    rows = np.arange(0, height, tile, dtype=np.int64)
+    cols = np.arange(0, width, tile, dtype=np.int64)
+    row_off = np.repeat(rows, len(cols))
+    col_off = np.tile(cols, len(rows))
+    win_h = np.minimum(tile, height - row_off)
+    win_w = np.minimum(tile, width - col_off)
+    ccol = col_off + win_w / 2.0
+    crow = row_off + win_h / 2.0
+    lon = a * ccol + b * crow + c
+    lat = d * ccol + e * crow + f
+    idx = np.arange(len(row_off), dtype=np.int64)
+    return idx, row_off, col_off, win_h, win_w, lat, lon
+
+
+def window_pages_table(path: str, idx, row_off, col_off, win_h, win_w,
+                       lat, lon, payloads: list[bytes] | None = None):
+    """Window specs -> pages-schema Arrow table (the seam contract):
+    url ``raster://<path>/<idx>`` (trailing /<digits> satisfies the
+    geocoder's url-id grammar); text carries the explicit
+    ``geo:{lat},{lon}`` token (FIXTURES F1 priority source -> cluster
+    -1); html is the standard body wrapper so ExtractText's per-url
+    byte-identity invariant holds for raster rows too; the window's
+    raw pixel bytes ride a separate opaque ``payload`` binary column
+    (the multimodal-column pattern, multimodal.py)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    n = len(idx)
+    url = [f"raster://{path}/{int(i)}" for i in idx]
+    text = [f"geo:{la:.6f},{lo:.6f} window {int(r)} {int(cc)} "
+            f"{int(hh)}x{int(ww)}"
+            for la, lo, r, cc, hh, ww
+            in zip(lat, lon, row_off, col_off, win_h, win_w)]
+    html = [(f"<html><head><title>win {int(i)}</title></head>"
+             f"<body><p>{t}</p></body></html>").encode()
+            for i, t in zip(idx, text)]
+    ts = _pa.array((np.asarray(idx, dtype=np.int64)
+                    + 1_704_067_200) * 1_000_000).cast(
+        _pa.timestamp("us"))
+    cols = {
+        "url": _pa.array(url, _pa.string()),
+        "warc_ts": ts,
+        "html": _pa.array(html, _pa.binary()),
+        "text": _pa.array(text, _pa.string()),
+        "lang": _pa.array(["und"] * n, _pa.string()),
+        "doc_id": _pa.array(np.asarray(idx, dtype=np.int64)),
+    }
+    if payloads is not None:
+        cols["payload"] = _pa.array(payloads, _pa.binary())
+    return _pa.table(cols)
+
+
 class RasterSource(PagesSource):
-    """Placeholder for the reference's raster ingestion (GeoTIFF/Zarr/
-    STAC).  The container ships no rasterio/rioxarray, so constructing a
-    dataset raises with the documented divergence instead of failing
-    deep inside a worker."""
+    """The reference's raster ingestion (GeoTIFF via rasterio,
+    geo_inference/geo_inference.py:249-302) behind the pages seam:
+    driver enumerates the window grid from header metadata only, then
+    per-window pixel reads happen INSIDE map_batches tasks (rasterio
+    handle opened once per worker) — the raster never funnels through
+    the driver.  Import-guarded: the container ships no rasterio, so
+    constructing a dataset without it raises the documented divergence
+    instead of failing deep inside a worker."""
 
     name = "raster"
 
+    def __init__(self, tile: int = 512):
+        self.tile = tile
+
     def dataset(self, path: str, include_html: bool = True):
-        raise NotImplementedError(
-            "raster ingestion requires rasterio/rioxarray (not in this "
-            "environment); see SURVEY.md §2.1 — plug a reader in by "
-            "registering a PagesSource producing the pages schema")
+        try:
+            import rasterio  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "raster ingestion requires rasterio/rioxarray (not in "
+                "this environment); see SURVEY.md §2.1 — plug a reader "
+                "in by registering a PagesSource producing the pages "
+                "schema (tests/test_sources_tta.py exercises the seam "
+                "contract with a fake source)") from exc
+        import pyarrow as _pa
+        import rasterio
+        import ray.data as rd
+
+        with rasterio.open(path) as src:
+            width, height = src.width, src.height
+            t = src.transform
+            transform = (t.a, t.b, t.c, t.d, t.e, t.f)
+        idx, ro, co, wh, ww, lat, lon = raster_window_grid(
+            width, height, transform, self.tile)
+        grid = rd.from_arrow(_pa.table({
+            "idx": _pa.array(idx), "row_off": _pa.array(ro),
+            "col_off": _pa.array(co), "win_h": _pa.array(wh),
+            "win_w": _pa.array(ww), "lat": _pa.array(lat),
+            "lon": _pa.array(lon)}))
+        tile = self.tile
+        read_payload = include_html  # html->payload: pixels are the "body"
+
+        class ReadWindows:
+            def __init__(self):
+                self.src = rasterio.open(path)
+
+            def __call__(self, batch: "_pa.Table") -> "_pa.Table":
+                payloads = None
+                if read_payload:
+                    from rasterio.windows import Window
+
+                    payloads = [
+                        self.src.read(window=Window(int(c), int(r),
+                                                    int(w), int(h)))
+                        .tobytes()
+                        for r, c, h, w in zip(
+                            batch["row_off"].to_pylist(),
+                            batch["col_off"].to_pylist(),
+                            batch["win_h"].to_pylist(),
+                            batch["win_w"].to_pylist())]
+                return window_pages_table(
+                    path, batch["idx"].to_numpy(),
+                    batch["row_off"].to_numpy(),
+                    batch["col_off"].to_numpy(),
+                    batch["win_h"].to_numpy(),
+                    batch["win_w"].to_numpy(),
+                    batch["lat"].to_numpy(), batch["lon"].to_numpy(),
+                    payloads)
+
+        # small batches: each row carries up to tile^2 pixel bytes
+        return grid.map_batches(ReadWindows, batch_format="pyarrow",
+                                concurrency=(1, 4),
+                                batch_size=max(1, 2 ** 22 // tile ** 2))
 
 
 _SOURCES: dict[str, PagesSource] = {}

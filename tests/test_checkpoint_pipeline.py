@@ -205,3 +205,75 @@ def test_pipeline_geo_token_rows_partition(ray_session, tmp_path):
     assert os.path.isdir(geo_part)
     rows = pd.read_parquet(geo_part)
     assert (rows["cluster"] == -1).all() and len(rows) == 1
+
+
+def test_flagship_resume_after_kill_sf01(ray_session, tmp_path, monkeypatch):
+    """North-rule resumability, end-to-end at sf0.1: the flagship run
+    dies after 4 of its 11 partition commits; the re-run skips exactly
+    the committed keys, recomputes the rest, and the final partition
+    tree is value-identical to an uninterrupted control run."""
+    import pytest
+
+    from geo_inference_ray import checkpoint as cp
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    sf = "/root/testdata/sf0.1"
+
+    # control: uninterrupted run
+    ctl = GeoInferenceRay(work_dir=str(tmp_path / "ctl"))(sf,
+                                                          run_name="flag")
+
+    # interrupted run: simulated driver death mid-commit-loop (after
+    # the 4th lineage append; the 5th key's dir may exist without a
+    # manifest record — the stale-partial crash window)
+    orig_append = cp.PartitionedRun._append
+    committed = []
+
+    def dying(self, rec):
+        if len(committed) >= 4:
+            raise RuntimeError("simulated driver kill")
+        orig_append(self, rec)
+        committed.append(rec["key"])
+
+    monkeypatch.setattr(cp.PartitionedRun, "_append", dying)
+    with pytest.raises(RuntimeError, match="simulated driver kill"):
+        GeoInferenceRay(work_dir=str(tmp_path / "res"))(sf,
+                                                        run_name="flag")
+    monkeypatch.setattr(cp.PartitionedRun, "_append", orig_append)
+
+    out = GeoInferenceRay(work_dir=str(tmp_path / "res"))(sf,
+                                                          run_name="flag")
+    res = out["pages_partitions"]
+    assert sorted(res["skipped"]) == sorted(committed)
+    assert len(committed) == 4
+    assert len(res["computed"]) == 11 - 4
+
+    run_res = cp.PartitionedRun(str(tmp_path / "res"), "flag")
+    run_ctl = cp.PartitionedRun(str(tmp_path / "ctl"), "flag")
+    recs = run_res.records()
+    assert len(recs) == 11  # 4 pre-kill + 7 resumed
+    keys_ctl = {r["key"]: r for r in run_ctl.records()}
+    for r in recs:
+        assert r["rows_out"] == keys_ctl[r["key"]]["rows_out"]
+
+    # value-identical partition tree (every key, resumed vs control;
+    # rows_out==0 keys have an empty dir — nothing to read)
+    for key, rec in keys_ctl.items():
+        if rec["rows_out"] == 0:
+            continue
+        a = run_res.read([key]).to_pandas()
+        b = run_ctl.read([key]).to_pandas()
+        sort_cols = sorted(a.columns)
+        a = a.sort_values(sort_cols).reset_index(drop=True)[sort_cols]
+        b = b.sort_values(sort_cols).reset_index(drop=True)[sort_cols]
+        assert a.equals(b), f"partition key={key} diverged after resume"
+
+    # mask tiles artifact also value-identical
+    t_res = pd.read_parquet(out["mask_tiles"]) \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    t_ctl = pd.read_parquet(ctl["mask_tiles"]) \
+        .sort_values(["oy", "ox"]).reset_index(drop=True)
+    assert t_res[["oy", "ox", "n_valid"]].equals(
+        t_ctl[["oy", "ox", "n_valid"]])
+    assert all((x == y).all() for x, y in
+               zip(t_res["mask"], t_ctl["mask"]))

@@ -180,3 +180,78 @@ def test_fused_plan_matches_staged_pipeline(ray_session, sf_dir):
     assert list(staged.columns) == list(fused.columns)
     for c in staged.columns:
         assert staged[c].tolist() == fused[c].tolist(), c
+
+
+def test_raster_seam_contract_full_pipeline(ray_session):
+    """The PagesSource seam carries a real (non-default) reader through
+    the FULL pipeline: a fake raster source — same window grid + pages
+    builders the rasterio branch uses — is registered, geo_pipeline
+    reads from it by name, the geocoder picks the geo tokens (cluster
+    -1), and the tile pipeline materializes masks from it."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geo_inference_ray import sources, stages
+    from geo_inference_ray.sources import (PagesSource, raster_window_grid,
+                                           register_source,
+                                           window_pages_table)
+    from geo_inference_ray.tiling import DEFAULT_GRID, pixel_counts
+
+    # identity-ish affine: 0.01 deg/pixel, origin (-10, 5), north-up
+    transform = (0.01, 0.0, -10.0, 0.0, -0.01, 5.0)
+    W, H, TILE = 1000, 800, 256
+
+    class FakeRaster(PagesSource):
+        name = "fake-raster"
+
+        def dataset(self, path: str, include_html: bool = True):
+            import ray.data as rd
+
+            idx, ro, co, wh, ww, lat, lon = raster_window_grid(
+                W, H, transform, TILE)
+            payloads = ([bytes([int(i) % 251]) * 8 for i in idx]
+                        if include_html else None)
+            return rd.from_arrow(window_pages_table(
+                path, idx, ro, co, wh, ww, lat, lon, payloads))
+
+    register_source(FakeRaster())
+    geo = stages.geo_pipeline("/unused", source="fake-raster").to_pandas()
+
+    idx, ro, co, wh, ww, lat, lon = raster_window_grid(W, H, transform,
+                                                       TILE)
+    n_win = len(idx)
+    assert n_win == 4 * 4  # ceil(1000/256) x ceil(800/256)
+    assert len(geo) == n_win
+    geo = geo.sort_values("doc_id").reset_index(drop=True)
+    # geocoder honored the geo token (not the url-id fallback)
+    assert (geo["cluster"] == -1).all()
+    # centroid coords survive the token round-trip at 1e-6 precision
+    assert np.allclose(geo["lat"].to_numpy(), lat, atol=5e-7)
+    assert np.allclose(geo["lon"].to_numpy(), lon, atol=5e-7)
+    # per-url text invariant: byte-identical to the source's text
+    src_tab = window_pages_table("/unused", idx, ro, co, wh, ww, lat,
+                                 lon)
+    assert geo["text"].tolist() == src_tab["text"].to_pylist()
+
+    # the tile pipeline runs from the seam too
+    pix = pixel_counts(
+        stages.geo_pipeline("/unused", source="fake-raster",
+                            with_cells=False),
+        DEFAULT_GRID).to_pandas()
+    assert int(pix["n"].sum()) == n_win
+
+
+def test_raster_source_import_guard():
+    """Without rasterio the raster source must fail fast at dataset
+    construction with the documented message."""
+    import pytest
+
+    from geo_inference_ray.sources import get_source
+
+    try:
+        import rasterio  # noqa: F401
+        pytest.skip("rasterio available: guard branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="rasterio"):
+        get_source("raster").dataset("/nonexistent.tif")
