@@ -350,6 +350,15 @@ def q_source_stats(sf_dir: str):
                                                       include_html=False))
 
 
+def q_host_stats(sf_dir: str):
+    return _textops.host_stats(_synth.pages_dataset(sf_dir,
+                                                    include_html=False))
+
+
+def q_ccnet_buckets(sf_dir: str):
+    return _textops.ccnet_buckets(_docs_text(sf_dir))
+
+
 def q_dedup_clusters(sf_dir: str):
     pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
     return _dedup.dedup_clusters(_docs_text(sf_dir), pairs)
@@ -716,13 +725,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_inner": q_pip_inner,
         "pip_semi": q_pip_semi,
         "pip_left": q_pip_left,
-        "pages": q_pages,
-        "extract_text": q_extract_text,
+        # -- NEW in round 4 (need their first driver row) --
+        "host_stats": q_host_stats,
+        "ccnet_buckets": q_ccnet_buckets,
+        # -- r3-green, implementation touched in round 4 (cont.) --
         "geocode": q_geocode,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "cell_agg": q_cell_agg,
         # -- r3-green, unchanged this round (rotate back in r5) --
+        "pages": q_pages,
+        "extract_text": q_extract_text,
         "polygons": q_polygons,
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
@@ -1283,6 +1296,33 @@ SELECT string_split(url, '/')[4] AS src,
        CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
             AS BIGINT) AS total_tokens
 FROM pages GROUP BY 1""",
+        # Host-level crawl rollup: same url grammar as the engine's
+        # vectorized extract_regex (scheme://host/seg).
+        "host_stats": _W + """
+SELECT regexp_extract(url, '^([a-z0-9+.-]+)://([^/]+)/([^/]*)', 2)
+           AS host,
+       regexp_extract(url, '^([a-z0-9+.-]+)://([^/]+)/([^/]*)', 3)
+           AS seg,
+       COUNT(*) AS n_pages,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM pages GROUP BY 1, 2""",
+        # CCNet head/middle/tail split: exact length tertiles, same
+        # double arithmetic (k * n / 3.0, ceil) as textops.ccnet_buckets.
+        "ccnet_buckets": """
+WITH n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn FROM n),
+c AS (SELECT COUNT(*) AS total FROM n),
+t1 AS (SELECT r.n_chars AS t FROM r, c
+       WHERE r.rn = CAST(ceil(1.0 * total / 3.0) AS BIGINT)),
+t2 AS (SELECT r.n_chars AS t FROM r, c
+       WHERE r.rn = CAST(ceil(2.0 * total / 3.0) AS BIGINT))
+SELECT n.doc_id, n.n_chars,
+       CASE WHEN n.n_chars > t2.t THEN 'head'
+            WHEN n.n_chars > t1.t THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM n, t1, t2""",
         # Polynomial rolling hash over the utf-8 bytes; the corpus is
         # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
         # FP_MOD come from a recursive CTE bounded by the longest text.

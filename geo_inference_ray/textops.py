@@ -954,3 +954,85 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
         .groupby("doc_id").aggregate(
             Sum("sm", alias_name="bigram_surprisal_milli"),
             Sum("tf", alias_name="n_bigrams"))
+
+
+def host_stats(ds):
+    """Per-(host, top path segment) crawl rollup — the host-level
+    aggregation sweep of a Common-Crawl pipeline: page count, total
+    text chars, and DISTINCT language count per registrable host and
+    first path segment, parsed from the url with one vectorized regex.
+
+    Scale shape: per-batch partial aggregation over (host, seg, lang)
+    (one row per distinct triple per batch crosses the shuffle — never
+    pages), one groupby to fold partials, then the distinct-lang count
+    is a second groupby over the already-(host, seg, lang)-sized table
+    (the distinct_users two-stage pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    pat = r"^(?P<scheme>[a-z0-9+.-]+)://(?P<host>[^/]+)/(?P<seg>[^/]*)"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(batch["url"], pat)
+        nch = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        t = pa.table({
+            "host": pc.struct_field(parts, "host"),
+            "seg": pc.struct_field(parts, "seg"),
+            "lang": batch["lang"],
+            "c": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "nch": nch})
+        g = t.group_by(["host", "seg", "lang"]).aggregate(
+            [("c", "sum"), ("nch", "sum")])
+        return pa.table({"host": g["host"], "seg": g["seg"],
+                         "lang": g["lang"], "c": g["c_sum"],
+                         "nch": g["nch_sum"]})
+
+    per_lang = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+        .groupby(["host", "seg", "lang"]).aggregate(
+            Sum("c", alias_name="c"), Sum("nch", alias_name="nch"))
+    return per_lang.groupby(["host", "seg"]).aggregate(
+        Sum("c", alias_name="n_pages"),
+        Sum("nch", alias_name="total_chars"),
+        Count(alias_name="n_langs"))
+
+
+CCNET_Q1, CCNET_Q2 = 1.0, 2.0  # tertile numerators (q = k/3)
+
+
+def ccnet_buckets(ds):
+    """CCNet-style head/middle/tail corpus split: every document is
+    assigned a quality bucket by exact global TERTILES of the quality
+    score (here the doc-length proxy, the same score quality_filter
+    thresholds on; a perplexity column drops in unchanged).
+
+    Thresholds are the ceil(k*n/3)-th smallest lengths from the
+    length-histogram sketch (shuffle bounded by distinct lengths);
+    the two ints broadcast implicitly in the closure and assignment is
+    batch-local — no second shuffle.  Output (doc_id, n_chars,
+    bucket)."""
+    import math
+
+    import ray.data as rd
+
+    L, cnt = length_histogram(ds)
+    if not len(L):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.string())}))
+    cum = np.cumsum(cnt)
+    total = int(cum[-1])
+    # double arithmetic in the same order as the SQL mirror
+    t1 = int(L[np.searchsorted(cum, math.ceil(CCNET_Q1 * total / 3.0))])
+    t2 = int(L[np.searchsorted(cum, math.ceil(CCNET_Q2 * total / 3.0))])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        lnp = ln.to_numpy()
+        b = np.where(lnp > t2, "head",
+                     np.where(lnp > t1, "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"], "n_chars": ln,
+                         "bucket": pa.array(b.tolist(), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -684,3 +684,50 @@ def test_decontaminate_explicit_bench_ds(ray_session):
     assert out.loc[0, "n_overlap"] == 1      # shares "a b c"
     assert out.loc[97, "n_overlap"] == 0
     assert out.loc[5, "n_overlap"] == 0
+
+
+def test_host_stats_golden(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.textops import host_stats
+
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array([
+            "https://a.com/news/1", "https://a.com/news/2",
+            "https://a.com/blog/3", "https://b.org/news/4"]),
+        "text": pa.array(["aa", "bbbb", "c", "dd"]),
+        "lang": pa.array(["en", "de", "en", "en"]),
+    }))
+    out = host_stats(pages).to_pandas() \
+        .sort_values(["host", "seg"]).reset_index(drop=True)
+    assert out["host"].tolist() == ["a.com", "a.com", "b.org"]
+    assert out["seg"].tolist() == ["blog", "news", "news"]
+    assert out["n_pages"].tolist() == [1, 2, 1]
+    assert out["total_chars"].tolist() == [1, 6, 2]
+    assert out["n_langs"].tolist() == [1, 2, 1]
+
+
+def test_ccnet_buckets_golden(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.textops import ccnet_buckets
+
+    # lengths 1..9: tertile thresholds t1 = 3 (rank ceil(9/3)=3),
+    # t2 = 6 (rank ceil(18/3.0)=6) -> tail {1,2,3}, middle {4,5,6},
+    # head {7,8,9}
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(1, 10)), pa.int64()),
+        "text": pa.array(["x" * n for n in range(1, 10)]),
+    }))
+    out = ccnet_buckets(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["bucket"].tolist() == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3)
+
+    # empty corpus
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert ccnet_buckets(empty).count() == 0
