@@ -675,8 +675,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                touched this round (kNN kernel, pixel_counts
     #                switch, dedup token-cache/join sizing, textops
     #                guards, spatial-join bisect) — re-verified here
-    #   slots 51-77  r3-green queries with unchanged code
-    # Round 5 should rotate slots 51-77 back into the window.
+    #   slots 53-79  r3-green queries with unchanged code (the two r4
+    #                additions host_stats/ccnet_buckets sit at 44-45)
+    # Round 5 should rotate slots 53-79 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,

@@ -60,24 +60,9 @@ def _emit_salted(plan_ref, k_col: str = "hex7", ring: int = 0):
 
     class Emit:
         def __init__(self):
-            plan = ray.get(plan_ref)
-            if plan:
-                keys = np.fromiter(plan.keys(), dtype=np.int64)
-                rs = np.fromiter(plan.values(), dtype=np.int64)
-                order = np.argsort(keys)
-                self.keys, self.rs = keys[order], rs[order]
-            else:
-                self.keys = np.empty(0, dtype=np.int64)
-                self.rs = np.empty(0, dtype=np.int64)
+            from .shuffle import plan_lookup
 
-        def _n_salt(self, cells: np.ndarray) -> np.ndarray:
-            n = np.ones(len(cells), dtype=np.int64)
-            if len(self.keys):
-                pos = np.clip(np.searchsorted(self.keys, cells), 0,
-                              len(self.keys) - 1)
-                hit = self.keys[pos] == cells
-                n[hit] = self.rs[pos[hit]]
-            return n
+            self._n_salt = plan_lookup(ray.get(plan_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             cell = batch[k_col].to_numpy()
@@ -300,38 +285,31 @@ def knn_in_cells(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP,
 
     # exact emitted-row count from the driver-side count + salt plan
     # (each row replicates to every salt bucket of each target cell):
-    # sizes the partition count so per-kernel input stays bounded
+    # sizes the partition count so per-kernel input stays bounded.
+    # plan_lookup is the SAME lookup _emit_salted uses, so the
+    # estimate equals the actual emission.
+    from .shuffle import plan_lookup
+
     ck = np.fromiter(counts.keys(), dtype=np.int64) if counts \
         else np.empty(0, np.int64)
     cv = np.fromiter(counts.values(), dtype=np.int64) if counts \
         else np.empty(0, np.int64)
-    if plan:
-        pk = np.fromiter(plan.keys(), dtype=np.int64)
-        pv = np.fromiter(plan.values(), dtype=np.int64)
-        o = np.argsort(pk)
-        pk, pv = pk[o], pv[o]
-    else:
-        pk = np.empty(0, np.int64)
-        pv = np.empty(0, np.int64)
-
-    def n_salt(cells_arr: np.ndarray) -> np.ndarray:
-        n = np.ones(len(cells_arr), dtype=np.int64)
-        if len(pk) and len(cells_arr):
-            pos = np.clip(np.searchsorted(pk, cells_arr), 0, len(pk) - 1)
-            hit = pk[pos] == cells_arr
-            n[hit] = pv[pos[hit]]
-        return n
-
+    n_salt = plan_lookup(plan)
     offsets = HEX_RING1_OFFSETS if ring == 1 else (0,)
     emitted = int(sum(int((cv * n_salt(ck + off)).sum())
                       for off in offsets))
     num_partitions = partitions_for(max(1, emitted))
 
     def add_pkey(batch: pa.Table) -> pa.Table:
+        from .relational import hash_mix
+
         gid = (batch["hex7"].to_numpy() << _SALT_BITS) \
             | batch["salt"].to_numpy()
+        # hash_mix, NOT gid % P: unsalted rows have gid's low 24 bits
+        # all zero, so a raw modulo with power-of-two P (the common
+        # partitions_for output) would send every row to partition 0
         return batch.append_column(
-            "pkey", pa.array((gid % num_partitions).astype(np.int64)))
+            "pkey", pa.array(hash_mix(gid, num_partitions)))
 
     keyed = salted.map_batches(add_pkey, batch_format="pyarrow",
                                zero_copy_batch=True)

@@ -282,6 +282,20 @@ def _parquet_rows(path: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def hash_mix(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Partition id for an int64 key column: Fibonacci multiplicative
+    mix (golden-ratio constant, wrap-around uint64) before the modulo.
+    A raw ``key % P`` collapses when the key's low bits are structured
+    — e.g. a packed key ``cell << 24 | salt`` with salt mostly 0 maps
+    EVERY row to partition 0 for any P dividing 2^24 (power-of-two P
+    is the common case from partitions_for's 2x-CPU floor).  Pure
+    function of the key, so groups are never split."""
+    h = keys.astype(np.uint64, copy=False) * np.uint64(
+        0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(33))
+            % np.uint64(num_partitions)).astype(np.int64)
+
+
 def _hash_partitioned(ds, key: str, kernel, num_partitions: int | None = None,
                       *, rows_hint: int | None = None):
     """Hash-partition rows on an int key column, then run ONE vectorized
@@ -304,7 +318,7 @@ def _hash_partitioned(ds, key: str, kernel, num_partitions: int | None = None,
     def add_pkey(batch: _pa.Table) -> _pa.Table:
         kk = batch[key].to_numpy()
         return batch.append_column(
-            "pkey", _pa.array((kk % num_partitions).astype(np.int64)))
+            "pkey", _pa.array(hash_mix(kk, num_partitions)))
 
     keyed = ds.map_batches(add_pkey, batch_format="pyarrow",
                            zero_copy_batch=True)

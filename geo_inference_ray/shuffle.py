@@ -54,6 +54,32 @@ def salt_plan(counts: dict[int, int], cap: int = DEFAULT_CAP,
             for k, n in counts.items() if n > cap}
 
 
+def plan_lookup(plan: dict[int, int]):
+    """Vectorized salt-plan lookup: plan dict -> ``n_salt(keys_arr)``
+    returning the per-key salt-bucket count (1 for keys outside the
+    plan).  The single implementation of the sorted-keys/searchsorted
+    probe — knn's emit stage and its emitted-row estimator must agree
+    exactly or partition sizing drifts from the actual emission."""
+    if plan:
+        k = np.fromiter(plan.keys(), dtype=np.int64)
+        v = np.fromiter(plan.values(), dtype=np.int64)
+        o = np.argsort(k)
+        k, v = k[o], v[o]
+    else:
+        k = np.empty(0, np.int64)
+        v = np.empty(0, np.int64)
+
+    def n_salt(keys_arr: np.ndarray) -> np.ndarray:
+        n = np.ones(len(keys_arr), dtype=np.int64)
+        if len(k) and len(keys_arr):
+            pos = np.clip(np.searchsorted(k, keys_arr), 0, len(k) - 1)
+            hit = k[pos] == keys_arr
+            n[hit] = v[pos[hit]]
+        return n
+
+    return n_salt
+
+
 _SALT_MEMO: dict = {}
 
 

@@ -130,7 +130,8 @@ def raster_window_grid(width: int, height: int,
 
 
 def window_pages_table(path: str, idx, row_off, col_off, win_h, win_w,
-                       lat, lon, payloads: list[bytes] | None = None):
+                       lat, lon, payloads: list[bytes] | None = None,
+                       include_html: bool = True):
     """Window specs -> pages-schema Arrow table (the seam contract):
     url ``raster://<path>/<idx>`` (trailing /<digits> satisfies the
     geocoder's url-id grammar); text carries the explicit
@@ -142,26 +143,31 @@ def window_pages_table(path: str, idx, row_off, col_off, win_h, win_w,
     import numpy as np
     import pyarrow as _pa
 
+    from .synth import EPOCH_2024  # same corpus epoch as synth pages
+
     n = len(idx)
     url = [f"raster://{path}/{int(i)}" for i in idx]
     text = [f"geo:{la:.6f},{lo:.6f} window {int(r)} {int(cc)} "
             f"{int(hh)}x{int(ww)}"
             for la, lo, r, cc, hh, ww
             in zip(lat, lon, row_off, col_off, win_h, win_w)]
-    html = [(f"<html><head><title>win {int(i)}</title></head>"
-             f"<body><p>{t}</p></body></html>").encode()
-            for i, t in zip(idx, text)]
     ts = _pa.array((np.asarray(idx, dtype=np.int64)
-                    + 1_704_067_200) * 1_000_000).cast(
+                    + EPOCH_2024) * 1_000_000).cast(
         _pa.timestamp("us"))
     cols = {
         "url": _pa.array(url, _pa.string()),
         "warc_ts": ts,
-        "html": _pa.array(html, _pa.binary()),
-        "text": _pa.array(text, _pa.string()),
-        "lang": _pa.array(["und"] * n, _pa.string()),
-        "doc_id": _pa.array(np.asarray(idx, dtype=np.int64)),
     }
+    if include_html:
+        # schema contract: html only when requested, like the default
+        # ParquetDocumentsSource (union-compatibility across sources)
+        html = [(f"<html><head><title>win {int(i)}</title></head>"
+                 f"<body><p>{t}</p></body></html>").encode()
+                for i, t in zip(idx, text)]
+        cols["html"] = _pa.array(html, _pa.binary())
+    cols["text"] = _pa.array(text, _pa.string())
+    cols["lang"] = _pa.array(["und"] * n, _pa.string())
+    cols["doc_id"] = _pa.array(np.asarray(idx, dtype=np.int64))
     if payloads is not None:
         cols["payload"] = _pa.array(payloads, _pa.binary())
     return _pa.table(cols)
@@ -235,7 +241,7 @@ class RasterSource(PagesSource):
                     batch["win_h"].to_numpy(),
                     batch["win_w"].to_numpy(),
                     batch["lat"].to_numpy(), batch["lon"].to_numpy(),
-                    payloads)
+                    payloads, include_html=read_payload)
 
         # small batches: each row carries up to tile^2 pixel bytes
         return grid.map_batches(ReadWindows, batch_format="pyarrow",

@@ -926,7 +926,9 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
     # hint sizes the corpus-scale hash joins below; when the caller
     # has no footer count, derive one (docs x ~64 distinct bigrams,
     # the same bound surprisal() uses) instead of defaulting to a
-    # single join partition
+    # single join partition.  ds.count() is metadata-only for a plain
+    # parquet read; a TRANSFORMED input pays one extra pass — callers
+    # at scale should pass rows_hint (the __ray_entry__ wrapper does)
     hint = rows_hint if rows_hint is not None else ds.count() * 64
     np_small = join_partitions_for(hint)
     scored = cb.join(cw, join_type="inner", num_partitions=np_small,
@@ -974,9 +976,12 @@ def host_stats(ds):
     def partial(batch: pa.Table) -> pa.Table:
         parts = pc.extract_regex(batch["url"], pat)
         nch = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        # non-matching urls: DuckDB regexp_extract returns '' while
+        # Arrow extract_regex returns null — canonicalize to '' so the
+        # engine and oracle group degenerate urls identically
         t = pa.table({
-            "host": pc.struct_field(parts, "host"),
-            "seg": pc.struct_field(parts, "seg"),
+            "host": pc.fill_null(pc.struct_field(parts, "host"), ""),
+            "seg": pc.fill_null(pc.struct_field(parts, "seg"), ""),
             "lang": batch["lang"],
             "c": pa.array(np.ones(len(batch), dtype=np.int64)),
             "nch": nch})
