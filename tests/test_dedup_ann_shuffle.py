@@ -703,3 +703,21 @@ def test_token_cache_bounded():
         dd._TOKEN_CACHE_MAX = saved_max
         dd._TOKEN_CACHE.clear()
         dd._TOKEN_CACHE.update(saved)
+
+
+def test_hash_mix_spreads_structured_keys():
+    """Regression guard for the partition-collapse bug: packed keys
+    with all-zero low bits (hex7 << 24 | salt=0) must spread across
+    every partition count, including the power-of-two counts
+    partitions_for's CPU floor produces."""
+    from geo_inference_ray.relational import hash_mix
+
+    gid = (np.arange(5000, dtype=np.int64) + 4_000_000) << 24
+    for P in (8, 16, 64, 48, 997):
+        pk = hash_mix(gid, P)
+        assert pk.min() >= 0 and pk.max() < P
+        u, c = np.unique(pk, return_counts=True)
+        assert len(u) == P  # every partition used
+        assert c.max() / len(gid) < 4.0 / P  # no partition > 4x fair share
+    # determinism: pure function of the key
+    assert (hash_mix(gid, 64) == hash_mix(gid.copy(), 64)).all()
