@@ -647,6 +647,51 @@ def q_hash_sample(sf_dir: str):
     return _rel.hash_sample(sf_dir)
 
 
+def q_stac_union(sf_dir: str):
+    """S3 via the REAL STAC walker: a static catalog (two items whose
+    assets are the same documents.parquet — href resolution + union
+    through StacCatalogSource) feeds the per-url text-length rollup.
+    The catalog JSON is scratch under /tmp, rebuilt per call."""
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geo_inference_ray.sources import get_source
+
+    d = tempfile.mkdtemp(prefix="stac_q_", dir="/tmp")
+    for i in (1, 2):
+        with open(os.path.join(d, f"item{i}.json"), "w") as f:
+            json.dump({"type": "Feature", "assets": {
+                "docs": {"href": f"{sf_dir}/documents.parquet",
+                         "type": "application/x-parquet"}}}, f)
+    cat = os.path.join(d, "catalog.json")
+    with open(cat, "w") as f:
+        json.dump({"type": "Catalog", "links": [
+            {"rel": "item", "href": "item1.json"},
+            {"rel": "item", "href": "item2.json"}]}, f)
+
+    pages = get_source("stac").dataset(cat, include_html=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "url": batch["url"],
+            "nch": pc.cast(pc.utf8_length(batch["text"]), pa.int64())})
+        g = t.group_by("url").aggregate([("nch", "sum"),
+                                         ("nch", "count")])
+        return pa.table({"url": g["url"], "tc": g["nch_sum"],
+                         "n": pc.cast(g["nch_count"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    return pages.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("url").aggregate(Sum("tc", alias_name="total_chars"),
+                                  Sum("n", alias_name="n_copies"))
+
+
 def q_union_counts(sf_dir: str):
     from geo_inference_ray import relational as _rel
 
@@ -675,9 +720,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                touched this round (kNN kernel, pixel_counts
     #                switch, dedup token-cache/join sizing, textops
     #                guards, spatial-join bisect) — re-verified here
-    #   slots 53-79  r3-green queries with unchanged code (the two r4
-    #                additions host_stats/ccnet_buckets sit at 44-45)
-    # Round 5 should rotate slots 53-79 back into the window.
+    #   slots 54-80  r3-green queries with unchanged code (the two r4
+    #                additions host_stats/ccnet_buckets/stac_union sit at 44-46)
+    # Round 5 should rotate slots 54-80 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -729,14 +774,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEW in round 4 (need their first driver row) --
         "host_stats": q_host_stats,
         "ccnet_buckets": q_ccnet_buckets,
+        "stac_union": q_stac_union,
         # -- r3-green, implementation touched in round 4 (cont.) --
-        "geocode": q_geocode,
         "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "cell_agg": q_cell_agg,
         # -- r3-green, unchanged this round (rotate back in r5) --
         "pages": q_pages,
         "extract_text": q_extract_text,
+        "geocode": q_geocode,
         "polygons": q_polygons,
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
@@ -1512,6 +1558,11 @@ WITH u AS (SELECT text, lang FROM documents
 SELECT lang, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        COUNT(*) AS n_docs
 FROM u GROUP BY lang""",
+        "stac_union": _W + """,
+u AS (SELECT url, text FROM pages UNION ALL SELECT url, text FROM pages)
+SELECT url, CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       COUNT(*) AS n_copies
+FROM u GROUP BY url""",
         "hash_sample": """
 SELECT doc_id, lang FROM documents
 WHERE (doc_id % 100 * 2654435761) % 100 < 10""",
