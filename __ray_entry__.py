@@ -716,13 +716,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # so the dict is ordered by evidence need, not by theme:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
     #   slots 12-27  the 16 queries green in r2 but outside r3's window
-    #   slots 28-50  the 23 r3-green queries whose implementation is
-    #                touched this round (kNN kernel, pixel_counts
-    #                switch, dedup token-cache/join sizing, textops
-    #                guards, spatial-join bisect) — re-verified here
-    #   slots 54-80  r3-green queries with unchanged code (the two r4
-    #                additions host_stats/ccnet_buckets/stac_union sit at 44-46)
-    # Round 5 should rotate slots 54-80 back into the window.
+    #   slots 28-50  r3-green queries whose implementation round 4
+    #                touches (kNN kernel, pixel_counts switch, dedup
+    #                token-cache/join sizing, textops guards,
+    #                spatial-join bisect) — re-verified here — plus
+    #                the three r4 additions (host_stats,
+    #                ccnet_buckets, stac_union at slots 44-46)
+    #   slots 51-80  r3-green queries with unchanged code
+    # Round 5 should rotate slots 51-80 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
