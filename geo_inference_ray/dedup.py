@@ -72,6 +72,11 @@ def _rng_coeffs(seed: int = 20240817):
 
 MINHASH_A, MINHASH_B = _rng_coeffs()
 
+# Bucket-count pre-pass: max buffered (gid, count) partial rows for the
+# driver-side combine before bailing to the distributed groupby
+# (~256 MB of int64 pairs at the bound; the pixel_counts pattern).
+BUCKET_COUNT_DRIVER_LIMIT = 16_000_000
+
 _TOKEN_CACHE: dict[str, int] = {}
 # Hard cap on the per-worker token->hash memo: web-scale corpora have
 # an effectively unbounded long-tail vocabulary, so an uncapped dict
@@ -200,7 +205,6 @@ def minhash_candidates(ds, max_actors: int | None = None,
     import pandas as pd
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count
 
     from .pools import pool_caps, spill_dir
 
@@ -218,19 +222,60 @@ def minhash_candidates(ds, max_actors: int | None = None,
         .write_parquet(spill)
     bands = rd.read_parquet(spill)
 
-    counts = bands.groupby("gid").aggregate(Count(alias_name="n"))
-    hot_parts = []
-    hot_rows = 0
-    pair_bound = 0
-    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        n = b["n"].to_numpy()
-        hm = n >= 2
-        hot_parts.append(b["gid"].to_numpy()[hm])
-        nh = n[hm]
-        hot_rows += int(nh.sum())
-        pair_bound += int((nh * (nh - 1) // 2).sum())
-    hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
-           else np.array([], dtype=np.int64))
+    # bucket-size pre-pass.  The hot set is consumed DRIVER-side either
+    # way (it becomes a broadcast array), so for bounded partial volume
+    # the (gid, count) partials stream straight to a driver np.unique
+    # combine — measured 8-9 s cheaper than routing 1.28 M band rows
+    # through Ray's sort-based groupby at the bench's 16x-dup corpus.
+    # Over the volume bound it bails to the distributed groupby (the
+    # pixel_counts bail-out pattern; one abandoned partial pass).
+    def count_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["gid"].to_numpy(), return_counts=True)
+        return pa.table({"gid": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    part = bands.map_batches(count_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None)
+    ks, cs, total, overflow = [], [], 0, False
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b["gid"].to_numpy())
+        cs.append(b["c"].to_numpy())
+        total += len(ks[-1])
+        if total > BUCKET_COUNT_DRIVER_LIMIT:
+            overflow = True
+            break
+    if not overflow:
+        if ks:
+            k = np.concatenate(ks)
+            uk, inv = np.unique(k, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, np.concatenate(cs))
+            hm = sums >= 2
+            hot = uk[hm]  # np.unique output: already sorted
+            nh = sums[hm]
+            hot_rows = int(nh.sum())
+            pair_bound = int((nh * (nh - 1) // 2).sum())
+        else:
+            hot = np.array([], dtype=np.int64)
+            hot_rows = pair_bound = 0
+    else:
+        del ks, cs  # release the buffered partials before re-exec
+        from ray.data.aggregate import Sum
+
+        counts = part.groupby("gid").aggregate(Sum("c", alias_name="n"))
+        hot_parts = []
+        hot_rows = 0
+        pair_bound = 0
+        for b in counts.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            n = b["n"].to_numpy()
+            hm = n >= 2
+            hot_parts.append(b["gid"].to_numpy()[hm])
+            nh = n[hm]
+            hot_rows += int(nh.sum())
+            pair_bound += int((nh * (nh - 1) // 2).sum())
+        hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
+               else np.array([], dtype=np.int64))
     if not len(hot):
         import ray.data as rd
         return rd.from_items([]).map_batches(

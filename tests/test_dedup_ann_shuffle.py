@@ -721,3 +721,28 @@ def test_hash_mix_spreads_structured_keys():
         assert c.max() / len(gid) < 4.0 / P  # no partition > 4x fair share
     # determinism: pure function of the key
     assert (hash_mix(gid, 64) == hash_mix(gid.copy(), 64)).all()
+
+
+def test_minhash_bucket_count_bailout(ray_session, monkeypatch):
+    """With a tiny driver budget the bucket-count pre-pass must route
+    through the distributed groupby and produce the identical pair
+    set."""
+    import ray.data as rd
+
+    from geo_inference_ray import dedup as dd
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    rows = [{"doc_id": i,
+             "text": f"document {i} " + " ".join(
+                 f"w{i}x{j}" for j in range(40))} for i in range(25)]
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base}]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    ref = dd.minhash_candidates(docs).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "BUCKET_COUNT_DRIVER_LIMIT", 3)
+    out = dd.minhash_candidates(docs).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert out.equals(ref)
+    assert ((out["doc_a"] == 100) & (out["doc_b"] == 101)).any()
