@@ -24,10 +24,19 @@ MAX_SALTS = 8  # replication-factor bound: candidate-replicating consumers
                # bounded by the in-group pruning instead)
 
 
+# Max buffered (key, count) partial rows for key_counts' driver-side
+# combine before bailing to a distributed groupby (the volume-aware
+# pixel_counts pattern; ~256 MB of int64 pairs at the bound).
+KEY_COUNTS_DRIVER_LIMIT = 16_000_000
+
+
 def key_counts(ds, key: str) -> dict[int, int]:
     """Exact group sizes for one int key column, computed with map-side
-    partial counts (one row per key per batch crosses the shuffle)."""
-    from ray.data.aggregate import Sum
+    partial counts (one row per key per batch crosses the wire).  The
+    result is a DRIVER dict either way, so bounded partial volume
+    streams straight to a driver np.unique combine — skipping Ray's
+    sort-based groupby entirely (measured 8-9 s on a 1.28 M-partial
+    input); above KEY_COUNTS_DRIVER_LIMIT it bails to the groupby."""
 
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy()
@@ -35,10 +44,29 @@ def key_counts(ds, key: str) -> dict[int, int]:
         return pa.table({key: pa.array(u),
                          "cnt": pa.array(c.astype(np.int64))})
 
-    agg = ds.select_columns([key]).map_batches(
+    part = ds.select_columns([key]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None) \
-        .groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
+        batch_size=None)
+    ks, cs, total, overflow = [], [], 0, False
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ks.append(b[key].to_numpy())
+        cs.append(b["cnt"].to_numpy())
+        total += len(ks[-1])
+        if total > KEY_COUNTS_DRIVER_LIMIT:
+            overflow = True
+            break
+    if not overflow:
+        if not ks:
+            return {}
+        k = np.concatenate(ks)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, np.concatenate(cs))
+        return dict(zip(uk.tolist(), sums.tolist()))
+    del ks, cs  # release buffered partials before re-exec
+    from ray.data.aggregate import Sum
+
+    agg = part.groupby(key).aggregate(Sum("cnt", alias_name="cnt"))
     out = {}
     for b in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for kk, cc in zip(b[key].to_pylist(), b["cnt"].to_pylist()):

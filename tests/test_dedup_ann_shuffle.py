@@ -746,3 +746,21 @@ def test_minhash_bucket_count_bailout(ray_session, monkeypatch):
         .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert out.equals(ref)
     assert ((out["doc_a"] == 100) & (out["doc_b"] == 101)).any()
+
+
+def test_key_counts_bailout_equivalence(ray_session, monkeypatch):
+    """key_counts' driver combine and its distributed bail-out path
+    return the identical dict."""
+    import ray.data as rd
+
+    from geo_inference_ray import shuffle as sh
+
+    rng = np.random.default_rng(5)
+    tab = pa.table({"k": pa.array(rng.integers(0, 37, 4000,
+                                               dtype=np.int64))})
+    ds = rd.from_arrow(tab).repartition(8).materialize()
+    ref = sh.key_counts(ds, "k")
+    assert sum(ref.values()) == 4000
+    monkeypatch.setattr(sh, "KEY_COUNTS_DRIVER_LIMIT", 5)
+    out = sh.key_counts(ds, "k")
+    assert out == ref
