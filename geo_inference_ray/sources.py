@@ -526,3 +526,47 @@ class ArtifactScorer:
 
     def __call__(self, patch_counts):
         return self.base(patch_counts)
+
+
+class TorchScriptScorer:
+    """TorchScript model-backed patch scorer (the reference's ST1 model
+    load, geo_inference/geo_inference.py:101-107) behind the same
+    scorer seam mask_tiles already takes: the ``.pt`` artifact is
+    fetched through the work-dir cache and ``torch.jit.load``-ed ONCE
+    per actor in ``__init__``; ``__call__`` scores a (C, H, W) count
+    patch batch through the module.  Import-guarded — the container
+    ships no torch, so construction raises the documented divergence;
+    the seam itself (fetch -> load-once -> per-patch __call__) is
+    exercised by ArtifactScorer and the scorer contract tests."""
+
+    def __init__(self, url: str = "",
+                 work_dir: str = "/tmp/geo_inference_ray",
+                 device: str = "cpu"):
+        try:
+            import torch
+        except ImportError as exc:
+            raise NotImplementedError(
+                "TorchScriptScorer requires torch (not in this "
+                "environment); see SURVEY.md ST1 — plug a scorer in by "
+                "passing any callable class to mask_tiles(scorer_cls=)"
+            ) from exc
+        d = fetch_artifact(url, work_dir)
+        pt = None
+        for root, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".pt"):
+                    pt = os.path.join(root, fn)
+        if pt is None:
+            raise FileNotFoundError(f"no .pt artifact under {d}")
+        self.device = device
+        self.model = torch.jit.load(pt, map_location=device).eval()
+
+    def __call__(self, patch_counts):
+        import numpy as np
+        import torch
+
+        with torch.no_grad():
+            x = torch.as_tensor(np.asarray(patch_counts),
+                                dtype=torch.float32,
+                                device=self.device)
+            return self.model(x).cpu().numpy()

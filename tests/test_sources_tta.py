@@ -360,3 +360,17 @@ def test_stac_catalog_union(ray_session, tmp_path):
     # pipeline; the parquet rows keep their synthesized urls
     assert df["url"].str.startswith("raster://").sum() == 1
     assert df["url"].str.startswith("https://example.org/").sum() == 500
+
+
+def test_torchscript_scorer_import_guard():
+    """Without torch the TorchScript scorer fails fast at construction
+    with the documented message (ST1 seam divergence)."""
+    from geo_inference_ray.sources import TorchScriptScorer
+
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch available: guard branch not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="torch"):
+        TorchScriptScorer(url="file:///nonexistent.tar.gz")
