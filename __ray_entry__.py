@@ -482,6 +482,10 @@ def q_ann_topk(sf_dir: str):
     return _ann.ann_topk(sf_dir)
 
 
+def q_sq_topk(sf_dir: str):
+    return _ann.sq_topk(sf_dir)
+
+
 def q_ivf_topk(sf_dir: str):
     """IVF-probed approximate ANN (coarse quantizer + nprobe cells) —
     the scale path next to the exact brute-force baseline.  Approximate
@@ -720,10 +724,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                touches (kNN kernel, pixel_counts switch, dedup
     #                token-cache/join sizing, textops guards,
     #                spatial-join bisect) — re-verified here — plus
-    #                the three r4 additions (host_stats,
-    #                ccnet_buckets, stac_union at slots 44-46)
-    #   slots 51-80  r3-green queries with unchanged code
-    # Round 5 should rotate slots 51-80 back into the window.
+    #                the four r4 additions (host_stats,
+    #                ccnet_buckets, stac_union, sq_topk at slots 44-47)
+    #   slots 51-81  r3-green queries with unchanged code
+    # Round 5 should rotate slots 51-81 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -776,14 +780,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": q_host_stats,
         "ccnet_buckets": q_ccnet_buckets,
         "stac_union": q_stac_union,
+        "sq_topk": q_sq_topk,
         # -- r3-green, implementation touched in round 4 (cont.) --
-        "hex_cells": q_hex_cells,
         "s2_cells": q_s2_cells,
         "cell_agg": q_cell_agg,
         # -- r3-green, unchanged this round (rotate back in r5) --
         "pages": q_pages,
         "extract_text": q_extract_text,
         "geocode": q_geocode,
+        "hex_cells": q_hex_cells,
         "polygons": q_polygons,
         "yolo": q_yolo,
         "coco_annotations": q_coco_annotations,
@@ -1405,6 +1410,34 @@ r AS (SELECT query_id, neighbor_id,
                                 ORDER BY sim DESC, neighbor_id) AS "rank"
       FROM sims)
 SELECT query_id, neighbor_id, "rank" FROM r
+WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
+        # Scalar-quantized integer top-k: same double arithmetic for
+        # the quantizer ((x-mn)/((mx-mn)/255.0), floor, clip) and pure
+        # BIGINT scoring (see ann.sq_quantize).
+        "sq_topk": f"""
+WITH flat AS (
+  SELECT vec_id, g.i AS d, CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+mm AS (SELECT MAX(abs(x)) AS a FROM flat),
+qcode AS (SELECT vec_id, f.d,
+         CASE WHEN mm.a = 0 THEN 0
+              ELSE LEAST(127, GREATEST(-127,
+                CAST(floor(f.x / (mm.a / 127.0) + 0.5) AS BIGINT)))
+         END AS qv
+       FROM flat f, mm),
+heads AS (SELECT vec_id FROM embeddings
+          ORDER BY vec_id LIMIT {_ann.N_QUERIES_DEFAULT}),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                CAST(SUM(a.qv * b.qv) AS BIGINT) AS score
+         FROM qcode a JOIN qcode b USING (d)
+         WHERE a.vec_id IN (SELECT vec_id FROM heads)
+           AND b.vec_id != a.vec_id
+         GROUP BY 1, 2)
+SELECT query_id, neighbor_id, "rank", score FROM (
+  SELECT query_id, neighbor_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id) AS "rank"
+  FROM dots)
 WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
         # Integer-exact Lloyd's k-means (2 iterations, fixed-point
         # 2^20 quantization): every distance is an exact int; the

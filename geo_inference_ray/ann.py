@@ -570,3 +570,145 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
 
     return ds.map_batches(final, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized top-k (the PQ-family compression scale path)
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 127  # symmetric int8 quantization grid [-127, 127]
+
+
+def embedding_minmax(ds):
+    """Global per-DIMENSION (min, max) over the embedding column:
+    per-batch partials (one D-row table per block) -> driver fold.
+    The combine is D-bounded (never rows) — the quantizer's training
+    statistics, computed in one streaming pass."""
+    def partial(batch: pa.Table) -> pa.Table:
+        M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d = np.arange(M.shape[1], dtype=np.int64)
+        return pa.table({"d": pa.array(d),
+                         "mn": pa.array(M.min(axis=0)),
+                         "mx": pa.array(M.max(axis=0))})
+
+    part = ds.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
+    mn = mx = None
+    for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = b["d"].to_numpy()
+        bmn = np.full(int(d.max()) + 1, np.inf)
+        bmx = np.full(int(d.max()) + 1, -np.inf)
+        np.minimum.at(bmn, d, b["mn"].to_numpy())
+        np.maximum.at(bmx, d, b["mx"].to_numpy())
+        if mn is None:
+            mn, mx = bmn, bmx
+        else:
+            n = max(len(mn), len(bmn))
+            mn = np.minimum(np.pad(mn, (0, n - len(mn)),
+                                   constant_values=np.inf),
+                            np.pad(bmn, (0, n - len(bmn)),
+                                   constant_values=np.inf))
+            mx = np.maximum(np.pad(mx, (0, n - len(mx)),
+                                   constant_values=-np.inf),
+                            np.pad(bmx, (0, n - len(bmx)),
+                                   constant_values=-np.inf))
+    return mn, mx
+
+
+def sq_quantize(M: np.ndarray, absmax: float) -> np.ndarray:
+    """SYMMETRIC int8 scalar quantization (one global scale), int64
+    output.  A single scale keeps the quantized inner product
+    proportional to the original one (q ~ x * 127/A, so q.q' ~
+    (127/A)^2 x.x') — a per-dimension affine quantizer would add
+    shift cross-terms that destroy the ranking.  EXACT double
+    arithmetic in the same order as the SQL mirror:
+    scale = A / 127.0; q = clip(floor(x / scale + 0.5), -127, 127);
+    an all-zero corpus (A == 0) quantizes to 0."""
+    if absmax == 0.0:
+        return np.zeros(M.shape, dtype=np.int64)
+    scale = absmax / float(SQ_LEVELS)
+    return np.clip(np.floor(M / scale + 0.5),
+                   -SQ_LEVELS, SQ_LEVELS).astype(np.int64)
+
+
+class SQTopK:
+    """Actor-pool stage: integer dot products of the batch's QUANTIZED
+    vectors against the broadcast quantized query matrix; per-batch
+    partial top-k.  All scoring is int64 (exact oracle; no float
+    tie ambiguity)."""
+
+    def __init__(self, state_ref=None, state=None, k: int = TOPK_DEFAULT):
+        if state_ref is not None:
+            import ray
+            self.qids, self.Q, self.absmax = ray.get(state_ref)
+        else:
+            self.qids, self.Q, self.absmax = state
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        qv = sq_quantize(M, self.absmax)
+        scores = self.Q @ qv.T  # (nq, nb) int64
+        nq, nb = scores.shape
+        kk = min(self.k + 1, nb)  # +1: self-match filtered downstream
+        qs, ns, ss = [], [], []
+        for qi in range(nq):
+            order = np.lexsort((ids, -scores[qi]))[:kk]
+            qs.append(np.full(len(order), self.qids[qi], dtype=np.int64))
+            ns.append(ids[order])
+            ss.append(scores[qi][order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs)),
+            "neighbor_id": pa.array(np.concatenate(ns).astype(np.int64)),
+            "score": pa.array(np.concatenate(ss)),
+        })
+
+
+def sq_topk(sf_dir: str, k: int = TOPK_DEFAULT,
+            n_queries: int = N_QUERIES_DEFAULT,
+            max_actors: int | None = None):
+    """Scalar-quantized similarity search: embeddings are compressed to
+    per-dimension uint8 codes (4x over f32, 8x over f64 — the memory/
+    bandwidth scale path of the similarity-search family) and ranked by
+    exact INTEGER dot product in the quantized space, (score DESC,
+    neighbor_id ASC), self-matches excluded.
+
+    Shape: one streaming pass trains the quantizer (per-dim min/max,
+    D-bounded combine), the codes + query matrix broadcast once, then
+    the scan is a per-batch int matmul with partial top-k -> one tiny
+    final reduce.  Integer scoring makes the whole pipeline
+    hash-exact against the SQL mirror."""
+    import ray
+    import ray.data as rd
+
+    from .pools import pool_caps
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    mn, mx = embedding_minmax(ds)
+    absmax = float(max(np.abs(mn).max(), np.abs(mx).max())) if len(mn) \
+        else 0.0
+    qids, Qf = load_queries(sf_dir, n_queries)
+    Q = sq_quantize(Qf, absmax)
+    state_ref = ray.put((qids, Q, absmax))
+    cand = rd.read_parquet(path, columns=["vec_id", "embedding"]) \
+        .map_batches(SQTopK, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=4096,
+                     concurrency=pool_caps(max_actors),
+                     fn_constructor_kwargs={"state_ref": state_ref,
+                                            "k": k})
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"]]
+        g = g.sort_values(["score", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "score"]]
+
+    return cand.groupby("query_id").map_groups(final_topk,
+                                               batch_format="pandas")

