@@ -359,6 +359,21 @@ def q_ccnet_buckets(sf_dir: str):
     return _textops.ccnet_buckets(_docs_text(sf_dir))
 
 
+def q_dup_spans(sf_dir: str):
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.dup_spans(_docs_text(sf_dir), docs_hint=n)
+
+
+def q_mix_sample(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return _textops.mix_sample(ds)
+
+
 def q_dedup_clusters(sf_dir: str):
     pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
     return _dedup.dedup_clusters(_docs_text(sf_dir), pairs)
@@ -724,9 +739,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                touches (kNN kernel, pixel_counts switch, dedup
     #                token-cache/join sizing, textops guards,
     #                spatial-join bisect) — re-verified here — plus
-    #                the four r4 additions (host_stats,
-    #                ccnet_buckets, stac_union, sq_topk at slots 44-47)
-    #   slots 51-81  r3-green queries with unchanged code
+    #                the six r4 additions (host_stats, ccnet_buckets,
+    #                stac_union, sq_topk, dup_spans, mix_sample at
+    #                slots 44-49; s2_cells/cell_agg rotated to the
+    #                tail to make room — both r3-green)
+    #   slots 51-83  r3-green queries with unchanged code
     # Round 5 should rotate slots 51-81 back into the window.
     return {
         # -- never driver-checked before this round --
@@ -781,10 +798,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q_ccnet_buckets,
         "stac_union": q_stac_union,
         "sq_topk": q_sq_topk,
-        # -- r3-green, implementation touched in round 4 (cont.) --
+        "dup_spans": q_dup_spans,
+        "mix_sample": q_mix_sample,
+        # -- r3-green, unchanged this round (rotate back in r5) --
         "s2_cells": q_s2_cells,
         "cell_agg": q_cell_agg,
-        # -- r3-green, unchanged this round (rotate back in r5) --
         "pages": q_pages,
         "extract_text": q_extract_text,
         "geocode": q_geocode,
@@ -1376,6 +1394,39 @@ SELECT n.doc_id, n.n_chars,
             WHEN n.n_chars > t1.t THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM n, t1, t2""",
+        # Exact substring-span duplication: DISTINCT word 3-grams per
+        # doc, flagged when the gram appears in >1 document.  Grouping
+        # is on the exact gram STRING in both engines, so counts match
+        # bit-for-bit (DuckDB list slice w[i:i+2] is 1-based inclusive
+        # = a 3-token window).
+        "dup_spans": """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS g
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+df AS (SELECT g, COUNT(*) AS nd FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM grams JOIN df USING (g)
+GROUP BY grams.doc_id""",
+        # Temperature-balanced source mixing: integer arithmetic end to
+        # end except the IEEE sqrt (identical in numpy and DuckDB).
+        "mix_sample": f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS ws FROM c),
+tot AS (SELECT CAST(SUM(ws) AS BIGINT) AS tw FROM w),
+t AS (SELECT source, n,
+             ({_textops.MIX_TARGET_DOCS} * ws) // tw AS ts FROM w, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE ((d.doc_id % {_textops.MIX_HMOD}) * {_textops.MIX_HMULT}
+       + {_textops.MIX_HADD}) % {_textops.MIX_HMOD} % t.n < t.ts""",
         # Polynomial rolling hash over the utf-8 bytes; the corpus is
         # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
         # FP_MOD come from a recursive CTE bounded by the longest text.

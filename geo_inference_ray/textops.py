@@ -520,6 +520,31 @@ DECON_BENCH_MOD = 97      # doc_id % MOD == 0 -> benchmark ("eval") doc
 DECON_NGRAM = 3
 
 
+def doc_ngram_pairs(batch: pa.Table, n: int):
+    """(doc_row_idx, ngram) DISTINCT word-``n``-gram pairs for a batch —
+    the shared shingling kernel behind ``decontaminate`` and
+    ``dup_spans``.  One vectorized pass: Arrow split + flatten, then a
+    stride-shifted pandas string join (no per-row Python loop); the
+    per-doc dedup is a single ``drop_duplicates``."""
+    import pandas as pd
+
+    toks = pc.split_pattern(batch["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy()
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return (np.array([], dtype=np.int64),
+                pd.Series([], dtype=object))
+    did = np.repeat(np.arange(len(lens)), lens)
+    ok = did[:m] == did[n - 1:]
+    s = pd.Series(flat[:m][ok], dtype=object)
+    for j in range(1, n):
+        s = s + " " + pd.Series(flat[j:j + m][ok], dtype=object)
+    df = pd.DataFrame({"i": did[:m][ok], "g": s})
+    df = df.drop_duplicates()
+    return df["i"].to_numpy(), df["g"]
+
+
 def decontaminate(ds, bench_ds=None, n: int = DECON_NGRAM,
                   bench_mod: int = DECON_BENCH_MOD):
     """Benchmark decontamination: per-document count of distinct token
@@ -552,22 +577,7 @@ def decontaminate(ds, bench_ds=None, n: int = DECON_NGRAM,
                                   zero_copy_batch=True)
 
     def doc_ngrams(batch: pa.Table):
-        """(doc_row_idx, ngram) DISTINCT pairs for the batch."""
-        toks = pc.split_pattern(batch["text"], " ")
-        lens = pc.list_value_length(toks).to_numpy()
-        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-        m = len(flat) - (n - 1)
-        if m <= 0:
-            return (np.array([], dtype=np.int64),
-                    pd.Series([], dtype=object))
-        did = np.repeat(np.arange(len(lens)), lens)
-        ok = did[:m] == did[n - 1:]
-        s = pd.Series(flat[:m][ok], dtype=object)
-        for j in range(1, n):
-            s = s + " " + pd.Series(flat[j:j + m][ok], dtype=object)
-        df = pd.DataFrame({"i": did[:m][ok], "g": s})
-        df = df.drop_duplicates()
-        return df["i"].to_numpy(), df["g"]
+        return doc_ngram_pairs(batch, n)
 
     def bench_partial(batch: pa.Table) -> pa.Table:
         _, g = doc_ngrams(batch)
@@ -672,6 +682,156 @@ def chunk_dedup(ds, chunk_tokens: int = 32):
     return totals.union(kept).groupby("doc_id").aggregate(
         Sum("n_chunks", alias_name="n_chunks"),
         Sum("n_kept", alias_name="n_kept"))
+
+
+DUP_SPANS_NGRAM = 3
+DUP_SPANS_GRAMS_PER_DOC = 192   # upper-bound distinct-gram estimate per doc
+# used to size the gram shuffle when the caller only knows the doc count
+
+
+def dup_spans(ds, n: int = DUP_SPANS_NGRAM, docs_hint: int | None = None):
+    """Exact substring-span duplication signal (the RefinedWeb /
+    Gopher "exact substring dedup" family): for every document, count
+    its DISTINCT word ``n``-grams and how many of those also appear in
+    at least one OTHER document.  Training pipelines threshold this to
+    drop boilerplate-heavy pages or to mask duplicated spans.
+
+    Scale shape: only DISTINCT (gram, doc_id) pairs leave the map side
+    (per-doc dedup is batch-local in ``doc_ngram_pairs``); pairs are
+    hash-partitioned by a vectorized 64-bit hash of the gram string, so
+    every occurrence of a gram lands in one partition.  Partition-key
+    collisions are harmless — the kernel sorts by the exact STRING and
+    flags runs, so counts are exact (no probabilistic answer).  The
+    kernel is ONE vectorized call per partition (sort + run detection +
+    per-doc bincount), not per-gram pandas groups; per-doc partials
+    then fold through a single ``groupby(doc_id)`` Sum.  Two shuffles
+    total; gram text never reaches the driver.  At petabyte scale the
+    carried key would switch to the 64-bit hash itself (documented
+    collision odds) to shrink the exchange.
+
+    Documents with fewer than ``n`` words produce no grams and are
+    absent from the output (matching the SQL mirror).
+    Output: (doc_id, n_grams, n_dup)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .relational import hash_mix, partitions_for
+    from .shuffle import arrow_bridge
+
+    num_parts = (partitions_for(docs_hint * DUP_SPANS_GRAMS_PER_DOC)
+                 if docs_hint is not None else 64)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        idx, g = doc_ngram_pairs(batch, n)
+        d = (batch["doc_id"].to_numpy()[idx]
+             if len(idx) else np.array([], dtype=np.int64))
+        # deterministic vectorized siphash of the gram string (pandas
+        # fixed-key hash), then the shared Fibonacci mix -> partition id
+        h = pd.util.hash_array(g.to_numpy(dtype=object)).astype(
+            np.int64) if len(g) else np.array([], dtype=np.int64)
+        return pa.table({
+            "g": pa.array(g, pa.string()),
+            "doc_id": pa.array(d, pa.int64()),
+            "pkey": pa.array(hash_mix(h, num_parts)),
+        })
+
+    keyed = ds.map_batches(pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def span_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("g", kind="stable").reset_index(drop=True)
+        gs = g["g"].to_numpy(dtype=object)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        dup = (np.repeat(sizes, sizes) > 1)
+        d = g["doc_id"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        n_grams = np.bincount(inv, minlength=len(u))
+        n_dup = np.bincount(inv, weights=dup.astype(np.float64),
+                            minlength=len(u))
+        return pd.DataFrame({"doc_id": u,
+                             "n_grams": n_grams.astype(np.int64),
+                             "n_dup": n_dup.astype(np.int64)})
+
+    per_part = arrow_bridge(
+        keyed.groupby("pkey").map_groups(
+            lambda g: span_part(g.drop(columns=["pkey"])),
+            batch_format="pandas"),
+        {"doc_id": pa.int64(), "n_grams": pa.int64(),
+         "n_dup": pa.int64()})
+    return per_part.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_dup", alias_name="n_dup"))
+
+
+MIX_HMOD = 1_000_000_007    # (doc_id % MOD) * MULT + ADD stays < 2^63
+MIX_HMULT = 2_654_435_761   # Knuth multiplicative constant
+MIX_HADD = 1_013_904_223
+MIX_TARGET_DOCS = 200
+
+
+def mix_sample(ds, k: int = MIX_TARGET_DOCS):
+    """Temperature-balanced source mixing (the alpha=0.5 rebalance a
+    training mix applies so head sources don't drown the tail): per
+    source s with c_s docs, weight w_s = floor(sqrt(c_s)); target
+    t_s = (k * w_s) // sum(w_s) docs; keep a document iff its integer
+    hash modulo c_s falls below t_s.  Every step is integer (the only
+    float is the IEEE sqrt, identical in numpy and the SQL mirror), so
+    the kept set is deterministic and oracle-exact.
+
+    Scale shape: per-batch np.unique partials -> one tiny
+    ``groupby(source)`` Sum (shuffle bounded by DISTINCT sources per
+    block, not rows); the driver folds only the per-source count table
+    (source label sets are small by construction — they are corpus
+    provenance labels, not free text); the keep rule broadcasts two
+    small dicts and filters batch-locally with NO second shuffle.
+    Output: the kept (doc_id, source) rows."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["source"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"source": pa.array(u, pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+
+    cmap: dict = {}
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s_, n_ in zip(b["source"].to_pylist(), b["n"].to_pylist()):
+            cmap[s_] = int(n_)
+    if not cmap:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string())}))
+    # floor(sqrt) in double to match the SQL mirror bit-for-bit
+    wmap = {s_: int(np.floor(np.sqrt(float(n_))))
+            for s_, n_ in cmap.items()}
+    W = sum(wmap.values())
+    tmap = {s_: (k * w_) // W for s_, w_ in wmap.items()}
+    ref = ray.put((cmap, tmap))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cm, tm = ray.get(ref)
+        s = pd.Series(batch["source"].to_numpy(zero_copy_only=False))
+        cs = s.map(cm).to_numpy(np.int64)
+        ts = s.map(tm).to_numpy(np.int64)
+        d = batch["doc_id"].to_numpy()
+        h = ((d % MIX_HMOD) * MIX_HMULT + MIX_HADD) % MIX_HMOD
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": batch["source"]}).filter(
+            pa.array((h % cs) < ts))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def quality_filter(ds, q: float = 0.9):

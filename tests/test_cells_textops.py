@@ -731,3 +731,67 @@ def test_ccnet_buckets_golden(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert ccnet_buckets(empty).count() == 0
+
+
+def test_dup_spans_golden(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.textops import dup_spans
+
+    # doc 1 "a b c d" -> {"a b c", "b c d"}; doc 2 "a b c" -> {"a b c"};
+    # doc 3 has an in-doc repeat (distinct set size 3, none shared);
+    # doc 4 is too short for a 3-gram and must be ABSENT from the output
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c d", "a b c", "x y z x y z", "a b"]),
+    }))
+    out = dup_spans(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_grams"].tolist() == [2, 1, 3]
+    assert out["n_dup"].tolist() == [1, 1, 0]
+
+    # hash-partition invariance: a different partition count must not
+    # change counts (gram runs are grouped by the exact string)
+    out2 = dup_spans(docs, docs_hint=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out)
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert dup_spans(empty).count() == 0
+
+
+def test_mix_sample_exact_rule(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (MIX_HADD, MIX_HMOD, MIX_HMULT,
+                                           mix_sample)
+
+    # source A: 9 docs -> w=3; source B: 4 docs -> w=2; W=5
+    # k=5: t_A = 3, t_B = 2 -> keep iff h % c_s < t_s
+    ids = np.arange(13, dtype=np.int64)
+    src = np.array(["A"] * 9 + ["B"] * 4, dtype=object)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "source": pa.array(src, pa.string())}))
+    out = mix_sample(docs, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    h = ((ids % MIX_HMOD) * MIX_HMULT + MIX_HADD) % MIX_HMOD
+    cs = np.where(src == "A", 9, 4)
+    ts = np.where(src == "A", 3, 2)
+    exp = ids[(h % cs) < ts]
+    assert out["doc_id"].tolist() == exp.tolist()
+    # determinism: a second run returns the identical kept set
+    out2 = mix_sample(docs, k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out2.equals(out)
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "source": pa.array([], pa.string())}))
+    assert mix_sample(empty).count() == 0
