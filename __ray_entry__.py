@@ -670,27 +670,36 @@ def q_stac_union(sf_dir: str):
     """S3 via the REAL STAC walker: a static catalog (two items whose
     assets are the same documents.parquet — href resolution + union
     through StacCatalogSource) feeds the per-url text-length rollup.
-    The catalog JSON is scratch under /tmp, rebuilt per call."""
+    The catalog JSON lives at a DETERMINISTIC per-sf_dir /tmp path,
+    built once and reused (an mkdtemp per call leaked a scratch dir
+    per invocation; the catalog must outlive this function because the
+    returned Dataset reads it lazily)."""
+    import hashlib
     import json
     import os
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from geo_inference_ray.sources import get_source
 
-    d = tempfile.mkdtemp(prefix="stac_q_", dir="/tmp")
-    for i in (1, 2):
-        with open(os.path.join(d, f"item{i}.json"), "w") as f:
-            json.dump({"type": "Feature", "assets": {
-                "docs": {"href": f"{sf_dir}/documents.parquet",
-                         "type": "application/x-parquet"}}}, f)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = f"/tmp/stac_q_cache/{tag}"
     cat = os.path.join(d, "catalog.json")
-    with open(cat, "w") as f:
-        json.dump({"type": "Catalog", "links": [
-            {"rel": "item", "href": "item1.json"},
-            {"rel": "item", "href": "item2.json"}]}, f)
+    if not os.path.exists(cat):
+        os.makedirs(d, exist_ok=True)
+        for i in (1, 2):
+            with open(os.path.join(d, f"item{i}.json"), "w") as f:
+                json.dump({"type": "Feature", "assets": {
+                    "docs": {"href": f"{sf_dir}/documents.parquet",
+                             "type": "application/x-parquet"}}}, f)
+        tmp = cat + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"type": "Catalog", "links": [
+                {"rel": "item", "href": "item1.json"},
+                {"rel": "item", "href": "item2.json"}]}, f)
+        os.replace(tmp, cat)  # atomic: concurrent callers never see a
+        # half-written catalog
 
     pages = get_source("stac").dataset(cat, include_html=False)
 
@@ -741,7 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                spatial-join bisect) — re-verified here — plus
     #                the six r4 additions (host_stats, ccnet_buckets,
     #                stac_union, sq_topk, dup_spans, mix_sample at
-    #                slots 44-49; s2_cells/cell_agg rotated to the
+    #                slots 45-50; s2_cells/cell_agg rotated to the
     #                tail to make room — both r3-green)
     #   slots 51-83  r3-green queries with unchanged code
     # Round 5 should rotate slots 51-81 back into the window.

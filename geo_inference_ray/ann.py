@@ -579,42 +579,29 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
 SQ_LEVELS = 127  # symmetric int8 quantization grid [-127, 127]
 
 
-def embedding_minmax(ds):
-    """Global per-DIMENSION (min, max) over the embedding column:
-    per-batch partials (one D-row table per block) -> driver fold.
-    The combine is D-bounded (never rows) — the quantizer's training
-    statistics, computed in one streaming pass."""
+def embedding_absmax(ds) -> float | None:
+    """Global max(|x|) over the embedding column — the symmetric
+    quantizer's only training statistic (same expression as the SQL
+    mirror's MAX(abs(x))).  One scalar partial per block -> driver
+    max fold; double max is exact, so fold order is irrelevant.
+    Returns None for an empty corpus."""
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"a": pa.array([], pa.float64())})
         M = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
             .astype(np.float64)
-        d = np.arange(M.shape[1], dtype=np.int64)
-        return pa.table({"d": pa.array(d),
-                         "mn": pa.array(M.min(axis=0)),
-                         "mx": pa.array(M.max(axis=0))})
+        return pa.table({"a": pa.array([float(np.abs(M).max())])})
 
     part = ds.select_columns(["embedding"]).map_batches(
         partial, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
-    mn = mx = None
+    absmax = None
     for b in part.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        d = b["d"].to_numpy()
-        bmn = np.full(int(d.max()) + 1, np.inf)
-        bmx = np.full(int(d.max()) + 1, -np.inf)
-        np.minimum.at(bmn, d, b["mn"].to_numpy())
-        np.maximum.at(bmx, d, b["mx"].to_numpy())
-        if mn is None:
-            mn, mx = bmn, bmx
-        else:
-            n = max(len(mn), len(bmn))
-            mn = np.minimum(np.pad(mn, (0, n - len(mn)),
-                                   constant_values=np.inf),
-                            np.pad(bmn, (0, n - len(bmn)),
-                                   constant_values=np.inf))
-            mx = np.maximum(np.pad(mx, (0, n - len(mx)),
-                                   constant_values=-np.inf),
-                            np.pad(bmx, (0, n - len(bmx)),
-                                   constant_values=-np.inf))
-    return mn, mx
+        a = b["a"].to_numpy()
+        if len(a):
+            m = float(a.max())
+            absmax = m if absmax is None else max(absmax, m)
+    return absmax
 
 
 def sq_quantize(M: np.ndarray, absmax: float) -> np.ndarray:
@@ -689,9 +676,13 @@ def sq_topk(sf_dir: str, k: int = TOPK_DEFAULT,
 
     path = f"{sf_dir}/embeddings.parquet"
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    mn, mx = embedding_minmax(ds)
-    absmax = float(max(np.abs(mn).max(), np.abs(mx).max())) if len(mn) \
-        else 0.0
+    absmax = embedding_absmax(ds)
+    if absmax is None:  # empty corpus: typed empty result
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
     qids, Qf = load_queries(sf_dir, n_queries)
     Q = sq_quantize(Qf, absmax)
     state_ref = ray.put((qids, Q, absmax))

@@ -124,8 +124,10 @@ class GeoInferenceRay:
         mask_path = os.path.join(self.work_dir, f"{run_name}_mask_tiles.parquet")
         # streaming distributed sink (a to_pandas() here would funnel
         # every tile through the driver — the grid grows with raster
-        # size at 100x)
-        tiles.write_parquet(mask_path)
+        # size at 100x); overwrite, not Ray's default append — a
+        # re-run with the same work_dir/run_name (the kill-resume
+        # workflow) must not duplicate or stale-mix tiles
+        tiles.write_parquet(mask_path, mode="overwrite")
         if not os.path.exists(mask_path):
             # Ray writes no files for an empty dataset (e.g. a bbox
             # crop that excludes every page): emit a typed empty file

@@ -539,9 +539,14 @@ class TorchScriptScorer:
     the seam itself (fetch -> load-once -> per-patch __call__) is
     exercised by ArtifactScorer and the scorer contract tests."""
 
-    def __init__(self, url: str = "",
+    def __init__(self, num_classes: int = 3, url: str = "",
                  work_dir: str = "/tmp/geo_inference_ray",
                  device: str = "cpu"):
+        # num_classes is the scorer-seam contract (ScorePatches calls
+        # scorer_cls(grid.num_classes) positionally — see
+        # ArtifactScorer); the TorchScript module defines its own
+        # output classes, so the value is accepted and ignored.
+        del num_classes
         try:
             import torch
         except ImportError as exc:

@@ -776,26 +776,37 @@ def dup_spans(ds, n: int = DUP_SPANS_NGRAM, docs_hint: int | None = None):
     if est_partials is not None and est_partials <= KEY_COUNTS_DRIVER_LIMIT:
         import ray.data as rd
 
-        ds_, gs_, dp_ = [], [], []
+        # the estimate is a heuristic, not an upper bound (docs can
+        # average more distinct grams than DUP_SPANS_GRAMS_PER_DOC),
+        # so the stream itself is row-counted and bails mid-flight to
+        # the distributed groupby — the same overflow contract as
+        # key_counts
+        ds_, gs_, dp_, total, overflow = [], [], [], 0, False
         for b in per_part.iter_batches(batch_size=65536,
                                        batch_format="pyarrow"):
             ds_.append(b["doc_id"].to_numpy())
             gs_.append(b["n_grams"].to_numpy())
             dp_.append(b["n_dup"].to_numpy())
-        if not ds_:
+            total += len(ds_[-1])
+            if total > KEY_COUNTS_DRIVER_LIMIT:
+                overflow = True
+                break
+        if not overflow:
+            if not ds_:
+                return rd.from_arrow(pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64())}))
+            d = np.concatenate(ds_)
+            u, inv = np.unique(d, return_inverse=True)
+            tg = np.zeros(len(u), dtype=np.int64)
+            td = np.zeros(len(u), dtype=np.int64)
+            np.add.at(tg, inv, np.concatenate(gs_))
+            np.add.at(td, inv, np.concatenate(dp_))
             return rd.from_arrow(pa.table({
-                "doc_id": pa.array([], pa.int64()),
-                "n_grams": pa.array([], pa.int64()),
-                "n_dup": pa.array([], pa.int64())}))
-        d = np.concatenate(ds_)
-        u, inv = np.unique(d, return_inverse=True)
-        tg = np.zeros(len(u), dtype=np.int64)
-        td = np.zeros(len(u), dtype=np.int64)
-        np.add.at(tg, inv, np.concatenate(gs_))
-        np.add.at(td, inv, np.concatenate(dp_))
-        return rd.from_arrow(pa.table({
-            "doc_id": pa.array(u), "n_grams": pa.array(tg),
-            "n_dup": pa.array(td)}))
+                "doc_id": pa.array(u), "n_grams": pa.array(tg),
+                "n_dup": pa.array(td)}))
+        del ds_, gs_, dp_  # release buffered partials before re-exec
     return per_part.groupby("doc_id").aggregate(
         Sum("n_grams", alias_name="n_grams"),
         Sum("n_dup", alias_name="n_dup"))

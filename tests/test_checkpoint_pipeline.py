@@ -277,3 +277,19 @@ def test_flagship_resume_after_kill_sf01(ray_session, tmp_path, monkeypatch):
         t_ctl[["oy", "ox", "n_valid"]])
     assert all((x == y).all() for x, y in
                zip(t_res["mask"], t_ctl["mask"]))
+
+
+def test_pipeline_rerun_overwrites_mask_sink(ray_session, sf_dir, tmp_path):
+    """Re-running the pipeline with the SAME work_dir/run_name must
+    OVERWRITE the mask-tiles artifact, not append to it (Ray's
+    write_parquet default is append: a second run silently doubled
+    every tile before mode='overwrite')."""
+    from geo_inference_ray.pipeline import GeoInferenceRay
+
+    gi = GeoInferenceRay(work_dir=str(tmp_path))
+    first = pd.read_parquet(gi(sf_dir, run_name="again")["mask_tiles"])
+    second = pd.read_parquet(gi(sf_dir, run_name="again")["mask_tiles"])
+    assert len(second) == len(first)
+    a = first.sort_values(["oy", "ox"]).reset_index(drop=True)
+    b = second.sort_values(["oy", "ox"]).reset_index(drop=True)
+    assert a[["oy", "ox", "n_valid"]].equals(b[["oy", "ox", "n_valid"]])

@@ -772,14 +772,19 @@ def test_sq_topk_quantizer_and_recall(ray_session, sf_dir):
     ranking overlaps heavily with exact cosine top-k on the unit-norm
     synthetic embeddings."""
     from geo_inference_ray.ann import (TOPK_DEFAULT, ann_topk,
-                                       embedding_minmax, sq_quantize,
+                                       embedding_absmax, sq_quantize,
                                        sq_topk)
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    mn, mx = embedding_minmax(ds)
-    A = float(max(np.abs(mn).max(), np.abs(mx).max()))
+    A = embedding_absmax(ds)
+    # empty-corpus contract: None (sq_topk returns a typed empty
+    # dataset instead of crashing)
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    assert embedding_absmax(empty) is None
     M = np.stack(ds.to_pandas()["embedding"].to_numpy()).astype(np.float64)
     q = sq_quantize(M, A)
     assert q.min() >= -127 and q.max() <= 127

@@ -374,3 +374,9 @@ def test_torchscript_scorer_import_guard():
         pass
     with pytest.raises(NotImplementedError, match="torch"):
         TorchScriptScorer(url="file:///nonexistent.tar.gz")
+    # scorer-seam contract: ScorePatches instantiates
+    # scorer_cls(grid.num_classes) POSITIONALLY, so the first
+    # parameter must be num_classes (url stays keyword) — the guard
+    # must fire, not a TypeError from a wrong signature
+    with pytest.raises(NotImplementedError, match="torch"):
+        TorchScriptScorer(3)
