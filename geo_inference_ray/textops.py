@@ -816,6 +816,7 @@ MIX_HMOD = 1_000_000_007    # (doc_id % MOD) * MULT + ADD stays < 2^63
 MIX_HMULT = 2_654_435_761   # Knuth multiplicative constant
 MIX_HADD = 1_013_904_223
 MIX_TARGET_DOCS = 200
+MIX_MAX_SOURCES = 100_000   # driver-dict + broadcast bound
 
 
 def mix_sample(ds, k: int = MIX_TARGET_DOCS):
@@ -852,6 +853,14 @@ def mix_sample(ds, k: int = MIX_TARGET_DOCS):
     for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for s_, n_ in zip(b["source"].to_pylist(), b["n"].to_pylist()):
             cmap[s_] = int(n_)
+        if len(cmap) > MIX_MAX_SOURCES:
+            # loud failure beats an unbounded driver dict + broadcast:
+            # the mixing weights are defined over provenance labels
+            # (corpora), not free-cardinality keys like hosts
+            raise ValueError(
+                f"mix_sample: >{MIX_MAX_SOURCES} distinct sources — "
+                "the source column looks like a free-cardinality key; "
+                "mix over provenance labels instead")
     if not cmap:
         import ray.data as rd
 
