@@ -150,3 +150,42 @@ def test_numpy_duckdb_transcendental_contract():
         f"FROM v2").fetchnumpy()["s"]
     mine = np.floor(-1000.0 * np.log(cnt / total)).astype(np.int64)
     np.testing.assert_array_equal(q, mine)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("ab cd ef gh ij".split()),
+                         min_size=0, max_size=12),
+                min_size=1, max_size=6))
+def test_doc_ngram_pairs_matches_bruteforce(docs):
+    """The shared shingling kernel (dup_spans / decontaminate) emits
+    exactly the brute-force DISTINCT word-3-gram set per doc."""
+    import pyarrow as pa
+
+    from geo_inference_ray.textops import doc_ngram_pairs
+
+    batch = pa.table({"text": pa.array([" ".join(d) for d in docs])})
+    idx, g = doc_ngram_pairs(batch, 3)
+    got = set(zip(idx.tolist(), list(g)))
+    exp = set()
+    for i, words in enumerate(docs):
+        for j in range(len(words) - 2):
+            exp.add((i, " ".join(words[j:j + 3])))
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10**9),
+                min_size=1, max_size=10),
+       st.integers(min_value=0, max_value=10**6))
+def test_mix_sample_targets_invariants(counts, k):
+    """The integer mixing arithmetic: per-source targets are monotone
+    in source size and never over-allocate the global budget k."""
+    import numpy as np
+
+    ws = [int(np.floor(np.sqrt(float(c)))) for c in counts]
+    W = sum(ws)
+    ts = [(k * w) // W for w in ws]
+    assert sum(ts) <= k
+    order = np.argsort(counts)
+    t_sorted = np.array(ts)[order]
+    assert (np.diff(t_sorted) >= 0).all()
