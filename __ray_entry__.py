@@ -374,6 +374,10 @@ def q_mix_sample(sf_dir: str):
     return _textops.mix_sample(ds)
 
 
+def q_cms_heavy(sf_dir: str):
+    return _textops.cms_heavy(_docs_text(sf_dir))
+
+
 def q_dedup_clusters(sf_dir: str):
     pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
     return _dedup.dedup_clusters(_docs_text(sf_dir), pairs)
@@ -752,7 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                stac_union, sq_topk, dup_spans, mix_sample at
     #                slots 45-50; s2_cells/cell_agg rotated to the
     #                tail to make room — both r3-green)
-    #   slots 51-83  r3-green queries with unchanged code
+    #   slots 51-84  r3-green queries with unchanged code (+ late-r4 cms_heavy)
     # Round 5 should rotate slots 51-81 back into the window.
     return {
         # -- never driver-checked before this round --
@@ -843,6 +847,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shuffle": q_train_shuffle,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
+        # -- NEW late in round 4 (tail: first driver row comes with
+        # the r5 rotation; local oracle evidence in the meantime) --
+        "cms_heavy": q_cms_heavy,
     }
 
 
@@ -1436,6 +1443,37 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN t USING (source)
 WHERE ((d.doc_id % {_textops.MIX_HMOD}) * {_textops.MIX_HMULT}
        + {_textops.MIX_HADD}) % {_textops.MIX_HMOD} % t.n < t.ts""",
+        # Count-min sketch over the FULL token stream (same md5->M31
+        # token hash as the minhash chain; a < 2^31 so a*h stays
+        # BIGINT-safe), read out at the exact top-20 tokens.
+        "cms_heavy": f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT unnest(ts) AS t FROM toks),
+th AS (SELECT t, ('0x' || substr(md5(t),1,15))::BIGINT
+                 % {_dedup.MERSENNE} AS h FROM tok),
+rw AS (SELECT CAST(col0 AS BIGINT) AS r, CAST(col1 AS BIGINT) AS a,
+              CAST(col2 AS BIGINT) AS b
+       FROM (VALUES {", ".join(f"({r}, {a}, {b})" for r, (a, b) in
+                               enumerate(zip(_textops.CMS_A,
+                                             _textops.CMS_B)))})
+            v(col0, col1, col2)),
+cells AS (SELECT rw.r,
+                 (rw.a * th.h + rw.b) % {_dedup.MERSENNE}
+                     % {_textops.CMS_W} AS cell,
+                 COUNT(*) AS cnt
+          FROM th CROSS JOIN rw GROUP BY 1, 2),
+exact AS (SELECT t AS token, COUNT(*) AS n_exact FROM tok
+          GROUP BY t ORDER BY n_exact DESC, t ASC LIMIT 20),
+hh AS (SELECT token, n_exact,
+              ('0x' || substr(md5(token),1,15))::BIGINT
+                  % {_dedup.MERSENNE} AS h
+       FROM exact)
+SELECT hh.token, hh.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS n_cms
+FROM hh CROSS JOIN rw
+JOIN cells c ON c.r = rw.r
+   AND c.cell = (rw.a * hh.h + rw.b) % {_dedup.MERSENNE}
+                % {_textops.CMS_W}
+GROUP BY hh.token, hh.n_exact""",
         # Polynomial rolling hash over the utf-8 bytes; the corpus is
         # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
         # FP_MOD come from a recursive CTE bounded by the longest text.

@@ -295,6 +295,89 @@ def word_count_topk(ds, k: int = 20):
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+CMS_W = 1024            # sketch cells per row
+CMS_D = 4               # hash rows (estimate = min over rows)
+CMS_A = (1103515245, 1299709, 15485863, 32452843)   # < 2^31: a*h < 2^62
+CMS_B = (12345, 7919, 104729, 999331)
+
+
+def cms_heavy(ds, k: int = 20, w: int = CMS_W):
+    """Count-min-sketch heavy hitters — the streaming-frequency sketch
+    of the sketch family (Bloom membership, HLL cardinality, CMS
+    counts): a D x W integer sketch of the full token stream, read out
+    at the exact global top-``k`` tokens so the oracle can pin both the
+    exact count and the sketch estimate (CMS never underestimates).
+
+    Scale shape: per-batch partials are (row, cell, cnt) with at most
+    D x W rows per batch REGARDLESS of corpus size (value_counts the
+    batch, hash unique tokens via the bounded per-worker memo, weighted
+    bincount); the shuffle and the driver fold are sketch-bounded, like
+    ``hll_registers``.  The exact top-k side reuses
+    ``word_count_topk`` (map-side partial counts).  Output:
+    (token, n_exact, n_cms), top-k order (count desc, token asc).
+
+    The two passes over the token column are deliberate: the exact pass
+    is the verification side a production pipeline replaces with a
+    candidate heap next to the sketch."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import MERSENNE, _hash_tokens
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = toks.value_counts()
+        uniq = vc.field("values").to_pylist()
+        cnt = vc.field("counts").to_numpy().astype(np.int64)
+        th = _hash_tokens(uniq)
+        rs, cs, ns = [], [], []
+        for r in range(CMS_D):
+            cells = (CMS_A[r] * th + CMS_B[r]) % MERSENNE % w
+            bc = np.zeros(w, dtype=np.int64)
+            np.add.at(bc, cells, cnt)
+            nz = np.flatnonzero(bc)
+            rs.append(np.full(len(nz), r, dtype=np.int64))
+            cs.append(nz.astype(np.int64))
+            ns.append(bc[nz])
+        return pa.table({
+            "r": pa.array(np.concatenate(rs) if rs
+                          else np.array([], dtype=np.int64)),
+            "cell": pa.array(np.concatenate(cs) if cs
+                             else np.array([], dtype=np.int64)),
+            "cnt": pa.array(np.concatenate(ns) if ns
+                            else np.array([], dtype=np.int64)),
+        })
+
+    sketch_rows = ds.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None) \
+        .groupby(["r", "cell"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    # driver fold: the aggregate output is <= D x W rows by construction
+    cms = np.zeros((CMS_D, w), dtype=np.int64)
+    for b in sketch_rows.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        cms[b["r"].to_numpy(), b["cell"].to_numpy()] = b["cnt"].to_numpy()
+
+    toks, exact = [], []
+    for b in word_count_topk(ds, k).iter_batches(batch_size=k,
+                                                 batch_format="pyarrow"):
+        toks.extend(b["token"].to_pylist())
+        exact.extend(b["n"].to_pylist())
+    if not toks:
+        return rd.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "n_exact": pa.array([], pa.int64()),
+            "n_cms": pa.array([], pa.int64())}))
+    th = _hash_tokens(toks)
+    ests = np.stack([
+        cms[r, (CMS_A[r] * th + CMS_B[r]) % MERSENNE % w]
+        for r in range(CMS_D)]).min(axis=0)
+    return rd.from_arrow(pa.table({
+        "token": pa.array(toks, pa.string()),
+        "n_exact": pa.array(np.asarray(exact, dtype=np.int64)),
+        "n_cms": pa.array(ests.astype(np.int64))}))
+
+
 class Fingerprint:
     """Polynomial rolling-hash document fingerprint.
     fp = sum(byte[i] * BASE^i) mod FP_MOD over the utf-8 bytes, computed

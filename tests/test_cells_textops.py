@@ -795,3 +795,28 @@ def test_mix_sample_exact_rule(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "source": pa.array([], pa.string())}))
     assert mix_sample(empty).count() == 0
+
+
+def test_cms_heavy_overestimates_and_golden(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.textops import cms_heavy
+
+    # "a" x5, "b" x3, "c" x1 across two docs
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a a b b c", "a a b"]),
+    }))
+    out = cms_heavy(docs, k=3).to_pandas()
+    assert out["token"].tolist() == ["a", "b", "c"]
+    assert out["n_exact"].tolist() == [5, 3, 1]
+    # CMS never underestimates; with 3 tokens in 1024 cells there are
+    # no collisions, so the sketch is exact here
+    assert (out["n_cms"] >= out["n_exact"]).all()
+    assert out["n_cms"].tolist() == [5, 3, 1]
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    assert cms_heavy(empty).count() == 0
