@@ -22,6 +22,7 @@ from typing import Any
 from geo_inference_ray import ann as _ann
 from geo_inference_ray import dedup as _dedup
 from geo_inference_ray import knn as _knn
+from geo_inference_ray import relational as _rel_mod
 from geo_inference_ray import stages as _stages
 from geo_inference_ray import synth as _synth
 from geo_inference_ray import textops as _textops
@@ -376,6 +377,12 @@ def q_mix_sample(sf_dir: str):
 
 def q_cms_heavy(sf_dir: str):
     return _textops.cms_heavy(_docs_text(sf_dir))
+
+
+def q_weighted_sample(sf_dir: str):
+    from geo_inference_ray import relational as _rel
+
+    return _rel.weighted_sample(sf_dir)
 
 
 def q_dedup_clusters(sf_dir: str):
@@ -756,7 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                stac_union, sq_topk, dup_spans, mix_sample at
     #                slots 45-50; s2_cells/cell_agg rotated to the
     #                tail to make room — both r3-green)
-    #   slots 51-84  r3-green queries with unchanged code (+ late-r4 cms_heavy)
+    #   slots 51-85  r3-green queries with unchanged code (+ late-r4 cms_heavy, weighted_sample)
     # Round 5 should rotate slots 51-81 back into the window.
     return {
         # -- never driver-checked before this round --
@@ -850,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- NEW late in round 4 (tail: first driver row comes with
         # the r5 rotation; local oracle evidence in the meantime) --
         "cms_heavy": q_cms_heavy,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1474,6 +1482,19 @@ JOIN cells c ON c.r = rw.r
    AND c.cell = (rw.a * hh.h + rw.b) % {_dedup.MERSENNE}
                 % {_textops.CMS_W}
 GROUP BY hh.token, hh.n_exact""",
+        # Priority sampling: u and pri are each ONE correctly-rounded
+        # double division, same order as relational.weighted_sample.
+        "weighted_sample": f"""
+WITH pr AS (
+  SELECT doc_id, n_chars,
+         CAST(((doc_id % {_rel_mod.PRI_HMOD}) * {_rel_mod.PRI_HMULT}
+               + {_rel_mod.PRI_HADD}) % {_rel_mod.PRI_HMOD} + 1
+              AS DOUBLE) / {_rel_mod.PRI_HMOD} AS u
+  FROM documents),
+p2 AS (SELECT doc_id, n_chars,
+              CAST(n_chars AS DOUBLE) / u AS pri FROM pr)
+SELECT doc_id, n_chars, pri FROM p2
+ORDER BY pri DESC, doc_id ASC LIMIT 50""",
         # Polynomial rolling hash over the utf-8 bytes; the corpus is
         # ASCII so ord(substr(..)) == byte value.  Powers of FP_BASE mod
         # FP_MOD come from a recursive CTE bounded by the longest text.

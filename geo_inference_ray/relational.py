@@ -429,6 +429,51 @@ def hash_sample(sf_dir: str, pct: int = 10):
                           zero_copy_batch=True)
 
 
+PRI_HMOD = 1_000_000_007   # uniform grid for the pseudo-random u
+PRI_HMULT = 2_654_435_761  # (id % MOD) * MULT stays < 2^63
+PRI_HADD = 1_013_904_223
+
+
+def weighted_sample(sf_dir: str, k: int = 50):
+    """Priority sampling (Duffield/Lund/Thorup): a one-pass,
+    MERGEABLE weighted sample without replacement — each row gets
+    priority w / u (w = n_chars, u = deterministic hash-uniform in
+    (0,1]); the global sample is the top-k by priority.  The training
+    analog: pick documents proportionally to length without a shuffle
+    or a global RNG sequence.
+
+    Scale shape: per-batch partial top-k (one argpartition per batch,
+    <= k rows per block cross the wire), then one tiny global sort —
+    the same partial-top-k reduce as ann_topk.  Every float op
+    (u = (h+1)/MOD, pri = w/u) is a single correctly-rounded IEEE
+    double in the same order as the SQL mirror, so the kept set and
+    the priority VALUES are bit-exact."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        h = ((d % PRI_HMOD) * PRI_HMULT + PRI_HADD) % PRI_HMOD
+        u = (h + 1).astype(np.float64) / float(PRI_HMOD)
+        pri = w / u
+        if len(pri) > k:
+            idx = np.argpartition(-pri, k)[:k]
+        else:
+            idx = np.arange(len(pri))
+        return pa.table({
+            "doc_id": pa.array(d[idx]),
+            "n_chars": pa.array(batch["n_chars"].to_numpy()[idx]),
+            "pri": pa.array(pri[idx]),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(["pri", "doc_id"], descending=[True, False]).limit(k)
+
+
 def stratified_sample(sf_dir: str, k: int = 5):
     """Deterministic stratified sampling: the first ``k`` documents per
     source, ranked by a reproducible integer hash — the data-mixing

@@ -820,3 +820,24 @@ def test_cms_heavy_overestimates_and_golden(ray_session):
         "doc_id": pa.array([], pa.int64()),
         "text": pa.array([], pa.string())}))
     assert cms_heavy(empty).count() == 0
+
+
+def test_weighted_sample_matches_bruteforce(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from geo_inference_ray.relational import (PRI_HADD, PRI_HMOD,
+                                              PRI_HMULT, weighted_sample)
+
+    out = weighted_sample(sf_dir, k=20).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    d = docs["doc_id"].to_numpy()
+    w = docs["n_chars"].to_numpy().astype(np.float64)
+    h = ((d % PRI_HMOD) * PRI_HMULT + PRI_HADD) % PRI_HMOD
+    pri = w / ((h + 1).astype(np.float64) / float(PRI_HMOD))
+    order = np.lexsort((d, -pri))[:20]
+    assert out["doc_id"].tolist() == d[order].tolist()
+    assert out["pri"].to_numpy().tolist() == pri[order].tolist()  # bitwise
+    # priorities are sorted descending (sample is the global top-k)
+    assert (np.diff(out["pri"].to_numpy()) <= 0).all()
