@@ -21,6 +21,7 @@ from typing import Any
 
 from geo_inference_ray import ann as _ann
 from geo_inference_ray import dedup as _dedup
+from geo_inference_ray import graph as _graph
 from geo_inference_ray import knn as _knn
 from geo_inference_ray import relational as _rel_mod
 from geo_inference_ray import stages as _stages
@@ -749,6 +750,50 @@ def entry() -> Any:
     return q_pip_inner("/root/testdata/sf0.001")
 
 
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration integer PageRank over the part<->supplier
+    bipartite graph (iterative join+aggregate rounds; graph.py)."""
+    from geo_inference_ray import graph as _graph
+
+    return _graph.pagerank(sf_dir)
+
+
+def q_retention(sf_dir: str):
+    """Cohort retention triangle over the events stream."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.retention(sf_dir)
+
+
+def q_props_extract(sf_dir: str):
+    """Vectorized RE2 extraction of the JSON props.k field +
+    per-type aggregate (semi-structured metadata extraction)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.props_extract(sf_dir)
+
+
+def q_hll_by_source(sf_dir: str):
+    """Per-source HyperLogLog register tables (grouped sketch merge)."""
+    import ray.data as rd
+
+    from geo_inference_ray import dedup as _d
+
+    return _d.hll_by_source(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
+def q_quantiles_by_lang(sf_dir: str):
+    """Per-language exact discrete length quantiles via the keyed
+    integer-histogram sketch."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.quantiles_by_lang(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -858,6 +903,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the r5 rotation; local oracle evidence in the meantime) --
         "cms_heavy": q_cms_heavy,
         "weighted_sample": q_weighted_sample,
+        "pagerank": q_pagerank,
+        "retention": q_retention,
+        "props_extract": q_props_extract,
+        "hll_by_source": q_hll_by_source,
+        "quantiles_by_lang": q_quantiles_by_lang,
     }
 
 
@@ -1952,4 +2002,63 @@ JOIN embeddings ea ON ea.vec_id = c.vec_a
 JOIN embeddings eb ON eb.vec_id = c.vec_b
 WHERE floor(list_cosine_similarity(ea.embedding, eb.embedding) * 1000)
       >= 400""",
+        # Fixed-iteration integer PageRank: CTE chain generated from
+        # the same constants as graph.pagerank (all-integer arithmetic,
+        # // floor division on both sides -> bit-exact)
+        "pagerank": _graph.pagerank_oracle_sql(),
+        # Cohort retention: integer floor epoch-days on both sides
+        "retention": """
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id),
+ud AS (SELECT DISTINCT user_id, day FROM e)
+SELECT f.cohort_day, ud.day - f.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ud JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset""",
+        # JSON props.k extraction: RE2 regex on both sides; DuckDB's
+        # regexp_extract returns '' on a miss -> NULLIF + TRY_CAST
+        "props_extract": r"""
+WITH x AS (SELECT event_type,
+                  TRY_CAST(NULLIF(regexp_extract(
+                      props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(COALESCE(SUM(k), 0) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k
+FROM x GROUP BY event_type""",
+        # Grouped HLL registers: same md5 60-bit register math as the
+        # global hll_registers oracle, keyed by source
+        "hll_by_source": f"""
+WITH toks AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+h AS (SELECT source,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+r AS (SELECT source, h % {_dedup.HLL_BUCKETS} AS bucket,
+             h // {_dedup.HLL_BUCKETS} AS rest FROM h)
+SELECT source, bucket,
+       MAX(CASE WHEN rest = 0 THEN 53
+                ELSE CAST(floor(log2(CAST(rest & -rest AS DOUBLE)))
+                          AS BIGINT) + 1 END) AS rho
+FROM r GROUP BY source, bucket""",
+        # Per-lang discrete quantiles: ceil(q*n)-th smallest, same
+        # double arithmetic as textops.quantiles_by_lang
+        "quantiles_by_lang": """
+WITH n AS (SELECT lang, CAST(length(text) AS BIGINT) AS L
+           FROM documents),
+c AS (SELECT lang, COUNT(*) AS total FROM n GROUP BY lang),
+r AS (SELECT lang, L,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY L) AS rnk
+      FROM n)
+SELECT r.lang,
+  MAX(CASE WHEN rnk = CAST(ceil(0.5 * total) AS BIGINT) THEN L END)
+      AS p50,
+  MAX(CASE WHEN rnk = CAST(ceil(0.9 * total) AS BIGINT) THEN L END)
+      AS p90,
+  MAX(CASE WHEN rnk = CAST(ceil(0.99 * total) AS BIGINT) THEN L END)
+      AS p99
+FROM r JOIN c USING (lang) GROUP BY r.lang""",
     }

@@ -1095,3 +1095,51 @@ def hll_registers(ds):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=None) \
         .groupby("bucket").aggregate(Max("rho", alias_name="rho"))
+
+
+def hll_by_source(ds):
+    """GROUPED HyperLogLog: one register table per source — the
+    per-domain distinct-token sketch of a crawl-monitoring pipeline
+    (mergeable across shards by (source, bucket) MAX, same contract as
+    the global ``hll_registers``).  Register math is identical (md5
+    60-bit hash, bucket = h % HLL_BUCKETS, rho = lowest-set-bit rank);
+    the shuffle is bounded by sources x HLL_BUCKETS rows per batch,
+    never the token stream."""
+    from ray.data.aggregate import Max
+
+    B = HLL_BUCKETS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        src = pc.take(batch["source"], pc.list_parent_indices(toks))
+        pairs = pa.table({"source": src, "tok": flat}) \
+            .group_by(["source", "tok"]).aggregate([])
+        if len(pairs) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        # hash each DISTINCT token once, then map over the pair table
+        uniq = pc.unique(pairs["tok"]).to_pylist()
+        hmap = {t: int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                for t in uniq}
+        h = np.fromiter((hmap[t] for t in pairs["tok"].to_pylist()),
+                        dtype=np.int64, count=len(pairs))
+        bucket = h % B
+        rest = h // B
+        low = rest & -rest
+        rho = np.where(rest == 0, np.int64(53),
+                       np.floor(np.log2(
+                           np.maximum(low, 1).astype(np.float64)))
+                       .astype(np.int64) + 1)
+        t = pa.table({"source": pairs["source"],
+                      "bucket": pa.array(bucket),
+                      "rho": pa.array(rho)})
+        g = t.group_by(["source", "bucket"]).aggregate([("rho", "max")])
+        return pa.table({"source": g["source"], "bucket": g["bucket"],
+                         "rho": g["rho_max"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "bucket"]).aggregate(
+            Max("rho", alias_name="rho"))

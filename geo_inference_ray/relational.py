@@ -1023,3 +1023,172 @@ def length_percentile_rank(sf_dir: str):
     return _hash_partitioned(
         base, "n_chars", rank_part,
         rows_hint=_parquet_rows(f"{sf_dir}/documents.parquet"))
+
+
+RET_DAY_US = 86_400_000_000  # one day in epoch microseconds
+
+
+def retention(sf_dir: str, *, broadcast_cap: int = 5_000_000):
+    """Cohort retention matrix over the events stream: users are
+    cohorted by their FIRST active day, and each (cohort_day,
+    day_offset) cell counts the distinct users from that cohort active
+    offset days later — the standard product-analytics retention
+    triangle, built scale-first:
+
+    - activity is reduced to DISTINCT (user_id, day) pairs with
+      per-batch pre-dedup before the one global distinct groupby (the
+      shuffle carries user-days, never raw events);
+    - the first-day map (one row per user) is BROADCAST (``ray.put`` +
+      sorted-array ``searchsorted`` probe) under ``broadcast_cap``
+      users, else joined with Ray's native hash join sized by
+      ``join_partitions_for`` on the user-day side;
+    - day keys are integer floor epoch-days (``epoch_us // 86400e6``,
+      same arithmetic in the DuckDB oracle), so the result is exact."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from .pools import pool_caps, spill_dir
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = batch["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64) // RET_DAY_US
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(day)})
+        return t.group_by(["user_id", "day"]).aggregate(
+            [([], "count_all")]).select(["user_id", "day"])
+
+    # the distinct user-day table is consumed twice (first-day groupby +
+    # cohort attach): spill it to parquet scratch instead of recomputing
+    # the distinct shuffle or pinning it in plasma (minhash band pattern)
+    spill = spill_dir("retention_userdays")
+    ev.map_batches(day_partial, batch_format="pyarrow",
+                   zero_copy_batch=True, batch_size=None) \
+        .groupby(["user_id", "day"]).count() \
+        .select_columns(["user_id", "day"]) \
+        .write_parquet(spill)
+
+    def user_days_ds():
+        return rd.read_parquet(spill, columns=["user_id", "day"])
+
+    # first-day map: one row per user
+    first = user_days_ds().groupby("user_id").aggregate(
+        Min("day", alias_name="cohort_day"))
+
+    users_list, days_list = [], []
+    n_users = 0
+    for b in first.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        users_list.append(b["user_id"].to_numpy())
+        days_list.append(b["cohort_day"].to_numpy())
+        n_users += len(users_list[-1])
+        if n_users > broadcast_cap:
+            break
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        """(cohort_day, day_offset) partial counts; input rows are
+        distinct user-days so COUNT here is distinct users."""
+        t = pa.table({"cohort_day": batch["cohort_day"],
+                      "day_offset": pc.subtract(batch["day"],
+                                                batch["cohort_day"])})
+        g = t.group_by(["cohort_day", "day_offset"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"cohort_day": g["cohort_day"],
+                         "day_offset": g["day_offset"],
+                         "u": pc.cast(g["count_all"], pa.int64())})
+
+    if n_users <= broadcast_cap:
+        u = np.concatenate(users_list) if users_list else \
+            np.array([], dtype=np.int64)
+        order = np.argsort(u)
+        u = u[order]
+        cd = (np.concatenate(days_list)[order] if days_list else
+              np.array([], dtype=np.int64))
+        fref = ray.put((u, cd))
+
+        class AttachCohort:
+            def __init__(self):
+                self.users, self.cohort = ray.get(fref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                idx = np.searchsorted(self.users,
+                                      batch["user_id"].to_numpy())
+                b = batch.append_column(
+                    "cohort_day", pa.array(self.cohort[idx]))
+                return cell_partial(b)
+
+        cells = user_days_ds().map_batches(AttachCohort,
+                                           batch_format="pyarrow",
+                                           concurrency=pool_caps(None))
+    else:
+        # big-user-space path: native hash join sized by the user-day
+        # side (n_users is a truncated lower bound but already > cap)
+        joined = user_days_ds().join(
+            first, join_type="inner",
+            num_partitions=join_partitions_for(max(n_users * 4, 1)),
+            on=("user_id",))
+        cells = joined.map_batches(cell_partial, batch_format="pyarrow")
+
+    return cells.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("u", alias_name="n_users"))
+
+
+def props_extract(sf_dir: str):
+    """Semi-structured metadata extraction: pull the integer ``k`` field
+    out of the JSON ``props`` string column with ONE vectorized RE2
+    extraction per batch (``pc.extract_regex`` — no per-row JSON
+    parser), then aggregate per event_type: row count, extracted count,
+    sum/min/max of k.  Both sides use RE2 ('"k":\\s*(-?\\d+)'), so the
+    DuckDB ``regexp_extract`` oracle is exact."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"],
+                             pattern=r'"k":\s*(?P<v>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "v"), pa.int64())
+        has = pc.cast(pc.is_valid(k), pa.int64())
+        k0 = pc.fill_null(k, 0)
+        t = pa.table({"event_type": batch["event_type"],
+                      "k": k0, "has": has,
+                      # min/max must ignore misses: sentinel to extremes
+                      "kmin": pc.fill_null(k, np.iinfo(np.int64).max),
+                      "kmax": pc.fill_null(k, np.iinfo(np.int64).min)})
+        g = t.group_by("event_type").aggregate(
+            [("k", "sum"), ("has", "sum"), ("has", "count"),
+             ("kmin", "min"), ("kmax", "max")])
+        return pa.table({"event_type": g["event_type"],
+                         "n": pc.cast(g["has_count"], pa.int64()),
+                         "nk": g["has_sum"], "sk": g["k_sum"],
+                         "mn": g["kmin_min"], "mx": g["kmax_max"]})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("nk", alias_name="n_with_k"),
+            Sum("sk", alias_name="sum_k"),
+            Min("mn", alias_name="min_k"),
+            Max("mx", alias_name="max_k"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        """NULL the min/max sentinels for groups with zero extractions
+        (matches SQL MIN/MAX over an empty set)."""
+        none = pc.equal(batch["n_with_k"], 0)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": batch["n_events"],
+            "n_with_k": batch["n_with_k"],
+            "sum_k": batch["sum_k"],
+            "min_k": pc.if_else(none, pa.scalar(None, pa.int64()),
+                                batch["min_k"]),
+            "max_k": pc.if_else(none, pa.scalar(None, pa.int64()),
+                                batch["max_k"])})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

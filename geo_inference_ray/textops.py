@@ -1339,3 +1339,59 @@ def ccnet_buckets(ds):
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def quantiles_by_lang(ds):
+    """Exact per-language discrete length quantiles (p50/p90/p99) via
+    the KEYED integer-histogram sketch: per-batch (lang, length, count)
+    partials -> one groupby Sum bounded by langs x DISTINCT lengths
+    (never rows) -> per-lang cumulative fold on the driver.  Quantile
+    definition matches ``length_quantiles`` (ceil(q*n)-th smallest,
+    double arithmetic as in the SQL mirror)."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"],
+                      "L": pc.cast(pc.utf8_length(batch["text"]),
+                                   pa.int64())})
+        g = t.group_by(["lang", "L"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "L": g["L"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "L"]).aggregate(Sum("c", alias_name="n"))
+
+    langs, Ls, ns = [], [], []
+    for b in hist.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        langs.append(b["lang"].to_numpy(zero_copy_only=False))
+        Ls.append(b["L"].to_numpy())
+        ns.append(b["n"].to_numpy())
+    if not langs:
+        return rd.from_arrow(pa.table(
+            {"lang": pa.array([], pa.string()),
+             **{f"p{int(q * 100)}": pa.array([], pa.int64())
+                for q in QUANTILES}}))
+    lang = np.concatenate(langs)
+    L = np.concatenate(Ls)
+    n = np.concatenate(ns)
+    out = {"lang": [], **{f"p{int(q * 100)}": [] for q in QUANTILES}}
+    for lg in sorted(set(lang.tolist())):
+        m = lang == lg
+        Li, ni = L[m], n[m]
+        order = np.argsort(Li)
+        Li, ni = Li[order], ni[order]
+        cum = np.cumsum(ni)
+        total = int(cum[-1])
+        out["lang"].append(lg)
+        for q in QUANTILES:
+            idx = math.ceil(q * total)
+            out[f"p{int(q * 100)}"].append(
+                int(Li[np.searchsorted(cum, idx)]))
+    return rd.from_arrow(pa.table(
+        {"lang": pa.array(out["lang"], pa.string()),
+         **{k: pa.array(out[k], pa.int64())
+            for k in out if k != "lang"}}))
