@@ -794,22 +794,88 @@ def q_quantiles_by_lang(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
 
 
+def q_corr_stats(sf_dir: str):
+    """Per-returnflag Pearson correlation via mergeable integer
+    sufficient statistics (second-moment aggregate family)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.corr_stats(sf_dir)
+
+
+def q_except_days(sf_dir: str):
+    """Distributed keyed set EXCEPT: (user, day) pairs with a purchase
+    but no signup — both sides corpus-scale, one flag-merge shuffle."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.except_days(sf_dir)
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running milli-value sum/count in event-time order
+    (window SUM OVER ... ROWS UNBOUNDED PRECEDING), sampled output."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.running_total(sf_dir)
+
+
+def q_pivot_counts(sf_dir: str):
+    """Wide lang-by-source cross-tab via map-side conditional
+    aggregation (pivot pattern)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.pivot_counts(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]))
+
+
+def q_argmax_doc(sf_dir: str):
+    """Per-(lang, source) arg-max row retrieval through an
+    order-preserving packed-int64 mergeable aggregate."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.argmax_doc(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["lang", "source", "doc_id", "n_chars"]))
+
+
+def q_mode_word(sf_dir: str):
+    """Per-language token MODE (most frequent, ties -> smallest token):
+    grouped argmax with a string payload in three key-bounded rounds."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.mode_word(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
     # so the dict is ordered by evidence need, not by theme:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
     #   slots 12-27  the 16 queries green in r2 but outside r3's window
-    #   slots 28-50  r3-green queries whose implementation round 4
+    #   slots 28-38  r3-green queries whose implementation round 4
     #                touches (kNN kernel, pixel_counts switch, dedup
     #                token-cache/join sizing, textops guards,
-    #                spatial-join bisect) — re-verified here — plus
-    #                the six r4 additions (host_stats, ccnet_buckets,
-    #                stac_union, sq_topk, dup_spans, mix_sample at
-    #                slots 45-50; s2_cells/cell_agg rotated to the
-    #                tail to make room — both r3-green)
-    #   slots 51-85  r3-green queries with unchanged code (+ late-r4 cms_heavy, weighted_sample)
-    # Round 5 should rotate slots 51-81 back into the window.
+    #                spatial-join bisect) — re-verified here
+    #   slots 39-50  the twelve r4 additions, each needing its first
+    #                driver row: host_stats, ccnet_buckets, stac_union,
+    #                sq_topk, dup_spans, mix_sample, corr_stats,
+    #                except_days, running_total, pivot_counts,
+    #                argmax_doc, mode_word.  To make room, r3-green
+    #                entries with UNCHANGED code (knn_ring1, rasterize,
+    #                tile_pyramid, zonal_stats, pip_semi, pip_left,
+    #                s2_cells, cell_agg) rotated to the tail — all have
+    #                r3 driver rows plus this round's local full-compare.
+    #   slots 51-96  r3-green queries with unchanged code + late-r4
+    #                tail additions (cms_heavy, weighted_sample,
+    #                pagerank, retention, props_extract, hll_by_source,
+    #                quantiles_by_lang)
+    # Round 5 should rotate slots 51-96 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -842,11 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         # -- r3-green, implementation touched in round 4 --
         "knn_cell": q_knn_cell,
-        "knn_ring1": q_knn_ring1,
-        "rasterize": q_rasterize,
         "mask_tiles": q_mask_tiles,
-        "tile_pyramid": q_tile_pyramid,
-        "zonal_stats": q_zonal_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
@@ -856,8 +918,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal": q_bigram_surprisal,
         "quality_filter": q_quality_filter,
         "pip_inner": q_pip_inner,
-        "pip_semi": q_pip_semi,
-        "pip_left": q_pip_left,
         # -- NEW in round 4 (need their first driver row) --
         "host_stats": q_host_stats,
         "ccnet_buckets": q_ccnet_buckets,
@@ -865,7 +925,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sq_topk": q_sq_topk,
         "dup_spans": q_dup_spans,
         "mix_sample": q_mix_sample,
+        # -- NEW late in round 4: second-moment / set-op / window /
+        # pivot / argmax / mode operator family --
+        "corr_stats": q_corr_stats,
+        "except_days": q_except_days,
+        "running_total": q_running_total,
+        "pivot_counts": q_pivot_counts,
+        "argmax_doc": q_argmax_doc,
+        "mode_word": q_mode_word,
         # -- r3-green, unchanged this round (rotate back in r5) --
+        "knn_ring1": q_knn_ring1,
+        "rasterize": q_rasterize,
+        "tile_pyramid": q_tile_pyramid,
+        "zonal_stats": q_zonal_stats,
+        "pip_semi": q_pip_semi,
+        "pip_left": q_pip_left,
         "s2_cells": q_s2_cells,
         "cell_agg": q_cell_agg,
         "pages": q_pages,
@@ -1501,6 +1575,88 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN t USING (source)
 WHERE ((d.doc_id % {_textops.MIX_HMOD}) * {_textops.MIX_HMULT}
        + {_textops.MIX_HADD}) % {_textops.MIX_HMOD} % t.n < t.ts""",
+        # Second-moment mergeable aggregate: integer sufficient
+        # statistics (n, Σq, Σd, Σq², Σd², Σqd), float finish with the
+        # SAME expression tree as relational.corr_stats (bitwise-equal
+        # IEEE doubles).
+        "corr_stats": """
+WITH m AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) sq,
+    CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) sd,
+    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+           * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) sqq,
+    CAST(SUM(CAST(round(l_discount*10000) AS BIGINT)
+           * CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) sdd,
+    CAST(SUM(CAST(round(l_quantity) AS BIGINT)
+           * CAST(round(l_discount*10000) AS BIGINT)) AS BIGINT) sqd,
+    COUNT(*) n
+  FROM lineitem GROUP BY l_returnflag),
+f AS (
+  SELECT l_returnflag, n,
+    CAST(n AS DOUBLE)*CAST(sqq AS DOUBLE)
+      - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE) AS covq,
+    CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+      - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE) AS covd,
+    CAST(n AS DOUBLE)*CAST(sqd AS DOUBLE)
+      - CAST(sq AS DOUBLE)*CAST(sd AS DOUBLE) AS covqd
+  FROM m)
+SELECT l_returnflag, n,
+  CASE WHEN covq * covd > 0.0
+       THEN covqd / sqrt(covq * covd) ELSE 0.0 END AS corr_qd,
+  covqd / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) AS covar_pop_qd,
+  sqrt(covq) / CAST(n AS DOUBLE) AS std_q,
+  sqrt(covd) / CAST(n AS DOUBLE) AS std_d
+FROM f""",
+        # Keyed set EXCEPT, both sides corpus-scale.  Day key =
+        # epoch-microseconds // 86400e6 (integer floor, both sides).
+        "except_days": """
+SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+FROM events WHERE event_type = 'signup'""",
+        # Running window sum/count per user; the engine emits only the
+        # event_id % 41 sample rows but accumulates over ALL rows.
+        "running_total": """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT)
+    AS run_value_milli,
+  COUNT(*) OVER w AS run_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+QUALIFY event_id % 41 = 0""",
+        # Wide pivot: conditional aggregation, langs outside the fixed
+        # column set count toward n_total only.
+        "pivot_counts": """
+SELECT source,
+  CAST(SUM(CASE WHEN lang='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+  CAST(SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+  CAST(SUM(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+  CAST(SUM(CASE WHEN lang='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+  CAST(SUM(CASE WHEN lang='zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+  COUNT(*) AS n_total
+FROM documents GROUP BY source""",
+        # Arg-max row per (lang, source): longest doc, ties -> smallest
+        # doc_id (the engine's packed-key Max order).
+        "argmax_doc": """
+SELECT lang, source, doc_id, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY lang, source
+                       ORDER BY n_chars DESC, doc_id ASC) rn
+  FROM documents) WHERE rn = 1""",
+        # Grouped MODE with string tie-break (count desc, token asc) —
+        # same whitespace tokenization as word_count.
+        "mode_word": """
+SELECT lang, token, n FROM (
+  SELECT lang, token, n,
+    ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n DESC, token ASC) rn
+  FROM (SELECT lang, token, COUNT(*) AS n FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS token
+    FROM documents) GROUP BY lang, token)
+) WHERE rn = 1""",
         # Count-min sketch over the FULL token stream (same md5->M31
         # token hash as the minhash chain; a < 2^31 so a*h stays
         # BIGINT-safe), read out at the exact top-20 tokens.

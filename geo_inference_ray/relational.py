@@ -1192,3 +1192,167 @@ def props_extract(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def corr_stats(sf_dir: str):
+    """Per-group correlation via MERGEABLE sufficient statistics — the
+    second-moment member of the mergeable-aggregate family (Sum/Count,
+    HLL, CMS, priority sample): per l_returnflag, the Pearson
+    correlation, population covariance and stddevs of (quantity,
+    discount-in-basis-points).
+
+    Scale shape: each batch emits ONE row per group carrying the six
+    integer moments (n, Σq, Σd, Σq², Σd², Σqd); the shuffle is
+    key-bounded and the float finish runs on the tiny aggregate.  All
+    moments are exact int64 — q ≤ 2^6, d_bp ≤ 2^10, so Σd² stays in
+    int64 up to ~9e12 rows (guarded).  The finish casts each moment to
+    double and evaluates the SAME expression tree as the SQL mirror
+    (IEEE ops are correctly rounded, so identical op order ⇒ bitwise
+    equality — the engine-wide float-exactness convention)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(batch["l_discount"], 10000.0)),
+                    pa.int64())
+        qn = q.to_numpy(zero_copy_only=False)
+        dn = d.to_numpy(zero_copy_only=False)
+        if len(qn) and (qn.max() >= 1 << 20 or dn.max() >= 1 << 20):
+            raise ValueError("corr_stats moment overflow guard: "
+                             "inputs exceed 2^20")
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "q": q, "d": d,
+                      "qq": pa.array(qn * qn), "dd": pa.array(dn * dn),
+                      "qd": pa.array(qn * dn)})
+        g = t.group_by("l_returnflag").aggregate(
+            [("q", "sum"), ("d", "sum"), ("qq", "sum"),
+             ("dd", "sum"), ("qd", "sum"), ("q", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "sq": g["q_sum"], "sd": g["d_sum"],
+                         "sqq": g["qq_sum"], "sdd": g["dd_sum"],
+                         "sqd": g["qd_sum"],
+                         "n": pc.cast(g["q_count"], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("l_returnflag").aggregate(
+            Sum("sq", alias_name="sq"), Sum("sd", alias_name="sd"),
+            Sum("sqq", alias_name="sqq"), Sum("sdd", alias_name="sdd"),
+            Sum("sqd", alias_name="sqd"), Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        sq = batch["sq"].to_numpy().astype(np.float64)
+        sd = batch["sd"].to_numpy().astype(np.float64)
+        sqq = batch["sqq"].to_numpy().astype(np.float64)
+        sdd = batch["sdd"].to_numpy().astype(np.float64)
+        sqd = batch["sqd"].to_numpy().astype(np.float64)
+        # Shared expression tree with the SQL mirror — keep in sync.
+        covq = n * sqq - sq * sq
+        covd = n * sdd - sd * sd
+        covqd = n * sqd - sq * sd
+        ok = (covq * covd) > 0.0
+        corr = np.where(ok, covqd / np.sqrt(covq * covd), 0.0)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"],
+            "corr_qd": pa.array(corr),
+            "covar_pop_qd": pa.array(covqd / (n * n)),
+            "std_q": pa.array(np.sqrt(covq) / n),
+            "std_d": pa.array(np.sqrt(covd) / n)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def except_days(sf_dir: str):
+    """Distributed set EXCEPT: (user_id, epoch-day) pairs that saw a
+    'purchase' but NO 'signup' — the keyed set-difference pattern
+    (decontaminate is the broadcast variant; this is the shuffle
+    variant for when BOTH sides are corpus-scale).
+
+    One key-bounded shuffle: each batch emits per-(user, day) partial
+    flags (had-purchase, had-signup), a single groupby Max merges them,
+    and a vectorized filter keeps p=1 ∧ s=0.  No row-level anti-join,
+    no driver collect."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["purchase", "signup"]))
+        b = batch.filter(keep)
+        day = pc.divide(pc.cast(b["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({
+            "user_id": b["user_id"], "d": day,
+            "p": pc.cast(pc.equal(b["event_type"], "purchase"),
+                         pa.int64()),
+            "s": pc.cast(pc.equal(b["event_type"], "signup"),
+                         pa.int64())})
+        g = t.group_by(["user_id", "d"]).aggregate(
+            [("p", "max"), ("s", "max")])
+        return pa.table({"user_id": g["user_id"], "d": g["d"],
+                         "p": g["p_max"], "s": g["s_max"]})
+
+    flags = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["user_id", "d"]).aggregate(
+            Max("p", alias_name="p"), Max("s", alias_name="s"))
+
+    def keep_except(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["p"], 1), pc.equal(batch["s"], 0))
+        return batch.filter(m).select(["user_id", "d"])
+
+    return flags.map_batches(keep_except, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def running_total(sf_dir: str, sample_mod: int = 41):
+    """Per-user running (cumulative) milli-value sum and event count in
+    event-time order — the window-function SUM ... OVER (PARTITION BY
+    user ORDER BY ts ROWS UNBOUNDED PRECEDING), distributed: one
+    hash-partition shuffle on user_id, then a single vectorized kernel
+    per partition (global cumsum minus run-start offsets — the
+    sessionize trick).  Only rows with event_id % sample_mod == 0 are
+    EMITTED (output stays a bounded sample) but every row contributes
+    to the running frame.
+
+    Partitioning assumption (shared with sessionize/asof): one user's
+    events fit in a partition."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                        "value"])
+
+    def run_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        vm = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        newu = np.ones(len(g), dtype=bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(newu)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        cs = np.cumsum(vm)
+        base = cs[starts] - vm[starts]          # sum before each run
+        run_v = cs - np.repeat(base, sizes)
+        idx = np.arange(len(g), dtype=np.int64)
+        run_n = idx - np.repeat(idx[starts], sizes) + 1
+        out = pd.DataFrame({"event_id": g["event_id"],
+                            "user_id": uid,
+                            "run_value_milli": run_v,
+                            "run_n": run_n})
+        return out[out["event_id"] % sample_mod == 0]
+
+    return _hash_partitioned(ev, "user_id", run_part,
+                             rows_hint=_parquet_rows(path))

@@ -1395,3 +1395,142 @@ def quantiles_by_lang(ds):
         {"lang": pa.array(out["lang"], pa.string()),
          **{k: pa.array(out[k], pa.int64())
             for k in out if k != "lang"}}))
+
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_counts(ds):
+    """Wide pivot (conditional aggregation): one row per source with a
+    doc-count column per language plus the total — the cross-tab /
+    one-hot-rollup pattern.  Each batch emits ONE row per source (the
+    lang dimension is folded into fixed columns map-side), so the
+    shuffle is bounded by #sources x #batches, never rows.  Languages
+    outside PIVOT_LANGS count toward n_total only (mirrors the SQL
+    CASE WHEN)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"source": batch["source"]}
+        for lg in PIVOT_LANGS:
+            cols[f"n_{lg}"] = pc.cast(pc.equal(batch["lang"], lg),
+                                      pa.int64())
+        cols["n_total"] = pa.array(np.ones(len(batch), np.int64))
+        t = pa.table(cols)
+        g = t.group_by("source").aggregate(
+            [(c, "sum") for c in cols if c != "source"])
+        return pa.table({"source": g["source"],
+                         **{c: g[f"{c}_sum"] for c in cols
+                            if c != "source"}})
+
+    def agg_cols():
+        return ([Sum(f"n_{lg}", alias_name=f"n_{lg}")
+                 for lg in PIVOT_LANGS]
+                + [Sum("n_total", alias_name="n_total")])
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("source").aggregate(*agg_cols())
+
+
+ARGMAX_CHARS_BITS = 40      # doc_id field width in the packed key
+
+
+def argmax_doc(ds):
+    """Per-(lang, source) argmax ROW retrieval: the longest document
+    (ties: smallest doc_id) with its length — arg_max as a MERGEABLE
+    aggregate via an order-preserving packed int64
+    (n_chars << 40 | ~doc_id), so batches emit one packed max per
+    group and a single groupby Max finishes it; the row is recovered
+    by unpacking, never by a join-back.  Guards: n_chars < 2^22,
+    doc_id < 2^40 (raises loudly past the packing range)."""
+    from ray.data.aggregate import Max
+
+    B = ARGMAX_CHARS_BITS
+    MASK = (1 << B) - 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy()
+        did = batch["doc_id"].to_numpy()
+        if len(nc) and (nc.max() >= 1 << 22 or did.max() >= 1 << B
+                        or nc.min() < 0 or did.min() < 0):
+            raise ValueError("argmax_doc packing range exceeded "
+                             "(n_chars >= 2^22 or doc_id >= 2^40)")
+        packed = (nc << B) | (MASK - did)
+        t = pa.table({"lang": batch["lang"], "source": batch["source"],
+                      "pk": pa.array(packed)})
+        g = t.group_by(["lang", "source"]).aggregate([("pk", "max")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "pk": g["pk_max"]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "source"]).aggregate(Max("pk",
+                                                   alias_name="pk"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        pk = batch["pk"].to_numpy()
+        return pa.table({"lang": batch["lang"],
+                         "source": batch["source"],
+                         "doc_id": pa.array(MASK - (pk & MASK)),
+                         "n_chars": pa.array(pk >> B)})
+
+    return agg.map_batches(unpack, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+MODE_MAX_LANGS = 10_000     # driver-fold bound for the per-lang max table
+
+
+def mode_word(ds):
+    """Per-language MODE over the token stream: the most frequent
+    token, ties broken by smallest token string — the grouped
+    arg-max-with-string-payload that the packed-int trick (argmax_doc)
+    canNOT express.  Three key-bounded rounds instead of a vocab-sized
+    map_groups: (1) map-side partial (lang, token) counts + groupby
+    Sum — the word_count shuffle; (2) per-lang max count (aggregate,
+    #langs rows, driver-folded under MODE_MAX_LANGS with a loud bail);
+    (3) broadcast the max table and filter count == max(lang), then a
+    tiny min-token groupby over the tied survivors only."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).to_numpy()
+        lang = pa.array(np.repeat(batch["lang"].to_numpy(
+            zero_copy_only=False), n))
+        t = pa.table({"lang": lang, "token": pc.list_flatten(toks),
+                      "c": pa.array(np.ones(int(n.sum()), np.int64))})
+        g = t.group_by(["lang", "token"]).aggregate([("c", "sum")])
+        return pa.table({"lang": g["lang"], "token": g["token"],
+                         "c": g["c_sum"]})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "token"]).aggregate(Sum("c", alias_name="n"))
+
+    maxes = counts.groupby("lang").aggregate(Max("n", alias_name="mx"))
+    mx_tbl = maxes.take_all()
+    if len(mx_tbl) > MODE_MAX_LANGS:
+        raise ValueError(
+            f"mode_word: {len(mx_tbl)} langs exceeds the "
+            f"{MODE_MAX_LANGS} driver-fold bound; raise MODE_MAX_LANGS "
+            "or switch the max table to a distributed join")
+    mx_ref = ray.put({r["lang"]: r["mx"] for r in mx_tbl})
+
+    def keep_tied(batch: pa.Table) -> pa.Table:
+        mx = ray.get(mx_ref)
+        ln = batch["lang"].to_numpy(zero_copy_only=False)
+        tgt = np.array([mx[x] for x in ln], dtype=np.int64)
+        return batch.filter(pa.array(
+            batch["n"].to_numpy() == tgt))
+
+    def min_token(g: "pd.DataFrame"):
+        g = g.sort_values("token", kind="stable")
+        return g.iloc[:1][["lang", "token", "n"]]
+
+    return counts.map_batches(keep_tied, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("lang").map_groups(min_token, batch_format="pandas")

@@ -1,0 +1,153 @@
+"""Round-4 operator-family tests: second-moment sufficient statistics
+(corr_stats), keyed set EXCEPT (except_days), windowed running totals
+(running_total), wide pivot (pivot_counts), packed-key argmax
+(argmax_doc), and grouped string-tie-break mode (mode_word).
+
+These pin the SEMANTICS the SQL oracles rely on — tie-break order,
+guard rails, and the sample-vs-frame distinction — on tiny synthetic
+inputs; scripts/compare.py covers value equality on the shared tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        k: pa.array([r[k] for r in rows]) for k in rows[0]}))
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+def test_corr_stats_matches_numpy_and_is_mergeable(ray_session, sf_dir):
+    from geo_inference_ray.relational import corr_stats
+
+    out = corr_stats(sf_dir).to_pandas().set_index("l_returnflag")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+    for flag, g in li.groupby("l_returnflag"):
+        q = np.round(g["l_quantity"].to_numpy()).astype(np.int64)
+        d = np.round(g["l_discount"].to_numpy() * 10000).astype(np.int64)
+        ref = np.corrcoef(q, d)[0, 1]
+        got = out.loc[flag, "corr_qd"]
+        assert abs(got - ref) < 1e-9, (flag, got, ref)
+        assert abs(out.loc[flag, "std_q"] - q.std()) < 1e-9
+        assert out.loc[flag, "n"] == len(g)
+
+
+def test_corr_stats_overflow_guard(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.relational import corr_stats
+
+    d = tmp_path / "li"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"]),
+        "l_quantity": pa.array([float(1 << 21)]),
+        "l_discount": pa.array([0.01])}), d / "lineitem.parquet")
+    with pytest.raises(Exception, match="overflow guard"):
+        corr_stats(str(d)).to_pandas()
+
+
+def test_except_days_flag_logic(ray_session, tmp_path):
+    from geo_inference_ray.relational import except_days
+
+    day = 86_400_000_000
+    rows = [
+        # user 1, day 0: purchase only -> kept
+        (1, 10, 1, "purchase", 1.0),
+        # user 1, day 1: purchase AND signup -> dropped
+        (2, day + 10, 1, "purchase", 1.0),
+        (3, day + 20, 1, "signup", 1.0),
+        # user 2, day 0: signup only -> dropped (not a purchase day)
+        (4, 30, 2, "signup", 1.0),
+        # user 2, day 2: click only -> ignored entirely
+        (5, 2 * day + 5, 2, "click", 1.0),
+    ]
+    out = except_days(_write_events(tmp_path, rows)).to_pandas()
+    got = sorted(map(tuple, out[["user_id", "d"]].to_numpy()))
+    assert got == [(1, 0)]
+
+
+def test_running_total_accumulates_unsampled_rows(ray_session,
+                                                  tmp_path):
+    """Rows excluded from the OUTPUT sample must still feed the running
+    frame: user 7's third event (id 82) sums all three values."""
+    from geo_inference_ray.relational import running_total
+
+    rows = [
+        (82, 300, 7, "click", 3.0),     # sampled (82 % 41 == 0)
+        (11, 100, 7, "click", 1.0),     # not sampled, still counted
+        (41, 200, 7, "click", 2.5),     # sampled
+        (13, 50, 8, "click", 9.0),      # other user, never sampled
+    ]
+    out = running_total(_write_events(tmp_path, rows)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [41, 82]
+    assert out["run_value_milli"].tolist() == [3500, 6500]
+    assert out["run_n"].tolist() == [2, 3]
+
+
+def test_pivot_counts_unknown_lang_total_only(ray_session):
+    from geo_inference_ray.textops import pivot_counts
+
+    ds = _docs_ds([
+        {"source": "s", "lang": "en"},
+        {"source": "s", "lang": "tlh"},   # not a pivot column
+        {"source": "t", "lang": "de"},
+    ])
+    out = pivot_counts(ds).to_pandas().set_index("source")
+    assert out.loc["s", "n_en"] == 1 and out.loc["s", "n_total"] == 2
+    assert int(out.loc["s", ["n_de", "n_es", "n_fr", "n_zh"]].sum()) == 0
+    assert out.loc["t", "n_de"] == 1 and out.loc["t", "n_total"] == 1
+
+
+def test_argmax_doc_tiebreak_and_guard(ray_session):
+    from geo_inference_ray.textops import argmax_doc
+
+    ds = _docs_ds([
+        {"lang": "en", "source": "s", "doc_id": 5, "n_chars": 10},
+        {"lang": "en", "source": "s", "doc_id": 3, "n_chars": 10},
+        {"lang": "en", "source": "s", "doc_id": 9, "n_chars": 4},
+    ])
+    out = argmax_doc(ds).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["doc_id"] == 3 and out.iloc[0]["n_chars"] == 10
+
+    big = _docs_ds([{"lang": "en", "source": "s",
+                     "doc_id": 1 << 40, "n_chars": 1}])
+    with pytest.raises(Exception, match="packing range"):
+        argmax_doc(big).to_pandas()
+
+
+def test_mode_word_string_tiebreak(ray_session):
+    from geo_inference_ray.textops import mode_word
+
+    ds = _docs_ds([
+        {"lang": "en", "text": "zeta apple zeta apple"},   # tie -> apple
+        {"lang": "de", "text": "bb bb aa"},                # bb wins on count
+    ])
+    out = mode_word(ds).to_pandas().set_index("lang")
+    assert out.loc["en", "token"] == "apple" and out.loc["en", "n"] == 2
+    assert out.loc["de", "token"] == "bb" and out.loc["de", "n"] == 2
