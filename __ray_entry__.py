@@ -852,6 +852,45 @@ def q_mode_word(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
 
 
+def q_order_gap(sf_dir: str):
+    """Per-user inter-event gap statistics (the LAG window function,
+    distributed as a user-hash shuffle + vectorized diff kernel)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.order_gap(sf_dir)
+
+
+def q_cooccur_types(sf_dir: str):
+    """Event-type co-occurrence matrix over (user, day) baskets —
+    market-basket self-join without the row blowup."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.cooccur_types(sf_dir)
+
+
+def q_vocab_ids(sf_dir: str):
+    """Vocabulary with dense global ids (rank in byte order) via the
+    range-key prefix-sum scan — dictionary building without a global
+    sort."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.vocab_ids(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]))
+
+
+def q_source_jaccard(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (group-similarity
+    matrix; per-token bounded pair kernel)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.source_jaccard(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -871,11 +910,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                tile_pyramid, zonal_stats, pip_semi, pip_left,
     #                s2_cells, cell_agg) rotated to the tail — all have
     #                r3 driver rows plus this round's local full-compare.
-    #   slots 51-96  r3-green queries with unchanged code + late-r4
+    #   slots 51-100 r3-green queries with unchanged code + late-r4
     #                tail additions (cms_heavy, weighted_sample,
     #                pagerank, retention, props_extract, hll_by_source,
-    #                quantiles_by_lang)
-    # Round 5 should rotate slots 51-96 back into the window.
+    #                quantiles_by_lang, order_gap, cooccur_types,
+    #                vocab_ids, source_jaccard)
+    # Round 5 should rotate slots 51-100 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -982,6 +1022,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "hll_by_source": q_hll_by_source,
         "quantiles_by_lang": q_quantiles_by_lang,
+        "order_gap": q_order_gap,
+        "cooccur_types": q_cooccur_types,
+        "vocab_ids": q_vocab_ids,
+        "source_jaccard": q_source_jaccard,
     }
 
 
@@ -1657,6 +1701,55 @@ SELECT lang, token, n FROM (
     SELECT lang, unnest(string_split(text, ' ')) AS token
     FROM documents) GROUP BY lang, token)
 ) WHERE rn = 1""",
+        # LAG window: gap multiset is tie-order invariant, so the
+        # aggregates are deterministic; single-event users get NULL
+        # max/min (empty window).
+        "order_gap": """
+WITH g AS (
+  SELECT user_id,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+  CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS sum_gap_us,
+  MAX(gap) AS max_gap_us, MIN(gap) AS min_gap_us,
+  CASE WHEN COUNT(gap) > 0
+       THEN CAST(COALESCE(SUM(gap), 0) AS DOUBLE)
+            / CAST(COUNT(gap) AS DOUBLE)
+       ELSE 0.0 END AS avg_gap_us
+FROM g GROUP BY user_id""",
+        # Market-basket self-join on the DISTINCT (user, day, type)
+        # set only; unordered pairs via the a < b half-matrix.
+        "cooccur_types": """
+WITH dt AS (SELECT DISTINCT user_id,
+              CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+              event_type FROM events)
+SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS n
+FROM dt a JOIN dt b ON a.user_id = b.user_id AND a.d = b.d
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2""",
+        # Dense vocabulary ids = 0-based rank in (binary-collation)
+        # token order over the distinct token set.
+        "vocab_ids": """
+SELECT token,
+  CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+      FROM documents)""",
+        # Source-pair vocabulary Jaccard; union term from per-source
+        # vocab sizes (same inter / (va + vb - inter) expression tree
+        # as textops.source_jaccard).
+        "source_jaccard": """
+WITH ts AS (SELECT DISTINCT source,
+              unnest(string_split(text, ' ')) AS token FROM documents),
+v AS (SELECT source, COUNT(*) AS nv FROM ts GROUP BY source),
+i AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+      FROM ts a JOIN ts b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT sa, sb, n_inter,
+  CAST(va.nv + vb.nv - n_inter AS BIGINT) AS n_union,
+  CAST(n_inter AS DOUBLE)
+    / CAST(va.nv + vb.nv - n_inter AS DOUBLE) AS jaccard
+FROM i JOIN v va ON va.source = i.sa JOIN v vb ON vb.source = i.sb""",
         # Count-min sketch over the FULL token stream (same md5->M31
         # token hash as the minhash chain; a < 2^31 so a*h stays
         # BIGINT-safe), read out at the exact top-20 tokens.

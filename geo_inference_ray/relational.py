@@ -1356,3 +1356,124 @@ def running_total(sf_dir: str, sample_mod: int = 41):
 
     return _hash_partitioned(ev, "user_id", run_part,
                              rows_hint=_parquet_rows(path))
+
+
+def order_gap(sf_dir: str):
+    """Per-user inter-event gap statistics — the LAG window function
+    (gap = ts - lag(ts) OVER (PARTITION BY user ORDER BY ts,
+    event_id)) distributed as one user-hash shuffle + a vectorized
+    diff kernel.  Ties in ts leave the gap MULTISET unchanged, so the
+    aggregates are deterministic under any stable tie order.  Users
+    with a single event get n_gaps=0 and NULL max/min (SQL MAX/MIN
+    over an empty window)."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+
+    def gaps_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        df = pd.DataFrame({"user_id": uid, "gap": gap, "has": same})
+        total = df.groupby("user_id", as_index=False).agg(
+            n_events=("gap", "size"))
+        gp = df[df["has"]].groupby("user_id", as_index=False).agg(
+            n_gaps=("gap", "size"), sum_gap_us=("gap", "sum"),
+            max_gap_us=("gap", "max"), min_gap_us=("gap", "min"))
+        out = total.merge(gp, on="user_id", how="left")
+        out["n_gaps"] = out["n_gaps"].fillna(0).astype(np.int64)
+        out["sum_gap_us"] = out["sum_gap_us"].fillna(0).astype(np.int64)
+        out["max_gap_us"] = out["max_gap_us"].astype("Int64")
+        out["min_gap_us"] = out["min_gap_us"].astype("Int64")
+        n = out["n_gaps"].to_numpy().astype(np.float64)
+        s = out["sum_gap_us"].to_numpy().astype(np.float64)
+        out["avg_gap_us"] = np.where(n > 0, s / np.where(n > 0, n, 1.0),
+                                     0.0)
+        return out
+
+    return _hash_partitioned(ev, "user_id", gaps_part,
+                             rows_hint=_parquet_rows(path))
+
+
+COOCCUR_DAY_BITS = 20       # epoch-day field width in the packed key
+COOCCUR_MAX_TYPES = 64      # per-(user, day) distinct-type bound
+
+
+def cooccur_types(sf_dir: str):
+    """Event-type co-occurrence matrix: for every unordered pair of
+    event types, the number of (user, day) combinations where BOTH
+    occurred — the market-basket self-join WITHOUT the row blowup: the
+    join never runs on rows, only on the distinct (user, day, type)
+    set, and pairs are generated inside a per-partition kernel bounded
+    by COOCCUR_MAX_TYPES choose 2 per basket."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        uid = batch["user_id"].to_numpy()
+        dn = day.to_numpy()
+        if len(uid) and (uid.max() >= 1 << (63 - COOCCUR_DAY_BITS)
+                         or dn.max() >= 1 << COOCCUR_DAY_BITS
+                         or dn.min() < 0 or uid.min() < 0):
+            raise ValueError("cooccur_types packed-key range exceeded")
+        t = pa.table({
+            "uk": pa.array((uid << COOCCUR_DAY_BITS) | dn),
+            "event_type": batch["event_type"]})
+        return t.group_by(["uk", "event_type"]).aggregate([])
+
+    baskets = ev.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby(["uk", "event_type"]).count()
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["uk", "event_type"],
+                          kind="stable").reset_index(drop=True)
+        uk = g["uk"].to_numpy()
+        et = g["event_type"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = uk[1:] != uk[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        if len(sizes) and sizes.max() > COOCCUR_MAX_TYPES:
+            raise ValueError("cooccur_types basket exceeds "
+                             f"{COOCCUR_MAX_TYPES} distinct types")
+        outs = []
+        for k in np.unique(sizes):
+            if k < 2:
+                continue
+            seg = starts[sizes == k]
+            # (m, k) matrix of the types of every size-k basket
+            mat = et[(seg[:, None] + np.arange(k)[None, :])]
+            ia, ib = np.triu_indices(int(k), 1)
+            outs.append(pd.DataFrame({
+                "ta": mat[:, ia].ravel(), "tb": mat[:, ib].ravel()}))
+        if not outs:
+            return pd.DataFrame({"ta": pd.Series([], dtype=object),
+                                 "tb": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        allp = pd.concat(outs, ignore_index=True)
+        return allp.groupby(["ta", "tb"], as_index=False).agg(
+            c=("ta", "size"))
+
+    ev_rows = _parquet_rows(f"{sf_dir}/events.parquet")
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return batch.select(["uk", "event_type"])
+
+    pairs = _hash_partitioned(
+        baskets.map_batches(drop_cnt, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "uk", pairs_part, rows_hint=ev_rows)
+    return pairs.groupby(["ta", "tb"]).aggregate(
+        Sum("c", alias_name="n"))

@@ -1534,3 +1534,205 @@ def mode_word(ds):
     return counts.map_batches(keep_tied, batch_format="pyarrow",
                               zero_copy_batch=True) \
         .groupby("lang").map_groups(min_token, batch_format="pandas")
+
+
+VOCAB_BUCKET_BYTES = 2      # prefix bytes -> at most 65536 range keys
+
+
+def _byte_prefix_key(tokens: pa.ChunkedArray) -> np.ndarray:
+    """Order-preserving int key from a string column: the first two
+    UTF-8 bytes, zero-padded (token x <= y in byte order implies
+    key(x) <= key(y)) — extracted from the Arrow binary buffers, no
+    per-token Python."""
+    out = []
+    arr = tokens.combine_chunks() if isinstance(
+        tokens, pa.ChunkedArray) else tokens
+    chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
+    for ch in chunks:
+        b = ch.cast(pa.binary())
+        off = np.frombuffer(b.buffers()[1], np.int32,
+                            len(b) + 1, b.offset * 4)
+        data = np.frombuffer(b.buffers()[2], np.uint8)
+        ln = np.diff(off)
+        k = np.zeros(len(b), np.int64)
+        has1 = ln >= 1
+        k[has1] = data[off[:-1][has1]].astype(np.int64) << 8
+        has2 = ln >= 2
+        k[has2] |= data[off[:-1][has2] + 1]
+        out.append(k)
+    return np.concatenate(out) if out else np.zeros(0, np.int64)
+
+
+def vocab_ids(ds):
+    """Vocabulary construction with DENSE GLOBAL IDS: every distinct
+    token gets token_id = its 0-based rank in byte order — the
+    dictionary-building step of a training pipeline, WITHOUT a global
+    sort: (1) map-side distinct + one groupby-distinct shuffle,
+    (2) per-range counts over an order-preserving 2-byte prefix key
+    (<= 65536 ranges, the only driver-side state) -> broadcast
+    exclusive cumsum, (3) a per-partition kernel (ranges co-located by
+    the pure-function key hash) sorts its tokens by UTF-8 bytes and
+    adds the range offset — the pack_sequences scan pattern over
+    strings."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import _hash_partitioned
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        return pa.table({"token": toks.unique()})
+
+    vocab = ds.map_batches(distinct_part, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby("token").count()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch["token"],
+            "rkey": pa.array(_byte_prefix_key(batch["token"]))})
+
+    kv = vocab.map_batches(keyed, batch_format="pyarrow")
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["rkey"]).append_column(
+            "c", pa.array(np.ones(len(batch), np.int64))) \
+            .group_by("rkey").aggregate([("c", "sum")])
+        return pa.table({"rkey": g["rkey"], "c": g["c_sum"]})
+
+    rks, cs = [], []
+    for b in kv.map_batches(range_partial, batch_format="pyarrow",
+                            batch_size=None) \
+            .groupby("rkey").aggregate(Sum("c", alias_name="c")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rks.append(b["rkey"].to_numpy())
+        cs.append(b["c"].to_numpy())
+    if not rks:
+        return rd.from_arrow(pa.table({
+            "token": pa.array([], pa.string()),
+            "token_id": pa.array([], pa.int64())}))
+    rk = np.concatenate(rks)
+    c = np.concatenate(cs)
+    order = np.argsort(rk)
+    rk, c = rk[order], c[order]
+    offs = np.concatenate([[0], np.cumsum(c)[:-1]])
+    state = ray.put((rk, offs))
+
+    def rank_part(g):
+        rkeys, offsets = ray.get(state)
+        tb = g["token"].str.encode("utf-8")
+        g = g.assign(_tb=tb).sort_values(
+            ["rkey", "_tb"], kind="stable").reset_index(drop=True)
+        r = g["rkey"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = r[1:] != r[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        local = np.arange(len(g)) - np.repeat(starts, sizes)
+        base = offsets[np.searchsorted(rkeys, r[starts])]
+        ids = np.repeat(base, sizes) + local
+        return g.assign(token_id=ids)[["token", "token_id"]]
+
+    return _hash_partitioned(kv, "rkey", rank_part,
+                             rows_hint=int(c.sum()))
+
+
+JACCARD_MAX_SOURCES = 64    # per-token source-set bound (pair kernel)
+
+
+def source_jaccard(ds):
+    """Pairwise vocabulary Jaccard similarity between SOURCES — the
+    group-similarity matrix behind source-level dedup triage.  Never
+    an all-pairs join on rows: (1) one distinct shuffle to the
+    (token, source) set, (2) per-token source-set pairs generated in a
+    kernel bounded by JACCARD_MAX_SOURCES per token (sources are a
+    bounded dimension; raises loudly past it), (3) a key-bounded pair
+    Sum, and (4) a broadcast per-source vocab-size table folds the
+    union term — jaccard = inter / (va + vb - inter), same expression
+    tree as the SQL mirror."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import _hash_partitioned
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).to_numpy()
+        src = pa.array(np.repeat(
+            batch["source"].to_numpy(zero_copy_only=False), n))
+        t = pa.table({"token": pc.list_flatten(toks), "source": src})
+        return t.group_by(["token", "source"]).aggregate([])
+
+    ts = ds.map_batches(distinct_part, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .groupby(["token", "source"]).count()
+
+    def drop_cnt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "token": batch["token"], "source": batch["source"],
+            "rkey": pa.array(_byte_prefix_key(batch["token"]))})
+
+    kv = ts.map_batches(drop_cnt, batch_format="pyarrow")
+
+    sizes_tbl = kv.groupby("source").count().take_all()
+    if len(sizes_tbl) > MODE_MAX_LANGS:
+        raise ValueError("source_jaccard: source count exceeds the "
+                         "driver-fold bound")
+    vsize = {r["source"]: r["count()"] for r in sizes_tbl}
+    vref = ray.put(vsize)
+
+    def pairs_part(g):
+        import pandas as pd
+
+        g = g.sort_values(["token", "source"],
+                          kind="stable").reset_index(drop=True)
+        tok = g["token"].to_numpy()
+        src = g["source"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.diff(np.concatenate([starts, [len(g)]]))
+        if len(seg) and seg.max() > JACCARD_MAX_SOURCES:
+            raise ValueError("source_jaccard: a token appears in more "
+                             f"than {JACCARD_MAX_SOURCES} sources")
+        outs = []
+        for k in np.unique(seg):
+            if k < 2:
+                continue
+            st = starts[seg == k]
+            mat = src[(st[:, None] + np.arange(k)[None, :])]
+            ia, ib = np.triu_indices(int(k), 1)
+            outs.append(pd.DataFrame({
+                "sa": mat[:, ia].ravel(), "sb": mat[:, ib].ravel()}))
+        if not outs:
+            return pd.DataFrame({"sa": pd.Series([], dtype=object),
+                                 "sb": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        allp = pd.concat(outs, ignore_index=True)
+        return allp.groupby(["sa", "sb"], as_index=False).agg(
+            c=("sa", "size"))
+
+    inter = _hash_partitioned(
+        kv, "rkey", pairs_part,
+        rows_hint=sum(vsize.values()) or 1) \
+        .groupby(["sa", "sb"]).aggregate(Sum("c", alias_name="n_inter"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        sa = batch["sa"].to_numpy(zero_copy_only=False)
+        sb = batch["sb"].to_numpy(zero_copy_only=False)
+        inter_n = batch["n_inter"].to_numpy()
+        va = np.array([vs[x] for x in sa], np.int64)
+        vb = np.array([vs[x] for x in sb], np.int64)
+        union = va + vb - inter_n
+        return pa.table({
+            "sa": batch["sa"], "sb": batch["sb"],
+            "n_inter": batch["n_inter"],
+            "n_union": pa.array(union),
+            "jaccard": pa.array(inter_n.astype(np.float64)
+                                / union.astype(np.float64))})
+
+    return inter.map_batches(finish, batch_format="pyarrow",
+                             zero_copy_batch=True)

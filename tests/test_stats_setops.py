@@ -151,3 +151,80 @@ def test_mode_word_string_tiebreak(ray_session):
     out = mode_word(ds).to_pandas().set_index("lang")
     assert out.loc["en", "token"] == "apple" and out.loc["en", "n"] == 2
     assert out.loc["de", "token"] == "bb" and out.loc["de", "n"] == 2
+
+
+def test_order_gap_single_event_user_nulls(ray_session, tmp_path):
+    from geo_inference_ray.relational import order_gap
+
+    rows = [
+        (1, 100, 1, "click", 0.0),
+        (2, 400, 1, "click", 0.0),     # gap 300
+        (3, 250, 1, "click", 0.0),     # gap 150 then 150
+        (4, 999, 2, "click", 0.0),     # single event -> NULL max/min
+    ]
+    out = order_gap(_write_events(tmp_path, rows)) \
+        .to_pandas().set_index("user_id")
+    assert out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "sum_gap_us"] == 300
+    assert out.loc[1, "max_gap_us"] == 150
+    assert out.loc[1, "avg_gap_us"] == 150.0
+    assert out.loc[2, "n_gaps"] == 0
+    assert pd.isna(out.loc[2, "max_gap_us"])
+    assert out.loc[2, "avg_gap_us"] == 0.0
+
+
+def test_cooccur_types_basket_pairs(ray_session, tmp_path):
+    from geo_inference_ray.relational import cooccur_types
+
+    day = 86_400_000_000
+    rows = [
+        # user 1 day 0: {a, b, c} -> pairs ab, ac, bc
+        (1, 10, 1, "a", 0.0), (2, 20, 1, "b", 0.0),
+        (3, 30, 1, "c", 0.0), (4, 40, 1, "a", 0.0),  # dup type ignored
+        # user 1 day 1: {a, b} -> ab again
+        (5, day + 1, 1, "a", 0.0), (6, day + 2, 1, "b", 0.0),
+        # user 2 day 0: {a} -> no pair
+        (7, 50, 2, "a", 0.0),
+    ]
+    out = cooccur_types(_write_events(tmp_path, rows)).to_pandas()
+    got = {(r.ta, r.tb): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_byte_prefix_key_is_order_preserving(ray_session):
+    from geo_inference_ray.textops import _byte_prefix_key
+
+    toks = ["", "a", "ab", "abc", "b", "zz", "z", "éclair", "Z"]
+    keys = _byte_prefix_key(pa.chunked_array([pa.array(toks)]))
+    by_bytes = sorted(range(len(toks)),
+                      key=lambda i: toks[i].encode("utf-8"))
+    ordered_keys = keys[np.array(by_bytes)]
+    assert (np.diff(ordered_keys) >= 0).all()
+
+
+def test_vocab_ids_dense_rank_across_buckets(ray_session):
+    from geo_inference_ray.textops import vocab_ids
+
+    ds = _docs_ds([
+        {"text": "pear apple pear zebra"},
+        {"text": "apple aardvark mango zebra apple"},
+    ])
+    out = vocab_ids(ds).to_pandas().sort_values("token_id")
+    assert out["token"].tolist() == [
+        "aardvark", "apple", "mango", "pear", "zebra"]
+    assert out["token_id"].tolist() == [0, 1, 2, 3, 4]
+
+
+def test_source_jaccard_small(ray_session):
+    from geo_inference_ray.textops import source_jaccard
+
+    ds = _docs_ds([
+        {"source": "s1", "text": "a b c"},
+        {"source": "s2", "text": "b c d"},
+        {"source": "s3", "text": "x y"},
+    ])
+    out = source_jaccard(ds).to_pandas()
+    got = {(r.sa, r.sb): (r.n_inter, r.n_union, r.jaccard)
+           for r in out.itertuples()}
+    # s1={a,b,c}, s2={b,c,d}: inter 2, union 4; s3 disjoint -> absent
+    assert got == {("s1", "s2"): (2, 4, 0.5)}
