@@ -1518,12 +1518,16 @@ def mode_word(ds):
             f"mode_word: {len(mx_tbl)} langs exceeds the "
             f"{MODE_MAX_LANGS} driver-fold bound; raise MODE_MAX_LANGS "
             "or switch the max table to a distributed join")
-    mx_ref = ray.put({r["lang"]: r["mx"] for r in mx_tbl})
+    langs = np.array(sorted(r["lang"] for r in mx_tbl))
+    mx_map = {r["lang"]: r["mx"] for r in mx_tbl}
+    mx_vals = np.array([mx_map[x] for x in langs], dtype=np.int64)
+    mx_ref = ray.put((langs, mx_vals))
 
     def keep_tied(batch: pa.Table) -> pa.Table:
-        mx = ray.get(mx_ref)
+        lg, mv = ray.get(mx_ref)
         ln = batch["lang"].to_numpy(zero_copy_only=False)
-        tgt = np.array([mx[x] for x in ln], dtype=np.int64)
+        # vectorized lookup: counts is vocab-scale, no per-row Python
+        tgt = mv[np.searchsorted(lg, ln)]
         return batch.filter(pa.array(
             batch["n"].to_numpy() == tgt))
 
