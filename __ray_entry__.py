@@ -891,6 +891,14 @@ def q_source_jaccard(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "text"]))
 
 
+def q_user_growth(sf_dir: str):
+    """Daily new-vs-active user accounting (first-touch attribution
+    rollup; one distinct-pair shuffle, day-bounded driver merge)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.user_growth(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -914,8 +922,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                tail additions (cms_heavy, weighted_sample,
     #                pagerank, retention, props_extract, hll_by_source,
     #                quantiles_by_lang, order_gap, cooccur_types,
-    #                vocab_ids, source_jaccard)
-    # Round 5 should rotate slots 51-100 back into the window.
+    #                vocab_ids, source_jaccard, user_growth)
+    # Round 5 should rotate slots 51-101 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -1026,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccur_types": q_cooccur_types,
         "vocab_ids": q_vocab_ids,
         "source_jaccard": q_source_jaccard,
+        "user_growth": q_user_growth,
     }
 
 
@@ -1701,6 +1710,20 @@ SELECT lang, token, n FROM (
     SELECT lang, unnest(string_split(text, ' ')) AS token
     FROM documents) GROUP BY lang, token)
 ) WHERE rn = 1""",
+        # Daily growth: actives = distinct (user, day); news = count
+        # of per-user MIN(day); COALESCE(0) for no-new-user days.
+        "user_growth": """
+WITH e AS (SELECT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+           FROM events),
+ev AS (SELECT d, COUNT(*) AS n_events,
+              COUNT(DISTINCT user_id) AS n_active_users
+       FROM e GROUP BY d),
+fst AS (SELECT user_id, MIN(d) AS fd FROM e GROUP BY user_id),
+nw AS (SELECT fd AS d, COUNT(*) AS n_new_users FROM fst GROUP BY fd)
+SELECT ev.d, ev.n_events, ev.n_active_users,
+       COALESCE(nw.n_new_users, 0) AS n_new_users
+FROM ev LEFT JOIN nw USING (d)""",
         # LAG window: gap multiset is tie-order invariant, so the
         # aggregates are deterministic; single-event users get NULL
         # max/min (empty window).

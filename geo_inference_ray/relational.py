@@ -1477,3 +1477,73 @@ def cooccur_types(sf_dir: str):
         "uk", pairs_part, rows_hint=ev_rows)
     return pairs.groupby(["ta", "tb"]).aggregate(
         Sum("c", alias_name="n"))
+
+
+GROWTH_MAX_DAYS = 200_000   # driver-fold bound for the per-day tables
+
+
+def user_growth(sf_dir: str):
+    """Daily growth accounting: per epoch-day, total events, distinct
+    active users, and NEW users (first-ever event that day) — the
+    new-vs-returning attribution rollup.  Three key-bounded aggregates
+    over ONE distinct-pair shuffle: (user, day) partials -> global
+    distinct; actives = per-day count of the pairs; news = per-day
+    count of per-user MIN(day); event counts ride a separate partial
+    Sum.  The per-day tables (bounded by the day dimension, guarded at
+    GROWTH_MAX_DAYS) are merged driver-side."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"user_id": batch["user_id"], "d": day})
+        g = t.group_by(["user_id", "d"]).aggregate([("d", "count")])
+        return pa.table({"user_id": g["user_id"], "d": g["d"],
+                         "c": pc.cast(g["d_count"], pa.int64())})
+
+    pairs = ev.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["user_id", "d"]).aggregate(Sum("c", alias_name="c"))
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("d").aggregate([("user_id", "count"),
+                                           ("c", "sum")])
+        return pa.table({"d": g["d"],
+                         "na": pc.cast(g["user_id_count"], pa.int64()),
+                         "ne": g["c_sum"]})
+
+    per_day = pairs.map_batches(day_counts, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None) \
+        .groupby("d").aggregate(Sum("na", alias_name="n_active"),
+                                Sum("ne", alias_name="n_events"))
+
+    first = pairs.groupby("user_id").aggregate(Min("d",
+                                                   alias_name="fd"))
+
+    def fd_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("fd").aggregate([("user_id", "count")])
+        return pa.table({"d": g["fd"],
+                         "nn": pc.cast(g["user_id_count"], pa.int64())})
+
+    news = first.map_batches(fd_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("d").aggregate(Sum("nn", alias_name="n_new"))
+
+    act = per_day.take_all()
+    nw = news.take_all()
+    if len(act) > GROWTH_MAX_DAYS:
+        raise ValueError(f"user_growth: {len(act)} days exceeds the "
+                         f"{GROWTH_MAX_DAYS} driver-fold bound")
+    nn = {r["d"]: r["n_new"] for r in nw}
+    act.sort(key=lambda r: r["d"])
+    return rd.from_arrow(pa.table({
+        "d": pa.array([r["d"] for r in act], pa.int64()),
+        "n_events": pa.array([r["n_events"] for r in act], pa.int64()),
+        "n_active_users": pa.array([r["n_active"] for r in act],
+                                   pa.int64()),
+        "n_new_users": pa.array([nn.get(r["d"], 0) for r in act],
+                                pa.int64())}))

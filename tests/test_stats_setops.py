@@ -228,3 +228,25 @@ def test_source_jaccard_small(ray_session):
            for r in out.itertuples()}
     # s1={a,b,c}, s2={b,c,d}: inter 2, union 4; s3 disjoint -> absent
     assert got == {("s1", "s2"): (2, 4, 0.5)}
+
+
+def test_user_growth_first_touch(ray_session, tmp_path):
+    from geo_inference_ray.relational import user_growth
+
+    day = 86_400_000_000
+    rows = [
+        (1, 10, 1, "click", 0.0),           # user 1 first on day 0
+        (2, 20, 1, "click", 0.0),
+        (3, day + 5, 1, "click", 0.0),      # returning on day 1
+        (4, day + 6, 2, "click", 0.0),      # user 2 first on day 1
+        (5, 2 * day + 1, 2, "click", 0.0),  # returning on day 2
+    ]
+    out = user_growth(_write_events(tmp_path, rows)) \
+        .to_pandas().set_index("d")
+    assert out.loc[0, "n_events"] == 2
+    assert out.loc[0, "n_active_users"] == 1
+    assert out.loc[0, "n_new_users"] == 1
+    assert out.loc[1, "n_events"] == 2
+    assert out.loc[1, "n_active_users"] == 2
+    assert out.loc[1, "n_new_users"] == 1
+    assert out.loc[2, "n_new_users"] == 0
