@@ -1204,8 +1204,8 @@ def corr_stats(sf_dir: str):
     Scale shape: each batch emits ONE row per group carrying the six
     integer moments (n, Σq, Σd, Σq², Σd², Σqd); the shuffle is
     key-bounded and the float finish runs on the tiny aggregate.  All
-    moments are exact int64 — q ≤ 2^6, d_bp ≤ 2^10, so Σd² stays in
-    int64 up to ~9e12 rows (guarded).  The finish casts each moment to
+    moments are exact int64 — inputs are guarded to [0, 2^13), so
+    every Σx² stays exact int64 up to ~1.4e11 rows per group.  The finish casts each moment to
     double and evaluates the SAME expression tree as the SQL mirror
     (IEEE ops are correctly rounded, so identical op order ⇒ bitwise
     equality — the engine-wide float-exactness convention)."""
@@ -1222,9 +1222,14 @@ def corr_stats(sf_dir: str):
                     pa.int64())
         qn = q.to_numpy(zero_copy_only=False)
         dn = d.to_numpy(zero_copy_only=False)
-        if len(qn) and (qn.max() >= 1 << 20 or dn.max() >= 1 << 20):
+        # squares <= 2^26, so the GLOBAL int64 sums are exact up to
+        # 2^37 (~1.4e11) rows per group; past that the moments need
+        # split-hi/lo accumulators, so fail loudly at the input guard
+        # rather than wrap silently downstream
+        if len(qn) and (qn.max() >= 1 << 13 or dn.max() >= 1 << 13
+                        or qn.min() < 0 or dn.min() < 0):
             raise ValueError("corr_stats moment overflow guard: "
-                             "inputs exceed 2^20")
+                             "inputs outside [0, 2^13)")
         t = pa.table({"l_returnflag": batch["l_returnflag"],
                       "q": q, "d": d,
                       "qq": pa.array(qn * qn), "dd": pa.array(dn * dn),
