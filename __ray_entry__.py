@@ -899,6 +899,14 @@ def q_user_growth(sf_dir: str):
     return _rel.user_growth(sf_dir)
 
 
+def q_bloom_join(sf_dir: str):
+    """Bloom-prefiltered exact semi-join (128 KB broadcast mask prunes
+    the big side batch-locally; survivors verified exactly)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.bloom_join(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -922,8 +930,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                tail additions (cms_heavy, weighted_sample,
     #                pagerank, retention, props_extract, hll_by_source,
     #                quantiles_by_lang, order_gap, cooccur_types,
-    #                vocab_ids, source_jaccard, user_growth)
-    # Round 5 should rotate slots 51-101 back into the window.
+    #                vocab_ids, source_jaccard, user_growth,
+    #                bloom_join)
+    # Round 5 should rotate slots 51-102 back into the window.
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -1035,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_ids": q_vocab_ids,
         "source_jaccard": q_source_jaccard,
         "user_growth": q_user_growth,
+        "bloom_join": q_bloom_join,
     }
 
 
@@ -1710,6 +1720,16 @@ SELECT lang, token, n FROM (
     SELECT lang, unnest(string_split(text, ' ')) AS token
     FROM documents) GROUP BY lang, token)
 ) WHERE rn = 1""",
+        # Bloom-prefiltered semi-join: the Bloom stage is pure
+        # pruning (exact verify kills false positives), so the oracle
+        # is the plain SQL semi-join.
+        "bloom_join": """
+SELECT l_returnflag, COUNT(*) AS n,
+  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag""",
         # Daily growth: actives = distinct (user, day); news = count
         # of per-user MIN(day); COALESCE(0) for no-new-user days.
         "user_growth": """

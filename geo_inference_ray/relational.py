@@ -1552,3 +1552,132 @@ def user_growth(sf_dir: str):
                                    pa.int64()),
         "n_new_users": pa.array([nn.get(r["d"], 0) for r in act],
                                 pa.int64())}))
+
+
+BJ_M = 1 << 20          # bloom bits (128 KB broadcast mask)
+BJ_K = 4                # probes per key
+BJ_BROADCAST_KEYS = 5_000_000   # exact-set broadcast ceiling
+
+
+def bloom_join(sf_dir: str, priority: str = "1-URGENT"):
+    """Bloom-prefiltered EXACT semi-join — the shuffle-minimizing join
+    pattern for a selective filter side at 100 TB: lineitem rows whose
+    order is ``priority``, aggregated per returnflag.
+
+    Plan: (1) build an m-bit Bloom filter over the qualifying
+    o_orderkey set with map-side partial DISTINCT bit positions
+    (bounded by m, never rows; integer double-hashing, Fibonacci mix)
+    and broadcast the 128 KB mask once; (2) probe lineitem batch-local
+    — only the ~selectivity + false-positive fraction survives;
+    (3) make it EXACT: under BJ_BROADCAST_KEYS qualifying keys the
+    exact key set is broadcast for a batch-local isin verify, above it
+    the SURVIVORS (not the full table) go through a distributed hash
+    semi-join sized by join_partitions_for.  The oracle is the plain
+    SQL semi-join — the Bloom stage is pure pruning, invisible in the
+    result."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    FIB = np.uint64(0x9E3779B97F4A7C15)
+    FIB2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def _h12(keys: np.ndarray):
+        k = keys.astype(np.uint64, copy=False)
+        h1 = ((k * FIB) >> np.uint64(24)) % np.uint64(BJ_M)
+        h2 = (((k * FIB2) >> np.uint64(24)) % np.uint64(BJ_M)) | \
+            np.uint64(1)
+        return h1.astype(np.int64), h2.astype(np.int64)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        sel = pc.equal(batch["o_orderpriority"], priority)
+        return pa.table({"o_orderkey": batch.filter(sel)["o_orderkey"]})
+
+    keys = orders.map_batches(key_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+
+    def bits_partial(batch: pa.Table) -> pa.Table:
+        kk = batch["o_orderkey"].to_numpy()
+        if not len(kk):
+            return pa.table({"p": pa.array([], pa.int64())})
+        h1, h2 = _h12(kk)
+        pos = (h1[:, None] + np.arange(BJ_K)[None, :] * h2[:, None]) \
+            % BJ_M
+        return pa.table({"p": pa.array(np.unique(pos))})
+
+    mask = np.zeros(BJ_M, dtype=bool)
+    for b in keys.map_batches(bits_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .groupby("p").count() \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mask[b["p"].to_numpy()] = True
+    mref = ray.put(mask)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_quantity"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bm = ray.get(mref)
+        kk = batch["l_orderkey"].to_numpy()
+        h1, h2 = _h12(kk)
+        hit = np.ones(len(kk), dtype=bool)
+        for i in range(BJ_K):
+            hit &= bm[(h1 + i * h2) % BJ_M]
+        return batch.filter(pa.array(hit))
+
+    survivors = li.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # exact verify: kill Bloom false positives
+    key_rows = 0
+    for b in keys.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [len(t)], pa.int64())}),
+            batch_format="pyarrow", batch_size=None) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        key_rows += int(b["n"].to_numpy().sum())
+
+    if key_rows <= BJ_BROADCAST_KEYS:
+        key_arrs = [b["o_orderkey"].to_numpy() for b in keys.iter_batches(
+            batch_size=262144, batch_format="pyarrow")]
+        kset = np.unique(np.concatenate(key_arrs)) if key_arrs \
+            else np.zeros(0, np.int64)
+        kref = ray.put(kset)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            kk = batch["l_orderkey"].to_numpy()
+            if not len(ks):
+                return batch.slice(0, 0)
+            idx = np.searchsorted(ks, kk)
+            idx[idx >= len(ks)] = 0
+            return batch.filter(pa.array(ks[idx] == kk))
+
+        exact = survivors.map_batches(verify, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+    else:
+        exact = survivors.join(
+            keys.groupby("o_orderkey").count()
+                .select_columns(["o_orderkey"]),
+            join_type="inner",
+            num_partitions=join_partitions_for(key_rows),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def agg_partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        t = pa.table({"l_returnflag": batch["l_returnflag"], "q": q})
+        g = t.group_by("l_returnflag").aggregate(
+            [("q", "sum"), ("q", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "sq": g["q_sum"],
+                         "n": pc.cast(g["q_count"], pa.int64())})
+
+    return exact.map_batches(agg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("l_returnflag").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sq", alias_name="sum_qty"))

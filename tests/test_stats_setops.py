@@ -250,3 +250,28 @@ def test_user_growth_first_touch(ray_session, tmp_path):
     assert out.loc[1, "n_active_users"] == 2
     assert out.loc[1, "n_new_users"] == 1
     assert out.loc[2, "n_new_users"] == 0
+
+
+def test_bloom_join_exact_on_both_verify_paths(ray_session, sf_dir,
+                                               duck, monkeypatch):
+    """The Bloom stage is pruning only: result must equal the plain
+    semi-join on BOTH the broadcast-isin path and the distributed
+    hash-join path (forced via BJ_BROADCAST_KEYS=0)."""
+    from geo_inference_ray import relational
+
+    exp = duck.sql("""
+        SELECT l_returnflag, COUNT(*) AS n,
+          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+            AS sum_qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+        GROUP BY l_returnflag ORDER BY l_returnflag""").df()
+
+    def run():
+        return relational.bloom_join(sf_dir).to_pandas() \
+            .sort_values("l_returnflag").reset_index(drop=True)
+
+    assert run().equals(exp)
+    monkeypatch.setattr(relational, "BJ_BROADCAST_KEYS", 0)
+    assert run().equals(exp)
