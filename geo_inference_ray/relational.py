@@ -1602,18 +1602,28 @@ def bloom_join(sf_dir: str, priority: str = "1-URGENT"):
     def bits_partial(batch: pa.Table) -> pa.Table:
         kk = batch["o_orderkey"].to_numpy()
         if not len(kk):
-            return pa.table({"p": pa.array([], pa.int64())})
+            return pa.table({"p": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
         h1, h2 = _h12(kk)
         pos = (h1[:, None] + np.arange(BJ_K)[None, :] * h2[:, None]) \
             % BJ_M
-        return pa.table({"p": pa.array(np.unique(pos))})
+        up = np.unique(pos)
+        # the batch's key count rides the first row, so ONE pass over
+        # the filter side yields both the bit set and the key count
+        c = np.zeros(len(up), np.int64)
+        c[0] = len(kk)
+        return pa.table({"p": pa.array(up), "c": pa.array(c)})
+
+    from ray.data.aggregate import Sum as _Sum
 
     mask = np.zeros(BJ_M, dtype=bool)
+    key_rows = 0
     for b in keys.map_batches(bits_partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None) \
-            .groupby("p").count() \
+            .groupby("p").aggregate(_Sum("c", alias_name="c")) \
             .iter_batches(batch_size=65536, batch_format="pyarrow"):
         mask[b["p"].to_numpy()] = True
+        key_rows += int(b["c"].to_numpy().sum())
     mref = ray.put(mask)
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -1633,14 +1643,6 @@ def bloom_join(sf_dir: str, priority: str = "1-URGENT"):
                                zero_copy_batch=True)
 
     # exact verify: kill Bloom false positives
-    key_rows = 0
-    for b in keys.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [len(t)], pa.int64())}),
-            batch_format="pyarrow", batch_size=None) \
-            .iter_batches(batch_size=65536, batch_format="pyarrow"):
-        key_rows += int(b["n"].to_numpy().sum())
-
     if key_rows <= BJ_BROADCAST_KEYS:
         key_arrs = [b["o_orderkey"].to_numpy() for b in keys.iter_batches(
             batch_size=262144, batch_format="pyarrow")]
