@@ -197,12 +197,22 @@ def pixel_counts(geo_ds, grid: GridConfig = DEFAULT_GRID):
     would dominate.  Grids over the pixel bound go distributed
     directly."""
     global _LAST_COMBINE_PATH
-    cols = [c for c in ("lat", "lon") if c in geo_ds.schema().names]
+    # Column pruning only when the schema is ALREADY known (parquet
+    # metadata / materialized): schema(fetch_if_missing=True) on a lazy
+    # map_batches chain executes the upstream pipeline with limit-1 —
+    # measured ~1-7 s of pure probe cost per mask_tiles/rasterize call
+    # at the bench input.  With an unknown schema the partial kernel
+    # reads only lat/lon anyway and the maps are fused, so skipping the
+    # Project costs nothing.
+    sch = geo_ds.schema(fetch_if_missing=False)
+    if sch is not None:
+        cols = [c for c in ("lat", "lon") if c in sch.names]
+        geo_ds = geo_ds.select_columns(cols)
     # batch_size=None: one partial per BLOCK, not per 1024-row default
     # slice — measured 13.5x fewer partial rows (80 K vs 1.08 M at the
     # bench's 10.24 M-row input) for the same per-task memory (the
     # kernel touches two int64 columns only)
-    part = geo_ds.select_columns(cols).map_batches(
+    part = geo_ds.map_batches(
         rasterize_partial(grid), batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
     if grid.width * grid.height <= DRIVER_COMBINE_MAX_PIXELS:
