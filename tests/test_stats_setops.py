@@ -275,3 +275,24 @@ def test_bloom_join_exact_on_both_verify_paths(ray_session, sf_dir,
     assert run().equals(exp)
     monkeypatch.setattr(relational, "BJ_BROADCAST_KEYS", 0)
     assert run().equals(exp)
+
+
+def test_bloom_join_empty_filter_side(ray_session, tmp_path):
+    """No qualifying orders -> empty result on the broadcast path
+    (the sorted-isin verify must not index into an empty key set)."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.relational import bloom_join
+
+    d = tmp_path / "bj"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderpriority": pa.array(["5-LOW", "5-LOW"])}),
+        d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_returnflag": pa.array(["N", "N"]),
+        "l_quantity": pa.array([1.0, 2.0])}), d / "lineitem.parquet")
+    out = bloom_join(str(d)).to_pandas()
+    assert len(out) == 0
