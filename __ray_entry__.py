@@ -852,6 +852,55 @@ def q_mode_word(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
 
 
+def q_moving_window(sf_dir: str):
+    """Per-user fixed-width moving-window sum/count (window SUM OVER
+    ... ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), sampled output."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.moving_window(sf_dir)
+
+
+def q_range_join(sf_dir: str):
+    """Broadcast range (interval/band) join: orders into irregular
+    quadratic price bands via sorted-edge searchsorted, then per-band
+    aggregates."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.range_join(sf_dir)
+
+
+def q_redact_pii(sf_dir: str):
+    """PII-style regex redaction + hit counts over the corpus (RE2
+    kernels, byte-identical to the oracle's regexp_replace)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.redact_pii(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]))
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUP BY ROLLUP(source, lang): three aggregation levels in one
+    pass — only the finest grain shuffles."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.rollup_counts(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["source", "lang", "n_chars"]))
+
+
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + exact dedup over crawl-variant URLs
+    (query strings, fragments, case/slash normalization)."""
+    from geo_inference_ray import textops as _t
+
+    return _t.url_dedup(_synth.pages_dataset(sf_dir, include_html=False)
+                        .select_columns(["url", "doc_id"]))
+
+
 def q_order_gap(sf_dir: str):
     """Per-user inter-event gap statistics (the LAG window function,
     distributed as a user-hash shuffle + vectorized diff kernel)."""
@@ -970,11 +1019,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,
         "minhash_verified": q_minhash_verified,
-        "chunk_dedup": q_chunk_dedup,
-        "length_quantiles": q_length_quantiles,
-        "bigram_surprisal": q_bigram_surprisal,
-        "quality_filter": q_quality_filter,
         "pip_inner": q_pip_inner,
+        # -- NEW mid round 4: window-frame / range-join / redaction /
+        # rollup family (first driver rows; the guard-only r4 touches
+        # chunk_dedup, length_quantiles, bigram_surprisal and
+        # quality_filter rotated to the tail to make room — their r4
+        # changes are asserts/guards that don't alter driver-input
+        # values, and each keeps its r3 driver row + local compare) --
+        "moving_window": q_moving_window,
+        "range_join": q_range_join,
+        "redact_pii": q_redact_pii,
+        "rollup_counts": q_rollup_counts,
         # -- NEW in round 4 (need their first driver row) --
         "host_stats": q_host_stats,
         "ccnet_buckets": q_ccnet_buckets,
@@ -991,6 +1046,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "argmax_doc": q_argmax_doc,
         "mode_word": q_mode_word,
         # -- r3-green, unchanged this round (rotate back in r5) --
+        "chunk_dedup": q_chunk_dedup,
+        "length_quantiles": q_length_quantiles,
+        "bigram_surprisal": q_bigram_surprisal,
+        "quality_filter": q_quality_filter,
         "knn_ring1": q_knn_ring1,
         "rasterize": q_rasterize,
         "tile_pyramid": q_tile_pyramid,
@@ -1045,6 +1104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": q_source_jaccard,
         "user_growth": q_user_growth,
         "bloom_join": q_bloom_join,
+        "url_dedup": q_url_dedup,
     }
 
 
@@ -1690,6 +1750,51 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING)
 QUALIFY event_id % 41 = 0""",
+        # Fixed-width ROWS frame per user; sampled output rows, full
+        # frames (mirrors running_total's QUALIFY sampling).
+        "moving_window": f"""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT)
+    AS win_value_milli,
+  COUNT(*) OVER w AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {_rel_mod.MW_FRAME_PRECEDING} PRECEDING
+                  AND CURRENT ROW)
+QUALIFY event_id % {_rel_mod.MW_SAMPLE_MOD} = 0""",
+        # Range/band join: irregular quadratic edges generated in a
+        # CTE; the engine resolves bands via broadcast searchsorted.
+        "range_join": f"""
+WITH bands AS (
+  SELECT k AS band_id,
+         k * k * {_rel_mod.RJ_BAND_CENTS} AS lo,
+         CASE WHEN k = {_rel_mod.RJ_NUM_BANDS - 1}
+              THEN 9223372036854775807
+              ELSE (k+1) * (k+1) * {_rel_mod.RJ_BAND_CENTS} END AS hi
+  FROM range({_rel_mod.RJ_NUM_BANDS}) t(k)),
+oc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+SELECT b.band_id, COUNT(*) AS n_orders,
+       CAST(SUM(oc.pc) AS BIGINT) AS sum_price_cents,
+       MIN(oc.pc) AS min_price_cents, MAX(oc.pc) AS max_price_cents
+FROM oc JOIN bands b ON oc.pc >= b.lo AND oc.pc < b.hi
+GROUP BY b.band_id""",
+        # Regex redaction: DuckDB's RE2 is the same engine as the
+        # Arrow kernels, so redacted text is byte-identical.
+        "redact_pii": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '{_textops.REDACT_PATTERN}')) AS BIGINT) AS n_hits,
+  regexp_replace(text, '{_textops.REDACT_PATTERN}',
+       '{_textops.REDACT_TOKEN}', 'g') AS text
+FROM documents""",
+        # ROLLUP: NULL rolled-up dimensions mapped to the engine's
+        # '<all>' sentinel (the corpus has no NULL source/lang).
+        "rollup_counts": f"""
+SELECT COALESCE(source, '{_textops.ROLLUP_ALL}') AS source,
+       COALESCE(lang, '{_textops.ROLLUP_ALL}') AS lang,
+       COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(source, lang)""",
         # Wide pivot: conditional aggregation, langs outside the fixed
         # column set count toward n_total only.
         "pivot_counts": """
@@ -1730,6 +1835,21 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag""",
+        # URL canonicalization dedup: the three crawl-variant forms
+        # collapse to one canonical URL per doc (RE2 + lower, same
+        # kernels as the engine).
+        "url_dedup": _W + """,
+var AS (
+  SELECT doc_id, CASE k
+    WHEN 0 THEN url || '?utm_source=' || CAST(doc_id % 7 AS VARCHAR)
+    WHEN 1 THEN url || '#section-' || CAST(doc_id % 5 AS VARCHAR)
+    ELSE upper(url) || '/' END AS u
+  FROM pages CROSS JOIN range(3) t(k))
+SELECT lower(regexp_replace(regexp_replace(u, '[?#].*$', ''),
+             '/$', '')) AS url,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS n_variants
+FROM var GROUP BY 1""",
         # Daily growth: actives = distinct (user, day); news = count
         # of per-user MIN(day); COALESCE(0) for no-new-user days.
         "user_growth": """

@@ -1363,6 +1363,109 @@ def running_total(sf_dir: str, sample_mod: int = 41):
                              rows_hint=_parquet_rows(path))
 
 
+MW_FRAME_PRECEDING = 3      # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+MW_SAMPLE_MOD = 37          # emit only event_id % 37 == 0 rows
+
+
+def moving_window(sf_dir: str):
+    """Per-user FIXED-WIDTH moving-window aggregate in event-time order
+    — SUM/COUNT OVER (PARTITION BY user ORDER BY ts, event_id ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW), the bounded-frame sibling of
+    running_total's unbounded frame.  Distributed the same way: one
+    user-hash shuffle, then a vectorized kernel per partition — frame
+    sums come from ONE global cumsum (frame = cs[i] - cs[j-1] where j
+    clamps to max(run_start, i-3)), no per-row loop, no per-user
+    pandas group dispatch.  Values are milli-units so the window sums
+    are integer-exact regardless of accumulation order.  Only
+    event_id % MW_SAMPLE_MOD rows are EMITTED (bounded output) but
+    every row contributes to the frames.
+
+    Partitioning assumption (shared with running_total/sessionize):
+    one user's events fit in a partition."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                        "value"])
+    k = MW_FRAME_PRECEDING
+
+    def win_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        vm = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        uid = g["user_id"].to_numpy()
+        newu = np.ones(len(g), dtype=bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(newu)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        cs = np.cumsum(vm)
+        idx = np.arange(len(g), dtype=np.int64)
+        run_start = np.repeat(starts, sizes)
+        j = np.maximum(run_start, idx - k)      # first row of the frame
+        prev = j - 1
+        before = np.where(prev >= 0, cs[np.maximum(prev, 0)], 0)
+        out = pd.DataFrame({"event_id": g["event_id"],
+                            "user_id": uid,
+                            "win_value_milli": cs - before,
+                            "win_n": idx - j + 1})
+        return out[out["event_id"] % MW_SAMPLE_MOD == 0]
+
+    return _hash_partitioned(ev, "user_id", win_part,
+                             rows_hint=_parquet_rows(path))
+
+
+RJ_BAND_CENTS = 25_000      # quadratic band-edge scale (cents)
+RJ_NUM_BANDS = 48           # lo_k = k*k*RJ_BAND_CENTS; last band open
+
+
+def range_join(sf_dir: str):
+    """Range (interval/band) join: every order lands in the price band
+    whose ``[lo, hi)`` interval contains it, then per-band aggregates —
+    the ip-geolocation / tax-bracket lookup shape.  Band edges are
+    IRREGULAR (quadratic, lo_k = k^2 * RJ_BAND_CENTS) so this cannot be
+    reduced to arithmetic bucketing; the join is a BROADCAST range
+    join: the sorted edge array is a module constant (tiny; at scale it
+    would be one ``ray.put`` handle) and every batch resolves its band
+    with one vectorized ``np.searchsorted`` — no shuffle touches the
+    big side, and the only exchange is the map-side-combined per-band
+    partial table (<= RJ_NUM_BANDS rows per batch)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    edges = (np.arange(RJ_NUM_BANDS, dtype=np.int64) ** 2
+             * RJ_BAND_CENTS)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch["o_totalprice"]).to_numpy()
+        band = np.searchsorted(edges, cents, side="right") - 1
+        if len(band) and band.min() < 0:
+            raise ValueError("range_join: price below the first band")
+        t = pa.table({"band_id": pa.array(band),
+                      "n_orders": pa.array(np.ones(len(band), np.int64)),
+                      "sum_price_cents": pa.array(cents),
+                      "min_price_cents": pa.array(cents),
+                      "max_price_cents": pa.array(cents)})
+        g = t.group_by("band_id").aggregate(
+            [("n_orders", "sum"), ("sum_price_cents", "sum"),
+             ("min_price_cents", "min"), ("max_price_cents", "max")])
+        return pa.table({"band_id": g["band_id"],
+                         "n_orders": g["n_orders_sum"],
+                         "sum_price_cents": g["sum_price_cents_sum"],
+                         "min_price_cents": g["min_price_cents_min"],
+                         "max_price_cents": g["max_price_cents_max"]})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("band_id").aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Min("min_price_cents", alias_name="min_price_cents"),
+            Max("max_price_cents", alias_name="max_price_cents"))
+
+
 def order_gap(sf_dir: str):
     """Per-user inter-event gap statistics — the LAG window function
     (gap = ts - lag(ts) OVER (PARTITION BY user ORDER BY ts,

@@ -1433,6 +1433,144 @@ def pivot_counts(ds):
         .groupby("source").aggregate(*agg_cols())
 
 
+REDACT_PATTERN = r"\b(key|customer|value)\b"   # stand-in PII term list
+REDACT_TOKEN = "<PII>"
+
+
+def redact_pii(ds):
+    """PII-style regex redaction: replace every term-list match with a
+    sentinel token and count the hits per document — the
+    scrub-before-training stage of a webtext pipeline.  Pure
+    ``map_batches`` over Arrow string kernels
+    (``replace_substring_regex`` / ``count_substring_regex``, both
+    RE2 — the same engine DuckDB uses, so redacted text is
+    byte-identical to the oracle): zero shuffle, zero driver state,
+    embarrassingly parallel at any corpus size.  The term list here is
+    a deterministic stand-in for an email/phone/SSN pattern set (the
+    synthetic corpus has no digits); swapping patterns changes one
+    constant."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_hits": pc.cast(
+                pc.count_substring_regex(txt, pattern=REDACT_PATTERN),
+                pa.int64()),
+            "text": pc.replace_substring_regex(
+                txt, pattern=REDACT_PATTERN,
+                replacement=REDACT_TOKEN)})
+
+    return ds.map_batches(scrub, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def url_dedup(ds):
+    """URL canonicalization + exact dedup: every page URL appears in
+    three crawl-variant forms (tracking query string, fragment anchor,
+    uppercased host with a trailing slash); canonicalization (strip
+    ``[?#].*``, strip the trailing slash, lowercase) collapses them
+    and an exact groupby keeps the smallest doc_id per canonical URL —
+    the crawl-frontier dedup stage of a webtext pipeline.  All string
+    work is Arrow RE2/utf8 kernels; the map-side partial collapses a
+    doc's variants before the shuffle, so the exchange carries ~1 row
+    per distinct URL per batch, never the 3x variant stream."""
+    from ray.data.aggregate import Min, Sum
+
+    def variants(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        d = batch["doc_id"].to_numpy()
+        v0 = pc.binary_join_element_wise(
+            url, pa.scalar("?utm_source="),
+            pa.array((d % 7).astype(str)), "")
+        v1 = pc.binary_join_element_wise(
+            url, pa.scalar("#section-"),
+            pa.array((d % 5).astype(str)), "")
+        v2 = pc.binary_join_element_wise(
+            pc.utf8_upper(url), pa.scalar("/"), "")
+        u = pa.concat_arrays(
+            [x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+             else x for x in (v0, v1, v2)])
+        did3 = pa.array(np.concatenate([d, d, d]))
+        canon = pc.utf8_lower(pc.replace_substring_regex(
+            pc.replace_substring_regex(u, pattern=r"[?#].*$",
+                                       replacement=""),
+            pattern=r"/$", replacement=""))
+        t = pa.table({"url": canon, "doc_id": did3,
+                      "n_variants": pa.array(
+                          np.ones(len(canon), np.int64))})
+        g = t.group_by("url").aggregate(
+            [("doc_id", "min"), ("n_variants", "sum")])
+        return pa.table({"url": g["url"], "doc_id": g["doc_id_min"],
+                         "n_variants": g["n_variants_sum"]})
+
+    return ds.map_batches(variants, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("url").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Sum("n_variants", alias_name="n_variants"))
+
+
+ROLLUP_MAX_GROUPS = 65_536  # driver-fold bound for the grain table
+ROLLUP_ALL = "<all>"        # sentinel for the rolled-up dimension
+
+
+def rollup_counts(ds):
+    """Multi-level aggregate — GROUP BY ROLLUP(source, lang): counts
+    and char sums at the (source, lang) grain, per source, and grand
+    total, in ONE pass.  Only the finest grain ever shuffles (map-side
+    partials -> one groupby); the two coarser levels are derived from
+    the <= |sources| x |langs| grain table in a bounded driver fold
+    (loud ValueError past ROLLUP_MAX_GROUPS — rolling up a
+    free-cardinality key pair needs a second distributed groupby, not
+    a silent driver OOM)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"], "lang": batch["lang"],
+                      "n": pa.array(np.ones(len(batch), np.int64)),
+                      "sum_chars": batch["n_chars"]})
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("n", "sum"), ("sum_chars", "sum")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "n": g["n_sum"],
+                         "sum_chars": g["sum_chars_sum"]})
+
+    grain = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "lang"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_chars", alias_name="sum_chars"))
+
+    parts = []
+    total = 0
+    for b in grain.iter_batches(batch_format="pandas",
+                                batch_size=ROLLUP_MAX_GROUPS):
+        total += len(b)
+        if total > ROLLUP_MAX_GROUPS:
+            raise ValueError(
+                f"rollup_counts grain exceeds {ROLLUP_MAX_GROUPS} "
+                "groups; use a distributed second groupby instead")
+        parts.append(b)
+    g = (pd.concat(parts, ignore_index=True) if parts
+         else pd.DataFrame({"source": pd.Series([], dtype=object),
+                            "lang": pd.Series([], dtype=object),
+                            "n": pd.Series([], dtype=np.int64),
+                            "sum_chars": pd.Series([], dtype=np.int64)}))
+    by_src = g.groupby("source", as_index=False).agg(
+        n=("n", "sum"), sum_chars=("sum_chars", "sum"))
+    by_src["lang"] = ROLLUP_ALL
+    tot = pd.DataFrame({"source": [ROLLUP_ALL], "lang": [ROLLUP_ALL],
+                        "n": [g["n"].sum()],
+                        "sum_chars": [g["sum_chars"].sum()]})
+    out = pd.concat([g, by_src[["source", "lang", "n", "sum_chars"]],
+                     tot], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out
+
+
 ARGMAX_CHARS_BITS = 40      # doc_id field width in the packed key
 
 
