@@ -892,6 +892,30 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_triangles(sf_dir: str):
+    """Per-node triangle counts on the co-supplier graph
+    (compact-forward wedges + packed-key closure probe)."""
+    from geo_inference_ray import graph as _g
+
+    return _g.triangles(sf_dir)
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM quartile segmentation (NTILE x3) via range-partitioned
+    exact global rank — no global sort."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.rfm_scores(sf_dir)
+
+
+def q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 analog: 3-way join with line-level pre-aggregation
+    behind the filters, then a k-bounded exact top-k."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q3_shipping(sf_dir)
+
+
 def q_url_dedup(sf_dir: str):
     """URL canonicalization + exact dedup over crawl-variant URLs
     (query strings, fragments, case/slash normalization)."""
@@ -1105,6 +1129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth": q_user_growth,
         "bloom_join": q_bloom_join,
         "url_dedup": q_url_dedup,
+        "q3_shipping": q_q3_shipping,
+        "rfm_scores": q_rfm_scores,
+        "triangles": q_triangles,
     }
 
 
@@ -1835,6 +1862,59 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag""",
+        # TPC-H Q3 analog: revenue cents rounded per LINE (same IEEE
+        # expression order as the engine), deterministic top-10 via
+        # the (revenue DESC, orderkey ASC) tie-break.
+        "q3_shipping": f"""
+WITH rev AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) > {_rel_mod.Q3_CUTOFF_US}
+  GROUP BY l_orderkey)
+SELECT r.l_orderkey, o.o_orderdate, o.o_orderpriority, r.revenue_cents
+FROM rev r
+JOIN orders o ON o.o_orderkey = r.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
+  AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
+ORDER BY r.revenue_cents DESC, r.l_orderkey
+LIMIT {_rel_mod.Q3_TOPK}""",
+        # Triangle counts: each triangle enumerated once (u<v<w with
+        # all three edges), every corner counted.
+        "triangles": """
+WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+            FROM lineitem),
+e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+nodes AS (SELECT a AS s FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+SELECT s AS s_suppkey, COUNT(*) AS n_triangles
+FROM nodes GROUP BY s""",
+        # RFM quartiles: NTILE over (metric, custkey) order — the
+        # unique tiebreak makes every bucket assignment deterministic.
+        "rfm_scores": f"""
+WITH cust AS (
+  SELECT o_custkey,
+         MAX(epoch_us(o_orderdate)) AS r_us,
+         COUNT(*) AS f,
+         CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+           AS m_cents
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey,
+  NTILE({_rel_mod.RFM_TILES}) OVER (ORDER BY r_us, o_custkey)
+    AS r_score,
+  NTILE({_rel_mod.RFM_TILES}) OVER (ORDER BY f, o_custkey) AS f_score,
+  NTILE({_rel_mod.RFM_TILES}) OVER (ORDER BY m_cents, o_custkey)
+    AS m_score
+FROM cust""",
         # URL canonicalization dedup: the three crawl-variant forms
         # collapse to one canonical URL per doc (RE2 + lower, same
         # kernels as the engine).

@@ -410,6 +410,237 @@ def native_join_agg(sf_dir: str, num_partitions: int = 8):
             Sum("n", alias_name="n_orders"))
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF_US = 866_073_600_000_000   # 1997-06-12 epoch microseconds
+Q3_TOPK = 10
+
+
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3 analog — the canonical 3-way join
+    (customer x orders x lineitem) with selective filters and a
+    revenue top-k, ordered for scale:
+
+    1. lineitem revenue is PRE-AGGREGATED per orderkey behind the
+       shipdate filter (map-side partial + one groupby), so the join
+       never sees line-level rows;
+    2. the filtered orders side hash-joins the per-order revenue on
+       Ray's native join (both sides corpus-scale, join_partitions_for
+       sized);
+    3. the customer segment filter is applied through a second hash
+       join (the segment keeps ~1/5 of a corpus-scale table — too big
+       to broadcast blindly, unlike top_customers' full-dimension
+       broadcast);
+    4. top-k is per-batch partial top-k + a final k-bounded reduce —
+       never a global sort.
+
+    Revenue cents = round(extprice * (1-disc) * 100) per LINE, same
+    IEEE-754 expression order as the SQL mirror, summed as int64."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.cast(batch["l_shipdate"], pa.int64()),
+                          Q3_CUTOFF_US)
+        b = batch.filter(keep)
+        rev = pc.cast(pc.round(pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
+            100.0)), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "revenue_cents": g["rev_sum"]})
+
+    li_rows = _parquet_rows(f"{sf_dir}/lineitem.parquet")
+    rev = li.map_batches(rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("l_orderkey").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(
+            pc.cast(batch["o_orderdate"], pa.int64()), Q3_CUTOFF_US))
+
+    orders = orders.map_batches(ord_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    np_join = join_partitions_for(li_rows // 4)
+    joined = rev.join(orders, join_type="inner",
+                      num_partitions=np_join,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def seg_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"],
+                                     Q3_SEGMENT)) \
+            .select(["c_custkey"])
+
+    cust = cust.map_batches(seg_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cust_rows = _parquet_rows(f"{sf_dir}/customer.parquet")
+    joined = joined.join(cust, join_type="inner",
+                         num_partitions=join_partitions_for(
+                             max(1, cust_rows // 5)),
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "o_orderdate",
+                          "o_orderpriority", "revenue_cents"])
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_cents", "descending"), ("l_orderkey", "ascending")])
+        return t.take(idx[:Q3_TOPK])
+
+    return joined.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(topk_part, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(_restore_us("o_orderdate"), batch_format="pyarrow")
+
+
+RFM_TILES = 4         # NTILE bucket count
+RFM_RANGES = 4096     # equal-width value ranges for the rank prefix sum
+
+
+def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket for 1-based row_number ``rank`` over n rows:
+    the first (n % k) buckets hold ceil(n/k) rows, the rest floor(n/k)
+    — exactly DuckDB's distribution."""
+    q, m = divmod(int(n), int(k))
+    cut = m * (q + 1)
+    small = (rank - 1) // (q + 1) + 1
+    if q == 0:
+        return small.astype(np.int64)
+    big = m + (rank - 1 - cut) // q + 1
+    return np.where(rank <= cut, small, big).astype(np.int64)
+
+
+def _metric_offsets(base, metric: str):
+    """(lo, width, ray.put(offsets)) for one metric's equal-width range
+    grid: global min/max (one aggregate) -> per-range count pre-pass
+    (map-side partials -> groupby -> a <= RFM_RANGES-row driver fold)
+    -> exclusive prefix offsets, broadcast once."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = base.aggregate(Min(metric), Max(metric))
+    lo, hi = int(mm[f"min({metric})"]), int(mm[f"max({metric})"])
+    width = max(1, -(-(hi - lo + 1) // RFM_RANGES))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        rid = (batch[metric].to_numpy() - lo) // width
+        u, c = np.unique(rid, return_counts=True)
+        return pa.table({"rid": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts = np.zeros(RFM_RANGES, dtype=np.int64)
+    for b in base.map_batches(count_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+            .groupby("rid").aggregate(Sum("c", alias_name="n")) \
+            .iter_batches(batch_size=RFM_RANGES,
+                          batch_format="pyarrow"):
+        counts[b["rid"].to_numpy()] = b["n"].to_numpy()
+    offsets = np.cumsum(counts) - counts
+    return lo, width, ray.put(offsets)
+
+
+def _rank_pass(ds, metric: str, out_col: str, total: int,
+               lo: int, width: int, state, tiebreak: str):
+    """Append ``out_col`` = NTILE(RFM_TILES) by (metric, tiebreak)
+    order — an exact global row_number WITHOUT a global sort: rows
+    hash-partition on their range id (pure key function -> a range
+    never splits), and one vectorized kernel per partition sorts
+    locally and adds the broadcast exclusive-prefix offset.
+
+    Co-location assumption (same as length_percentile_rank): all rows
+    of one range — in particular one tie run of a low-cardinality
+    metric — fit in a partition."""
+    import ray
+
+    def add_rid(batch: pa.Table) -> pa.Table:
+        rid = (batch[metric].to_numpy() - lo) // width
+        return batch.append_column("rid",
+                                   pa.array(rid.astype(np.int64)))
+
+    keyed = ds.map_batches(add_rid, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(state)
+        g = g.sort_values([metric, tiebreak],
+                          kind="stable").reset_index(drop=True)
+        rid = g["rid"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = rid[1:] != rid[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        local = np.arange(len(g)) - np.repeat(starts, sizes)
+        rank = local + offs[rid] + 1
+        g = g.drop(columns=["rid"])
+        g[out_col] = _ntile(rank, total, RFM_TILES)
+        return g
+
+    return _hash_partitioned(keyed, "rid", rank_part,
+                             num_partitions=partitions_for(total))
+
+
+def rfm_scores(sf_dir: str):
+    """RFM quartile scoring — recency / frequency / monetary NTILE(4)
+    per customer, the marketing-segmentation pipeline: one orders
+    groupby builds the per-customer metric table (materialized once —
+    it feeds three rank passes and their pre-passes), then three
+    chained range-partitioned exact-rank passes append the scores.
+    Nothing ever global-sorts; each pass is one slim-row shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "r_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                      "m_cents": _cents(batch["o_totalprice"]),
+                      "f": pa.array(np.ones(len(batch), np.int64))})
+        g = t.group_by("o_custkey").aggregate(
+            [("r_us", "max"), ("m_cents", "sum"), ("f", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "r_us": g["r_us_max"],
+                         "m_cents": g["m_cents_sum"],
+                         "f": g["f_sum"]})
+
+    base = orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+        .groupby("o_custkey").aggregate(
+            Max("r_us", alias_name="r_us"),
+            Sum("m_cents", alias_name="m_cents"),
+            Sum("f", alias_name="f")).materialize()
+    total = base.count()
+
+    # all three offset grids come from the materialized base, so each
+    # chained rank pass consumes its input exactly once
+    grids = {m: _metric_offsets(base, m)
+             for m in ("r_us", "f", "m_cents")}
+    out = base
+    for metric, col in (("r_us", "r_score"), ("f", "f_score"),
+                        ("m_cents", "m_score")):
+        lo, width, state = grids[metric]
+        out = _rank_pass(out, metric, col, total, lo, width, state,
+                         tiebreak="o_custkey")
+    return out.select_columns(["o_custkey", "r_score", "f_score",
+                               "m_score"])
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where
