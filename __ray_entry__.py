@@ -892,6 +892,25 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Distinct users per sliding 1-hour window (30-min hop): flat
+    emit to both owners + one distinct-pair shuffle."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.sliding_distinct(sf_dir)
+
+
+def q_mad_by_lang(sf_dir: str):
+    """Per-language exact median + MAD from ONE keyed-histogram pass
+    (the deviation histogram is a driver-side re-key)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.mad_by_lang(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]))
+
+
 def q_triangles(sf_dir: str):
     """Per-node triangle counts on the co-supplier graph
     (compact-forward wedges + packed-key closure probe)."""
@@ -1132,6 +1151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q_q3_shipping,
         "rfm_scores": q_rfm_scores,
         "triangles": q_triangles,
+        "sliding_distinct": q_sliding_distinct,
+        "mad_by_lang": q_mad_by_lang,
     }
 
 
@@ -1881,6 +1902,42 @@ WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
 ORDER BY r.revenue_cents DESC, r.l_orderkey
 LIMIT {_rel_mod.Q3_TOPK}""",
+        # Sliding-window COUNT DISTINCT: each event in exactly two
+        # 1-hour windows 30 minutes apart.
+        "sliding_distinct": f"""
+WITH w AS (
+  SELECT DISTINCT user_id,
+    (epoch_us(ts) // {_rel_mod.SLIDE_HOP_US}) * {_rel_mod.SLIDE_HOP_US}
+      - s.off AS ws_us
+  FROM events
+  CROSS JOIN (SELECT unnest([0, {_rel_mod.SLIDE_HOP_US}]) AS off) s)
+SELECT make_timestamp(ws_us) AS window_start,
+       COUNT(*) AS n_users
+FROM w GROUP BY 1""",
+        # Median + MAD per language: ceil(0.5*n)-th smallest on both
+        # the length and the deviation distribution (the
+        # quantiles_by_lang convention).
+        "mad_by_lang": """
+WITH n AS (SELECT lang, n_chars AS L FROM documents),
+c AS (SELECT lang, COUNT(*) AS total FROM n GROUP BY lang),
+r AS (SELECT lang, L,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY L) AS rnk
+      FROM n),
+med AS (
+  SELECT r.lang,
+    MAX(CASE WHEN rnk = CAST(ceil(0.5 * total) AS BIGINT) THEN L END)
+      AS med
+  FROM r JOIN c USING (lang) GROUP BY r.lang),
+d AS (SELECT n.lang, ABS(n.L - med.med) AS D
+      FROM n JOIN med ON n.lang = med.lang),
+rd AS (SELECT lang, D,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY D) AS rnk
+       FROM d)
+SELECT rd.lang, MAX(med.med) AS med,
+  MAX(CASE WHEN rnk = CAST(ceil(0.5 * total) AS BIGINT) THEN D END)
+    AS mad
+FROM rd JOIN c USING (lang) JOIN med ON rd.lang = med.lang
+GROUP BY rd.lang""",
         # Triangle counts: each triangle enumerated once (u<v<w with
         # all three edges), every corner counted.
         "triangles": """

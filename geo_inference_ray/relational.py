@@ -641,6 +641,57 @@ def rfm_scores(sf_dir: str):
                                "m_score"])
 
 
+SLIDE_HOP_US = 1_800_000_000   # 30-minute hop; 1-hour windows
+
+
+def sliding_distinct(sf_dir: str):
+    """Distinct users per 1-hour SLIDING window (30-minute hop) — the
+    windowed COUNT DISTINCT, which cannot be pre-summed like the
+    counting case (events_sliding): each event flat-emits to its two
+    owner windows, per-batch pre-dedup collapses repeat (window, user)
+    pairs before the ONE distinct shuffle, and the per-window count is
+    a second map-side-partial groupby over the (windows x active
+    users)-bounded pair table."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        ws = us // SLIDE_HOP_US * SLIDE_HOP_US
+        uid = batch["user_id"].to_numpy()
+        t = pa.table({
+            "ws_us": pa.array(np.concatenate([ws, ws - SLIDE_HOP_US])),
+            "user_id": pa.array(np.concatenate([uid, uid]))})
+        return t.group_by(["ws_us", "user_id"]).aggregate(
+            [([], "count_all")]).select(["ws_us", "user_id"])
+
+    pairs = ev.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["ws_us", "user_id"]).count() \
+        .select_columns(["ws_us", "user_id"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["ws_us"].to_numpy(), return_counts=True)
+        return pa.table({"ws_us": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = pairs.map_batches(count_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby("ws_us").aggregate(Sum("c", alias_name="n_users"))
+
+    def to_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": pc.cast(batch["ws_us"],
+                                    pa.timestamp("us")),
+            "n_users": batch["n_users"]})
+
+    return agg.map_batches(to_ts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where

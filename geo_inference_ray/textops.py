@@ -1397,6 +1397,71 @@ def quantiles_by_lang(ds):
             for k in out if k != "lang"}}))
 
 
+def mad_by_lang(ds):
+    """Per-language robust spread: exact median and median absolute
+    deviation of document length.  ONE distributed pass builds the
+    keyed integer histogram (lang, n_chars) -> count (bounded by langs
+    x distinct lengths, never rows); both order statistics then fold
+    from that SAME histogram on the driver — the deviation histogram
+    |L - med| is a pure re-key of the length histogram, so MAD costs
+    no second scan.  Quantile definition: ceil(0.5*n)-th smallest
+    (the length_quantiles/quantiles_by_lang convention)."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "L": batch["n_chars"]})
+        g = t.group_by(["lang", "L"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "L": g["L"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "L"]).aggregate(Sum("c", alias_name="n"))
+
+    langs, Ls, ns = [], [], []
+    for b in hist.iter_batches(batch_size=65536,
+                               batch_format="pyarrow"):
+        langs.append(b["lang"].to_numpy(zero_copy_only=False))
+        Ls.append(b["L"].to_numpy())
+        ns.append(b["n"].to_numpy())
+    if not langs:
+        return rd.from_arrow(pa.table(
+            {"lang": pa.array([], pa.string()),
+             "med": pa.array([], pa.int64()),
+             "mad": pa.array([], pa.int64())}))
+    lang = np.concatenate(langs)
+    L = np.concatenate(Ls)
+    n = np.concatenate(ns)
+
+    def _q50(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals)
+        v, c = vals[order], cnts[order]
+        cum = np.cumsum(c)
+        idx = math.ceil(0.5 * int(cum[-1]))
+        return int(v[np.searchsorted(cum, idx)])
+
+    out = {"lang": [], "med": [], "mad": []}
+    for lg in sorted(set(lang.tolist())):
+        m = lang == lg
+        Li, ni = L[m], n[m]
+        med = _q50(Li, ni)
+        # deviation histogram: re-key |L - med|, merge equal keys
+        D = np.abs(Li - med)
+        u, inv = np.unique(D, return_inverse=True)
+        dc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(dc, inv, ni)
+        out["lang"].append(lg)
+        out["med"].append(med)
+        out["mad"].append(_q50(u, dc))
+    return rd.from_arrow(pa.table(
+        {"lang": pa.array(out["lang"], pa.string()),
+         "med": pa.array(out["med"], pa.int64()),
+         "mad": pa.array(out["mad"], pa.int64())}))
+
+
 PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 

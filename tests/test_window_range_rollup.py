@@ -179,6 +179,46 @@ def test_rollup_counts_levels_consistent(ray_session, sf_dir):
     assert len(grain) == len(exp_grain)
 
 
+def test_sliding_distinct_two_owner_windows(ray_session, tmp_path):
+    """An event at minute 45 lands in the windows starting :30 and
+    :00; repeat events of the same user in one window count once."""
+    from geo_inference_ray.relational import sliding_distinct
+
+    MIN = 60_000_000
+    rows = [(0, 45 * MIN, 1, 1.0),     # user 1 @ :45
+            (1, 50 * MIN, 1, 1.0),     # same user, same windows
+            (2, 10 * MIN, 2, 1.0)]     # user 2 @ :10 -> :00 and -:30
+    d = _write_events(tmp_path, rows)
+    out = sliding_distinct(d).to_pandas()
+    out["ws_min"] = out["window_start"].astype("int64") // MIN
+    got = dict(zip(out["ws_min"], out["n_users"]))
+    assert got == {30: 1, 0: 2, -30: 1}
+
+
+def test_mad_by_lang_matches_bruteforce(ray_session, sf_dir):
+    import math
+
+    import ray.data as rd
+
+    from geo_inference_ray.textops import mad_by_lang
+
+    out = mad_by_lang(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])) \
+        .to_pandas().set_index("lang").sort_index()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+
+    def q50(v):
+        v = np.sort(np.asarray(v))
+        return int(v[math.ceil(0.5 * len(v)) - 1])
+
+    for lg, g in docs.groupby("lang"):
+        med = q50(g["n_chars"])
+        mad = q50(np.abs(g["n_chars"].to_numpy() - med))
+        assert out.loc[lg, "med"] == med, lg
+        assert out.loc[lg, "mad"] == mad, lg
+
+
 def test_rollup_counts_bails_on_free_cardinality(ray_session,
                                                  monkeypatch):
     import ray.data as rd
