@@ -892,6 +892,19 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_search_topk(sf_dir: str):
+    """Multi-term tf-idf retrieval: top-20 documents for the fixed
+    demo query, integer milli-nat scoring."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    path = f"{sf_dir}/documents.parquet"
+    return _t.search_topk(
+        rd.read_parquet(path, columns=["doc_id", "text"]),
+        n_docs=_rel_mod._parquet_rows(path))
+
+
 def q_sliding_distinct(sf_dir: str):
     """Distinct users per sliding 1-hour window (30-min hop): flat
     emit to both owners + one distinct-pair shuffle."""
@@ -1153,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "sliding_distinct": q_sliding_distinct,
         "mad_by_lang": q_mad_by_lang,
+        "search_topk": q_search_topk,
     }
 
 
@@ -1902,6 +1916,29 @@ WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
 ORDER BY r.revenue_cents DESC, r.l_orderkey
 LIMIT {_rel_mod.Q3_TOPK}""",
+        # Multi-term retrieval: summed tf-idf per doc over the fixed
+        # query, deterministic (score DESC, doc_id) top-20.
+        "search_topk": f"""
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM flat
+  WHERE token IN {tuple(_textops.SEARCH_TERMS)!r}
+  GROUP BY doc_id, token),
+dfs AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT t.doc_id,
+         CAST(SUM(t.tf * CAST(floor(1000.0 *
+              ln(CAST(nd.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)))
+              AS BIGINT)) AS BIGINT) AS score_milli
+  FROM toks t JOIN dfs d ON d.token = t.token, nd
+  GROUP BY t.doc_id)
+SELECT doc_id, score_milli,
+       ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rk
+FROM sc ORDER BY score_milli DESC, doc_id
+LIMIT {_textops.SEARCH_TOPK}""",
         # Sliding-window COUNT DISTINCT: each event in exactly two
         # 1-hour windows 30 minutes apart.
         "sliding_distinct": f"""

@@ -1462,6 +1462,82 @@ def mad_by_lang(ds):
          "mad": pa.array(out["mad"], pa.int64())}))
 
 
+SEARCH_TERMS = ("data", "join", "stream")   # fixed demo query
+SEARCH_TOPK = 20
+
+
+def search_topk(ds, n_docs: int):
+    """Multi-term retrieval: rank documents for a fixed query by
+    summed tf-idf (milli-nat integer idf, the tfidf_topk convention) —
+    the search-engine probe over the same inverted-index statistics.
+
+    Scale shape: the tokenizer's (doc, token, tf) stream is filtered
+    to the query terms IN the map task (the shuffle carries <=
+    |terms| rows per doc, never the vocabulary); document frequencies
+    for the <= |terms| query tokens fold on the driver and ship back
+    as a closure constant; the per-doc score is one map-side-partial
+    groupby; top-k is per-batch partial top-k + a k-bounded final
+    reduce — no global sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    terms = list(SEARCH_TERMS)
+
+    def q_pairs(batch: pa.Table) -> pa.Table:
+        t = doc_token_tf(batch)
+        return t.filter(pc.is_in(t["token"],
+                                 value_set=pa.array(terms)))
+
+    pairs = ds.map_batches(q_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .materialize()   # consumed twice: df fold + scoring
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "d": pc.cast(g["count_all"], pa.int64())})
+
+    idf = {}
+    for b in pairs.map_batches(df_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+            .groupby("token").aggregate(Sum("d", alias_name="df")) \
+            .iter_batches(batch_size=len(terms) + 1,
+                          batch_format="pyarrow"):
+        for tok, dfv in zip(b["token"].to_pylist(),
+                            b["df"].to_numpy()):
+            idf[tok] = int(np.floor(
+                1000.0 * np.log(float(n_docs) / float(dfv))))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        tok = batch["token"].to_pylist()
+        sc = batch["tf"].to_numpy() * np.array(
+            [idf[t] for t in tok], dtype=np.int64)
+        t = pa.table({"doc_id": batch["doc_id"],
+                      "score_milli": pa.array(sc)})
+        g = t.group_by("doc_id").aggregate([("score_milli", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "score_milli": g["score_milli_sum"]})
+
+    scored = pairs.map_batches(score_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+        .groupby("doc_id").aggregate(
+            Sum("score_milli", alias_name="score_milli"))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("score_milli", "descending"), ("doc_id", "ascending")])
+        return batch.take(idx[:SEARCH_TOPK])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = topk_part(batch)
+        return t.append_column("rk", pa.array(
+            np.arange(1, len(t) + 1, dtype=np.int64)))
+
+    return scored.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 

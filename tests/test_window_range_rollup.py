@@ -219,6 +219,45 @@ def test_mad_by_lang_matches_bruteforce(ray_session, sf_dir):
         assert out.loc[lg, "mad"] == mad, lg
 
 
+def test_search_topk_matches_bruteforce(ray_session, sf_dir):
+    import math
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (SEARCH_TERMS, SEARCH_TOPK,
+                                           search_topk)
+
+    n_docs = pq_.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows
+    out = search_topk(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+        n_docs=n_docs).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf = {}
+    df = {t: 0 for t in SEARCH_TERMS}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        words = text.split(" ")
+        for t in SEARCH_TERMS:
+            c = words.count(t)
+            if c:
+                tf[(did, t)] = c
+                df[t] += 1
+    idf = {t: math.floor(1000.0 * math.log(n_docs / df[t]))
+           for t in SEARCH_TERMS if df[t]}
+    scores = {}
+    for (did, t), c in tf.items():
+        scores[did] = scores.get(did, 0) + c * idf[t]
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    exp = exp[:SEARCH_TOPK]
+    got = list(zip(out.sort_values("rk")["doc_id"],
+                   out.sort_values("rk")["score_milli"]))
+    assert got == exp
+    assert list(out.sort_values("rk")["rk"]) == list(
+        range(1, len(exp) + 1))
+
+
 def test_rollup_counts_bails_on_free_cardinality(ray_session,
                                                  monkeypatch):
     import ray.data as rd
