@@ -892,6 +892,14 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_q5_local_supply(sf_dir: str):
+    """TPC-H Q5 analog star join: revenue by nation where customer and
+    supplier nations match; broadcast-under-cap dimension maps."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q5_local_supply(sf_dir)
+
+
 def q_search_topk(sf_dir: str):
     """Multi-term tf-idf retrieval: top-20 documents for the fixed
     demo query, integer milli-nat scoring."""
@@ -1167,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct": q_sliding_distinct,
         "mad_by_lang": q_mad_by_lang,
         "search_topk": q_search_topk,
+        "q5_local_supply": q_q5_local_supply,
     }
 
 
@@ -1903,7 +1912,8 @@ GROUP BY l_returnflag""",
         "q3_shipping": f"""
 WITH rev AS (
   SELECT l_orderkey,
-    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0)
+    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5)
                   AS BIGINT)) AS BIGINT) AS revenue_cents
   FROM lineitem
   WHERE epoch_us(l_shipdate) > {_rel_mod.Q3_CUTOFF_US}
@@ -1916,6 +1926,21 @@ WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
 ORDER BY r.revenue_cents DESC, r.l_orderkey
 LIMIT {_rel_mod.Q3_TOPK}""",
+        # TPC-H Q5 analog: local-supply revenue by nation, revenue
+        # cents rounded per LINE (engine expression order).
+        "q5_local_supply": f"""
+SELECT n_name,
+  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                      + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_lines
+FROM customer, orders, lineitem, supplier, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND n_nationkey = c_nationkey
+  AND epoch_us(o_orderdate) >= {_rel_mod.Q5_LO_US}
+  AND epoch_us(o_orderdate) < {_rel_mod.Q5_HI_US}
+GROUP BY n_name""",
         # Multi-term retrieval: summed tf-idf per doc over the fixed
         # query, deterministic (score DESC, doc_id) top-20.
         "search_topk": f"""

@@ -410,6 +410,17 @@ def native_join_agg(sf_dir: str, num_partitions: int = 8):
             Sum("n", alias_name="n_orders"))
 
 
+def _rev_cents(ext: pa.ChunkedArray, disc: pa.ChunkedArray):
+    """Per-line revenue cents: floor(ext*(1-disc)*100 + 0.5), the SAME
+    IEEE-754 expression the SQL mirrors use — the product CAN land on
+    exact .5 ties (unlike _cents' two-decimal inputs), where Arrow's
+    round (half-to-even) and DuckDB's (half-away) disagree; a shared
+    floor(+0.5) sidesteps both."""
+    prod = pc.multiply(pc.multiply(
+        ext, pc.subtract(pa.scalar(1.0), disc)), 100.0)
+    return pc.cast(pc.floor(pc.add(prod, 0.5)), pa.int64())
+
+
 Q3_SEGMENT = "BUILDING"
 Q3_CUTOFF_US = 866_073_600_000_000   # 1997-06-12 epoch microseconds
 Q3_TOPK = 10
@@ -446,10 +457,7 @@ def q3_shipping(sf_dir: str):
         keep = pc.greater(pc.cast(batch["l_shipdate"], pa.int64()),
                           Q3_CUTOFF_US)
         b = batch.filter(keep)
-        rev = pc.cast(pc.round(pc.multiply(
-            pc.multiply(b["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), b["l_discount"])),
-            100.0)), pa.int64())
+        rev = _rev_cents(b["l_extendedprice"], b["l_discount"])
         t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
         g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
         return pa.table({"l_orderkey": g["l_orderkey"],
@@ -639,6 +647,160 @@ def rfm_scores(sf_dir: str):
                          tiebreak="o_custkey")
     return out.select_columns(["o_custkey", "r_score", "f_score",
                                "m_score"])
+
+
+Q5_LO_US = 820_454_400_000_000   # 1996-01-01
+Q5_HI_US = 852_076_800_000_000   # 1997-01-01
+Q5_BROADCAST_KEYS = 5_000_000    # dim-map broadcast bound (rows)
+
+
+def _keymap_broadcast(path: str, key: str, val: str):
+    """(sorted keys, values) ray.put handle for a two-int dimension
+    map, or None when the table exceeds Q5_BROADCAST_KEYS rows (the
+    caller must fall back to a distributed hash join — a 10^8-supplier
+    corpus map is gigabytes, not a broadcast)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    if pq.read_metadata(path).num_rows > Q5_BROADCAST_KEYS:
+        return None
+    t = pq.read_table(path, columns=[key, val])
+    k = t[key].to_numpy().astype(np.int64)
+    v = t[val].to_numpy().astype(np.int64)
+    order = np.argsort(k)
+    return ray.put((k[order], v[order]))
+
+
+def _attach_nat(ds, key_col: str, out_col: str, ref, dim_path: str,
+                dim_key: str, dim_val: str, rows_hint: int):
+    """Append ``out_col`` by probing the broadcast (keys, vals) map —
+    or, when ``ref`` is None (dim over the broadcast cap), by a Ray
+    native hash join sized on the FACT side."""
+    import ray
+
+    if ref is not None:
+        def probe(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            kk = batch[key_col].to_numpy()
+            pos = np.searchsorted(k, kk)
+            pos = np.minimum(pos, max(0, len(k) - 1))
+            if len(k) == 0 or not bool((k[pos] == kk).all()):
+                raise ValueError(f"{key_col}: key missing from "
+                                 f"{dim_path}")
+            return batch.append_column(out_col, pa.array(v[pos]))
+
+        return ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    import ray.data as rd
+
+    dim = rd.read_parquet(dim_path, columns=[dim_key, dim_val])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({dim_key: batch[dim_key],
+                         out_col: pc.cast(batch[dim_val], pa.int64())})
+
+    dim = dim.map_batches(rename, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return ds.join(dim, join_type="inner",
+                   num_partitions=join_partitions_for(rows_hint),
+                   on=(key_col,), right_on=(dim_key,))
+
+
+def q5_local_supply(sf_dir: str):
+    """TPC-H Q5 analog — the star join: revenue by nation for orders in
+    [1996, 1997) where the CUSTOMER and the SUPPLIER share a nation.
+
+    Scale shape: the two dimension maps (custkey->nation,
+    suppkey->nation) broadcast as sorted-array probes under
+    Q5_BROADCAST_KEYS and fall back to native hash joins above it
+    (dedup_apply's pattern); the one unavoidable large-large exchange
+    is the orderkey hash join between the filtered order side and the
+    line side, sized by join_partitions_for on the LINE side; the
+    nation-name attach is a 25-row batch-local lookup; the final
+    groupby is map-side-partial over <= |nations| keys."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    cust_ref = _keymap_broadcast(f"{sf_dir}/customer.parquet",
+                                 "c_custkey", "c_nationkey")
+    sup_ref = _keymap_broadcast(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+
+    orders = rd.read_parquet(o_path, columns=["o_orderkey",
+                                              "o_custkey",
+                                              "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q5_LO_US),
+                       pc.less(us, Q5_HI_US))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    orders = _attach_nat(orders, "o_custkey", "cnat", cust_ref,
+                         f"{sf_dir}/customer.parquet", "c_custkey",
+                         "c_nationkey",
+                         rows_hint=_parquet_rows(o_path)) \
+        .select_columns(["o_orderkey", "cnat"])
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_suppkey",
+                                           "l_extendedprice",
+                                           "l_discount"])
+
+    def rev_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev": _rev_cents(batch["l_extendedprice"],
+                                           batch["l_discount"])})
+
+    li = li.map_batches(rev_col, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    li = _attach_nat(li, "l_suppkey", "snat", sup_ref,
+                     f"{sf_dir}/supplier.parquet", "s_suppkey",
+                     "s_nationkey", rows_hint=li_rows) \
+        .select_columns(["l_orderkey", "snat", "rev"])
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 4),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nat_names = nat["n_name"].to_numpy(zero_copy_only=False)
+    n_order = np.argsort(nat_keys)
+    nat_ref = ray.put((nat_keys[n_order], nat_names[n_order]))
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["cnat"], batch["snat"])
+        b = batch.filter(keep)
+        t = pa.table({"nk": b["cnat"], "rev": b["rev"],
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by("nk").aggregate([("rev", "sum"), ("n", "sum")])
+        return pa.table({"nk": g["nk"], "rev": g["rev_sum"],
+                         "n": g["n_sum"]})
+
+    agg = joined.map_batches(local_partial, batch_format="pyarrow") \
+        .groupby("nk").aggregate(Sum("rev", alias_name="revenue_cents"),
+                                 Sum("n", alias_name="n_lines"))
+
+    def name_attach(batch: pa.Table) -> pa.Table:
+        k, names = ray.get(nat_ref)
+        nk = batch["nk"].to_numpy()
+        pos = np.searchsorted(k, nk)
+        return pa.table({"n_name": pa.array(names[pos]),
+                         "revenue_cents": batch["revenue_cents"],
+                         "n_lines": batch["n_lines"]})
+
+    return agg.map_batches(name_attach, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 SLIDE_HOP_US = 1_800_000_000   # 30-minute hop; 1-hour windows

@@ -107,6 +107,23 @@ def test_triangles_shared_edge_two_triangles(ray_session, tmp_path):
     assert dict(out) == {1: 1, 2: 2, 3: 2, 4: 1}
 
 
+def test_q5_broadcast_and_join_paths_agree(ray_session, sf_dir,
+                                           monkeypatch):
+    """The dim-map broadcast probe and the hash-join fallback must
+    produce identical star-join results."""
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q5_local_supply(sf_dir).to_pandas() \
+            .sort_values("n_name").reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = run()
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, joined)
+
+
 def test_q3_shipping_matches_bruteforce(ray_session, sf_dir):
     from geo_inference_ray.relational import (Q3_CUTOFF_US, Q3_SEGMENT,
                                               Q3_TOPK, q3_shipping)
