@@ -892,6 +892,25 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_winsorize_stats(sf_dir: str):
+    """Per-language winsorized length stats (p05/p95 clip) from one
+    keyed-histogram pass."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.winsorize_stats(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]))
+
+
+def q_weekly_growth(sf_dir: str):
+    """Week-over-week event-volume LAG deltas (calendar-bounded driver
+    fold)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.weekly_growth(sf_dir)
+
+
 def q_q5_local_supply(sf_dir: str):
     """TPC-H Q5 analog star join: revenue by nation where customer and
     supplier nations match; broadcast-under-cap dimension maps."""
@@ -1039,13 +1058,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                tile_pyramid, zonal_stats, pip_semi, pip_left,
     #                s2_cells, cell_agg) rotated to the tail — all have
     #                r3 driver rows plus this round's local full-compare.
-    #   slots 51-100 r3-green queries with unchanged code + late-r4
+    #   slots 51+    r3-green queries with unchanged code + late-r4
     #                tail additions (cms_heavy, weighted_sample,
     #                pagerank, retention, props_extract, hll_by_source,
     #                quantiles_by_lang, order_gap, cooccur_types,
-    #                vocab_ids, source_jaccard, user_growth,
-    #                bloom_join)
-    # Round 5 should rotate slots 51-102 back into the window.
+    #                vocab_ids, source_jaccard, user_growth, bloom_join,
+    #                url_dedup, q3_shipping, rfm_scores, triangles,
+    #                sliding_distinct, mad_by_lang, search_topk,
+    #                q5_local_supply) and the four guard-only rotations
+    #                (chunk_dedup, length_quantiles, bigram_surprisal,
+    #                quality_filter)
+    # Round 5 should rotate the tail back into the window,
+    # prioritising the entries that never had a driver row (see
+    # README "Driver correctness window").
     return {
         # -- never driver-checked before this round --
         "kmeans": q_kmeans,
@@ -1176,6 +1201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_lang": q_mad_by_lang,
         "search_topk": q_search_topk,
         "q5_local_supply": q_q5_local_supply,
+        "winsorize_stats": q_winsorize_stats,
+        "weekly_growth": q_weekly_growth,
     }
 
 
@@ -1926,6 +1953,36 @@ WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
 ORDER BY r.revenue_cents DESC, r.l_orderkey
 LIMIT {_rel_mod.Q3_TOPK}""",
+        # Winsorized stats: ceil(q*n)-th-smallest thresholds, then
+        # clipped sums — same quantile convention as quantiles_by_lang.
+        "winsorize_stats": f"""
+WITH d AS (SELECT lang, n_chars AS L FROM documents),
+c AS (SELECT lang, COUNT(*) AS total FROM d GROUP BY lang),
+r AS (SELECT lang, L,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY L) AS rnk
+      FROM d),
+th AS (
+  SELECT r.lang,
+    MAX(CASE WHEN rnk = CAST(ceil({_textops.WINSOR_LO} * total)
+                             AS BIGINT) THEN L END) AS p_lo,
+    MAX(CASE WHEN rnk = CAST(ceil({_textops.WINSOR_HI} * total)
+                             AS BIGINT) THEN L END) AS p_hi
+  FROM r JOIN c USING (lang) GROUP BY r.lang)
+SELECT d.lang, MAX(th.p_lo) AS p_lo, MAX(th.p_hi) AS p_hi,
+       COUNT(*) AS n,
+       CAST(SUM(LEAST(GREATEST(d.L, th.p_lo), th.p_hi)) AS BIGINT)
+         AS sum_clipped
+FROM d JOIN th ON d.lang = th.lang GROUP BY d.lang""",
+        # Week-over-week LAG over the observed week axis; first week
+        # emits NULL delta/pct.  DuckDB // floors like numpy.
+        "weekly_growth": f"""
+WITH w AS (SELECT epoch_us(ts) // {_rel_mod.WEEK_US} AS week,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1),
+l AS (SELECT week, n, LAG(n) OVER (ORDER BY week) AS pn FROM w)
+SELECT week, n, n - pn AS delta,
+       (n - pn) * 1000 // pn AS pct_milli
+FROM l""",
         # TPC-H Q5 analog: local-supply revenue by nation, revenue
         # cents rounded per LINE (engine expression order).
         "q5_local_supply": f"""

@@ -854,6 +854,77 @@ def sliding_distinct(sf_dir: str):
                            zero_copy_batch=True)
 
 
+WEEK_US = 7 * 86_400_000_000
+WEEKLY_MAX_WEEKS = 100_000   # driver-fold bound for the week table
+
+
+def weekly_growth(sf_dir: str):
+    """Week-over-week event-volume deltas: weekly counts (one
+    map-side-partial groupby bounded by weeks x batches) then the LAG
+    difference and integer milli-percent change, folded on the driver
+    under a loud WEEKLY_MAX_WEEKS bound — the time axis is
+    calendar-bounded (a century is ~5,200 weeks), unlike user/doc
+    keys.  Weeks with no preceding week emit NULL delta/pct (SQL LAG
+    semantics)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch["ts"], pa.int64()).to_numpy() // WEEK_US
+        u, c = np.unique(w, return_counts=True)
+        return pa.table({"week": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    agg = ev.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("week").aggregate(Sum("c", alias_name="n"))
+
+    weeks, counts, total = [], [], 0
+    for b in agg.iter_batches(batch_size=65536,
+                              batch_format="pyarrow"):
+        total += len(b)
+        if total > WEEKLY_MAX_WEEKS:
+            raise ValueError("weekly_growth: week count exceeds "
+                             f"{WEEKLY_MAX_WEEKS}")
+        weeks.append(b["week"].to_numpy())
+        counts.append(b["n"].to_numpy())
+    if not weeks:
+        return rd.from_arrow(pa.table(
+            {"week": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "delta": pa.array([], pa.int64()),
+             "pct_milli": pa.array([], pa.int64())}))
+    w = np.concatenate(weeks)
+    c = np.concatenate(counts)
+    order = np.argsort(w)
+    w, c = w[order], c[order]
+    # LAG over the ORDERED week axis: gaps in the calendar still use
+    # the previous OBSERVED week (SQL LAG over ORDER BY week)
+    delta = np.empty(len(w), dtype=np.float64)
+    pct = np.empty(len(w), dtype=np.float64)
+    delta[0] = np.nan
+    pct[0] = np.nan
+    if len(w) > 1:
+        d = c[1:] - c[:-1]
+        delta[1:] = d
+        t = d * 1000
+        # DuckDB's integer // TRUNCATES toward zero on negative
+        # numerators (numpy // floors) — measured -194 vs -195
+        pct[1:] = np.where(t >= 0, t // c[:-1], -((-t) // c[:-1]))
+    t = pa.table({
+        "week": pa.array(w),
+        "n": pa.array(c),
+        "delta": pa.array(
+            [None if np.isnan(x) else int(x) for x in delta],
+            pa.int64()),
+        "pct_milli": pa.array(
+            [None if np.isnan(x) else int(x) for x in pct],
+            pa.int64())})
+    return rd.from_arrow(t)
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where

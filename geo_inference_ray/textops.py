@@ -1538,6 +1538,73 @@ def search_topk(ds, n_docs: int):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize_stats(ds):
+    """Per-language winsorized length statistics: the p05/p95
+    thresholds (ceil(q*n)-th smallest, the house quantile convention)
+    and the count + sum of lengths CLIPPED to [p05, p95] — the
+    outlier-robust moments a quality-filter pipeline feeds on.  One
+    keyed-histogram pass (lang x distinct lengths, never rows); the
+    thresholds AND the clipped sum both fold from the same histogram
+    on the driver — clipping is a pure value remap of histogram keys,
+    so no second scan."""
+    import math
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"lang": batch["lang"], "L": batch["n_chars"]})
+        g = t.group_by(["lang", "L"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "L": g["L"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "L"]).aggregate(Sum("c", alias_name="n"))
+
+    langs, Ls, ns = [], [], []
+    for b in hist.iter_batches(batch_size=65536,
+                               batch_format="pyarrow"):
+        langs.append(b["lang"].to_numpy(zero_copy_only=False))
+        Ls.append(b["L"].to_numpy())
+        ns.append(b["n"].to_numpy())
+    if not langs:
+        return rd.from_arrow(pa.table(
+            {"lang": pa.array([], pa.string()),
+             "p_lo": pa.array([], pa.int64()),
+             "p_hi": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "sum_clipped": pa.array([], pa.int64())}))
+    lang = np.concatenate(langs)
+    L = np.concatenate(Ls)
+    n = np.concatenate(ns)
+    out = {"lang": [], "p_lo": [], "p_hi": [], "n": [],
+           "sum_clipped": []}
+    for lg in sorted(set(lang.tolist())):
+        m = lang == lg
+        Li, ni = L[m], n[m]
+        order = np.argsort(Li)
+        Li, ni = Li[order], ni[order]
+        cum = np.cumsum(ni)
+        total = int(cum[-1])
+        lo = int(Li[np.searchsorted(cum, math.ceil(WINSOR_LO * total))])
+        hi = int(Li[np.searchsorted(cum, math.ceil(WINSOR_HI * total))])
+        clipped = np.clip(Li, lo, hi)
+        out["lang"].append(lg)
+        out["p_lo"].append(lo)
+        out["p_hi"].append(hi)
+        out["n"].append(total)
+        out["sum_clipped"].append(int((clipped * ni).sum()))
+    return rd.from_arrow(pa.table(
+        {"lang": pa.array(out["lang"], pa.string()),
+         **{k: pa.array(out[k], pa.int64())
+            for k in out if k != "lang"}}))
+
+
 PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
 
 

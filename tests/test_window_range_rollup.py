@@ -258,6 +258,54 @@ def test_search_topk_matches_bruteforce(ray_session, sf_dir):
         range(1, len(exp) + 1))
 
 
+def test_winsorize_stats_matches_bruteforce(ray_session, sf_dir):
+    import math
+
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (WINSOR_HI, WINSOR_LO,
+                                           winsorize_stats)
+
+    out = winsorize_stats(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])) \
+        .to_pandas().set_index("lang").sort_index()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    for lg, g in docs.groupby("lang"):
+        v = np.sort(g["n_chars"].to_numpy())
+        lo = int(v[math.ceil(WINSOR_LO * len(v)) - 1])
+        hi = int(v[math.ceil(WINSOR_HI * len(v)) - 1])
+        assert out.loc[lg, "p_lo"] == lo
+        assert out.loc[lg, "p_hi"] == hi
+        assert out.loc[lg, "n"] == len(v)
+        assert out.loc[lg, "sum_clipped"] == int(
+            np.clip(v, lo, hi).sum())
+
+
+def test_weekly_growth_lag_and_truncation(ray_session, tmp_path):
+    """First week NULL delta; negative pct truncates toward zero
+    (DuckDB // semantics)."""
+    from geo_inference_ray.relational import WEEK_US, weekly_growth
+
+    rows = []
+    eid = 0
+    for week, cnt in ((0, 7), (1, 3), (3, 9)):   # gap at week 2
+        for i in range(cnt):
+            rows.append((eid, week * WEEK_US + i, 1, 1.0))
+            eid += 1
+    d = _write_events(tmp_path, rows)
+    out = weekly_growth(d).to_pandas().sort_values("week") \
+        .reset_index(drop=True)
+    assert list(out["week"]) == [0, 1, 3]
+    assert list(out["n"]) == [7, 3, 9]
+    assert pd.isna(out.loc[0, "delta"])
+    assert out.loc[1, "delta"] == -4
+    # -4000/7 = -571.43: truncation gives -571 (floor would be -572)
+    assert out.loc[1, "pct_milli"] == -571
+    assert out.loc[2, "delta"] == 6           # LAG skips the gap
+    assert out.loc[2, "pct_milli"] == 2000
+
+
 def test_rollup_counts_bails_on_free_cardinality(ray_session,
                                                  monkeypatch):
     import ray.data as rd
