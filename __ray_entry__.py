@@ -892,6 +892,25 @@ def q_rollup_counts(sf_dir: str):
         columns=["source", "lang", "n_chars"]))
 
 
+def q_lang_confusion(sf_dir: str):
+    """Label-vs-prediction confusion matrix for the marker-word
+    language classifier (actor-pool partials, |langs|^2 keys)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.lang_confusion(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]))
+
+
+def q_transitions(sf_dir: str):
+    """Per-user event-type transition counts (Markov matrix) via one
+    user-hash shuffle + vectorized shift kernel."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.transitions(sf_dir)
+
+
 def q_winsorize_stats(sf_dir: str):
     """Per-language winsorized length stats (p05/p95 clip) from one
     keyed-histogram pass."""
@@ -1203,6 +1222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supply": q_q5_local_supply,
         "winsorize_stats": q_winsorize_stats,
         "weekly_growth": q_weekly_growth,
+        "lang_confusion": q_lang_confusion,
+        "transitions": q_transitions,
     }
 
 
@@ -1953,6 +1974,24 @@ WHERE c.c_mktsegment = '{_rel_mod.Q3_SEGMENT}'
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q3_CUTOFF_US}
 ORDER BY r.revenue_cents DESC, r.l_orderkey
 LIMIT {_rel_mod.Q3_TOPK}""",
+        # Confusion matrix: same marker scores + argmax tie-break as
+        # the langid oracle, grouped by (label, prediction).
+        "lang_confusion": f"""
+WITH padded AS (SELECT lang, ' ' || text || ' ' AS padded
+                FROM documents),
+scores AS (SELECT lang, {marker_scores} FROM padded)
+SELECT lang, {lang_case} AS pred_lang, COUNT(*) AS n
+FROM scores GROUP BY 1, 2""",
+        # Markov transitions: LAG over (ts, event_id) per user; the
+        # first event per user has no predecessor.
+        "transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM s WHERE prev IS NOT NULL GROUP BY 1, 2""",
         # Winsorized stats: ceil(q*n)-th-smallest thresholds, then
         # clipped sums — same quantile convention as quantiles_by_lang.
         "winsorize_stats": f"""

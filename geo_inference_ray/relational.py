@@ -925,6 +925,41 @@ def weekly_growth(sf_dir: str):
     return rd.from_arrow(t)
 
 
+def transitions(sf_dir: str):
+    """Event-type transition (Markov) matrix: per-user consecutive
+    event-type bigrams in (ts, event_id) order — the LAG self-pair,
+    distributed as ONE user-hash shuffle + a vectorized shift kernel
+    per partition (the order_gap shape), then a |types|^2-bounded
+    count aggregate.  First event per user has no predecessor and
+    emits nothing (SQL LAG NULL)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.zeros(len(g), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]
+        prev = np.empty(len(g), dtype=object)
+        prev[1:] = et[:-1]
+        d = pd.DataFrame({"from_type": prev[same],
+                          "to_type": et[same]})
+        return d.groupby(["from_type", "to_type"],
+                         as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    pairs = _hash_partitioned(ev, "user_id", pair_part,
+                              rows_hint=_parquet_rows(path))
+    return pairs.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
 def hash_sample(sf_dir: str, pct: int = 10):
     """Deterministic hash-based sampling (reproducible across cluster
     sizes, unlike random_sample): keep rows where

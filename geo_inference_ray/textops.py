@@ -82,9 +82,10 @@ class LangId:
         self.markers = {k: [f" {w} " for w in v]
                         for k, v in LANG_MARKERS.items()}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def predict(self, text: pa.ChunkedArray):
+        """(pred array-of-object, (n, |LANG_ORDER|) int score matrix)."""
         padded = pc.binary_join_element_wise(
-            pa.scalar(" "), batch["text"], pa.scalar(" "), pa.scalar(""))
+            pa.scalar(" "), text, pa.scalar(" "), pa.scalar(""))
         scores = []
         for lang in LANG_ORDER:
             s = None
@@ -100,12 +101,46 @@ class LangId:
             scores.append(s.to_numpy(zero_copy_only=False))
         sc = np.stack(scores, axis=1)  # (n, 4) in LANG_ORDER
         best = sc.argmax(axis=1)       # first max wins = LANG_ORDER tie-break
-        pred = np.asarray(LANG_ORDER, dtype=object)[best]
+        return np.asarray(LANG_ORDER, dtype=object)[best], sc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred, sc = self.predict(batch["text"])
         out = {"doc_id": batch["doc_id"],
                "pred_lang": pa.array(pred, pa.string())}
         for i, lang in enumerate(LANG_ORDER):
             out[f"score_{lang}"] = pa.array(sc[:, i], pa.int64())
         return pa.table(out)
+
+
+class LangConfusion(LangId):
+    """Confusion-matrix partial: (labelled lang, predicted lang) counts
+    per batch — the classifier-QA sweep over the corpus.  Actor-pool
+    stage (marker set built once per actor); one row per (label, pred)
+    pair per batch crosses the shuffle, never documents."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pred, _ = self.predict(batch["text"])
+        t = pa.table({"lang": batch["lang"],
+                      "pred_lang": pa.array(pred, pa.string()),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("n", "sum")])
+        return pa.table({"lang": g["lang"],
+                         "pred_lang": g["pred_lang"],
+                         "n": g["n_sum"]})
+
+
+def lang_confusion(ds):
+    """(label, prediction) confusion counts: LangConfusion partials ->
+    one groupby Sum bounded by |langs|^2 keys."""
+    from ray.data.aggregate import Sum
+
+    from .pools import pool_caps
+
+    return ds.map_batches(LangConfusion, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=pool_caps(None)) \
+        .groupby(["lang", "pred_lang"]).aggregate(
+            Sum("n", alias_name="n"))
 
 
 def source_stats(ds):

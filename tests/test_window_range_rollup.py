@@ -306,6 +306,52 @@ def test_weekly_growth_lag_and_truncation(ray_session, tmp_path):
     assert out.loc[2, "pct_milli"] == 2000
 
 
+def test_transitions_golden_and_user_isolation(ray_session, tmp_path):
+    """user 1: A->B->B ; user 2: B->A.  No cross-user pair even when
+    both users share a hash partition."""
+    import pyarrow.parquet as pq_
+
+    from geo_inference_ray.relational import transitions
+
+    t = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([1, 2, 3, 1, 2], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["A", "B", "B", "B", "A"]),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(["{}"] * 5)})
+    d = tmp_path / "tr"
+    d.mkdir()
+    pq_.write_table(t, d / "events.parquet")
+    out = transitions(str(d)).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "B"): 1, ("B", "A"): 1}
+
+
+def test_lang_confusion_totals_match_langid(ray_session, sf_dir):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import LangId, lang_confusion
+
+    out = lang_confusion(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"])) \
+        .to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "text"])
+    assert out["n"].sum() == len(docs)
+    # per-label row sums equal label counts
+    lbl = out.groupby("lang")["n"].sum().sort_index()
+    exp = docs.groupby("lang").size().sort_index()
+    assert (lbl.to_numpy() == exp.to_numpy()).all()
+    # per-prediction column sums match a direct LangId pass
+    pred, _ = LangId().predict(pa.chunked_array([pa.array(
+        docs["text"].tolist())]))
+    exp_pred = pd.Series(pred).value_counts().sort_index()
+    got_pred = out.groupby("pred_lang")["n"].sum().sort_index()
+    assert (got_pred.to_numpy() == exp_pred.to_numpy()).all()
+
+
 def test_rollup_counts_bails_on_free_cardinality(ray_session,
                                                  monkeypatch):
     import ray.data as rd
