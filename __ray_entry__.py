@@ -2013,7 +2013,9 @@ SELECT d.lang, MAX(th.p_lo) AS p_lo, MAX(th.p_hi) AS p_hi,
          AS sum_clipped
 FROM d JOIN th ON d.lang = th.lang GROUP BY d.lang""",
         # Week-over-week LAG over the observed week axis; first week
-        # emits NULL delta/pct.  DuckDB // floors like numpy.
+        # emits NULL delta/pct.  DuckDB's integer // TRUNCATES toward
+        # zero on negative numerators (numpy // floors) — the engine
+        # kernel mirrors the truncation explicitly.
         "weekly_growth": f"""
 WITH w AS (SELECT epoch_us(ts) // {_rel_mod.WEEK_US} AS week,
                   COUNT(*) AS n

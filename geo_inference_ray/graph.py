@@ -249,6 +249,7 @@ r{t} AS (SELECT node,
 
 
 TRI_MAX_PART_DEG = 4096    # per-part supplier-count cap (pair blowup)
+TRI_MAX_FWD_DEG = 65_536   # per-node forward-degree cap (wedge blowup)
 TRI_NODE_BITS = 31         # suppkeys must fit in 31 bits for packing
 
 
@@ -348,6 +349,41 @@ def triangles(sf_dir: str):
     keyed = edges.map_batches(with_u, batch_format="pyarrow",
                               zero_copy_batch=True)
 
+    # exact wedge volume = sum_u C(fwd_deg(u), 2), computed
+    # DISTRIBUTED (per-node degrees never reach the driver): one
+    # degree groupby over the edge table, one scalar Sum.  Sizes the
+    # wedge and closure stages honestly (the earlier n_edges*8 guess
+    # under-partitions dense graphs) and drives the loud forward-
+    # degree bail below.
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        uu, cc = np.unique(batch["u"].to_numpy(), return_counts=True)
+        return pa.table({"node": pa.array(uu.astype(np.int64)),
+                         "d": pa.array(cc.astype(np.int64))})
+
+    from ray.data.aggregate import Max as _Max
+
+    deg = keyed.map_batches(deg_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby("node").aggregate(Sum("d", alias_name="d"))
+
+    def wedge_count(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy()
+        return pa.table({"w": pa.array(d * (d - 1) // 2),
+                         "dmax": batch["d"]})
+
+    stats = deg.map_batches(wedge_count, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .aggregate(Sum("w", alias_name="n_wedges"),
+                   _Max("dmax", alias_name="max_fwd_deg"))
+    n_wedges = int(stats["n_wedges"] or 0)
+    max_fwd = int(stats["max_fwd_deg"] or 0)
+    if max_fwd > TRI_MAX_FWD_DEG:
+        raise ValueError(
+            f"triangles: a node's forward degree ({max_fwd}) exceeds "
+            f"{TRI_MAX_FWD_DEG}; one wedge kernel would materialize "
+            "C(deg, 2) rows — re-orient edges by degree order or raise "
+            "the cap deliberately")
+
     def wedge_kernel(g):
         import pandas as pd
 
@@ -376,7 +412,7 @@ def triangles(sf_dir: str):
         return pd.concat(outs, ignore_index=True)
 
     wedges = _hash_partitioned(keyed, "u", wedge_kernel,
-                               rows_hint=max(1, n_edges * 8))
+                               rows_hint=max(1, n_wedges))
 
     def tag_edges(batch: pa.Table) -> pa.Table:
         return pa.table({"vw": batch["e"],
@@ -407,7 +443,7 @@ def triangles(sf_dir: str):
                              "c": c.astype(np.int64)})
 
     partials = _hash_partitioned(probe_in, "vw", close_kernel,
-                                 rows_hint=max(1, n_edges * 8))
+                                 rows_hint=max(1, n_wedges + n_edges))
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"s_suppkey": batch["node"],

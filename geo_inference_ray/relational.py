@@ -532,33 +532,71 @@ def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
     return np.where(rank <= cut, small, big).astype(np.int64)
 
 
-def _metric_offsets(base, metric: str):
-    """(lo, width, ray.put(offsets)) for one metric's equal-width range
-    grid: global min/max (one aggregate) -> per-range count pre-pass
-    (map-side partials -> groupby -> a <= RFM_RANGES-row driver fold)
-    -> exclusive prefix offsets, broadcast once."""
+RFM_MAX_RANGE_ROWS = 5_000_000   # per-range co-location bound
+
+
+def _metric_offsets_all(base, metrics):
+    """{metric: (lo, width, ray.put(offsets))} for every metric's
+    equal-width range grid, in TWO passes over ``base`` total: one
+    aggregate for all min/max scalars, one (metric, range)-keyed count
+    pre-pass (map-side partials -> groupby -> a <= |metrics| x
+    RFM_RANGES-row driver fold) -> exclusive prefix offsets, broadcast
+    once each.
+
+    Loud bail when any single range holds more than
+    RFM_MAX_RANGE_ROWS rows: the rank kernel needs a whole range (in
+    particular one tie run of a low-cardinality metric — think order
+    FREQUENCY over 10^8 customers) co-located in one partition, and
+    past this bound that silently degrades to a near-global
+    single-task sort.  Callers must re-bucket (finer grid only helps
+    when values differ) or split ties by a secondary key."""
     import ray
     from ray.data.aggregate import Max, Min, Sum
 
-    mm = base.aggregate(Min(metric), Max(metric))
-    lo, hi = int(mm[f"min({metric})"]), int(mm[f"max({metric})"])
-    width = max(1, -(-(hi - lo + 1) // RFM_RANGES))
+    aggs = [Min(m) for m in metrics] + [Max(m) for m in metrics]
+    mm = base.aggregate(*aggs)
+    lo_w = {}
+    for m in metrics:
+        lo, hi = int(mm[f"min({m})"]), int(mm[f"max({m})"])
+        lo_w[m] = (lo, max(1, -(-(hi - lo + 1) // RFM_RANGES)))
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        rid = (batch[metric].to_numpy() - lo) // width
-        u, c = np.unique(rid, return_counts=True)
-        return pa.table({"rid": pa.array(u.astype(np.int64)),
-                         "c": pa.array(c.astype(np.int64))})
+        mids, rids, cs = [], [], []
+        for i, m in enumerate(metrics):
+            lo, width = lo_w[m]
+            rid = (batch[m].to_numpy() - lo) // width
+            u, c = np.unique(rid, return_counts=True)
+            mids.append(np.full(len(u), i, np.int64))
+            rids.append(u.astype(np.int64))
+            cs.append(c.astype(np.int64))
+        return pa.table({"mid": pa.array(np.concatenate(mids)),
+                         "rid": pa.array(np.concatenate(rids)),
+                         "c": pa.array(np.concatenate(cs))})
 
-    counts = np.zeros(RFM_RANGES, dtype=np.int64)
+    counts = {m: np.zeros(RFM_RANGES, dtype=np.int64) for m in metrics}
     for b in base.map_batches(count_partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None) \
-            .groupby("rid").aggregate(Sum("c", alias_name="n")) \
+            .groupby(["mid", "rid"]).aggregate(Sum("c", alias_name="n")) \
             .iter_batches(batch_size=RFM_RANGES,
                           batch_format="pyarrow"):
-        counts[b["rid"].to_numpy()] = b["n"].to_numpy()
-    offsets = np.cumsum(counts) - counts
-    return lo, width, ray.put(offsets)
+        mid = b["mid"].to_numpy()
+        rid = b["rid"].to_numpy()
+        n = b["n"].to_numpy()
+        for i, m in enumerate(metrics):
+            sel = mid == i
+            counts[m][rid[sel]] = n[sel]
+    grids = {}
+    for m in metrics:
+        c = counts[m]
+        if int(c.max(initial=0)) > RFM_MAX_RANGE_ROWS:
+            raise ValueError(
+                f"rank pass: metric {m!r} has a single range/tie run "
+                f"of {int(c.max())} rows (> {RFM_MAX_RANGE_ROWS}); "
+                "co-locating it would single-task-sort — split ties "
+                "by a secondary key")
+        grids[m] = (lo_w[m][0], lo_w[m][1],
+                    ray.put(np.cumsum(c) - c))
+    return grids
 
 
 def _rank_pass(ds, metric: str, out_col: str, total: int,
@@ -635,10 +673,10 @@ def rfm_scores(sf_dir: str):
             Sum("f", alias_name="f")).materialize()
     total = base.count()
 
-    # all three offset grids come from the materialized base, so each
-    # chained rank pass consumes its input exactly once
-    grids = {m: _metric_offsets(base, m)
-             for m in ("r_us", "f", "m_cents")}
+    # all three offset grids come from the materialized base in TWO
+    # passes (one combined min/max aggregate + one keyed count
+    # pre-pass), so each chained rank pass consumes its input once
+    grids = _metric_offsets_all(base, ("r_us", "f", "m_cents"))
     out = base
     for metric, col in (("r_us", "r_score"), ("f", "f_score"),
                         ("m_cents", "m_score")):
@@ -701,9 +739,21 @@ def _attach_nat(ds, key_col: str, out_col: str, ref, dim_path: str,
 
     dim = dim.map_batches(rename, batch_format="pyarrow",
                           zero_copy_batch=True)
-    return ds.join(dim, join_type="inner",
-                   num_partitions=join_partitions_for(rows_hint),
-                   on=(key_col,), right_on=(dim_key,))
+    # left_outer + loud null check: the broadcast path RAISES on a
+    # fact key missing from the dimension, so the fallback must too —
+    # an inner join would silently drop those rows and the two paths
+    # would diverge exactly when the data is bad
+    joined = ds.join(dim, join_type="left_outer",
+                     num_partitions=join_partitions_for(rows_hint),
+                     on=(key_col,), right_on=(dim_key,))
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch[out_col].null_count:
+            raise ValueError(f"{key_col}: key missing from {dim_path}")
+        return batch
+
+    return joined.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def q5_local_supply(sf_dir: str):

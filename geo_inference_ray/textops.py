@@ -1768,6 +1768,7 @@ def rollup_counts(ds):
     free-cardinality key pair needs a second distributed groupby, not
     a silent driver OOM)."""
     import pandas as pd
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1811,7 +1812,8 @@ def rollup_counts(ds):
                      tot], ignore_index=True)
     out["n"] = out["n"].astype(np.int64)
     out["sum_chars"] = out["sum_chars"].astype(np.int64)
-    return out
+    # keep the registry contract: every query returns a Dataset
+    return rd.from_pandas(out)
 
 
 ARGMAX_CHARS_BITS = 40      # doc_id field width in the packed key

@@ -159,7 +159,7 @@ def test_rollup_counts_levels_consistent(ray_session, sf_dir):
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "lang", "n_chars"])
-    out = rollup_counts(ds)
+    out = rollup_counts(ds).to_pandas()
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["source", "lang", "n_chars"])
     grain = out[(out["source"] != ROLLUP_ALL)
