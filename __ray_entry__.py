@@ -1058,6 +1058,38 @@ def q_bloom_join(sf_dir: str):
     return _rel.bloom_join(sf_dir)
 
 
+def q_q10_returned(sf_dir: str):
+    """TPC-H Q10 analog: returned-item revenue per customer, top-20;
+    line revenue pre-aggregated before every join."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q10_returned(sf_dir)
+
+
+def q_q14_promo(sf_dir: str):
+    """TPC-H Q14 analog: promo revenue share over a shipdate window;
+    part dimension reduced to a broadcast (partkey, is_promo) map."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q14_promo(sf_dir)
+
+
+def q_q18_big_orders(sf_dir: str):
+    """TPC-H Q18 analog: HAVING filter on grouped quantity sums, then
+    attribute joins and a deterministic top-100."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q18_big_orders(sf_dir)
+
+
+def q_q7_volume(sf_dir: str):
+    """TPC-H Q7 analog: cross-nation shipping volume by (supplier
+    nation, customer nation, year)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q7_volume(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1224,6 +1256,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_growth": q_weekly_growth,
         "lang_confusion": q_lang_confusion,
         "transitions": q_transitions,
+        "q10_returned": q_q10_returned,
+        "q14_promo": q_q14_promo,
+        "q18_big_orders": q_q18_big_orders,
+        "q7_volume": q_q7_volume,
     }
 
 
@@ -2770,4 +2806,77 @@ SELECT r.lang,
   MAX(CASE WHEN rnk = CAST(ceil(0.99 * total) AS BIGINT) THEN L END)
       AS p99
 FROM r JOIN c USING (lang) GROUP BY r.lang""",
+        # TPC-H Q10 analog: returned-line revenue cents rounded per
+        # LINE (engine expression order), acctbal as exact cents,
+        # deterministic top-20 via (revenue DESC, custkey).
+        "q10_returned": f"""
+WITH rev AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS rc
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+cr AS (
+  SELECT o.o_custkey, CAST(SUM(r.rc) AS BIGINT) AS revenue_cents
+  FROM rev r JOIN orders o ON o.o_orderkey = r.l_orderkey
+  WHERE epoch_us(o.o_orderdate) >= {_rel_mod.Q10_LO_US}
+    AND epoch_us(o.o_orderdate) < {_rel_mod.Q10_HI_US}
+  GROUP BY o.o_custkey)
+SELECT c.c_custkey, c.c_name, cr.revenue_cents,
+       CAST(round(c.c_acctbal * 100.0) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM cr JOIN customer c ON c.c_custkey = cr.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY cr.revenue_cents DESC, c.c_custkey
+LIMIT {_rel_mod.Q10_TOPK}""",
+        # TPC-H Q14 analog: conditional promo share, integer milli
+        # ratio via BIGINT truncating division (positive operands).
+        "q14_promo": f"""
+WITH r AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+              + 0.5) AS BIGINT) AS rev,
+         CAST(p_type = 'PROMO' AS BIGINT) AS promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE epoch_us(l_shipdate) >= {_rel_mod.Q14_LO_US}
+    AND epoch_us(l_shipdate) < {_rel_mod.Q14_HI_US})
+SELECT CAST(SUM(rev * promo) AS BIGINT) AS promo_cents,
+       CAST(SUM(rev) AS BIGINT) AS total_cents,
+       CAST(CAST(SUM(rev * promo) AS BIGINT) * 1000
+            // CAST(SUM(rev) AS BIGINT) AS BIGINT) AS promo_milli
+FROM r""",
+        # TPC-H Q18 analog: HAVING on the grouped quantity sum,
+        # deterministic top-100 via (totalprice DESC, orderkey).
+        "q18_big_orders": f"""
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT))
+         > {_rel_mod.Q18_QTY_MIN})
+SELECT q.l_orderkey AS o_orderkey, o.o_custkey, c.c_name,
+       o.o_orderdate,
+       CAST(round(o.o_totalprice * 100.0) AS BIGINT) AS total_cents,
+       q.sum_qty
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o_orderkey
+LIMIT {_rel_mod.Q18_TOPK}""",
+        # TPC-H Q7 analog: cross-nation volume by (supp nation, cust
+        # nation, order year), revenue cents rounded per LINE.
+        "q7_volume": f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(o.o_orderdate) AS yr,
+  CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                      + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE c.c_nationkey <> s.s_nationkey
+  AND epoch_us(o.o_orderdate) >= {_rel_mod.Q7_LO_US}
+  AND epoch_us(o.o_orderdate) < {_rel_mod.Q7_HI_US}
+GROUP BY 1, 2, 3""",
     }

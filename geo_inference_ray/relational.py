@@ -2386,3 +2386,408 @@ def bloom_join(sf_dir: str, priority: str = "1-URGENT"):
         .groupby("l_returnflag").aggregate(
             Sum("n", alias_name="n"),
             Sum("sq", alias_name="sum_qty"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 / Q14 / Q18 / Q7 analogs — four more canonical join-aggregate
+# shapes (returned-item revenue top-k, conditional promo ratio, HAVING
+# filter on a grouped sum, fact-fact join with a two-sided dimension
+# attach).  The reference has no relational layer (SURVEY §2.4); these
+# extend the engine the same way q3_shipping / q5_local_supply do.
+
+Q10_LO_US = 820_454_400_000_000   # 1996-01-01
+Q10_HI_US = 836_179_200_000_000   # 1996-07-01
+Q10_TOPK = 20
+
+
+def q10_returned(sf_dir: str):
+    """TPC-H Q10 analog — revenue lost to returned items per customer,
+    deterministic top-20.
+
+    Scale shape: line-level rows never cross a join — returned-line
+    revenue is pre-aggregated per orderkey (map-side partial + one
+    groupby) BEFORE the orderkey hash join with the date-filtered
+    orders side; the per-customer re-aggregation shrinks the table to
+    <= |customers| rows before the customer-attribute hash join (both
+    sides corpus-scale at the design point, join_partitions_for
+    sized); the nation-name attach is a 25-row broadcast probe; top-k
+    is per-batch partial top-k + a k-bounded final reduce, never a
+    global sort."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+    li = rd.read_parquet(li_path,
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "rev": _rev_cents(b["l_extendedprice"],
+                                        b["l_discount"])})
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "rev": g["rev_sum"]})
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q10_LO_US),
+                       pc.less(us, Q10_HI_US))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = rev.join(orders, join_type="inner",
+                      num_partitions=join_partitions_for(li_rows // 4),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["o_custkey", "rev"]) \
+            .group_by("o_custkey").aggregate([("rev", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "revenue_cents": g["rev_sum"]})
+
+    per_cust = joined.map_batches(cust_partial, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"))
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust = rd.read_parquet(cust_path,
+                           columns=["c_custkey", "c_name", "c_acctbal",
+                                    "c_nationkey"])
+
+    def cust_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["c_custkey"],
+                         "c_name": batch["c_name"],
+                         "acctbal_cents": _cents(batch["c_acctbal"]),
+                         "c_nationkey": batch["c_nationkey"]})
+
+    cust = cust.map_batches(cust_cols, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    per_cust = per_cust.join(
+        cust, join_type="inner",
+        num_partitions=join_partitions_for(_parquet_rows(cust_path)),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nv = nat["n_name"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nk)
+    nat_ref = ray.put((nk[order], nv[order]))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        k, names = ray.get(nat_ref)
+        pos = np.searchsorted(
+            k, batch["c_nationkey"].to_numpy().astype(np.int64))
+        t = pa.table({"c_custkey": batch["o_custkey"],
+                      "c_name": batch["c_name"],
+                      "revenue_cents": batch["revenue_cents"],
+                      "acctbal_cents": batch["acctbal_cents"],
+                      "n_name": pa.array(names[pos])})
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_cents", "descending"), ("c_custkey", "ascending")])
+        return t.take(idx[:Q10_TOPK])
+
+    return per_cust.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(lambda b: b.take(pc.sort_indices(b, sort_keys=[
+            ("revenue_cents", "descending"),
+            ("c_custkey", "ascending")])[:Q10_TOPK]),
+            batch_format="pyarrow", batch_size=None)
+
+
+Q14_LO_US = 820_454_400_000_000   # 1996-01-01
+Q14_HI_US = 852_076_800_000_000   # 1997-01-01
+
+
+def q14_promo(sf_dir: str):
+    """TPC-H Q14 analog — promo revenue share for a shipdate window:
+    one row (promo_cents, total_cents, promo_milli).
+
+    Scale shape: the part dimension is reduced to a (partkey,
+    is_promo) two-int map BEFORE it moves — broadcast as a sorted-
+    array probe under Q5_BROADCAST_KEYS, native hash join above it
+    (the _attach_nat pattern, inlined because the value is DERIVED
+    from a string column rather than read); the conditional sums are
+    map-side partials so only two int64 scalars per batch reach the
+    final fold."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part_path = f"{sf_dir}/part.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    ref = None
+    if _parquet_rows(part_path) <= Q5_BROADCAST_KEYS:
+        t = pq.read_table(part_path, columns=["p_partkey", "p_type"])
+        k = t["p_partkey"].to_numpy().astype(np.int64)
+        v = pc.equal(t["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        ref = ray.put((k[order], v[order]))
+
+    li = rd.read_parquet(li_path,
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_col(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q14_LO_US),
+                       pc.less(us, Q14_HI_US))
+        b = batch.filter(keep)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "rev": _rev_cents(b["l_extendedprice"],
+                                           b["l_discount"])})
+
+    li = li.map_batches(rev_col, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    if ref is not None:
+        def probe(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            kk = batch["l_partkey"].to_numpy()
+            pos = np.searchsorted(k, kk)
+            pos = np.minimum(pos, max(0, len(k) - 1))
+            if len(k) == 0 or not bool((k[pos] == kk).all()):
+                raise ValueError("l_partkey missing from part")
+            return batch.append_column("promo", pa.array(v[pos]))
+
+        li = li.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        dim = rd.read_parquet(part_path, columns=["p_partkey", "p_type"])
+
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"p_partkey": batch["p_partkey"],
+                             "promo": pc.cast(pc.equal(
+                                 batch["p_type"], "PROMO"), pa.int64())})
+
+        dim = dim.map_batches(derive, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        li = li.join(dim, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows),
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def sums_partial(batch: pa.Table) -> pa.Table:
+        rev = batch["rev"].to_numpy()
+        promo = batch["promo"].to_numpy()
+        return pa.table({"pc_": pa.array([int((rev * promo).sum())]),
+                         "tc": pa.array([int(rev.sum())])})
+
+    agg = li.map_batches(sums_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .aggregate(Sum("pc_", alias_name="p"),
+                   Sum("tc", alias_name="t"))
+    p, t = int(agg["p"]), int(agg["t"])
+    return pa.table({"promo_cents": pa.array([p], pa.int64()),
+                     "total_cents": pa.array([t], pa.int64()),
+                     "promo_milli": pa.array([p * 1000 // t], pa.int64())})
+
+
+Q18_QTY_MIN = 250   # HAVING sum(quantity) > this
+Q18_TOPK = 100
+
+
+def q18_big_orders(sf_dir: str):
+    """TPC-H Q18 analog — large-volume orders: HAVING filter on a
+    grouped sum, then order/customer attribute attach and a
+    deterministic top-100.
+
+    Scale shape: the HAVING side is a map-side-partial quantity sum
+    per orderkey (line rows collapse before the shuffle) and the
+    filter keeps a tiny survivor set; both attribute joins are hash
+    joins sized on their corpus-scale fact side; top-k never sorts
+    globally."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_quantity"])
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "q": pc.cast(pc.round(batch["l_quantity"]),
+                                   pa.int64())})
+        g = t.group_by("l_orderkey").aggregate([("q", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "sum_qty": g["q_sum"]})
+
+    qty = li.map_batches(qty_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("l_orderkey").aggregate(Sum("sum_qty",
+                                             alias_name="sum_qty"))
+    big = qty.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_qty"], Q18_QTY_MIN)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = rd.read_parquet(o_path,
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def o_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_custkey": batch["o_custkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "total_cents": _cents(batch["o_totalprice"])})
+
+    orders = orders.map_batches(o_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    big = big.join(orders, join_type="inner",
+                   num_partitions=join_partitions_for(
+                       _parquet_rows(o_path)),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    cust = rd.read_parquet(cust_path, columns=["c_custkey", "c_name"])
+    big = big.join(cust, join_type="inner",
+                   num_partitions=join_partitions_for(
+                       _parquet_rows(cust_path)),
+                   on=("o_custkey",), right_on=("c_custkey",))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": batch["l_orderkey"],
+                      "o_custkey": batch["o_custkey"],
+                      "c_name": batch["c_name"],
+                      "o_orderdate": batch["o_orderdate"],
+                      "total_cents": batch["total_cents"],
+                      "sum_qty": batch["sum_qty"]})
+        idx = pc.sort_indices(t, sort_keys=[
+            ("total_cents", "descending"), ("o_orderkey", "ascending")])
+        return t.take(idx[:Q18_TOPK])
+
+    def topk_final(b: pa.Table) -> pa.Table:
+        return b.take(pc.sort_indices(b, sort_keys=[
+            ("total_cents", "descending"),
+            ("o_orderkey", "ascending")])[:Q18_TOPK])
+
+    return big.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(topk_final, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(_restore_us("o_orderdate"), batch_format="pyarrow")
+
+
+Q7_LO_US = 820_454_400_000_000   # 1996-01-01
+Q7_HI_US = 883_612_800_000_000   # 1998-01-01
+
+
+def q7_volume(sf_dir: str):
+    """TPC-H Q7 analog — shipping volume between DIFFERENT nations,
+    grouped by (supplier nation, customer nation, order year).
+
+    Scale shape: q5_local_supply's star-join plan with the equality
+    flipped to inequality and the order YEAR carried through the
+    orderkey join as an int64 column (epoch-us -> year vectorized on
+    the filtered orders side, never per row); the final groupby is
+    map-side-partial over <= |nations|^2 x |years| keys and the two
+    nation-name attaches are one 25-row broadcast probe."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    cust_ref = _keymap_broadcast(f"{sf_dir}/customer.parquet",
+                                 "c_custkey", "c_nationkey")
+    sup_ref = _keymap_broadcast(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+
+    orders = rd.read_parquet(o_path, columns=["o_orderkey", "o_custkey",
+                                              "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q7_LO_US),
+                       pc.less(us, Q7_HI_US))
+        b = batch.filter(keep)
+        yr = b["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "yr": pa.array(yr)})
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    orders = _attach_nat(orders, "o_custkey", "cnat", cust_ref,
+                         f"{sf_dir}/customer.parquet", "c_custkey",
+                         "c_nationkey",
+                         rows_hint=_parquet_rows(o_path)) \
+        .select_columns(["o_orderkey", "cnat", "yr"])
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_suppkey",
+                                           "l_extendedprice",
+                                           "l_discount"])
+
+    def rev_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev": _rev_cents(batch["l_extendedprice"],
+                                           batch["l_discount"])})
+
+    li = li.map_batches(rev_col, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    li = _attach_nat(li, "l_suppkey", "snat", sup_ref,
+                     f"{sf_dir}/supplier.parquet", "s_suppkey",
+                     "s_nationkey", rows_hint=li_rows) \
+        .select_columns(["l_orderkey", "snat", "rev"])
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 4),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def vol_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["cnat"], batch["snat"]))
+        b = batch.filter(keep)
+        t = pa.table({"snat": b["snat"], "cnat": b["cnat"],
+                      "yr": b["yr"], "rev": b["rev"],
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by(["snat", "cnat", "yr"]).aggregate(
+            [("rev", "sum"), ("n", "sum")])
+        return pa.table({"snat": g["snat"], "cnat": g["cnat"],
+                         "yr": g["yr"], "rev": g["rev_sum"],
+                         "n": g["n_sum"]})
+
+    agg = joined.map_batches(vol_partial, batch_format="pyarrow") \
+        .groupby(["snat", "cnat", "yr"]).aggregate(
+            Sum("rev", alias_name="revenue_cents"),
+            Sum("n", alias_name="n_lines"))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nv = nat["n_name"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nk)
+    nat_ref = ray.put((nk[order], nv[order]))
+
+    def name_attach(batch: pa.Table) -> pa.Table:
+        k, names = ray.get(nat_ref)
+        sp = np.searchsorted(k, batch["snat"].to_numpy())
+        cp = np.searchsorted(k, batch["cnat"].to_numpy())
+        return pa.table({"supp_nation": pa.array(names[sp]),
+                         "cust_nation": pa.array(names[cp]),
+                         "yr": batch["yr"],
+                         "revenue_cents": batch["revenue_cents"],
+                         "n_lines": batch["n_lines"]})
+
+    return agg.map_batches(name_attach, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1,0 +1,89 @@
+"""Tests for the TPC-H Q10/Q14/Q18/Q7 analogs: each engine pipeline is
+checked against its registered DuckDB oracle SQL (the exact mirror the
+driver runs), plus path-forcing tests for the broadcast/join seams."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["q10_returned", "q14_promo",
+                                  "q18_big_orders", "q7_volume"])
+def test_matches_registered_oracle(ray_session, sf_dir, duck, name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](sf_dir)
+    if not isinstance(got, (pd.DataFrame,)):
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duck.sql(entry.oracle_sql()[name]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        assert (a == b).all(), c
+
+
+def test_q14_broadcast_and_join_paths_agree(ray_session, sf_dir,
+                                            monkeypatch):
+    """The derived (partkey, is_promo) broadcast probe and the hash-join
+    fallback must produce the identical single-row ratio."""
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q14_promo(sf_dir).to_pandas()
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert 0 < broadcast.loc[0, "promo_milli"] < 1000
+
+
+def test_q7_volume_excludes_local_pairs(ray_session, sf_dir):
+    """Every output pair must have supp_nation != cust_nation, and the
+    total revenue must complement q5's local-supply revenue over the
+    shared [1996, 1997) window."""
+    from geo_inference_ray import relational
+
+    out = relational.q7_volume(sf_dir).to_pandas()
+    assert len(out) > 0
+    assert (out["supp_nation"] != out["cust_nation"]).all()
+    assert out["yr"].between(1996, 1997).all()
+
+
+def test_q18_having_threshold_boundary(ray_session, tmp_path):
+    """Orders at exactly Q18_QTY_MIN are excluded (strict >)."""
+    from geo_inference_ray.relational import Q18_QTY_MIN, q18_big_orders
+
+    d = tmp_path / "q18"
+    d.mkdir()
+    # order 1: sum == threshold (excluded); order 2: threshold+1 (kept)
+    qty_at = [25.0] * (Q18_QTY_MIN // 25)
+    qty_over = qty_at + [1.0]
+    n1, n2 = len(qty_at), len(qty_over)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1] * n1 + [2] * n2, pa.int64()),
+        "l_quantity": pa.array(qty_at + qty_over),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_orderdate": pa.array([0, 0], pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 200.0]),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_name": pa.array(["a", "b"]),
+    }), d / "customer.parquet")
+    out = q18_big_orders(str(d)).to_pandas()
+    assert out["o_orderkey"].tolist() == [2]
+    assert out["sum_qty"].tolist() == [Q18_QTY_MIN + 1]
