@@ -312,16 +312,18 @@ class ScorePatches:
         from .window import all_windows
         self._wins = all_windows(grid.patch)
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def score_core(self, ty: int, tx: int, py: np.ndarray,
+                   px: np.ndarray, n: np.ndarray) -> list[tuple]:
+        """Numpy core shared by the map_groups wrapper and the driver-
+        local suffix: one patch's pixel counts -> the 4 windowed
+        stride-quadrant contributions [(oy, ox, src_ty, src_tx,
+        float32 data)]."""
         grid = self.grid
         s = grid.stride
         p = grid.patch
-        ty = int(g["ty"].iloc[0])
-        tx = int(g["tx"].iloc[0])
         patch = np.zeros((p, p), dtype=np.float64)
-        ry = g["py"].to_numpy() - ty * s
-        rx = g["px"].to_numpy() - tx * s
-        np.add.at(patch, (ry, rx), g["n"].to_numpy().astype(np.float64))
+        np.add.at(patch, (py - ty * s, px - tx * s),
+                  n.astype(np.float64))
         probs = self.scorer(patch)  # (C, P, P)
         pos = classify_position(ty, tx, grid.ny, grid.nx)
         win = self._wins[pos]
@@ -334,6 +336,13 @@ class ScorePatches:
                 oy, ox = ty + qy, tx + qx
                 quad = stacked[:, qy * s:(qy + 1) * s, qx * s:(qx + 1) * s]
                 rows.append((oy, ox, ty, tx, quad.reshape(-1)))
+        return rows
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        ty = int(g["ty"].iloc[0])
+        tx = int(g["tx"].iloc[0])
+        rows = self.score_core(ty, tx, g["py"].to_numpy(),
+                               g["px"].to_numpy(), g["n"].to_numpy())
         return pd.DataFrame({
             "oy": np.array([r[0] for r in rows], dtype=np.int64),
             "ox": np.array([r[1] for r in rows], dtype=np.int64),
@@ -351,13 +360,16 @@ class MergeCells:
     def __init__(self, grid: GridConfig = DEFAULT_GRID):
         self.grid = grid
 
-    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+    def merge_core(self, datas_sorted) -> tuple[np.ndarray, int]:
+        """Numpy core shared by the map_groups wrapper and the driver-
+        local suffix: contributions ALREADY in (src_ty, src_tx) order
+        -> (flat uint8 mask, n_valid).  Accumulation order is the
+        determinism contract — callers must pre-sort."""
         grid = self.grid
         s = grid.stride
         c = grid.num_classes
-        g = g.sort_values(["src_ty", "src_tx"], kind="stable")
         acc = np.zeros((c + 2, s, s), dtype=np.float64)
-        for d in g["data"]:
+        for d in datas_sorted:
             acc += np.asarray(d, dtype=np.float64).reshape(c + 2, s, s)
         scores, weight, raw = acc[:c], acc[c], acc[c + 1]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -369,11 +381,16 @@ class MergeCells:
             cls = np.argmax(norm, axis=0).astype(np.uint8)
         valid = raw > 0
         mask = np.where(valid, cls, np.uint8(NODATA)).astype(np.uint8)
+        return mask.reshape(-1), int(valid.sum())
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_ty", "src_tx"], kind="stable")
+        mask, n_valid = self.merge_core(list(g["data"]))
         return pd.DataFrame({
             "oy": [int(g["oy"].iloc[0])],
             "ox": [int(g["ox"].iloc[0])],
-            "mask": [mask.reshape(-1)],
-            "n_valid": [int(valid.sum())],
+            "mask": [mask],
+            "n_valid": [n_valid],
         })
 
 
@@ -412,28 +429,57 @@ def mask_tiles(geo_ds, grid: GridConfig = DEFAULT_GRID,
 def _tiles_from_pixels_local(pix_df: pd.DataFrame, grid: GridConfig,
                              scorer_cls=DensityScorer):
     """Driver-side tile suffix over the (grid-bounded) pixel counts,
-    using the exact same kernels as the distributed path."""
+    running the SAME numpy cores as the distributed path
+    (ScorePatches.score_core / MergeCells.merge_core) but grouped by
+    numpy argsort slices instead of pandas groupby — the per-group
+    DataFrame construction was ~2/3 of the local suffix time at the
+    bench grid (~1800 tiny groups)."""
     import ray.data as rd
 
+    empty = pa.table({
+        "oy": pa.array([], pa.int64()), "ox": pa.array([], pa.int64()),
+        "mask": pa.array([], pa.list_(pa.uint8())),
+        "n_valid": pa.array([], pa.int64())})
     if pix_df.empty or "py" not in pix_df.columns:
-        owned = pd.DataFrame()
-    else:
-        owned = emit_to_patches(grid)(
-            pa.Table.from_pandas(pix_df, preserve_index=False)).to_pandas()
-    if owned.empty:
-        return rd.from_arrow(pa.table({
-            "oy": pa.array([], pa.int64()), "ox": pa.array([], pa.int64()),
-            "mask": pa.array([], pa.list_(pa.uint8())),
-            "n_valid": pa.array([], pa.int64())}))
+        return rd.from_arrow(empty)
+    owned = emit_to_patches(grid)(
+        pa.Table.from_pandas(pix_df, preserve_index=False))
+    if owned.num_rows == 0:
+        return rd.from_arrow(empty)
+    ty = owned["ty"].to_numpy()
+    tx = owned["tx"].to_numpy()
+    py = owned["py"].to_numpy()
+    px = owned["px"].to_numpy()
+    n = owned["n"].to_numpy()
+    # sort once by packed patch key; contiguous runs are the groups.
+    # Ascending (ty, tx) patch order means contributions are appended
+    # to each output cell ALREADY in (src_ty, src_tx) order — the
+    # determinism contract merge_core requires.
+    key = ty * grid.nx + tx
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ty, tx, py, px, n = ty[order], tx[order], py[order], px[order], n[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    ends = np.r_[starts[1:], len(key)]
     score = ScorePatches(grid, scorer_cls)
-    contribs = pd.concat(
-        [score(g.reset_index(drop=True))
-         for _, g in owned.groupby(["ty", "tx"])], ignore_index=True)
+    by_cell: dict[tuple, list] = {}
+    for s0, s1 in zip(starts, ends):
+        for oy, ox, _sty, _stx, data in score.score_core(
+                int(ty[s0]), int(tx[s0]), py[s0:s1], px[s0:s1], n[s0:s1]):
+            by_cell.setdefault((oy, ox), []).append(data)
     merge = MergeCells(grid)
-    tiles = pd.concat(
-        [merge(g.reset_index(drop=True))
-         for _, g in contribs.groupby(["oy", "ox"])], ignore_index=True)
-    return rd.from_pandas(tiles)
+    oys, oxs, masks, n_valids = [], [], [], []
+    for (oy, ox), datas in sorted(by_cell.items()):
+        mask, n_valid = merge.merge_core(datas)
+        oys.append(oy)
+        oxs.append(ox)
+        masks.append(mask)
+        n_valids.append(n_valid)
+    return rd.from_arrow(pa.table({
+        "oy": pa.array(oys, pa.int64()),
+        "ox": pa.array(oxs, pa.int64()),
+        "mask": pa.array([m for m in masks], pa.list_(pa.uint8())),
+        "n_valid": pa.array(n_valids, pa.int64())}))
 
 
 def mask_tiles_distributed(geo_ds, grid: GridConfig = DEFAULT_GRID,
