@@ -87,20 +87,26 @@ _TOKEN_CACHE_MAX = 1_000_000
 
 
 def _hash_tokens(toks: list[str]) -> np.ndarray:
-    """md5-derived 31-bit hash per UNIQUE token (process-cached with a
+    """md5-derived 31-bit hash per token (process-cached with a
     _TOKEN_CACHE_MAX clear-on-full bound), as int64 < M.
-    Matches ('0x' || substr(md5(tok),1,15))::BIGINT % M in DuckDB."""
+    Matches ('0x' || substr(md5(tok),1,15))::BIGINT % M in DuckDB.
+    Factorized first so each DISTINCT token pays one cache probe / md5
+    per call regardless of its multiplicity (web text repeats its
+    vocabulary head constantly)."""
+    import pandas as pd
+
     cache = _TOKEN_CACHE
-    out = np.empty(len(toks), dtype=np.int64)
-    for i, t in enumerate(toks):
+    codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+    uh = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
         h = cache.get(t)
         if h is None:
             h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MERSENNE
             if len(cache) >= _TOKEN_CACHE_MAX:
                 cache.clear()
             cache[t] = h
-        out[i] = h
-    return out
+        uh[i] = h
+    return uh[codes]
 
 
 def _token_hashes(text: str) -> np.ndarray:
@@ -142,24 +148,111 @@ def exact_dedup(ds):
         Min("doc_id", alias_name="doc_id"))
 
 
+# Per-actor signature memo: clear-on-full like _TOKEN_CACHE.  A near-dup
+# corpus is EXACTLY the workload where the same text recurs across
+# batches, so the pure-function signature is worth caching per worker.
+SIG_MEMO_MAX = 200_000
+
+# doc-aligned shingle chunk bound for the batched universal-hash matrix:
+# (NUM_PERM x chunk) int64 intermediates stay ~32 MB per step.
+_SIG_CHUNK_SHINGLES = 65_536
+
+
 class MinHasher:
     """Per-batch MinHash signatures (actor pool; permutation coefficients
-    are one-time state).  Fully vectorized: (NUM_PERM, n_shingles)
-    universal hashes (a*h+b) mod Mersenne-31 in int64, column-min."""
+    are one-time state).  BATCH-vectorized: token hashes for the whole
+    batch in one factorized pass, shingles for all docs in one modular
+    combine over the concatenated hash array (doc-boundary positions
+    masked out), then (a*sh+b) % M for doc-aligned shingle chunks with a
+    per-doc ``np.minimum.reduceat`` — the per-doc-Python version spent
+    its time in 80 K tiny (64 x n) matmuls.  min over the shingle
+    MULTISET equals min over the set, so the per-doc np.unique the
+    verify path needs is skipped here."""
 
     def __init__(self):
         self.a = MINHASH_A[:, None]
         self.b = MINHASH_B[:, None]
+        self._memo: dict[str, np.ndarray] = {}
 
     def signature(self, text: str) -> np.ndarray:
         th = _token_hashes(text)[None, :]
         v = (self.a * th + self.b) % MERSENNE
         return v.min(axis=1)
 
+    def _signatures(self, texts: list[str]) -> list[np.ndarray]:
+        M = MERSENNE
+        out: list = [None] * len(texts)
+        memo = self._memo
+        miss_i: list[int] = []
+        for i, t in enumerate(texts):
+            s = memo.get(t)
+            if s is None:
+                miss_i.append(i)
+            else:
+                out[i] = s
+        if miss_i:
+            tok_lists = [texts[i].split(" ") for i in miss_i]
+            lens = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+            th = _hash_tokens([t for tl in tok_lists for t in tl])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # global 3-gram combine; positions whose window crosses a
+            # doc boundary are dropped (doc_of is sorted, so the valid
+            # shingles stay grouped by doc)
+            if len(th) >= SHINGLE_K:
+                sh_all = (th[:-2] * SH_C1 % M + th[1:-1] * SH_C2 % M
+                          + th[2:] * SH_C3 % M) % M
+                doc_of = np.repeat(np.arange(len(lens)), lens)
+                valid = doc_of[:-2] == doc_of[2:]
+                sh_all = sh_all[valid]
+                sh_doc = doc_of[:-2][valid]
+            else:
+                sh_all = np.array([], dtype=np.int64)
+                sh_doc = np.array([], dtype=np.int64)
+            # docs with < SHINGLE_K tokens: sequential fold fallback
+            # (same formula as _token_hashes)
+            n_sh = np.zeros(len(lens), dtype=np.int64)
+            if len(sh_doc):
+                np.add.at(n_sh, sh_doc, 1)
+            sigs = np.empty((len(lens), NUM_PERM), dtype=np.int64)
+            for d in np.flatnonzero(lens < SHINGLE_K):
+                combo = 0
+                for h in th[starts[d]:ends[d]].tolist():
+                    combo = (combo * SH_C2 % M + h) % M
+                sigs[d] = ((self.a[:, 0] * combo + self.b[:, 0]) % M)
+            # doc-aligned chunks over the shingled docs
+            sh_docs = np.flatnonzero(n_sh > 0)
+            sh_starts = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(n_sh, out=sh_starts[1:])
+            i0 = 0
+            while i0 < len(sh_docs):
+                i1 = i0
+                base = sh_starts[sh_docs[i0]]
+                while (i1 < len(sh_docs)
+                       and sh_starts[sh_docs[i1]] + n_sh[sh_docs[i1]]
+                       - base <= _SIG_CHUNK_SHINGLES):
+                    i1 += 1
+                i1 = max(i1, i0 + 1)  # one oversize doc still advances
+                docs = sh_docs[i0:i1]
+                lo = sh_starts[docs[0]]
+                hi = sh_starts[docs[-1]] + n_sh[docs[-1]]
+                v = (self.a * sh_all[None, lo:hi] + self.b) % M
+                offs = (sh_starts[docs] - lo).astype(np.int64)
+                mins = np.minimum.reduceat(v, offs, axis=1)
+                sigs[docs] = mins.T
+                i0 = i1
+            for j, i in enumerate(miss_i):
+                s = sigs[j]
+                if len(memo) >= SIG_MEMO_MAX:
+                    memo.clear()
+                memo[texts[i]] = s
+                out[i] = s
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts])
+        sigs = np.stack(self._signatures(texts))
         return pa.table({
             "doc_id": pa.array(ids),
             "sig": pa.array(list(sigs), pa.list_(pa.int64(), NUM_PERM)),
