@@ -1090,6 +1090,30 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_q13_count_dist(sf_dir: str):
+    """TPC-H Q13 analog: order-count histogram including zero-order
+    customers (left-outer join + map-side-partial histogram)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q13_count_dist(sf_dir)
+
+
+def q_q17_small_qty(sf_dir: str):
+    """TPC-H Q17 analog: revenue from below-1/5-of-part-average
+    quantity lines of one brand (integer-exact threshold compare)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q17_small_qty(sf_dir)
+
+
+def q_q22_idle_rich(sf_dir: str):
+    """TPC-H Q22 analog: above-average positive-balance customers with
+    no urgent orders, per nation (broadcast/left_anti exclusion)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q22_idle_rich(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1260,6 +1284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo": q_q14_promo,
         "q18_big_orders": q_q18_big_orders,
         "q7_volume": q_q7_volume,
+        "q13_count_dist": q_q13_count_dist,
+        "q17_small_qty": q_q17_small_qty,
+        "q22_idle_rich": q_q22_idle_rich,
     }
 
 
@@ -2879,4 +2906,45 @@ WHERE c.c_nationkey <> s.s_nationkey
   AND epoch_us(o.o_orderdate) >= {_rel_mod.Q7_LO_US}
   AND epoch_us(o.o_orderdate) < {_rel_mod.Q7_HI_US}
 GROUP BY 1, 2, 3""",
+        # TPC-H Q13 analog: zero-order customers kept by the left
+        # outer join (COUNT(o_orderkey) over no matches = 0).
+        "q13_count_dist": """
+WITH cc AS (
+  SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*) AS custdist FROM cc GROUP BY c_count""",
+        # TPC-H Q17 analog: integer-exact 1/5-average threshold
+        # (q * 5 * cnt < tq), revenue cents rounded per LINE.
+        "q17_small_qty": f"""
+WITH lines AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity) AS BIGINT) AS q,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS rev
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_brand = '{_rel_mod.Q17_BRAND}'),
+pa AS (SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq,
+              COUNT(*) AS cnt
+       FROM lines GROUP BY l_partkey)
+SELECT COALESCE(CAST(SUM(rev) AS BIGINT), 0) AS rev_cents,
+       COUNT(*) AS n_lines
+FROM lines JOIN pa USING (l_partkey)
+WHERE q * 5 * cnt < tq""",
+        # TPC-H Q22 analog: integer-exact global-average compare
+        # (ac * n > s), urgent-order anti-join, grouped by nation.
+        "q22_idle_rich": f"""
+WITH pos AS (
+  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         CAST(round(c_acctbal * 100.0) AS BIGINT) AS ac
+  FROM customer WHERE c_acctbal > 0.0),
+g AS (SELECT CAST(SUM(ac) AS BIGINT) AS s, COUNT(*) AS n FROM pos)
+SELECT c_nationkey, CAST(SUM(ac) AS BIGINT) AS acct_cents,
+       COUNT(*) AS n_cust
+FROM pos, g
+WHERE pos.ac * g.n > g.s
+  AND pos.c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderpriority = '{_rel_mod.Q22_PRIORITY}')
+GROUP BY c_nationkey""",
     }

@@ -2791,3 +2791,253 @@ def q7_volume(sf_dir: str):
 
     return agg.map_batches(name_attach, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 / Q17 / Q22 analogs — three further shapes: outer-join
+# zero-count histogram, per-key average threshold, anti-join against a
+# global scalar.
+
+def q13_count_dist(sf_dir: str):
+    """TPC-H Q13 analog — distribution of customers by order count,
+    INCLUDING zero-order customers (the left-outer-join histogram).
+
+    Scale shape: order rows collapse to per-customer counts via
+    map-side partials BEFORE the join; the customer key table
+    left-outer hash-joins the count table (both corpus-scale,
+    join_partitions_for sized); nulls become 0 batch-locally; the
+    final histogram groupby is map-side-partial over <= |distinct
+    counts| keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    o_path = f"{sf_dir}/orders.parquet"
+    c_path = f"{sf_dir}/customer.parquet"
+    orders = rd.read_parquet(o_path, columns=["o_custkey"])
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["o_custkey"].to_numpy(),
+                         return_counts=True)
+        return pa.table({"o_custkey": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    cnt = orders.map_batches(cnt_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("o_custkey").aggregate(Sum("c", alias_name="c"))
+
+    cust = rd.read_parquet(c_path, columns=["c_custkey"])
+    joined = cust.join(cnt, join_type="left_outer",
+                       num_partitions=join_partitions_for(
+                           _parquet_rows(c_path)),
+                       on=("c_custkey",), right_on=("o_custkey",))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        # zero-order customers arrive as join nulls
+        c = pc.fill_null(pc.cast(batch["c"], pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(u),
+                         "d": pa.array(n.astype(np.int64))})
+
+    return joined.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("d", alias_name="custdist"))
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_qty(sf_dir: str):
+    """TPC-H Q17 analog — revenue from small-quantity lines of one
+    brand's parts: quantity below 1/5 of the part's average quantity.
+    The fractional-average compare is integer-exact:
+    q < (1/5)(tq/cnt)  <=>  q * 5 * cnt < tq.
+
+    Scale shape: the brand's partkey set broadcasts as a sorted-array
+    probe under Q5_BROADCAST_KEYS (a native hash join above it); the
+    per-part (sum, count) aggregate runs on the brand-filtered lines
+    only (part determines brand, so the per-part average is
+    unchanged); the threshold join is a hash join sized by the
+    filtered line count; the final fold is two int64 scalars."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part_path = f"{sf_dir}/part.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    ref = None
+    if _parquet_rows(part_path) <= Q5_BROADCAST_KEYS:
+        t = pq.read_table(part_path, columns=["p_partkey", "p_brand"])
+        keep = pc.equal(t["p_brand"], Q17_BRAND)
+        k = np.sort(t.filter(keep)["p_partkey"].to_numpy()
+                    .astype(np.int64))
+        ref = ray.put(k)
+
+    li = rd.read_parquet(li_path,
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def line_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "q": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "rev": _rev_cents(batch["l_extendedprice"],
+                              batch["l_discount"])})
+
+    li = li.map_batches(line_cols, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    if ref is not None:
+        def probe(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            kk = batch["l_partkey"].to_numpy()
+            if not len(k):
+                return batch.slice(0, 0)
+            pos = np.searchsorted(k, kk)
+            pos = np.minimum(pos, len(k) - 1)
+            return batch.filter(pa.array(k[pos] == kk))
+
+        lines = li.map_batches(probe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        dim = rd.read_parquet(part_path, columns=["p_partkey", "p_brand"])
+        dim = dim.map_batches(
+            lambda b: b.filter(pc.equal(b["p_brand"], Q17_BRAND))
+                       .select(["p_partkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        lines = li.join(dim, join_type="inner",
+                        num_partitions=join_partitions_for(li_rows),
+                        on=("l_partkey",), right_on=("p_partkey",))
+        lines = lines.select_columns(["l_partkey", "q", "rev"])
+
+    def pa_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"], "q": batch["q"],
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        g = t.group_by("l_partkey").aggregate(
+            [("q", "sum"), ("one", "sum")])
+        return pa.table({"pk": g["l_partkey"], "tq": g["q_sum"],
+                         "cnt": g["one_sum"]})
+
+    per_part = lines.map_batches(pa_partial, batch_format="pyarrow") \
+        .groupby("pk").aggregate(Sum("tq", alias_name="tq"),
+                                 Sum("cnt", alias_name="cnt"))
+
+    joined = lines.join(per_part, join_type="inner",
+                        num_partitions=join_partitions_for(
+                            max(1, li_rows // 25)),
+                        on=("l_partkey",), right_on=("pk",))
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        q = batch["q"].to_numpy()
+        keep = q * 5 * batch["cnt"].to_numpy() < batch["tq"].to_numpy()
+        b = batch.filter(pa.array(keep))
+        return pa.table({
+            "rc": pa.array([int(b["rev"].to_numpy().sum())]),
+            "n": pa.array([len(b)])})
+
+    agg = joined.map_batches(keep_small, batch_format="pyarrow",
+                             batch_size=None) \
+        .aggregate(Sum("rc", alias_name="rc"), Sum("n", alias_name="n"))
+    return pa.table({
+        "rev_cents": pa.array([int(agg["rc"])], pa.int64()),
+        "n_lines": pa.array([int(agg["n"])], pa.int64())})
+
+
+Q22_PRIORITY = "1-URGENT"
+
+
+def q22_idle_rich(sf_dir: str):
+    """TPC-H Q22 analog — positive-balance customers RICHER than the
+    global positive-balance average with no urgent orders, grouped by
+    nation.  The fractional global average is integer-exact:
+    ac > sum/n  <=>  ac * n > sum.
+
+    Scale shape: the global scalar is one two-int aggregate; the
+    urgent-customer exclusion broadcasts a sorted distinct-key array
+    under Q5_BROADCAST_KEYS and falls back to a native left_anti hash
+    join above it (dedup_apply's pattern); the final groupby is
+    map-side-partial over <= |nations| keys."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    c_path = f"{sf_dir}/customer.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    cust = rd.read_parquet(c_path, columns=["c_custkey", "c_nationkey",
+                                            "c_acctbal"])
+
+    def pos_cols(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["c_acctbal"], 0.0))
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "c_nationkey": pc.cast(b["c_nationkey"],
+                                                pa.int64()),
+                         "ac": _cents(b["c_acctbal"])})
+
+    pos = cust.map_batches(pos_cols, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": pa.array([int(batch["ac"].to_numpy().sum())]),
+            "n": pa.array([len(batch)])})
+
+    g = pos.map_batches(sum_partial, batch_format="pyarrow",
+                        batch_size=None) \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    s, n = int(g["s"]), int(g["n"])
+
+    urgent = rd.read_parquet(o_path, columns=["o_custkey",
+                                              "o_orderpriority"])
+    urgent = urgent.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], Q22_PRIORITY))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def rich(batch: pa.Table) -> pa.Table:
+        keep = batch["ac"].to_numpy() * n > s
+        return batch.filter(pa.array(keep))
+
+    pos = pos.map_batches(rich, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    o_rows = _parquet_rows(o_path)
+    if o_rows <= Q5_BROADCAST_KEYS:
+        uk = np.unique(np.concatenate(
+            [b["o_custkey"].to_numpy() for b in urgent.iter_batches(
+                batch_size=65536, batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        uref = ray.put(uk)
+
+        def anti(batch: pa.Table) -> pa.Table:
+            k = ray.get(uref)
+            kk = batch["c_custkey"].to_numpy()
+            if not len(k):
+                return batch
+            pos_ = np.searchsorted(k, kk)
+            pos_ = np.minimum(pos_, len(k) - 1)
+            return batch.filter(pa.array(k[pos_] != kk))
+
+        kept = pos.map_batches(anti, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    else:
+        kept = pos.join(urgent, join_type="left_anti",
+                        num_partitions=join_partitions_for(o_rows),
+                        on=("c_custkey",), right_on=("o_custkey",))
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_nationkey": batch["c_nationkey"],
+                      "ac": batch["ac"],
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        g2 = t.group_by("c_nationkey").aggregate(
+            [("ac", "sum"), ("one", "sum")])
+        return pa.table({"c_nationkey": g2["c_nationkey"],
+                         "acct_cents": g2["ac_sum"],
+                         "n_cust": g2["one_sum"]})
+
+    return kept.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(
+            Sum("acct_cents", alias_name="acct_cents"),
+            Sum("n_cust", alias_name="n_cust"))

@@ -87,3 +87,74 @@ def test_q18_having_threshold_boundary(ray_session, tmp_path):
     out = q18_big_orders(str(d)).to_pandas()
     assert out["o_orderkey"].tolist() == [2]
     assert out["sum_qty"].tolist() == [Q18_QTY_MIN + 1]
+
+
+@pytest.mark.parametrize("name", ["q13_count_dist", "q17_small_qty",
+                                  "q22_idle_rich"])
+def test_q13_q17_q22_match_registered_oracle(ray_session, sf_dir, duck,
+                                             name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](sf_dir)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duck.sql(entry.oracle_sql()[name]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q13_includes_zero_order_customers(ray_session, tmp_path):
+    from geo_inference_ray.relational import q13_count_dist
+
+    d = tmp_path / "q13"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        d / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64())}),
+        d / "orders.parquet")
+    out = q13_count_dist(str(d)).to_pandas() \
+        .sort_values("c_count").reset_index(drop=True)
+    assert out["c_count"].tolist() == [0, 1, 2]
+    assert out["custdist"].tolist() == [1, 1, 1]
+
+
+def test_q22_broadcast_and_anti_join_paths_agree(ray_session, sf_dir,
+                                                 monkeypatch):
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q22_idle_rich(sf_dir).to_pandas() \
+            .sort_values("c_nationkey").reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    anti = run()
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, anti)
+
+
+def test_q17_exact_fifth_average_excluded(ray_session, tmp_path):
+    """A line at exactly tq/(5*cnt) must NOT count (strict <)."""
+    from geo_inference_ray.relational import q17_small_qty
+
+    d = tmp_path / "q17"
+    d.mkdir()
+    # part 1: quantities [1, 9] -> tq=10, cnt=2; q=1 gives
+    # 1*5*2 = 10 which is NOT < 10 -> excluded (exact boundary).
+    # part 2: [1, 14] -> tq=15, cnt=2; 1*5*2 = 10 < 15 -> included.
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 9.0, 1.0, 14.0]),
+        "l_extendedprice": pa.array([10.0] * 4),
+        "l_discount": pa.array([0.0] * 4)}), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#1"])}),
+        d / "part.parquet")
+    out = q17_small_qty(str(d)).to_pandas()
+    assert out.loc[0, "n_lines"] == 1
+    assert out.loc[0, "rev_cents"] == 1000
