@@ -1090,6 +1090,15 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_debounce(sf_dir: str):
+    """Per-user event debounce (keep only events > 6h after the last
+    KEPT event) — sequential stateful streaming; recursive-CTE
+    oracle."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.debounce(sf_dir)
+
+
 def q_q13_count_dist(sf_dir: str):
     """TPC-H Q13 analog: order-count histogram including zero-order
     customers (left-outer join + map-side-partial histogram)."""
@@ -1287,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_count_dist": q_q13_count_dist,
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_rich": q_q22_idle_rich,
+        "debounce": q_debounce,
     }
 
 
@@ -2947,4 +2957,26 @@ WHERE pos.ac * g.n > g.s
     SELECT o_custkey FROM orders
     WHERE o_orderpriority = '{_rel_mod.Q22_PRIORITY}')
 GROUP BY c_nationkey""",
+        # Debounce: keep-if-gap-from-last-KEPT — sequential state, so
+        # the mirror is a recursive CTE: each kept row joins to the
+        # FIRST later row (per (ts, event_id) rank) whose ts gap is
+        # strictly over the window.
+        "debounce": f"""
+WITH RECURSIVE ranked AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+keep(user_id, event_id, ts, rn) AS (
+  SELECT user_id, event_id, ts, rn FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.event_id, r.ts, r.rn
+  FROM keep k JOIN ranked r ON r.user_id = k.user_id
+    AND r.rn > k.rn
+    AND epoch_us(r.ts) - epoch_us(k.ts) > {_rel_mod.DEBOUNCE_US}
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ranked m
+    WHERE m.user_id = k.user_id AND m.rn > k.rn AND m.rn < r.rn
+      AND epoch_us(m.ts) - epoch_us(k.ts) > {_rel_mod.DEBOUNCE_US}))
+SELECT event_id, user_id, ts FROM keep""",
     }

@@ -3041,3 +3041,53 @@ def q22_idle_rich(sf_dir: str):
         .groupby("c_nationkey").aggregate(
             Sum("acct_cents", alias_name="acct_cents"),
             Sum("n_cust", alias_name="n_cust"))
+
+
+DEBOUNCE_US = 21_600_000_000   # 6-hour suppression window
+
+
+def debounce(sf_dir: str, window_us: int = DEBOUNCE_US):
+    """Per-user event debounce — keep an event only if it is more than
+    ``window_us`` after the last KEPT event of the same user (the
+    first event per user is always kept).  This is the genuinely
+    SEQUENTIAL stateful streaming op: whether an event survives
+    depends on which earlier events survived, so no window function
+    expresses it directly (the oracle is a recursive CTE).
+
+    Scale shape: one hash-partition exchange on user_id, then a
+    greedy jump scan per user run — each kept event finds its
+    successor with ONE searchsorted into the run's (sorted) timestamp
+    slice, so the Python loop iterates once per KEPT event, not once
+    per event.  Partitioning assumption: one user's events fit in a
+    partition (sessionize's assumption).  Tie rule (shared with the
+    SQL mirror): events are ordered by (ts, event_id); equal-ts
+    followers of a kept event are suppressed (gap must be strictly
+    positive)."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts"])
+
+    def debounce_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].astype("int64").to_numpy()
+        newu = np.ones(len(g), dtype=bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(newu)
+        ends = np.concatenate([starts[1:], [len(g)]])
+        keep: list[int] = []
+        for s0, s1 in zip(starts.tolist(), ends.tolist()):
+            run = ts[s0:s1]
+            i = 0
+            n = s1 - s0
+            while i < n:
+                keep.append(s0 + i)
+                i = int(np.searchsorted(run, run[i] + window_us,
+                                        side="right"))
+        idx = np.array(keep, dtype=np.int64)
+        return g.iloc[idx][["event_id", "user_id", "ts"]]
+
+    return _hash_partitioned(ev, "user_id", debounce_part,
+                             rows_hint=_parquet_rows(path))

@@ -158,3 +158,36 @@ def test_q17_exact_fifth_average_excluded(ray_session, tmp_path):
     out = q17_small_qty(str(d)).to_pandas()
     assert out.loc[0, "n_lines"] == 1
     assert out.loc[0, "rev_cents"] == 1000
+
+
+def test_debounce_chained_suppression(ray_session, tmp_path):
+    """The case plain window functions get wrong: an event inside the
+    window of a SUPPRESSED event (but outside the window of the last
+    KEPT one) must be kept."""
+    from geo_inference_ray.relational import debounce
+
+    d = tmp_path / "db"
+    d.mkdir()
+    # user 1, window 10: ts 0 keep; 8 drop (gap 8); 12 keep (gap from
+    # last KEPT = 12 > 10, even though gap from the dropped 8 is 4);
+    # 22 drop (gap 10, not strictly >); 23 keep.
+    ts = [0, 8, 12, 22, 23]
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([1] * 5, pa.int64()),
+        "ts": pa.array([t * 1_000_000 for t in ts],
+                       pa.timestamp("us"))}), d / "events.parquet")
+    out = debounce(str(d), window_us=10_000_000).to_pandas() \
+        .sort_values("event_id")
+    assert out["event_id"].tolist() == [0, 2, 4]
+
+
+def test_debounce_matches_registered_oracle(ray_session, sf_dir, duck):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["debounce"](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()["debounce"]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
