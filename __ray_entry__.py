@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog: supplier(s) whose windowed revenue equals the
+    global max (tie-complete; view-vs-max shape)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q15_top_supplier(sf_dir)
+
+
 def q_debounce(sf_dir: str):
     """Per-user event debounce (keep only events > 6h after the last
     KEPT event) — sequential stateful streaming; recursive-CTE
@@ -1297,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty": q_q17_small_qty,
         "q22_idle_rich": q_q22_idle_rich,
         "debounce": q_debounce,
+        "q15_top_supplier": q_q15_top_supplier,
     }
 
 
@@ -2979,4 +2988,18 @@ keep(user_id, event_id, ts, rn) AS (
     WHERE m.user_id = k.user_id AND m.rn > k.rn AND m.rn < r.rn
       AND epoch_us(m.ts) - epoch_us(k.ts) > {_rel_mod.DEBOUNCE_US}))
 SELECT event_id, user_id, ts FROM keep""",
+        # TPC-H Q15 analog: per-supplier windowed revenue equal to the
+        # global max (all ties), revenue cents rounded per LINE.
+        "q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+                        + 0.5) AS BIGINT)) AS BIGINT) AS rc
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {_rel_mod.Q15_LO_US}
+    AND epoch_us(l_shipdate) < {_rel_mod.Q15_HI_US}
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.rc AS revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.rc = (SELECT MAX(rc) FROM rev)""",
     }

@@ -3091,3 +3091,59 @@ def debounce(sf_dir: str, window_us: int = DEBOUNCE_US):
 
     return _hash_partitioned(ev, "user_id", debounce_part,
                              rows_hint=_parquet_rows(path))
+
+
+Q15_LO_US = 820_454_400_000_000   # 1996-01-01
+Q15_HI_US = 836_179_200_000_000   # 1996-07-01
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog — supplier(s) whose windowed revenue EQUALS the
+    global maximum (ties all returned, the view-vs-max shape).
+
+    Scale shape: line rows collapse to per-supplier revenue via
+    map-side partials + one groupby (keyspace = |suppliers|); the
+    global max is a one-scalar aggregate over that table; the
+    equality filter is batch-local; the name attach hash-joins the
+    (tiny) winner set against the supplier table sized by the
+    supplier side."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    s_path = f"{sf_dir}/supplier.parquet"
+    li = rd.read_parquet(li_path,
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q15_LO_US),
+                       pc.less(us, Q15_HI_US))
+        b = batch.filter(keep)
+        t = pa.table({"l_suppkey": b["l_suppkey"],
+                      "rev": _rev_cents(b["l_extendedprice"],
+                                        b["l_discount"])})
+        g = t.group_by("l_suppkey").aggregate([("rev", "sum")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "rc": g["rev_sum"]})
+
+    rev = li.map_batches(rev_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("l_suppkey").aggregate(Sum("rc", alias_name="rc")) \
+        .materialize()  # consumed twice (max + filter); |suppliers| rows
+    mx = int(rev.aggregate(Max("rc"))["max(rc)"])
+
+    winners = rev.map_batches(
+        lambda b: b.filter(pc.equal(b["rc"], mx)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sup = rd.read_parquet(s_path, columns=["s_suppkey", "s_name"])
+    out = winners.join(sup, join_type="inner",
+                       num_partitions=join_partitions_for(
+                           _parquet_rows(s_path)),
+                       on=("l_suppkey",), right_on=("s_suppkey",))
+    return out.map_batches(
+        lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                            "s_name": b["s_name"],
+                            "revenue_cents": b["rc"]}),
+        batch_format="pyarrow", zero_copy_batch=True)

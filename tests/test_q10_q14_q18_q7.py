@@ -191,3 +191,36 @@ def test_debounce_matches_registered_oracle(ray_session, sf_dir, duck):
     got, exp = _canon(got), _canon(exp)
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q15_ties_all_returned(ray_session, tmp_path):
+    """Two suppliers at the exact same max revenue both win."""
+    from geo_inference_ray.relational import Q15_LO_US, q15_top_supplier
+
+    d = tmp_path / "q15"
+    d.mkdir()
+    ts = pa.array([Q15_LO_US] * 4, pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 40.0, 60.0]),
+        "l_discount": pa.array([0.0] * 4),
+        "l_shipdate": ts}), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["a", "b", "c"])}),
+        d / "supplier.parquet")
+    out = q15_top_supplier(str(d)).to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    assert out["s_suppkey"].tolist() == [1, 2, 3]
+    assert (out["revenue_cents"] == 10000).all()
+
+
+def test_q15_matches_registered_oracle(ray_session, sf_dir, duck):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["q15_top_supplier"](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()["q15_top_supplier"]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
