@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 analog: OR-of-ANDs predicate over lineitem x part via
+    a broadcast per-partkey arm bitmask."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q19_disjunctive(sf_dir)
+
+
 def q_q15_top_supplier(sf_dir: str):
     """TPC-H Q15 analog: supplier(s) whose windowed revenue equals the
     global max (tie-complete; view-vs-max shape)."""
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich": q_q22_idle_rich,
         "debounce": q_debounce,
         "q15_top_supplier": q_q15_top_supplier,
+        "q19_disjunctive": q_q19_disjunctive,
     }
 
 
@@ -1517,6 +1526,14 @@ def oracle_sql() -> dict[str, str]:
                  "AND score_en >= score_zh THEN 'en' "
                  "WHEN score_de >= score_fr AND score_de >= score_zh THEN 'de' "
                  "WHEN score_fr >= score_zh THEN 'fr' ELSE 'zh' END")
+    # Q19 disjunction generated from the SAME arm table the engine uses
+    q19_arms = " OR ".join(
+        "(" + " AND ".join(
+            ([f"p.p_brand = '{brand}'"] if brand is not None else [])
+            + ([f"p.p_size >= {size}"] if size is not None else [])
+            + [f"CAST(round(l.l_quantity) AS BIGINT) "
+               f"BETWEEN {lo} AND {hi}"]) + ")"
+        for brand, size, lo, hi in _rel_mod.Q19_ARMS)
     return {
         "pages": _W + " SELECT url, warc_ts, text, lang, doc_id FROM pages",
         "extract_text": _W + " SELECT url, doc_id, text FROM pages",
@@ -3002,4 +3019,13 @@ WITH rev AS (
 SELECT s.s_suppkey, s.s_name, r.rc AS revenue_cents
 FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
 WHERE r.rc = (SELECT MAX(rc) FROM rev)""",
+        # TPC-H Q19 analog: OR-of-ANDs arms generated from Q19_ARMS,
+        # revenue cents rounded per LINE; COALESCE for the empty match.
+        "q19_disjunctive": f"""
+SELECT COALESCE(CAST(SUM(CAST(floor(l.l_extendedprice
+         * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+         0) AS rev_cents,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {q19_arms}""",
     }

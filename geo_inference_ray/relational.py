@@ -3147,3 +3147,112 @@ def q15_top_supplier(sf_dir: str):
                             "s_name": b["s_name"],
                             "revenue_cents": b["rc"]}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Q19 disjunctive predicate arms: (brand test, size floor, qty lo, qty hi).
+Q19_ARMS = (("Brand#1", None, 1, 20),
+            ("Brand#2", None, 10, 30),
+            (None, 40, 20, 40))
+
+
+def q19_disjunctive(sf_dir: str):
+    """TPC-H Q19 analog — revenue under an OR-of-ANDs predicate across
+    the lineitem x part join (each arm pairs a part attribute test
+    with a quantity range).  One row (rev_cents, n_lines).
+
+    Scale shape: the part dimension collapses to a per-partkey ARM
+    BITMASK (3 bits) broadcast as a sorted-array probe under
+    Q5_BROADCAST_KEYS (native hash join above it); the disjunction is
+    then a batch-local vectorized any-arm test — no per-arm scan of
+    the fact table, no join amplification."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part_path = f"{sf_dir}/part.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    def arm_mask(brand, size):
+        def fn(t: pa.Table) -> np.ndarray:
+            m = np.ones(t.num_rows, dtype=bool)
+            if brand is not None:
+                m &= pc.equal(t["p_brand"], brand).to_numpy(
+                    zero_copy_only=False)
+            if size is not None:
+                m &= t["p_size"].to_numpy() >= size
+            return m
+        return fn
+
+    def part_bits(t: pa.Table) -> np.ndarray:
+        bits = np.zeros(t.num_rows, dtype=np.int64)
+        for i, (brand, size, _lo, _hi) in enumerate(Q19_ARMS):
+            bits |= arm_mask(brand, size)(t).astype(np.int64) << i
+        return bits
+
+    ref = None
+    if _parquet_rows(part_path) <= Q5_BROADCAST_KEYS:
+        t = pq.read_table(part_path,
+                          columns=["p_partkey", "p_brand", "p_size"])
+        k = t["p_partkey"].to_numpy().astype(np.int64)
+        v = part_bits(t)
+        order = np.argsort(k)
+        ref = ray.put((k[order], v[order]))
+
+    li = rd.read_parquet(li_path,
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def line_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "q": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "rev": _rev_cents(batch["l_extendedprice"],
+                              batch["l_discount"])})
+
+    li = li.map_batches(line_cols, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    if ref is not None:
+        def attach(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(ref)
+            kk = batch["l_partkey"].to_numpy()
+            pos = np.searchsorted(k, kk)
+            pos = np.minimum(pos, max(0, len(k) - 1))
+            if len(k) == 0 or not bool((k[pos] == kk).all()):
+                raise ValueError("l_partkey missing from part")
+            return batch.append_column("bits", pa.array(v[pos]))
+
+        li = li.map_batches(attach, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    else:
+        dim = rd.read_parquet(part_path,
+                              columns=["p_partkey", "p_brand", "p_size"])
+
+        def derive(batch: pa.Table) -> pa.Table:
+            return pa.table({"p_partkey": batch["p_partkey"],
+                             "bits": pa.array(part_bits(batch))})
+
+        dim = dim.map_batches(derive, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        li = li.join(dim, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows),
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def keep_partial(batch: pa.Table) -> pa.Table:
+        q = batch["q"].to_numpy()
+        bits = batch["bits"].to_numpy()
+        keep = np.zeros(len(q), dtype=bool)
+        for i, (_brand, _size, lo, hi) in enumerate(Q19_ARMS):
+            keep |= ((bits >> i) & 1).astype(bool) & (q >= lo) & (q <= hi)
+        rev = batch["rev"].to_numpy()[keep]
+        return pa.table({"rc": pa.array([int(rev.sum())]),
+                         "n": pa.array([int(keep.sum())])})
+
+    agg = li.map_batches(keep_partial, batch_format="pyarrow",
+                         batch_size=None) \
+        .aggregate(Sum("rc", alias_name="rc"), Sum("n", alias_name="n"))
+    return pa.table({
+        "rev_cents": pa.array([int(agg["rc"])], pa.int64()),
+        "n_lines": pa.array([int(agg["n"])], pa.int64())})

@@ -224,3 +224,27 @@ def test_q15_matches_registered_oracle(ray_session, sf_dir, duck):
     got, exp = _canon(got), _canon(exp)
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q19_broadcast_and_join_paths_agree(ray_session, sf_dir,
+                                            monkeypatch):
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q19_disjunctive(sf_dir).to_pandas()
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined)
+    assert broadcast.loc[0, "n_lines"] > 0
+
+
+def test_q19_matches_registered_oracle(ray_session, sf_dir, duck):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["q19_disjunctive"](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()["q19_disjunctive"]).df()
+    got, exp = _canon(got), _canon(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
