@@ -1090,6 +1090,17 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_kl_by_source(sf_dir: str):
+    """Per-source KL divergence vs the corpus token distribution
+    (integer milli-nat numerator) — corpus-mix drift detection."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.kl_by_source(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
 def q_q19_disjunctive(sf_dir: str):
     """TPC-H Q19 analog: OR-of-ANDs predicate over lineitem x part via
     a broadcast per-partkey arm bitmask."""
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce": q_debounce,
         "q15_top_supplier": q_q15_top_supplier,
         "q19_disjunctive": q_q19_disjunctive,
+        "kl_by_source": q_kl_by_source,
     }
 
 
@@ -3028,4 +3040,27 @@ SELECT COALESCE(CAST(SUM(CAST(floor(l.l_extendedprice
        COUNT(*) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE {q19_arms}""",
+        # Per-source KL numerator: floor(1000*ln(...)) per (source,
+        # token) VALUE before the tf-weighted integer sum, same libm
+        # ln / expression order as the engine kernel.
+        "kl_by_source": """
+WITH flat AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+cst AS (SELECT source, token, COUNT(*) AS c_st FROM flat GROUP BY 1, 2),
+ct AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst
+       GROUP BY token),
+ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst
+       GROUP BY source),
+tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n FROM cst)
+SELECT cst.source,
+  CAST(SUM(cst.c_st * CAST(floor(1000.0 * ln(
+      (CAST(cst.c_st AS DOUBLE) * CAST(tot.n AS DOUBLE))
+      / (CAST(ct.c_t AS DOUBLE) * CAST(ns.n_s AS DOUBLE))))
+    AS BIGINT)) AS BIGINT) AS kl_numer_milli,
+  CAST(SUM(cst.c_st) AS BIGINT) AS n_tokens
+FROM cst
+JOIN ct USING (token)
+JOIN ns ON ns.source = cst.source, tot
+GROUP BY cst.source""",
     }

@@ -2123,3 +2123,85 @@ def source_jaccard(ds):
 
     return inter.map_batches(finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def src_token_tf(batch: pa.Table) -> pa.Table:
+    """Tokenize + pre-aggregate to (source, token, tf) — doc_token_tf's
+    shape keyed by the SOURCE column (corpus-mix analysis)."""
+    toks = pc.split_pattern(batch["text"], " ")
+    n = pc.list_value_length(toks).to_numpy()
+    flat = pa.table({
+        "source": pa.array(np.repeat(
+            batch["source"].to_numpy(zero_copy_only=False), n)),
+        "token": pc.list_flatten(toks),
+    })
+    g = flat.group_by(["source", "token"]).aggregate([([], "count_all")])
+    return pa.table({"source": g["source"], "token": g["token"],
+                     "tf": pc.cast(g["count_all"], pa.int64())})
+
+
+def kl_by_source(ds):
+    """Per-source KL divergence of the source's token distribution
+    against the whole-corpus distribution, as the integer milli-nat
+    NUMERATOR sum_t c_st * floor(1000*ln((c_st*n)/(c_t*n_s)))
+    (divide by n_tokens for the per-token KL; the division is left to
+    the caller so the result stays integer-exact and
+    order-independent) — the corpus-mix drift signal: a source whose
+    vocabulary diverges from the corpus scores high.
+
+    Shape (unigram_surprisal's, keyed by source): pre-aggregated
+    (source, token, tf) rows -> one groupby to exact per-(source,
+    token) counts; global token counts and per-source totals DERIVED
+    from that table (vocab-bounded, no second tokenize pass); one
+    token hash join; integer term sum per source.  The per-source
+    totals map is a driver-side fold over <= |sources| rows,
+    broadcast into the term kernel."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import join_partitions_for
+
+    pairs = ds.map_batches(src_token_tf, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    cst = pairs.groupby(["source", "token"]).aggregate(
+        Sum("tf", alias_name="c_st")).materialize()
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("c_st", "sum")])
+        return pa.table({"token": g["token"], "c": g["c_st_sum"]})
+
+    ct = cst.map_batches(tok_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("token").aggregate(Sum("c", alias_name="c_t"))
+
+    ns: dict[str, int] = {}
+    for b in cst.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        t = b.group_by("source").aggregate([("c_st", "sum")])
+        for s, v in zip(t["source"].to_pylist(),
+                        t["c_st_sum"].to_pylist()):
+            ns[s] = ns.get(s, 0) + int(v)
+    total = sum(ns.values())
+    ns_ref = ray.put(ns)
+
+    j = cst.join(ct, join_type="inner",
+                 num_partitions=join_partitions_for(total),
+                 on=("token",))
+
+    def term(batch: pa.Table) -> pa.Table:
+        ns_map = ray.get(ns_ref)
+        src = batch["source"].to_pylist()
+        c_st = batch["c_st"].to_numpy().astype(np.float64)
+        c_t = batch["c_t"].to_numpy().astype(np.float64)
+        n_s = np.array([ns_map[s] for s in src], dtype=np.float64)
+        arg = (c_st * float(total)) / (c_t * n_s)
+        t_milli = np.floor(1000.0 * np.log(arg)).astype(np.int64)
+        return pa.table({
+            "source": batch["source"],
+            "kl": pa.array(batch["c_st"].to_numpy() * t_milli),
+            "tf": batch["c_st"]})
+
+    return j.map_batches(term, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            Sum("kl", alias_name="kl_numer_milli"),
+            Sum("tf", alias_name="n_tokens"))

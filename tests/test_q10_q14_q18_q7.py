@@ -248,3 +248,43 @@ def test_q19_matches_registered_oracle(ray_session, sf_dir, duck):
     got, exp = _canon(got), _canon(exp)
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_kl_by_source_zero_for_identical_mix(ray_session, tmp_path):
+    """Two sources with the identical token distribution have exactly
+    zero KL numerator (arg = 1 -> ln = 0 -> floor = 0, no float
+    slack); a skewed source scores positive."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import kl_by_source
+
+    d = tmp_path / "kl"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "b", "b"]),
+        "text": pa.array(["x x y", "z", "x x y", "z"])}),
+        d / "documents.parquet")
+    out = kl_by_source(rd.read_parquet(str(d / "documents.parquet"))) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["kl_numer_milli"].tolist() == [0, 0]
+    assert out["n_tokens"].tolist() == [4, 4]
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "b"]),
+        "text": pa.array(["x x x x", "y"])}),
+        d / "documents.parquet")
+    out2 = kl_by_source(rd.read_parquet(str(d / "documents.parquet"))) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert (out2["kl_numer_milli"] > 0).all()
+
+
+def test_kl_by_source_matches_registered_oracle(ray_session, sf_dir,
+                                                duck):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["kl_by_source"](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()["kl_by_source"]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
