@@ -183,9 +183,13 @@ class MinHasher:
         M = MERSENNE
         out: list = [None] * len(texts)
         memo = self._memo
+        # memo keys are 16-byte md5 digests, not the texts themselves —
+        # a full-text key pins up to SIG_MEMO_MAX multi-KB documents
+        # per actor (gigabytes); the digest keeps the memo ~fixed-size
+        keys = [hashlib.md5(t.encode()).digest() for t in texts]
         miss_i: list[int] = []
-        for i, t in enumerate(texts):
-            s = memo.get(t)
+        for i, kdig in enumerate(keys):
+            s = memo.get(kdig)
             if s is None:
                 miss_i.append(i)
             else:
@@ -245,7 +249,7 @@ class MinHasher:
                 s = sigs[j]
                 if len(memo) >= SIG_MEMO_MAX:
                     memo.clear()
-                memo[texts[i]] = s
+                memo[keys[i]] = s
                 out[i] = s
         return out
 

@@ -709,6 +709,36 @@ def _keymap_broadcast(path: str, key: str, val: str):
     return ray.put((k[order], v[order]))
 
 
+def _name_map_broadcast(path: str, key: str, val: str):
+    """(sorted int64 keys, string values) ray.put handle — the
+    string-valued sibling of _keymap_broadcast.  UNCONDITIONAL
+    broadcast: for dimensions bounded by a constant (|nations|),
+    never a corpus-scale table."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(path, columns=[key, val])
+    k = t[key].to_numpy().astype(np.int64)
+    v = t[val].to_numpy(zero_copy_only=False)
+    order = np.argsort(k)
+    return ray.put((k[order], v[order]))
+
+
+def _probe_names(ref, keys: np.ndarray, what: str) -> np.ndarray:
+    """Validated sorted-array probe into a _name_map_broadcast handle:
+    RAISES on a key missing from the map (the _attach_nat loudness
+    contract) instead of clamping to a wrong neighbor."""
+    import ray
+
+    k, v = ray.get(ref)
+    kk = keys.astype(np.int64, copy=False)
+    pos = np.searchsorted(k, kk)
+    pos = np.minimum(pos, max(0, len(k) - 1))
+    if len(k) == 0 or not bool((k[pos] == kk).all()):
+        raise ValueError(f"{what}: key missing from the name map")
+    return v[pos]
+
+
 def _attach_nat(ds, key_col: str, out_col: str, ref, dim_path: str,
                 dim_key: str, dim_val: str, rows_hint: int):
     """Append ``out_col`` by probing the broadcast (keys, vals) map —
@@ -821,12 +851,8 @@ def q5_local_supply(sf_dir: str):
                      num_partitions=join_partitions_for(li_rows // 4),
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
-    nat_names = nat["n_name"].to_numpy(zero_copy_only=False)
-    n_order = np.argsort(nat_keys)
-    nat_ref = ray.put((nat_keys[n_order], nat_names[n_order]))
+    nat_ref = _name_map_broadcast(f"{sf_dir}/nation.parquet",
+                                  "n_nationkey", "n_name")
 
     def local_partial(batch: pa.Table) -> pa.Table:
         keep = pc.equal(batch["cnat"], batch["snat"])
@@ -842,10 +868,8 @@ def q5_local_supply(sf_dir: str):
                                  Sum("n", alias_name="n_lines"))
 
     def name_attach(batch: pa.Table) -> pa.Table:
-        k, names = ray.get(nat_ref)
-        nk = batch["nk"].to_numpy()
-        pos = np.searchsorted(k, nk)
-        return pa.table({"n_name": pa.array(names[pos]),
+        names = _probe_names(nat_ref, batch["nk"].to_numpy(), "nk")
+        return pa.table({"n_name": pa.array(names),
                          "revenue_cents": batch["revenue_cents"],
                          "n_lines": batch["n_lines"]})
 
@@ -2481,22 +2505,18 @@ def q10_returned(sf_dir: str):
         num_partitions=join_partitions_for(_parquet_rows(cust_path)),
         on=("o_custkey",), right_on=("c_custkey",))
 
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
-    nv = nat["n_name"].to_numpy(zero_copy_only=False)
-    order = np.argsort(nk)
-    nat_ref = ray.put((nk[order], nv[order]))
+    nat_ref = _name_map_broadcast(f"{sf_dir}/nation.parquet",
+                                  "n_nationkey", "n_name")
 
     def topk_part(batch: pa.Table) -> pa.Table:
-        k, names = ray.get(nat_ref)
-        pos = np.searchsorted(
-            k, batch["c_nationkey"].to_numpy().astype(np.int64))
+        names = _probe_names(nat_ref,
+                             batch["c_nationkey"].to_numpy(),
+                             "c_nationkey")
         t = pa.table({"c_custkey": batch["o_custkey"],
                       "c_name": batch["c_name"],
                       "revenue_cents": batch["revenue_cents"],
                       "acctbal_cents": batch["acctbal_cents"],
-                      "n_name": pa.array(names[pos])})
+                      "n_name": pa.array(names)})
         idx = pc.sort_indices(t, sort_keys=[
             ("revenue_cents", "descending"), ("c_custkey", "ascending")])
         return t.take(idx[:Q10_TOPK])
@@ -2580,13 +2600,20 @@ def q14_promo(sf_dir: str):
 
         dim = dim.map_batches(derive, batch_format="pyarrow",
                               zero_copy_batch=True)
-        li = li.join(dim, join_type="inner",
+        # left_outer + loud null check: the broadcast path RAISES on a
+        # partkey missing from part, so the fallback must too (an
+        # inner join would silently drop those lines' revenue and the
+        # two paths would diverge exactly when the data is bad —
+        # _attach_nat's convention)
+        li = li.join(dim, join_type="left_outer",
                      num_partitions=join_partitions_for(li_rows),
                      on=("l_partkey",), right_on=("p_partkey",))
 
     def sums_partial(batch: pa.Table) -> pa.Table:
+        if batch["promo"].null_count:
+            raise ValueError("l_partkey missing from part")
         rev = batch["rev"].to_numpy()
-        promo = batch["promo"].to_numpy()
+        promo = batch["promo"].to_numpy(zero_copy_only=False)
         return pa.table({"pc_": pa.array([int((rev * promo).sum())]),
                          "tc": pa.array([int(rev.sum())])})
 
@@ -2594,10 +2621,14 @@ def q14_promo(sf_dir: str):
                          zero_copy_batch=True, batch_size=None) \
         .aggregate(Sum("pc_", alias_name="p"),
                    Sum("tc", alias_name="t"))
-    p, t = int(agg["p"]), int(agg["t"])
+    p = int(agg["p"] or 0)
+    t = int(agg["t"] or 0)
+    # empty window -> NULL ratio (the oracle's SUM-over-no-rows shape),
+    # not a ZeroDivisionError
+    milli = pa.array([p * 1000 // t if t else None], pa.int64())
     return pa.table({"promo_cents": pa.array([p], pa.int64()),
                      "total_cents": pa.array([t], pa.int64()),
-                     "promo_milli": pa.array([p * 1000 // t], pa.int64())})
+                     "promo_milli": milli})
 
 
 Q18_QTY_MIN = 250   # HAVING sum(quantity) > this
@@ -2772,19 +2803,14 @@ def q7_volume(sf_dir: str):
             Sum("rev", alias_name="revenue_cents"),
             Sum("n", alias_name="n_lines"))
 
-    nat = pq.read_table(f"{sf_dir}/nation.parquet",
-                        columns=["n_nationkey", "n_name"])
-    nk = nat["n_nationkey"].to_numpy().astype(np.int64)
-    nv = nat["n_name"].to_numpy(zero_copy_only=False)
-    order = np.argsort(nk)
-    nat_ref = ray.put((nk[order], nv[order]))
+    nat_ref = _name_map_broadcast(f"{sf_dir}/nation.parquet",
+                                  "n_nationkey", "n_name")
 
     def name_attach(batch: pa.Table) -> pa.Table:
-        k, names = ray.get(nat_ref)
-        sp = np.searchsorted(k, batch["snat"].to_numpy())
-        cp = np.searchsorted(k, batch["cnat"].to_numpy())
-        return pa.table({"supp_nation": pa.array(names[sp]),
-                         "cust_nation": pa.array(names[cp]),
+        sn = _probe_names(nat_ref, batch["snat"].to_numpy(), "snat")
+        cn = _probe_names(nat_ref, batch["cnat"].to_numpy(), "cnat")
+        return pa.table({"supp_nation": pa.array(sn),
+                         "cust_nation": pa.array(cn),
                          "yr": batch["yr"],
                          "revenue_cents": batch["revenue_cents"],
                          "n_lines": batch["n_lines"]})
@@ -2912,6 +2938,11 @@ def q17_small_qty(sf_dir: str):
                         on=("l_partkey",), right_on=("p_partkey",))
         lines = lines.select_columns(["l_partkey", "q", "rev"])
 
+    # consumed twice (per-part aggregate + threshold join) and bounded
+    # by the brand's share of lineitem — pin it (the q15 'consumed
+    # twice' pattern) instead of re-running the brand filter lineage
+    lines = lines.materialize()
+
     def pa_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"l_partkey": batch["l_partkey"], "q": batch["q"],
                       "one": pa.array(np.ones(len(batch), np.int64))})
@@ -2976,8 +3007,11 @@ def q22_idle_rich(sf_dir: str):
                                                 pa.int64()),
                          "ac": _cents(b["c_acctbal"])})
 
+    # consumed twice (global (s, n) scalar + the rich-filter pipeline)
+    # and shrunken to three int64 columns — pin it instead of
+    # re-scanning customer.parquet
     pos = cust.map_batches(pos_cols, batch_format="pyarrow",
-                           zero_copy_batch=True)
+                           zero_copy_batch=True).materialize()
 
     def sum_partial(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -3132,7 +3166,13 @@ def q15_top_supplier(sf_dir: str):
                          zero_copy_batch=True, batch_size=None) \
         .groupby("l_suppkey").aggregate(Sum("rc", alias_name="rc")) \
         .materialize()  # consumed twice (max + filter); |suppliers| rows
-    mx = int(rev.aggregate(Max("rc"))["max(rc)"])
+    mx_raw = rev.aggregate(Max("rc"))["max(rc)"]
+    if mx_raw is None:  # empty shipdate window -> empty result, no crash
+        return rd.from_arrow(pa.table({
+            "s_suppkey": pa.array([], pa.int64()),
+            "s_name": pa.array([], pa.string()),
+            "revenue_cents": pa.array([], pa.int64())}))
+    mx = int(mx_raw)
 
     winners = rev.map_batches(
         lambda b: b.filter(pc.equal(b["rc"], mx)),
@@ -3236,13 +3276,17 @@ def q19_disjunctive(sf_dir: str):
 
         dim = dim.map_batches(derive, batch_format="pyarrow",
                               zero_copy_batch=True)
-        li = li.join(dim, join_type="inner",
+        # left_outer + loud null check — the broadcast path raises on
+        # a missing partkey, so the fallback must too
+        li = li.join(dim, join_type="left_outer",
                      num_partitions=join_partitions_for(li_rows),
                      on=("l_partkey",), right_on=("p_partkey",))
 
     def keep_partial(batch: pa.Table) -> pa.Table:
+        if batch["bits"].null_count:
+            raise ValueError("l_partkey missing from part")
         q = batch["q"].to_numpy()
-        bits = batch["bits"].to_numpy()
+        bits = batch["bits"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(q), dtype=bool)
         for i, (_brand, _size, lo, hi) in enumerate(Q19_ARMS):
             keep |= ((bits >> i) & 1).astype(bool) & (q >= lo) & (q <= hi)

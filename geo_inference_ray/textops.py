@@ -2174,17 +2174,28 @@ def kl_by_source(ds):
                          zero_copy_batch=True, batch_size=None) \
         .groupby("token").aggregate(Sum("c", alias_name="c_t"))
 
+    # per-source totals as a DISTRIBUTED map-side-partial groupby (the
+    # driver sees <= |sources| aggregate rows, never the (source,
+    # token) table itself)
+    def ns_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("c_st", "sum")])
+        return pa.table({"source": g["source"], "c": g["c_st_sum"]})
+
     ns: dict[str, int] = {}
-    for b in cst.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        t = b.group_by("source").aggregate([("c_st", "sum")])
-        for s, v in zip(t["source"].to_pylist(),
-                        t["c_st_sum"].to_pylist()):
-            ns[s] = ns.get(s, 0) + int(v)
+    for b in cst.map_batches(ns_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+            .groupby("source").aggregate(Sum("c", alias_name="n_s")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, v in zip(b["source"].to_pylist(), b["n_s"].to_pylist()):
+            ns[s] = int(v)
     total = sum(ns.values())
     ns_ref = ray.put(ns)
 
+    # join sized by the DISTINCT pair count (cst is materialized, so
+    # the count is free) — total token occurrences would over-partition
+    # by the corpus repetition factor
     j = cst.join(ct, join_type="inner",
-                 num_partitions=join_partitions_for(total),
+                 num_partitions=join_partitions_for(cst.count()),
                  on=("token",))
 
     def term(batch: pa.Table) -> pa.Table:
