@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_jsonl_docs(sf_dir: str):
+    """documents through the JSONL ingestion path (lossless
+    parquet -> JSONL -> Ray native JSON reader round-trip)."""
+    from geo_inference_ray import sources as _src
+
+    return _src.jsonl_documents(sf_dir)
+
+
 def q_kl_by_source(sf_dir: str):
     """Per-source KL divergence vs the corpus token distribution
     (integer milli-nat numerator) — corpus-mix drift detection."""
@@ -1327,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": q_q15_top_supplier,
         "q19_disjunctive": q_q19_disjunctive,
         "kl_by_source": q_kl_by_source,
+        "jsonl_docs": q_jsonl_docs,
     }
 
 
@@ -3063,4 +3072,8 @@ FROM cst
 JOIN ct USING (token)
 JOIN ns ON ns.source = cst.source, tot
 GROUP BY cst.source""",
+        # JSONL round-trip: the engine reads a JSONL conversion of the
+        # parquet table; any loss in the round-trip hash-mismatches.
+        "jsonl_docs": """
+SELECT doc_id, text, lang, source, n_chars FROM documents""",
     }

@@ -575,3 +575,40 @@ class TorchScriptScorer:
                                 dtype=torch.float32,
                                 device=self.device)
             return self.model(x).cpu().numpy()
+
+
+def jsonl_documents(sf_dir: str):
+    """documents via the JSONL ingestion path: the parquet table is
+    converted ONCE to newline-delimited JSON under a marker-guarded
+    scratch dir (deterministic bytes; per-(sf, mtime) key so a changed
+    input invalidates), then read back with Ray's native JSON reader
+    (pyarrow json — file-parallel, projection after parse).  Proves
+    the third source format (parquet / CSV manifest / JSONL) end to
+    end; the oracle reads the parquet directly, so the whole
+    round-trip must be lossless."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}"
+    out_dir = os.path.join("/tmp", "geo_inference_ray_jsonl", key)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out_dir, exist_ok=True)
+        t = pq.read_table(src)
+        cols = t.column_names
+        path = os.path.join(out_dir, "documents.jsonl")
+        with open(path + ".tmp", "w", encoding="utf-8") as f:
+            for row in zip(*[t[c].to_pylist() for c in cols]):
+                f.write(json.dumps(dict(zip(cols, row)),
+                                   ensure_ascii=False,
+                                   separators=(",", ":")) + "\n")
+        os.replace(path + ".tmp", path)  # atomic: readers never see a
+        # partial file
+        with open(marker, "w") as f:
+            f.write("ok")
+    return rd.read_json(out_dir, file_extensions=["jsonl"])

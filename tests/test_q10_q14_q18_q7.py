@@ -288,3 +288,20 @@ def test_kl_by_source_matches_registered_oracle(ray_session, sf_dir,
     got, exp = _canon(got), _canon(exp)
     for c in got.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_jsonl_round_trip_lossless(ray_session, sf_dir):
+    """parquet -> JSONL -> Ray JSON reader must reproduce every value
+    (unicode text included) and the int64 dtypes."""
+    import pyarrow.parquet as pq_mod
+
+    from geo_inference_ray.sources import jsonl_documents
+
+    got = jsonl_documents(sf_dir).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = pq_mod.read_table(f"{sf_dir}/documents.parquet").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    for c in exp.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert got["doc_id"].dtype == exp["doc_id"].dtype
