@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_image_dhash(sf_dir: str):
+    """Per-image 64-bit perceptual difference hash (dHash) over the
+    real PPM decode path, packed as two int64 halves."""
+    from geo_inference_ray import multimodal as _mm
+
+    return _mm.image_dhash(sf_dir)
+
+
 def q_jsonl_docs(sf_dir: str):
     """documents through the JSONL ingestion path (lossless
     parquet -> JSONL -> Ray native JSON reader round-trip)."""
@@ -1336,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive": q_q19_disjunctive,
         "kl_by_source": q_kl_by_source,
         "jsonl_docs": q_jsonl_docs,
+        "image_dhash": q_image_dhash,
     }
 
 
@@ -3076,4 +3085,29 @@ GROUP BY cst.source""",
         # parquet table; any loss in the round-trip hash-mismatches.
         "jsonl_docs": """
 SELECT doc_id, text, lang, source, n_chars FROM documents""",
+        # dHash from the synthetic pixel arithmetic (red channel
+        # r(y, x) = (y*7 + x*3 + id) % 256, NN floor sampling) — the
+        # engine computes the same hash from the REAL decoded PPM
+        # bytes, so the compare pins decode + sample + pack.
+        "image_dhash": """
+WITH img AS (
+  SELECT doc_id AS id, 16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+  FROM documents WHERE doc_id % 3 = 0),
+g AS (SELECT id, w, h, y.n AS y, x.n AS x
+      FROM img,
+           (SELECT unnest(generate_series(0, 7)) AS n) y,
+           (SELECT unnest(generate_series(0, 7)) AS n) x),
+bits AS (SELECT id, y, x,
+  CASE WHEN ((y * h // 8) * 7 + (x * w // 9) * 3 + id) % 256
+         < ((y * h // 8) * 7 + ((x + 1) * w // 9) * 3 + id) % 256
+       THEN 1 ELSE 0 END AS b
+  FROM g)
+SELECT id,
+  CAST(SUM(CASE WHEN y * 8 + x < 32
+                THEN b * (CAST(1 AS BIGINT) << (y * 8 + x))
+                ELSE 0 END) AS BIGINT) AS dhash_lo,
+  CAST(SUM(CASE WHEN y * 8 + x >= 32
+                THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
+                ELSE 0 END) AS BIGINT) AS dhash_hi
+FROM bits GROUP BY id""",
     }

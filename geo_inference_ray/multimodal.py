@@ -368,3 +368,58 @@ def image_thumbs(sf_dir: str, size: int = THUMB_SIZE,
     return ds.map_batches(ThumbSampler, batch_format="pyarrow",
                           batch_size=64, concurrency=pool_caps(max_actors),
                           fn_constructor_kwargs={"size": size})
+
+
+DHASH_COLS = 9   # sample grid: 9 columns x 8 rows -> 64 gradient bits
+DHASH_ROWS = 8
+
+
+class ImageDHash:
+    """Image -> 64-bit difference hash (dHash) of the red channel: NN
+    sample a DHASH_ROWS x DHASH_COLS grid (same floor rule as
+    ThumbSampler), set bit y*8+x when g[y][x] < g[y][x+1] — the
+    classic perceptual near-dup fingerprint for images.  Emitted as
+    two int64 halves (bits 0-31 / 32-63) because the SQL mirror
+    cannot shift into bit 63 of a signed BIGINT.  Runs on the REAL
+    decoded PPM bytes; the oracle recomputes from the synthetic pixel
+    arithmetic, pinning the decode + sample + pack path bit-for-bit."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = DHASH_ROWS
+        cols = DHASH_COLS
+        gy, gx = np.mgrid[0:rows, 0:cols]
+        ids_out, lo_out, hi_out = [], [], []
+        kinds = batch["kind"].to_numpy(zero_copy_only=False)
+        ids = batch["id"].to_numpy()
+        payloads = batch["payload"].to_pylist()
+        weights = (np.uint64(1)
+                   << (np.arange(rows * (cols - 1), dtype=np.uint64)
+                       .reshape(rows, cols - 1)))  # bit y*8+x
+        for i in range(len(batch)):
+            if kinds[i] != "image":
+                continue
+            px = decode_ppm(payloads[i])
+            h, w = px.shape[:2]
+            sy = gy * h // rows
+            sx = gx * w // cols
+            g = px[sy, sx, 0].astype(np.int64)   # (rows, cols)
+            bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64)
+            dh = int((bits * weights).sum())
+            ids_out.append(int(ids[i]))
+            lo_out.append(dh & 0xFFFFFFFF)
+            hi_out.append(dh >> 32)
+        return pa.table({
+            "id": pa.array(ids_out, pa.int64()),
+            "dhash_lo": pa.array(lo_out, pa.int64()),
+            "dhash_hi": pa.array(hi_out, pa.int64())})
+
+
+def image_dhash(sf_dir: str, max_actors: int | None = None):
+    """media -> per-image 64-bit dHash (perceptual near-dup
+    fingerprint); payloads never cross a shuffle."""
+    from .pools import pool_caps
+
+    ds = media_dataset(sf_dir)
+    return ds.map_batches(ImageDHash, batch_format="pyarrow",
+                          batch_size=64,
+                          concurrency=pool_caps(max_actors))

@@ -127,3 +127,40 @@ def test_image_thumbs_pixel_values(ray_session, sf_dir):
     # every image contributes exactly size^2 rows
     assert (out.groupby("id").size() == THUMB_SIZE ** 2).all()
     assert set(out["id"]) == set(med.index)
+
+
+def test_image_dhash_known_gradient(ray_session, tmp_path):
+    """dHash of the seeded gradient: adjacent sampled columns of
+    r(y, x) = (y*7 + x*3 + id) % 256 rise by 3*(sx'-sx) except at the
+    mod-256 wrap — recompute the expected bits directly from the
+    formula and compare both halves."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.multimodal import (DHASH_COLS, DHASH_ROWS,
+                                              image_dhash)
+
+    d = tmp_path / "dh"
+    d.mkdir()
+    ids = [0, 3, 6, 9, 12]  # doc_id % 3 == 0 -> image rows
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(["x"] * len(ids)),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["s"] * len(ids)),
+        "n_chars": pa.array([1] * len(ids), pa.int64()),
+    }), d / "documents.parquet")
+    out = image_dhash(str(d)).to_pandas().set_index("id").sort_index()
+    for i in ids:
+        w, h = 16 + i % 16, 16 + i % 8
+        gy, gx = np.mgrid[0:DHASH_ROWS, 0:DHASH_COLS]
+        sy = gy * h // DHASH_ROWS
+        sx = gx * w // DHASH_COLS
+        g = (sy * 7 + sx * 3 + i) % 256
+        bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64)
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)
+                   .reshape(8, 8))
+        dh = int((bits * weights).sum())
+        assert out.loc[i, "dhash_lo"] == dh & 0xFFFFFFFF, i
+        assert out.loc[i, "dhash_hi"] == dh >> 32, i
