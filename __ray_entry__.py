@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy (integer milli-nat
+    numerator) — engagement-diversity feature."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.user_entropy(sf_dir)
+
+
 def q_image_dhash(sf_dir: str):
     """Per-image 64-bit perceptual difference hash (dHash) over the
     real PPM decode path, packed as two int64 halves."""
@@ -1345,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kl_by_source": q_kl_by_source,
         "jsonl_docs": q_jsonl_docs,
         "image_dhash": q_image_dhash,
+        "user_entropy": q_user_entropy,
     }
 
 
@@ -3110,4 +3119,16 @@ SELECT id,
                 THEN b * (CAST(1 AS BIGINT) << (y * 8 + x - 32))
                 ELSE 0 END) AS BIGINT) AS dhash_hi
 FROM bits GROUP BY id""",
+        # Per-user entropy numerator: floor(-1000*ln(c/n)) per (user,
+        # type) VALUE before the count-weighted integer sum (the
+        # kl_by_source convention; same libm ln on both sides).
+        "user_entropy": """
+WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+           FROM events GROUP BY 1, 2),
+n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.user_id, MAX(n.n) AS n_events,
+  CAST(SUM(c.c * CAST(floor(-1000.0 * ln(
+      CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT))
+    AS BIGINT) AS entropy_numer_milli
+FROM c JOIN n USING (user_id) GROUP BY c.user_id""",
     }

@@ -3300,3 +3300,38 @@ def q19_disjunctive(sf_dir: str):
     return pa.table({
         "rev_cents": pa.array([int(agg["rc"])], pa.int64()),
         "n_lines": pa.array([int(agg["n"])], pa.int64())})
+
+
+def user_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy (engagement-diversity
+    feature), as the integer milli-nat NUMERATOR
+    sum_t c_ut * floor(-1000*ln(c_ut/n_u)) — divide by n_events for
+    the per-event entropy; the division stays with the caller so the
+    result is integer-exact and order-independent (the kl_by_source
+    convention).
+
+    Scale shape: ONE hash-partition exchange on user_id, then a
+    single vectorized kernel per partition: pandas groupby
+    ((user, type) counts) -> per-user totals via a second grouped
+    sum -> integer term fold.  No per-user Python, no corpus-scale
+    join (the per-user total never leaves the kernel that computed
+    it)."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "event_type"])
+
+    def entropy_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        n = c.groupby("user_id")["c"].transform("sum").to_numpy()
+        cc = c["c"].to_numpy().astype(np.float64)
+        term = np.floor(-1000.0 * np.log(
+            cc / n.astype(np.float64))).astype(np.int64)
+        c["t"] = c["c"].to_numpy() * term
+        out = c.groupby("user_id", as_index=False).agg(
+            n_events=("c", "sum"), entropy_numer_milli=("t", "sum"))
+        return out
+
+    return _hash_partitioned(ev, "user_id", entropy_part,
+                             rows_hint=_parquet_rows(path))

@@ -305,3 +305,24 @@ def test_jsonl_round_trip_lossless(ray_session, sf_dir):
     for c in exp.columns:
         assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
     assert got["doc_id"].dtype == exp["doc_id"].dtype
+
+
+def test_user_entropy_uniform_and_single_type(ray_session, tmp_path):
+    """Single-type user scores exactly 0 (ln(1) = 0, no float slack);
+    a uniform two-type user scores n * floor(1000*ln(2))."""
+    import numpy as np
+
+    from geo_inference_ray.relational import user_entropy
+
+    d = tmp_path / "ue"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "user_id": pa.array([1] * 4 + [2] * 4, pa.int64()),
+        "event_type": pa.array(["a"] * 4 + ["a", "a", "b", "b"]),
+    }), d / "events.parquet")
+    out = user_entropy(str(d)).to_pandas().set_index("user_id") \
+        .sort_index()
+    assert out.loc[1, "entropy_numer_milli"] == 0
+    expected = 4 * int(np.floor(-1000.0 * np.log(0.5)))
+    assert out.loc[2, "entropy_numer_milli"] == expected
+    assert out["n_events"].tolist() == [4, 4]
