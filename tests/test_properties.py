@@ -189,3 +189,51 @@ def test_mix_sample_targets_invariants(counts, k):
     order = np.argsort(counts)
     t_sorted = np.array(ts)[order]
     assert (np.diff(t_sorted) >= 0).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=3),
+                          st.integers(min_value=0, max_value=200)),
+                min_size=1, max_size=60),
+       st.integers(min_value=0, max_value=30))
+def test_debounce_jump_scan_matches_bruteforce(events, window):
+    """The searchsorted jump scan must equal the O(n) sequential
+    keep-if-gap-from-last-KEPT reference for any (user, ts) multiset
+    and window, including zero windows and heavy ts ties."""
+    import numpy as np
+    import pandas as pd
+
+    from geo_inference_ray.relational import _hash_partitioned  # noqa: F401
+    # run the kernel body directly (no Ray needed for the property)
+    g = pd.DataFrame({
+        "user_id": [u for u, _ in events],
+        "ts": pd.to_datetime([t for _, t in events], unit="us"),
+        "event_id": range(len(events)),
+    })
+    gs = g.sort_values(["user_id", "ts", "event_id"],
+                       kind="stable").reset_index(drop=True)
+    uid = gs["user_id"].to_numpy()
+    ts = gs["ts"].astype("int64").to_numpy()
+    # brute force
+    exp = []
+    last_kept: dict[int, int] = {}
+    for i in range(len(gs)):
+        u = uid[i]
+        if u not in last_kept or ts[i] - last_kept[u] > window:
+            exp.append(int(gs["event_id"].iloc[i]))
+            last_kept[u] = ts[i]
+    # jump scan (the debounce_part body)
+    newu = np.ones(len(gs), dtype=bool)
+    newu[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(newu)
+    ends = np.concatenate([starts[1:], [len(gs)]])
+    keep = []
+    for s0, s1 in zip(starts.tolist(), ends.tolist()):
+        run = ts[s0:s1]
+        i = 0
+        n = s1 - s0
+        while i < n:
+            keep.append(s0 + i)
+            i = int(np.searchsorted(run, run[i] + window, side="right"))
+    got = sorted(int(gs["event_id"].iloc[k]) for k in keep)
+    assert got == sorted(exp)
