@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_q2_min_cost(sf_dir: str):
+    """TPC-H Q2 analog: tie-complete minimum-acctbal supplier per part
+    over the distinct lineitem supply relation."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q2_min_cost_supplier(sf_dir)
+
+
 def q_user_entropy(sf_dir: str):
     """Per-user event-type Shannon entropy (integer milli-nat
     numerator) — engagement-diversity feature."""
@@ -1354,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_docs": q_jsonl_docs,
         "image_dhash": q_image_dhash,
         "user_entropy": q_user_entropy,
+        "q2_min_cost": q_q2_min_cost,
     }
 
 
@@ -3131,4 +3140,16 @@ SELECT c.user_id, MAX(n.n) AS n_events,
       CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT))
     AS BIGINT) AS entropy_numer_milli
 FROM c JOIN n USING (user_id) GROUP BY c.user_id""",
+        # TPC-H Q2 analog: tie-complete per-part min over the distinct
+        # supply relation, acctbal as exact cents.
+        "q2_min_cost": """
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+c AS (SELECT s.l_partkey, s.l_suppkey,
+             CAST(round(su.s_acctbal * 100.0) AS BIGINT)
+               AS acctbal_cents
+      FROM supply s JOIN supplier su ON su.s_suppkey = s.l_suppkey),
+m AS (SELECT l_partkey, MIN(acctbal_cents) AS mc FROM c GROUP BY 1)
+SELECT c.l_partkey, c.l_suppkey, c.acctbal_cents
+FROM c JOIN m ON m.l_partkey = c.l_partkey
+             AND c.acctbal_cents = m.mc""",
     }

@@ -3335,3 +3335,102 @@ def user_entropy(sf_dir: str):
 
     return _hash_partitioned(ev, "user_id", entropy_part,
                              rows_hint=_parquet_rows(path))
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 analog — for every part, the supplier(s) with the
+    MINIMUM account balance among the suppliers that shipped it
+    (tie-complete): the correlated-min-through-a-join shape.
+
+    Scale shape: the supply relation is DISTINCT (partkey, suppkey)
+    pairs pre-deduped map-side before the one shuffle; the supplier
+    cost attaches via a broadcast keymap under Q5_BROADCAST_KEYS
+    (hash join above it — _attach_nat); per-part min and the
+    tie-complete winner filter run in ONE vectorized kernel per hash
+    partition (all of a part's pairs co-located), so there is no
+    second join against a min table."""
+    import ray.data as rd
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li = rd.read_parquet(li_path, columns=["l_partkey", "l_suppkey"])
+
+    def dedup_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "l_suppkey": batch["l_suppkey"]})
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        return g
+
+    supply = li.map_batches(dedup_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+    import pyarrow.parquet as pq
+    import ray
+
+    # _keymap_broadcast reads int columns; acctbal is a double, so the
+    # (suppkey, cents) map is built inline with the same shape
+    sup_ref = None
+    s_path = f"{sf_dir}/supplier.parquet"
+    if _parquet_rows(s_path) <= Q5_BROADCAST_KEYS:
+        t = pq.read_table(s_path, columns=["s_suppkey", "s_acctbal"])
+        k = t["s_suppkey"].to_numpy().astype(np.int64)
+        v = _cents(t["s_acctbal"]).to_numpy()
+        order = np.argsort(k)
+        sup_ref = ray.put((k[order], v[order]))
+
+    if sup_ref is not None:
+        def attach(batch: pa.Table) -> pa.Table:
+            k, v = ray.get(sup_ref)
+            kk = batch["l_suppkey"].to_numpy()
+            pos = np.searchsorted(k, kk)
+            pos = np.minimum(pos, max(0, len(k) - 1))
+            if len(k) == 0 or not bool((k[pos] == kk).all()):
+                raise ValueError("l_suppkey missing from supplier")
+            return batch.append_column("cost", pa.array(v[pos]))
+
+        costed = supply.map_batches(attach, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        dim = rd.read_parquet(s_path, columns=["s_suppkey", "s_acctbal"])
+
+        def cost_col(batch: pa.Table) -> pa.Table:
+            return pa.table({"s_suppkey": batch["s_suppkey"],
+                             "cost": _cents(batch["s_acctbal"])})
+
+        dim = dim.map_batches(cost_col, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        costed = supply.join(
+            dim, join_type="left_outer",
+            num_partitions=join_partitions_for(_parquet_rows(li_path)),
+            on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def check(batch: pa.Table) -> pa.Table:
+            if batch["cost"].null_count:
+                raise ValueError("l_suppkey missing from supplier")
+            return batch
+
+        costed = costed.map_batches(check, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def winners_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "cost", "l_suppkey"],
+                          kind="stable").reset_index(drop=True)
+        pk = g["l_partkey"].to_numpy()
+        sk = g["l_suppkey"].to_numpy()
+        cost = g["cost"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = pk[1:] != pk[:-1]
+        # per-row group-min = cost at the group's first row (sorted)
+        gmin = cost[np.flatnonzero(new)]
+        gidx = np.cumsum(new) - 1
+        keep = cost == gmin[gidx]
+        # the map-side pair dedup is per-batch only; the same (part,
+        # supplier) pair can arrive from several batches — drop sorted
+        # consecutive duplicates here (all co-located by partkey)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])
+        keep &= first
+        out = g.loc[keep, ["l_partkey", "l_suppkey", "cost"]]
+        return out.rename(columns={"cost": "acctbal_cents"})
+
+    return _hash_partitioned(costed, "l_partkey", winners_part,
+                             rows_hint=_parquet_rows(li_path))

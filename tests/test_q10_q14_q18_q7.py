@@ -326,3 +326,52 @@ def test_user_entropy_uniform_and_single_type(ray_session, tmp_path):
     expected = 4 * int(np.floor(-1000.0 * np.log(0.5)))
     assert out.loc[2, "entropy_numer_milli"] == expected
     assert out["n_events"].tolist() == [4, 4]
+
+
+def test_q2_ties_and_cross_batch_dedup(ray_session, tmp_path):
+    """Two suppliers at the same min balance both win; a pair seen in
+    many lineitem rows (cross-batch duplicates) emits once."""
+    from geo_inference_ray.relational import q2_min_cost_supplier
+
+    d = tmp_path / "q2"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1] * 6 + [2], pa.int64()),
+        "l_suppkey": pa.array([10, 10, 10, 11, 12, 11, 10], pa.int64()),
+    }), d / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_acctbal": pa.array([5.0, 5.0, 9.0])}),
+        d / "supplier.parquet")
+    out = q2_min_cost_supplier(str(d)).to_pandas() \
+        .sort_values(["l_partkey", "l_suppkey"]).reset_index(drop=True)
+    assert out[["l_partkey", "l_suppkey"]].values.tolist() == \
+        [[1, 10], [1, 11], [2, 10]]
+    assert (out["acctbal_cents"] == 500).all()
+
+
+def test_q2_matches_registered_oracle(ray_session, sf_dir, duck):
+    import __ray_entry__ as entry
+
+    got = entry.queries()["q2_min_cost"](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()["q2_min_cost"]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q2_broadcast_and_join_paths_agree(ray_session, sf_dir,
+                                           monkeypatch):
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q2_min_cost_supplier(sf_dir).to_pandas() \
+            .sort_values(["l_partkey", "l_suppkey"]) \
+            .reset_index(drop=True)
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = run()
+    assert len(broadcast) > 0
+    pd.testing.assert_frame_equal(broadcast, joined)
