@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_centroid_by_label(sf_dir: str):
+    """Per-label embedding centroid sums (component-wise list-column
+    aggregation, milli-quantized for order-independence)."""
+    from geo_inference_ray import ann as _a
+
+    return _a.centroid_by_label(sf_dir)
+
+
 def q_q2_min_cost(sf_dir: str):
     """TPC-H Q2 analog: tie-complete minimum-acctbal supplier per part
     over the distinct lineitem supply relation."""
@@ -1363,6 +1371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": q_image_dhash,
         "user_entropy": q_user_entropy,
         "q2_min_cost": q_q2_min_cost,
+        "centroid_by_label": q_centroid_by_label,
     }
 
 
@@ -3152,4 +3161,18 @@ m AS (SELECT l_partkey, MIN(acctbal_cents) AS mc FROM c GROUP BY 1)
 SELECT c.l_partkey, c.l_suppkey, c.acctbal_cents
 FROM c JOIN m ON m.l_partkey = c.l_partkey
              AND c.acctbal_cents = m.mc""",
+        # Component-wise centroid sums: DuckDB zips parallel unnests;
+        # floor(1000 * v) per element before the sum (float32 -> double
+        # widening identical on both sides).
+        "centroid_by_label": """
+WITH u AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(range(len(embedding))) AS dim_idx,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(SUM(CAST(floor(1000.0 * CAST(v AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_milli,
+       COUNT(*) AS n
+FROM u GROUP BY label, dim_idx""",
     }

@@ -703,3 +703,47 @@ def sq_topk(sf_dir: str, k: int = TOPK_DEFAULT,
 
     return cand.groupby("query_id").map_groups(final_topk,
                                                batch_format="pandas")
+
+
+def centroid_by_label(sf_dir: str):
+    """Per-label embedding centroid SUMS (list-column aggregation):
+    component-wise sum of floor(1000 * e) over each label's vectors,
+    plus the label count — divide sum_milli by n for the mean.  The
+    milli-quantization makes the float aggregation order-independent
+    and bit-exact against SQL (float32 -> double widening is identical
+    on both sides).
+
+    Scale shape: per-batch partials collapse each block to
+    <= |labels| x D rows (component-wise int64 sums via np.add.at on
+    the label index), then ONE groupby over the (label, dim) keyspace
+    — input vectors never cross the shuffle."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(1000.0 * emb).astype(np.int64)      # (n, D)
+        labels = batch["label"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(u, d)),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        len(u))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(counts, d)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["label", "dim_idx"]).aggregate(
+            Sum("s", alias_name="sum_milli"),
+            Sum("n", alias_name="n"))

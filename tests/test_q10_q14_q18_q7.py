@@ -375,3 +375,31 @@ def test_q2_broadcast_and_join_paths_agree(ray_session, sf_dir,
     joined = run()
     assert len(broadcast) > 0
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_centroid_by_label_known_vectors(ray_session, tmp_path):
+    """Hand-built vectors: component-wise floored-milli sums and
+    counts; negative components floor AWAY from zero."""
+    from geo_inference_ray.ann import centroid_by_label
+
+    d = tmp_path / "cb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "label": pa.array([7, 7, 8], pa.int32()),
+        "embedding": pa.array([[0.5, -0.0015], [0.25, 0.001],
+                               [1.0, 2.0]],
+                              pa.list_(pa.float32())),
+    }), d / "embeddings.parquet")
+    out = centroid_by_label(str(d)).to_pandas() \
+        .sort_values(["label", "dim_idx"]).reset_index(drop=True)
+    # label 7, dim 0: 500 + 250 = 750; dim 1: floor(float32(-0.0015)
+    # * 1000 = -1.4999...) = -2 plus floor(float32(0.001) * 1000 =
+    # 1.000000047) = 1 -> sum -1 (the float32 widening is part of the
+    # contract — DuckDB computes the identical values)
+    assert out["label"].tolist() == [7, 7, 8, 8]
+    assert out.loc[0, "sum_milli"] == 750
+    assert out.loc[1, "sum_milli"] == -1
+    assert out.loc[2, "sum_milli"] == 1000
+    assert out.loc[3, "sum_milli"] == 2000
+    assert out["n"].tolist() == [2, 2, 1, 1]
