@@ -1090,6 +1090,14 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_llm_prep(sf_dir: str):
+    """Composite corpus-prep pipeline: exact dedup -> global quality
+    floor (median length) -> context-window chunking."""
+    from geo_inference_ray import textops as _t
+
+    return _t.llm_prep(sf_dir)
+
+
 def q_centroid_by_label(sf_dir: str):
     """Per-label embedding centroid sums (component-wise list-column
     aggregation, milli-quantized for order-independence)."""
@@ -1372,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": q_user_entropy,
         "q2_min_cost": q_q2_min_cost,
         "centroid_by_label": q_centroid_by_label,
+        "llm_prep": q_llm_prep,
     }
 
 
@@ -3175,4 +3184,28 @@ SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
             AS BIGINT) AS sum_milli,
        COUNT(*) AS n
 FROM u GROUP BY label, dim_idx""",
+        # Composite prep chain: exact-dedup winners (min doc_id per
+        # md5), ceil(0.5*n)-th-smallest length floor over the KEPT
+        # set, then the chunk_docs arithmetic over the survivors.
+        "llm_prep": """
+WITH kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM kept)),
+n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM d),
+r AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+      FROM n),
+c AS (SELECT COUNT(*) AS total FROM n),
+thr AS (SELECT r.n_chars AS t FROM r, c
+        WHERE r.rn = CAST(ceil(0.5 * total) AS BIGINT)),
+f AS (SELECT d.doc_id, d.text FROM d JOIN n USING (doc_id), thr
+      WHERE n.n_chars >= thr.t),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM f),
+chunks AS (
+  SELECT doc_id, s.s // 24 AS chunk_id,
+         list_slice(t, s.s + 1, s.s + 32) AS ct
+  FROM toks, unnest(generate_series(0, len(t) - 1, 24)) AS s(s))
+SELECT doc_id, chunk_id, len(ct) AS n_chunk_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM chunks""",
     }

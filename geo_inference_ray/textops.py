@@ -2216,3 +2216,80 @@ def kl_by_source(ds):
         .groupby("source").aggregate(
             Sum("kl", alias_name="kl_numer_milli"),
             Sum("tf", alias_name="n_tokens"))
+
+
+KEEP_BROADCAST_IDS = 5_000_000   # winner-id broadcast bound (rows)
+
+
+def llm_prep(sf_dir: str, q: float = 0.5, chunk_tokens: int = 32,
+             overlap: int = 8):
+    """Composite LLM training-data prep: exact dedup -> global quality
+    floor -> context-window chunking, as one streaming chain of the
+    proven library stages (dedup.exact_dedup winners,
+    length_histogram's ceil-quantile threshold, chunk_docs) — the
+    end-to-end corpus-prep pipeline a user would actually run.
+
+    Scale shape: only the WINNER ID SET leaves the dedup stage
+    (broadcast sorted-array probe under KEEP_BROADCAST_IDS, native
+    hash semi-join above it); the quality threshold is the
+    histogram-sketch scalar (shuffle bounded by distinct lengths);
+    chunking is batch-local.  The kept-docs lineage executes twice
+    (histogram pass + chunk pass) by design: re-reading pruned parquet
+    plus an id probe is cheaper at corpus scale than pinning the whole
+    text column in the object store."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from .dedup import exact_dedup
+    from .relational import _parquet_rows, join_partitions_for
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    winners = exact_dedup(docs).select_columns(["doc_id"])
+
+    n_docs = _parquet_rows(path)
+    if n_docs <= KEEP_BROADCAST_IDS:
+        ids = np.sort(np.concatenate(
+            [b["doc_id"].to_numpy() for b in winners.iter_batches(
+                batch_size=65536, batch_format="pyarrow")]
+            or [np.array([], dtype=np.int64)]))
+        ref = ray.put(ids)
+
+        def keep_winners(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            kk = batch["doc_id"].to_numpy()
+            if not len(k):
+                return batch.slice(0, 0)
+            pos = np.minimum(np.searchsorted(k, kk), len(k) - 1)
+            return batch.filter(pa.array(k[pos] == kk))
+
+        def kept():
+            return docs.map_batches(keep_winners,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    else:
+        def kept():
+            return docs.join(
+                winners, join_type="inner",
+                num_partitions=join_partitions_for(n_docs),
+                on=("doc_id",))
+
+    L, cnt = length_histogram(kept())
+    if not len(L):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "n_chunk_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string())}))
+    cum = np.cumsum(cnt)
+    thr = int(L[np.searchsorted(cum, math.ceil(q * int(cum[-1])))])
+
+    def quality_floor(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        return batch.filter(pc.greater_equal(ln, thr))
+
+    filt = kept().map_batches(quality_floor, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return chunk_docs(filt, chunk_tokens, overlap)

@@ -403,3 +403,32 @@ def test_centroid_by_label_known_vectors(ray_session, tmp_path):
     assert out.loc[2, "sum_milli"] == 1000
     assert out.loc[3, "sum_milli"] == 2000
     assert out["n"].tolist() == [2, 2, 1, 1]
+
+
+def test_llm_prep_composite_invariants(ray_session, sf_dir, duck,
+                                       monkeypatch):
+    """The composite chain matches its chained oracle on BOTH the
+    winner-broadcast and semi-join paths, and each stage actually
+    bites (dedup drops docs; the median floor drops more)."""
+    import __ray_entry__ as entry
+    from geo_inference_ray import textops
+
+    exp = duck.sql(entry.oracle_sql()["llm_prep"]).df()
+
+    def run():
+        return textops.llm_prep(sf_dir).to_pandas()
+
+    got = run()
+    assert len(got) == len(exp) > 0
+    g, e = _canon(got), _canon(exp)
+    for c in g.columns:
+        assert (g[c].to_numpy() == e[c].to_numpy()).all(), c
+    # stage bite: fewer surviving docs than raw corpus
+    n_raw = duck.sql("SELECT COUNT(*) FROM documents").fetchone()[0]
+    n_docs_out = got["doc_id"].nunique()
+    assert 0 < n_docs_out < n_raw
+    # semi-join path agrees
+    monkeypatch.setattr(textops, "KEEP_BROADCAST_IDS", 0)
+    got2 = _canon(run())
+    for c in g.columns:
+        assert (g[c].to_numpy() == got2[c].to_numpy()).all(), c
