@@ -724,6 +724,9 @@ def centroid_by_label(sf_dir: str):
                          columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:   # np.stack needs >= 1 array
+            e = pa.array([], pa.int64())
+            return pa.table({"label": e, "dim_idx": e, "s": e, "n": e})
         emb = np.stack(batch["embedding"].to_numpy(
             zero_copy_only=False)).astype(np.float64)
         q = np.floor(1000.0 * emb).astype(np.int64)      # (n, D)

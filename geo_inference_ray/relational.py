@@ -739,6 +739,61 @@ def _probe_names(ref, keys: np.ndarray, what: str) -> np.ndarray:
     return v[pos]
 
 
+def _attach_derived(ds, key_col: str, out_col: str, dim_path: str,
+                    dim_cols: list, derive, rows_hint: int):
+    """Append ``out_col`` (int64, DERIVED from one or more dimension
+    columns via ``derive(pa.Table) -> np.int64 array`` aligned with
+    ``dim_cols[0]``) by probing a broadcast sorted-array map under
+    Q5_BROADCAST_KEYS, or via a left_outer hash join + LOUD null check
+    above it — the _attach_nat contract for derived values (q14's
+    is_promo flag, q19's arm bitmask, q2's acctbal cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    dim_key = dim_cols[0]
+    if pq.read_metadata(dim_path).num_rows <= Q5_BROADCAST_KEYS:
+        t = pq.read_table(dim_path, columns=dim_cols)
+        k = t[dim_key].to_numpy().astype(np.int64)
+        v = np.asarray(derive(t), dtype=np.int64)
+        order = np.argsort(k)
+        ref = ray.put((k[order], v[order]))
+
+        def probe(batch: pa.Table) -> pa.Table:
+            kk, vv = ray.get(ref)
+            keys = batch[key_col].to_numpy()
+            pos = np.searchsorted(kk, keys)
+            pos = np.minimum(pos, max(0, len(kk) - 1))
+            if len(kk) == 0 or not bool((kk[pos] == keys).all()):
+                raise ValueError(f"{key_col}: key missing from "
+                                 f"{dim_path}")
+            return batch.append_column(out_col, pa.array(vv[pos]))
+
+        return ds.map_batches(probe, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    dim = rd.read_parquet(dim_path, columns=dim_cols)
+
+    def derive_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({dim_key: batch[dim_key],
+                         out_col: pa.array(np.asarray(
+                             derive(batch), dtype=np.int64))})
+
+    dim = dim.map_batches(derive_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = ds.join(dim, join_type="left_outer",
+                     num_partitions=join_partitions_for(rows_hint),
+                     on=(key_col,), right_on=(dim_key,))
+
+    def check(batch: pa.Table) -> pa.Table:
+        if batch[out_col].null_count:
+            raise ValueError(f"{key_col}: key missing from {dim_path}")
+        return batch
+
+    return joined.map_batches(check, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _attach_nat(ds, key_col: str, out_col: str, ref, dim_path: str,
                 dim_key: str, dim_val: str, rows_hint: int):
     """Append ``out_col`` by probing the broadcast (keys, vals) map —
@@ -2538,29 +2593,17 @@ def q14_promo(sf_dir: str):
     one row (promo_cents, total_cents, promo_milli).
 
     Scale shape: the part dimension is reduced to a (partkey,
-    is_promo) two-int map BEFORE it moves — broadcast as a sorted-
-    array probe under Q5_BROADCAST_KEYS, native hash join above it
-    (the _attach_nat pattern, inlined because the value is DERIVED
-    from a string column rather than read); the conditional sums are
+    is_promo) two-int map BEFORE it moves — _attach_derived's
+    broadcast probe under Q5_BROADCAST_KEYS, left_outer hash join
+    with a loud null check above it; the conditional sums are
     map-side partials so only two int64 scalars per batch reach the
     final fold."""
-    import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     part_path = f"{sf_dir}/part.parquet"
     li_path = f"{sf_dir}/lineitem.parquet"
     li_rows = _parquet_rows(li_path)
-
-    ref = None
-    if _parquet_rows(part_path) <= Q5_BROADCAST_KEYS:
-        t = pq.read_table(part_path, columns=["p_partkey", "p_type"])
-        k = t["p_partkey"].to_numpy().astype(np.int64)
-        v = pc.equal(t["p_type"], "PROMO").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        order = np.argsort(k)
-        ref = ray.put((k[order], v[order]))
 
     li = rd.read_parquet(li_path,
                          columns=["l_partkey", "l_extendedprice",
@@ -2578,40 +2621,15 @@ def q14_promo(sf_dir: str):
     li = li.map_batches(rev_col, batch_format="pyarrow",
                         zero_copy_batch=True)
 
-    if ref is not None:
-        def probe(batch: pa.Table) -> pa.Table:
-            k, v = ray.get(ref)
-            kk = batch["l_partkey"].to_numpy()
-            pos = np.searchsorted(k, kk)
-            pos = np.minimum(pos, max(0, len(k) - 1))
-            if len(k) == 0 or not bool((k[pos] == kk).all()):
-                raise ValueError("l_partkey missing from part")
-            return batch.append_column("promo", pa.array(v[pos]))
+    def derive_promo(t: pa.Table) -> np.ndarray:
+        return pc.equal(t["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False).astype(np.int64)
 
-        li = li.map_batches(probe, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    else:
-        dim = rd.read_parquet(part_path, columns=["p_partkey", "p_type"])
-
-        def derive(batch: pa.Table) -> pa.Table:
-            return pa.table({"p_partkey": batch["p_partkey"],
-                             "promo": pc.cast(pc.equal(
-                                 batch["p_type"], "PROMO"), pa.int64())})
-
-        dim = dim.map_batches(derive, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        # left_outer + loud null check: the broadcast path RAISES on a
-        # partkey missing from part, so the fallback must too (an
-        # inner join would silently drop those lines' revenue and the
-        # two paths would diverge exactly when the data is bad —
-        # _attach_nat's convention)
-        li = li.join(dim, join_type="left_outer",
-                     num_partitions=join_partitions_for(li_rows),
-                     on=("l_partkey",), right_on=("p_partkey",))
+    li = _attach_derived(li, "l_partkey", "promo", part_path,
+                         ["p_partkey", "p_type"], derive_promo,
+                         rows_hint=li_rows)
 
     def sums_partial(batch: pa.Table) -> pa.Table:
-        if batch["promo"].null_count:
-            raise ValueError("l_partkey missing from part")
         rev = batch["rev"].to_numpy()
         promo = batch["promo"].to_numpy(zero_copy_only=False)
         return pa.table({"pc_": pa.array([int((rev * promo).sum())]),
@@ -3080,6 +3098,28 @@ def q22_idle_rich(sf_dir: str):
 DEBOUNCE_US = 21_600_000_000   # 6-hour suppression window
 
 
+def debounce_scan(uid: np.ndarray, ts: np.ndarray,
+                  window: int) -> np.ndarray:
+    """Keep-indices of the greedy jump scan over (user, ts) rows that
+    are ALREADY sorted by (user, ts, tiebreak): each kept event finds
+    its successor with one searchsorted into the user run.  Module
+    level so tests drive the exact production kernel."""
+    newu = np.ones(len(uid), dtype=bool)
+    newu[1:] = uid[1:] != uid[:-1]
+    starts = np.flatnonzero(newu)
+    ends = np.concatenate([starts[1:], [len(uid)]])
+    keep: list[int] = []
+    for s0, s1 in zip(starts.tolist(), ends.tolist()):
+        run = ts[s0:s1]
+        i = 0
+        n = s1 - s0
+        while i < n:
+            keep.append(s0 + i)
+            i = int(np.searchsorted(run, run[i] + window,
+                                    side="right"))
+    return np.array(keep, dtype=np.int64)
+
+
 def debounce(sf_dir: str, window_us: int = DEBOUNCE_US):
     """Per-user event debounce — keep an event only if it is more than
     ``window_us`` after the last KEPT event of the same user (the
@@ -3105,22 +3145,9 @@ def debounce(sf_dir: str, window_us: int = DEBOUNCE_US):
     def debounce_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"],
                           kind="stable").reset_index(drop=True)
-        uid = g["user_id"].to_numpy()
-        ts = g["ts"].astype("int64").to_numpy()
-        newu = np.ones(len(g), dtype=bool)
-        newu[1:] = uid[1:] != uid[:-1]
-        starts = np.flatnonzero(newu)
-        ends = np.concatenate([starts[1:], [len(g)]])
-        keep: list[int] = []
-        for s0, s1 in zip(starts.tolist(), ends.tolist()):
-            run = ts[s0:s1]
-            i = 0
-            n = s1 - s0
-            while i < n:
-                keep.append(s0 + i)
-                i = int(np.searchsorted(run, run[i] + window_us,
-                                        side="right"))
-        idx = np.array(keep, dtype=np.int64)
+        idx = debounce_scan(g["user_id"].to_numpy(),
+                            g["ts"].astype("int64").to_numpy(),
+                            window_us)
         return g.iloc[idx][["event_id", "user_id", "ts"]]
 
     return _hash_partitioned(ev, "user_id", debounce_part,
@@ -3201,44 +3228,28 @@ def q19_disjunctive(sf_dir: str):
     with a quantity range).  One row (rev_cents, n_lines).
 
     Scale shape: the part dimension collapses to a per-partkey ARM
-    BITMASK (3 bits) broadcast as a sorted-array probe under
-    Q5_BROADCAST_KEYS (native hash join above it); the disjunction is
-    then a batch-local vectorized any-arm test — no per-arm scan of
+    BITMASK (3 bits) via _attach_derived (broadcast probe under
+    Q5_BROADCAST_KEYS, loud left_outer join above it); the disjunction
+    is then a batch-local vectorized any-arm test — no per-arm scan of
     the fact table, no join amplification."""
-    import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
     part_path = f"{sf_dir}/part.parquet"
     li_path = f"{sf_dir}/lineitem.parquet"
     li_rows = _parquet_rows(li_path)
 
-    def arm_mask(brand, size):
-        def fn(t: pa.Table) -> np.ndarray:
+    def part_bits(t: pa.Table) -> np.ndarray:
+        bits = np.zeros(t.num_rows, dtype=np.int64)
+        for i, (brand, size, _lo, _hi) in enumerate(Q19_ARMS):
             m = np.ones(t.num_rows, dtype=bool)
             if brand is not None:
                 m &= pc.equal(t["p_brand"], brand).to_numpy(
                     zero_copy_only=False)
             if size is not None:
                 m &= t["p_size"].to_numpy() >= size
-            return m
-        return fn
-
-    def part_bits(t: pa.Table) -> np.ndarray:
-        bits = np.zeros(t.num_rows, dtype=np.int64)
-        for i, (brand, size, _lo, _hi) in enumerate(Q19_ARMS):
-            bits |= arm_mask(brand, size)(t).astype(np.int64) << i
+            bits |= m.astype(np.int64) << i
         return bits
-
-    ref = None
-    if _parquet_rows(part_path) <= Q5_BROADCAST_KEYS:
-        t = pq.read_table(part_path,
-                          columns=["p_partkey", "p_brand", "p_size"])
-        k = t["p_partkey"].to_numpy().astype(np.int64)
-        v = part_bits(t)
-        order = np.argsort(k)
-        ref = ray.put((k[order], v[order]))
 
     li = rd.read_parquet(li_path,
                          columns=["l_partkey", "l_quantity",
@@ -3253,38 +3264,11 @@ def q19_disjunctive(sf_dir: str):
 
     li = li.map_batches(line_cols, batch_format="pyarrow",
                         zero_copy_batch=True)
-
-    if ref is not None:
-        def attach(batch: pa.Table) -> pa.Table:
-            k, v = ray.get(ref)
-            kk = batch["l_partkey"].to_numpy()
-            pos = np.searchsorted(k, kk)
-            pos = np.minimum(pos, max(0, len(k) - 1))
-            if len(k) == 0 or not bool((k[pos] == kk).all()):
-                raise ValueError("l_partkey missing from part")
-            return batch.append_column("bits", pa.array(v[pos]))
-
-        li = li.map_batches(attach, batch_format="pyarrow",
-                            zero_copy_batch=True)
-    else:
-        dim = rd.read_parquet(part_path,
-                              columns=["p_partkey", "p_brand", "p_size"])
-
-        def derive(batch: pa.Table) -> pa.Table:
-            return pa.table({"p_partkey": batch["p_partkey"],
-                             "bits": pa.array(part_bits(batch))})
-
-        dim = dim.map_batches(derive, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        # left_outer + loud null check — the broadcast path raises on
-        # a missing partkey, so the fallback must too
-        li = li.join(dim, join_type="left_outer",
-                     num_partitions=join_partitions_for(li_rows),
-                     on=("l_partkey",), right_on=("p_partkey",))
+    li = _attach_derived(li, "l_partkey", "bits", part_path,
+                         ["p_partkey", "p_brand", "p_size"], part_bits,
+                         rows_hint=li_rows)
 
     def keep_partial(batch: pa.Table) -> pa.Table:
-        if batch["bits"].null_count:
-            raise ValueError("l_partkey missing from part")
         q = batch["q"].to_numpy()
         bits = batch["bits"].to_numpy(zero_copy_only=False)
         keep = np.zeros(len(q), dtype=bool)
@@ -3344,8 +3328,9 @@ def q2_min_cost_supplier(sf_dir: str):
 
     Scale shape: the supply relation is DISTINCT (partkey, suppkey)
     pairs pre-deduped map-side before the one shuffle; the supplier
-    cost attaches via a broadcast keymap under Q5_BROADCAST_KEYS
-    (hash join above it — _attach_nat); per-part min and the
+    cost attaches via _attach_derived (broadcast probe under
+    Q5_BROADCAST_KEYS, loud left_outer join above it — acctbal is a
+    double, derived to exact cents); per-part min and the
     tie-complete winner filter run in ONE vectorized kernel per hash
     partition (all of a part's pairs co-located), so there is no
     second join against a min table."""
@@ -3363,53 +3348,13 @@ def q2_min_cost_supplier(sf_dir: str):
     supply = li.map_batches(dedup_partial, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None)
 
-    import pyarrow.parquet as pq
-    import ray
+    def derive_cents(t: pa.Table) -> np.ndarray:
+        return _cents(t["s_acctbal"]).to_numpy()
 
-    # _keymap_broadcast reads int columns; acctbal is a double, so the
-    # (suppkey, cents) map is built inline with the same shape
-    sup_ref = None
-    s_path = f"{sf_dir}/supplier.parquet"
-    if _parquet_rows(s_path) <= Q5_BROADCAST_KEYS:
-        t = pq.read_table(s_path, columns=["s_suppkey", "s_acctbal"])
-        k = t["s_suppkey"].to_numpy().astype(np.int64)
-        v = _cents(t["s_acctbal"]).to_numpy()
-        order = np.argsort(k)
-        sup_ref = ray.put((k[order], v[order]))
-
-    if sup_ref is not None:
-        def attach(batch: pa.Table) -> pa.Table:
-            k, v = ray.get(sup_ref)
-            kk = batch["l_suppkey"].to_numpy()
-            pos = np.searchsorted(k, kk)
-            pos = np.minimum(pos, max(0, len(k) - 1))
-            if len(k) == 0 or not bool((k[pos] == kk).all()):
-                raise ValueError("l_suppkey missing from supplier")
-            return batch.append_column("cost", pa.array(v[pos]))
-
-        costed = supply.map_batches(attach, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    else:
-        dim = rd.read_parquet(s_path, columns=["s_suppkey", "s_acctbal"])
-
-        def cost_col(batch: pa.Table) -> pa.Table:
-            return pa.table({"s_suppkey": batch["s_suppkey"],
-                             "cost": _cents(batch["s_acctbal"])})
-
-        dim = dim.map_batches(cost_col, batch_format="pyarrow",
-                              zero_copy_batch=True)
-        costed = supply.join(
-            dim, join_type="left_outer",
-            num_partitions=join_partitions_for(_parquet_rows(li_path)),
-            on=("l_suppkey",), right_on=("s_suppkey",))
-
-        def check(batch: pa.Table) -> pa.Table:
-            if batch["cost"].null_count:
-                raise ValueError("l_suppkey missing from supplier")
-            return batch
-
-        costed = costed.map_batches(check, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+    costed = _attach_derived(supply, "l_suppkey", "cost",
+                             f"{sf_dir}/supplier.parquet",
+                             ["s_suppkey", "s_acctbal"], derive_cents,
+                             rows_hint=_parquet_rows(li_path))
 
     def winners_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["l_partkey", "cost", "l_suppkey"],

@@ -586,6 +586,7 @@ def jsonl_documents(sf_dir: str):
     the third source format (parquet / CSV manifest / JSONL) end to
     end; the oracle reads the parquet directly, so the whole
     round-trip must be lossless."""
+    import hashlib as _hl
     import json
     import os
 
@@ -594,21 +595,38 @@ def jsonl_documents(sf_dir: str):
 
     src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
-    key = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}"
+    # key = digest of the RESOLVED path + size + mtime: basename alone
+    # aliases two datasets whose leaf dirs share a name and whose
+    # parquet mtimes were preserved by the copier
+    key = _hl.md5(f"{os.path.realpath(src)}|{st.st_size}|"
+                  f"{st.st_mtime_ns}".encode()).hexdigest()[:16]
     out_dir = os.path.join("/tmp", "geo_inference_ray_jsonl", key)
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
-        t = pq.read_table(src)
-        cols = t.column_names
         path = os.path.join(out_dir, "documents.jsonl")
-        with open(path + ".tmp", "w", encoding="utf-8") as f:
-            for row in zip(*[t[c].to_pylist() for c in cols]):
-                f.write(json.dumps(dict(zip(cols, row)),
-                                   ensure_ascii=False,
-                                   separators=(",", ":")) + "\n")
-        os.replace(path + ".tmp", path)  # atomic: readers never see a
-        # partial file
-        with open(marker, "w") as f:
-            f.write("ok")
+        # per-PID tmp name + O_EXCL marker: two processes filling the
+        # same cache key race safely — each writes its own tmp, the
+        # os.replace is atomic either way, and exactly one marker
+        # create wins (the loser's identical bytes were just replaced)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pf = pq.ParquetFile(src)
+        cols = pf.schema_arrow.names
+        with open(tmp, "w", encoding="utf-8") as f:
+            # stream row-group-wise: the driver never holds the whole
+            # text column (the cache fill is one pass, not O(corpus)
+            # resident)
+            for rb in pf.iter_batches(batch_size=8192):
+                for row in zip(*[rb.column(i).to_pylist()
+                                 for i in range(rb.num_columns)]):
+                    f.write(json.dumps(dict(zip(cols, row)),
+                                       ensure_ascii=False,
+                                       separators=(",", ":")) + "\n")
+        os.replace(tmp, path)
+        try:
+            fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, b"ok")
+            os.close(fd)
+        except FileExistsError:
+            pass  # another process finished first; bytes identical
     return rd.read_json(out_dir, file_extensions=["jsonl"])

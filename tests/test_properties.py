@@ -197,43 +197,32 @@ def test_mix_sample_targets_invariants(counts, k):
                 min_size=1, max_size=60),
        st.integers(min_value=0, max_value=30))
 def test_debounce_jump_scan_matches_bruteforce(events, window):
-    """The searchsorted jump scan must equal the O(n) sequential
-    keep-if-gap-from-last-KEPT reference for any (user, ts) multiset
-    and window, including zero windows and heavy ts ties."""
+    """The PRODUCTION jump-scan kernel (relational.debounce_scan) must
+    equal the O(n) sequential keep-if-gap-from-last-KEPT reference for
+    any (user, ts) multiset and window, including window=0 and heavy
+    ts ties.  Raw int timestamps in the same unit as the window, so
+    sub-gap windows (1..30 on gaps 0..200) are genuinely exercised."""
     import numpy as np
     import pandas as pd
 
-    from geo_inference_ray.relational import _hash_partitioned  # noqa: F401
-    # run the kernel body directly (no Ray needed for the property)
+    from geo_inference_ray.relational import debounce_scan
+
     g = pd.DataFrame({
         "user_id": [u for u, _ in events],
-        "ts": pd.to_datetime([t for _, t in events], unit="us"),
+        "ts": [t for _, t in events],
         "event_id": range(len(events)),
-    })
-    gs = g.sort_values(["user_id", "ts", "event_id"],
-                       kind="stable").reset_index(drop=True)
-    uid = gs["user_id"].to_numpy()
-    ts = gs["ts"].astype("int64").to_numpy()
+    }).sort_values(["user_id", "ts", "event_id"],
+                   kind="stable").reset_index(drop=True)
+    uid = g["user_id"].to_numpy()
+    ts = g["ts"].to_numpy(dtype=np.int64)
     # brute force
     exp = []
     last_kept: dict[int, int] = {}
-    for i in range(len(gs)):
+    for i in range(len(g)):
         u = uid[i]
         if u not in last_kept or ts[i] - last_kept[u] > window:
-            exp.append(int(gs["event_id"].iloc[i]))
+            exp.append(int(g["event_id"].iloc[i]))
             last_kept[u] = ts[i]
-    # jump scan (the debounce_part body)
-    newu = np.ones(len(gs), dtype=bool)
-    newu[1:] = uid[1:] != uid[:-1]
-    starts = np.flatnonzero(newu)
-    ends = np.concatenate([starts[1:], [len(gs)]])
-    keep = []
-    for s0, s1 in zip(starts.tolist(), ends.tolist()):
-        run = ts[s0:s1]
-        i = 0
-        n = s1 - s0
-        while i < n:
-            keep.append(s0 + i)
-            i = int(np.searchsorted(run, run[i] + window, side="right"))
-    got = sorted(int(gs["event_id"].iloc[k]) for k in keep)
+    idx = debounce_scan(uid, ts, window)
+    got = sorted(int(g["event_id"].iloc[k]) for k in idx)
     assert got == sorted(exp)
