@@ -1090,6 +1090,15 @@ def q_q7_volume(sf_dir: str):
     return _rel.q7_volume(sf_dir)
 
 
+def q_q4_late_orders(sf_dir: str):
+    """TPC-H Q4 analog: EXISTS with a cross-table predicate — orders
+    with any line shipped > 60 days after the order date, by
+    priority."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q4_late_orders(sf_dir)
+
+
 def q_llm_prep(sf_dir: str):
     """Composite corpus-prep pipeline: exact dedup -> global quality
     floor (median length) -> context-window chunking."""
@@ -1381,6 +1390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost": q_q2_min_cost,
         "centroid_by_label": q_centroid_by_label,
         "llm_prep": q_llm_prep,
+        "q4_late_orders": q_q4_late_orders,
     }
 
 
@@ -3208,4 +3218,14 @@ chunks AS (
 SELECT doc_id, chunk_id, len(ct) AS n_chunk_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM chunks""",
+        # TPC-H Q4 analog: EXISTS with the cross-table late predicate.
+        "q4_late_orders": f"""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                                 + {_rel_mod.Q4_LATE_US})
+GROUP BY o_orderpriority""",
     }

@@ -3379,3 +3379,79 @@ def q2_min_cost_supplier(sf_dir: str):
 
     return _hash_partitioned(costed, "l_partkey", winners_part,
                              rows_hint=_parquet_rows(li_path))
+
+
+Q4_LATE_US = 5_184_000_000_000   # 60 days in epoch-us
+
+
+def q4_late_orders(sf_dir: str):
+    """TPC-H Q4 analog — orders with AT LEAST ONE line shipped more
+    than 60 days after the order date, counted per priority: the
+    EXISTS shape with a CROSS-TABLE predicate (l_shipdate vs
+    o_orderdate), which no single-side filter can evaluate.
+
+    Scale shape: the one orderkey hash join carries only (orderkey,
+    orderdate-us, priority) x (orderkey, shipdate-us); the late test
+    is batch-local; the EXISTS dedup is a map-side per-batch distinct
+    on orderkey followed by ONE groupby(orderkey) first-priority
+    reduce (keyspace = qualifying orders, not lines); the final
+    priority count is map-side-partial over <= 5 keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    o_path = f"{sf_dir}/orders.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    orders = rd.read_parquet(o_path,
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "odate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"]})
+
+    orders = orders.map_batches(o_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_shipdate"])
+
+    def l_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "sdate_us": pc.cast(batch["l_shipdate"], pa.int64())})
+
+    li = li.map_batches(l_cols, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 4),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["sdate_us"],
+                          pc.add(batch["odate_us"],
+                                 pa.scalar(Q4_LATE_US, pa.int64())))
+        b = batch.filter(late)
+        # per-batch distinct orderkeys (priority rides along — it is
+        # functionally dependent on the key)
+        g = pa.table({"k": b["l_orderkey"],
+                      "p": b["o_orderpriority"]}) \
+            .group_by("k").aggregate([("p", "min")])
+        return pa.table({"k": g["k"], "p": g["p_min"]})
+
+    qual = joined.map_batches(late_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Min("p", alias_name="p"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"o_orderpriority": batch["p"],
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              np.int64))}) \
+            .group_by("o_orderpriority").aggregate([("one", "sum")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "c": g["one_sum"]})
+
+    return qual.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("c", alias_name="n_orders"))

@@ -432,3 +432,62 @@ def test_llm_prep_composite_invariants(ray_session, sf_dir, duck,
     got2 = _canon(run())
     for c in g.columns:
         assert (g[c].to_numpy() == got2[c].to_numpy()).all(), c
+
+
+def test_q4_exists_boundary_and_dedup(ray_session, tmp_path):
+    """An order with a line at EXACTLY +60 days is excluded (strict >);
+    an order with three late lines counts once."""
+    from geo_inference_ray.relational import Q4_LATE_US, q4_late_orders
+
+    d = tmp_path / "q4"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([0, 0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT"]),
+    }), d / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 2], pa.int64()),
+        "l_shipdate": pa.array([Q4_LATE_US, Q4_LATE_US + 1,
+                                Q4_LATE_US + 2, Q4_LATE_US + 3],
+                               pa.timestamp("us")),
+    }), d / "lineitem.parquet")
+    out = q4_late_orders(str(d)).to_pandas()
+    assert out["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert out["n_orders"].tolist() == [1]
+
+
+def test_q17_broadcast_and_join_paths_agree(ray_session, sf_dir,
+                                            monkeypatch):
+    from geo_inference_ray import relational
+
+    def run():
+        return relational.q17_small_qty(sf_dir).to_pandas()
+
+    broadcast = run()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_jsonl_cache_invalidates_on_source_change(ray_session,
+                                                  tmp_path):
+    """Rewriting the source parquet (new mtime/size) must produce a
+    fresh JSONL conversion, not the stale cached rows."""
+    from geo_inference_ray.sources import jsonl_documents
+
+    d = tmp_path / "jl"
+    d.mkdir()
+
+    def write(vals):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(vals, pa.int64()),
+            "text": pa.array([f"t{v}" for v in vals])}),
+            d / "documents.parquet")
+
+    write([1, 2])
+    first = jsonl_documents(str(d)).to_pandas()
+    assert sorted(first["doc_id"]) == [1, 2]
+    write([3, 4, 5])
+    second = jsonl_documents(str(d)).to_pandas()
+    assert sorted(second["doc_id"]) == [3, 4, 5]
