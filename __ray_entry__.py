@@ -1207,6 +1207,22 @@ def q_q22_idle_rich(sf_dir: str):
     return _rel.q22_idle_rich(sf_dir)
 
 
+def q_q6_forecast(sf_dir: str):
+    """TPC-H Q6 analog: single-row revenue forecast — selective scan,
+    map-side partial sum, no join."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q6_forecast(sf_dir)
+
+
+def q_q12_late_priority(sf_dir: str):
+    """TPC-H Q12 analog: high/low priority counts per line status for
+    late 1997 shipments (conditional-aggregate join)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q12_late_priority(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1391,6 +1407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_by_label": q_centroid_by_label,
         "llm_prep": q_llm_prep,
         "q4_late_orders": q_q4_late_orders,
+        "q6_forecast": q_q6_forecast,
+        "q12_late_priority": q_q12_late_priority,
     }
 
 
@@ -3228,4 +3246,29 @@ WHERE EXISTS (
     AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
                                  + {_rel_mod.Q4_LATE_US})
 GROUP BY o_orderpriority""",
+        # TPC-H Q6 analog: single-row forecast scan, fixed-point cents.
+        "q6_forecast": f"""
+SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= {_rel_mod.Q6_LO_US}
+  AND epoch_us(l_shipdate) < {_rel_mod.Q6_HI_US}
+  AND l_discount BETWEEN {_rel_mod.Q6_DISC_LO} AND {_rel_mod.Q6_DISC_HI}
+  AND l_quantity < {_rel_mod.Q6_QTY_MAX}""",
+        # TPC-H Q12 analog: conditional priority counts per line status
+        # for late 1997 shipments.
+        "q12_late_priority": f"""
+SELECT l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE epoch_us(l.l_shipdate) >= {_rel_mod.Q12_LO_US}
+  AND epoch_us(l.l_shipdate) < {_rel_mod.Q12_HI_US}
+  AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                               + {_rel_mod.Q12_LATE_US}
+GROUP BY l.l_linestatus""",
     }

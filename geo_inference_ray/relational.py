@@ -3455,3 +3455,135 @@ def q4_late_orders(sf_dir: str):
     return qual.map_batches(count_partial, batch_format="pyarrow") \
         .groupby("o_orderpriority").aggregate(
             Sum("c", alias_name="n_orders"))
+
+
+Q6_LO_US = 852_076_800_000_000   # 1997-01-01 epoch-us
+Q6_HI_US = 883_612_800_000_000   # 1998-01-01
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY_MAX = 24.0
+
+
+def q6_forecast(sf_dir: str):
+    """TPC-H Q6 analog — the revenue-forecast scan: one selective
+    filter (shipdate year, discount band, quantity ceiling) and a
+    single global SUM of ``l_extendedprice * l_discount``, returned as
+    one row.
+
+    Scale shape: pure map-side — every batch folds to ONE partial row
+    (revenue cents + line count) behind a projection-pruned read, so
+    the only exchange is a <= |blocks|-row groupby on a constant key.
+    Revenue uses the shared floor(x*100 + 0.5) fixed-point convention
+    (_rev_cents rationale) so the distributed sum is order-independent
+    and bitwise-equal to the SQL mirror."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount",
+                                  "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["l_shipdate"], pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(us, Q6_LO_US),
+                    pc.less(us, Q6_HI_US)),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"], Q6_DISC_LO),
+                        pc.less_equal(batch["l_discount"], Q6_DISC_HI)),
+                pc.less(batch["l_quantity"], Q6_QTY_MAX)))
+        b = batch.filter(keep)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            b["l_extendedprice"], b["l_discount"]), 100.0), 0.5)),
+            pa.int64())
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "rev": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            "n": pa.array([b.num_rows], pa.int64())})
+
+    agg = li.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("g").aggregate(Sum("rev", alias_name="revenue_cents"),
+                                Sum("n", alias_name="n_lines"))
+    return agg.map_batches(
+        lambda b: b.drop_columns(["g"]), batch_format="pyarrow")
+
+
+Q12_LO_US = 852_076_800_000_000   # shipped in [1997-01-01, 1998-01-01)
+Q12_HI_US = 883_612_800_000_000
+Q12_LATE_US = 2_592_000_000_000   # 30 days: ship > orderdate + 30d
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_late_priority(sf_dir: str):
+    """TPC-H Q12 analog — per line status (the shipmode stand-in: this
+    corpus has no l_shipmode column), count HIGH-priority vs
+    lower-priority orders among lines shipped in 1997 more than 30
+    days after the order date: the conditional-aggregate join shape.
+
+    Scale shape: the lineitem side is filtered to the ship-year BEFORE
+    the one orderkey hash join (sized on the surviving fact rows); the
+    late test and the priority split are batch-local vectorized
+    kernels; the final groupby is map-side-partial over exactly two
+    keys ('F'/'O')."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    o_path = f"{sf_dir}/orders.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_linestatus",
+                                           "l_shipdate"])
+
+    def l_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q12_LO_US),
+                       pc.less(us, Q12_HI_US))
+        b = batch.filter(keep)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linestatus": b["l_linestatus"],
+            "sdate_us": pc.cast(b["l_shipdate"], pa.int64())})
+
+    li = li.map_batches(l_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    orders = rd.read_parquet(o_path, columns=["o_orderkey",
+                                              "o_orderdate",
+                                              "o_orderpriority"])
+
+    def o_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "odate_us": pc.cast(batch["o_orderdate"], pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"]})
+
+    orders = orders.map_batches(o_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    # the ship-year filter keeps roughly 1/7 of lines; size the join on
+    # that surviving fraction, not the raw table
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 4),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def split_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["sdate_us"],
+                          pc.add(batch["odate_us"],
+                                 pa.scalar(Q12_LATE_US, pa.int64())))
+        b = batch.filter(late)
+        high = pc.is_in(b["o_orderpriority"],
+                        value_set=pa.array(Q12_HIGH)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pa.table({"l_linestatus": b["l_linestatus"],
+                      "h": pa.array(high),
+                      "l": pa.array(1 - high)}) \
+            .group_by("l_linestatus").aggregate([("h", "sum"),
+                                                 ("l", "sum")])
+        return pa.table({"l_linestatus": g["l_linestatus"],
+                         "h": g["h_sum"], "l": g["l_sum"]})
+
+    return joined.map_batches(split_partial, batch_format="pyarrow") \
+        .groupby("l_linestatus").aggregate(
+            Sum("h", alias_name="high_count"),
+            Sum("l", alias_name="low_count"))

