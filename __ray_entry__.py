@@ -1223,6 +1223,22 @@ def q_q12_late_priority(sf_dir: str):
     return _rel.q12_late_priority(sf_dir)
 
 
+def q_q8_share(sf_dir: str):
+    """TPC-H Q8 analog: one nation's market share of a part type's
+    revenue into a region's customers, per order year."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q8_share(sf_dir)
+
+
+def q_q9_profit(sf_dir: str):
+    """TPC-H Q9 analog: integer-exact fifth-cent profit by supplier
+    nation and ship year for name-matched parts."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q9_profit(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1409,6 +1425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_late_orders": q_q4_late_orders,
         "q6_forecast": q_q6_forecast,
         "q12_late_priority": q_q12_late_priority,
+        "q8_share": q_q8_share,
+        "q9_profit": q_q9_profit,
     }
 
 
@@ -3271,4 +3289,48 @@ WHERE epoch_us(l.l_shipdate) >= {_rel_mod.Q12_LO_US}
   AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
                                + {_rel_mod.Q12_LATE_US}
 GROUP BY l.l_linestatus""",
+        # TPC-H Q8 analog: national market share, one float division
+        # per output row over integer-exact cent sums.
+        "q8_share": f"""
+WITH base AS (
+  SELECT year(o.o_orderdate) AS yr,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                    + 0.5) AS BIGINT) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+       AND p.p_type = '{_rel_mod.Q8_TYPE}'
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey
+       AND r.r_name = '{_rel_mod.Q8_REGION}'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  WHERE epoch_us(o.o_orderdate) >= {_rel_mod.Q8_LO_US}
+    AND epoch_us(o.o_orderdate) < {_rel_mod.Q8_HI_US})
+SELECT yr,
+  CAST(SUM(CASE WHEN supp_nation = '{_rel_mod.Q8_NATION}'
+                THEN rev ELSE 0 END) AS BIGINT) AS focus_cents,
+  CAST(SUM(rev) AS BIGINT) AS total_cents,
+  CAST(SUM(CASE WHEN supp_nation = '{_rel_mod.Q8_NATION}'
+                THEN rev ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+FROM base GROUP BY yr""",
+        # TPC-H Q9 analog: fifth-cent integer profit (rev*5 -
+        # qty*retail_cents*2), supplier nation x ship year.
+        "q9_profit": f"""
+SELECT sn.n_name, year(l.l_shipdate) AS yr,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT) * 5
+           - CAST(l.l_quantity AS BIGINT)
+             * CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+             * 2) AS BIGINT) AS profit_fcents,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+     AND p.p_name LIKE '%{_rel_mod.Q9_NEEDLE}%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1, 2""",
     }

@@ -775,7 +775,9 @@ def _attach_derived(ds, key_col: str, out_col: str, dim_path: str,
     dim = rd.read_parquet(dim_path, columns=dim_cols)
 
     def derive_batch(batch: pa.Table) -> pa.Table:
-        return pa.table({dim_key: batch[dim_key],
+        # int64 key for the same reason as _attach_nat's fallback: a
+        # narrower parquet dim key must match the int64 fact column
+        return pa.table({dim_key: pc.cast(batch[dim_key], pa.int64()),
                          out_col: pa.array(np.asarray(
                              derive(batch), dtype=np.int64))})
 
@@ -819,7 +821,10 @@ def _attach_nat(ds, key_col: str, out_col: str, ref, dim_path: str,
     dim = rd.read_parquet(dim_path, columns=[dim_key, dim_val])
 
     def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({dim_key: batch[dim_key],
+        # cast the join key too: a narrower parquet dim key (e.g. an
+        # int32 n_nationkey) must match the int64 fact column or the
+        # Acero hash join rejects the key pair
+        return pa.table({dim_key: pc.cast(batch[dim_key], pa.int64()),
                          out_col: pc.cast(batch[dim_val], pa.int64())})
 
     dim = dim.map_batches(rename, batch_format="pyarrow",
@@ -3587,3 +3592,250 @@ def q12_late_priority(sf_dir: str):
         .groupby("l_linestatus").aggregate(
             Sum("h", alias_name="high_count"),
             Sum("l", alias_name="low_count"))
+
+
+Q8_LO_US = 820_454_400_000_000   # orders in [1996-01-01, 1998-01-01)
+Q8_HI_US = 883_612_800_000_000
+Q8_REGION = "ASIA"
+Q8_TYPE = "ECONOMY"
+Q8_NATION = "NATION_7"
+
+
+def _dim_key_for_name(path: str, key: str, name_col: str,
+                      name: str) -> int:
+    """Driver-side key lookup for a constant-bounded dimension
+    (|regions| = 5, |nations| = 25): resolve a NAME predicate to its
+    integer key once, so the distributed plan only ever compares
+    int64s."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[key, name_col])
+    mask = pc.equal(t[name_col], name)
+    keys = t.filter(mask)[key].to_numpy()
+    if len(keys) != 1:
+        raise ValueError(f"{name!r}: expected exactly one {name_col} "
+                         f"match in {path}, got {len(keys)}")
+    return int(keys[0])
+
+
+def q8_share(sf_dir: str):
+    """TPC-H Q8 analog — national market share: of the revenue from
+    one part TYPE sold to customers of one REGION over two order
+    years, the fraction supplied by one NATION, per year.
+
+    Scale shape: q5's star-join plan with THREE dimension attaches —
+    part-type flag and supplier nation ride the line side as broadcast
+    probes (join fallback over the cap), customer nation -> region
+    rides the filtered order side (the region filter drops ~4/5 of
+    orders before the join); the single large-large exchange is the
+    orderkey hash join; the share split is a batch-local vectorized
+    conditional; the final groupby is map-side-partial over <= |years|
+    keys, and the one float division happens ONCE per output row after
+    integer-exact cent sums (bitwise-stable vs the SQL mirror)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    o_path = f"{sf_dir}/orders.parquet"
+    part_path = f"{sf_dir}/part.parquet"
+    nation_path = f"{sf_dir}/nation.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    region_key = _dim_key_for_name(f"{sf_dir}/region.parquet",
+                                   "r_regionkey", "r_name", Q8_REGION)
+    focus_nat = _dim_key_for_name(nation_path, "n_nationkey",
+                                  "n_name", Q8_NATION)
+    cust_ref = _keymap_broadcast(f"{sf_dir}/customer.parquet",
+                                 "c_custkey", "c_nationkey")
+    sup_ref = _keymap_broadcast(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+    # nation -> region: constant-bounded, always broadcastable
+    nat_region_ref = _keymap_broadcast(nation_path, "n_nationkey",
+                                       "n_regionkey")
+
+    orders = rd.read_parquet(o_path, columns=["o_orderkey", "o_custkey",
+                                              "o_orderdate"])
+
+    def o_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q8_LO_US),
+                       pc.less(us, Q8_HI_US))
+        b = batch.filter(keep)
+        yr = b["o_orderdate"].to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "yr": pa.array(yr)})
+
+    orders = orders.map_batches(o_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    orders = _attach_nat(orders, "o_custkey", "cnat", cust_ref,
+                         f"{sf_dir}/customer.parquet", "c_custkey",
+                         "c_nationkey",
+                         rows_hint=_parquet_rows(o_path))
+    orders = _attach_nat(orders, "cnat", "cregion", nat_region_ref,
+                         nation_path, "n_nationkey", "n_regionkey",
+                         rows_hint=_parquet_rows(o_path))
+    orders = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["cregion"], region_key))
+                   .select(["o_orderkey", "yr"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_partkey",
+                                           "l_suppkey",
+                                           "l_extendedprice",
+                                           "l_discount"])
+
+    def rev_col(batch: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_partkey": batch["l_partkey"],
+                         "l_suppkey": batch["l_suppkey"],
+                         "rev": _rev_cents(batch["l_extendedprice"],
+                                           batch["l_discount"])})
+
+    li = li.map_batches(rev_col, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    li = _attach_derived(
+        li, "l_partkey", "is_type", part_path,
+        ["p_partkey", "p_type"],
+        lambda t: pc.equal(t["p_type"], Q8_TYPE).to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        rows_hint=li_rows)
+    li = li.map_batches(
+        lambda b: b.filter(pc.equal(b["is_type"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = _attach_nat(li, "l_suppkey", "snat", sup_ref,
+                     f"{sf_dir}/supplier.parquet", "s_suppkey",
+                     "s_nationkey", rows_hint=li_rows) \
+        .select_columns(["l_orderkey", "snat", "rev"])
+
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 8),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def share_partial(batch: pa.Table) -> pa.Table:
+        is_focus = pc.equal(batch["snat"], focus_nat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rev = batch["rev"].to_numpy()
+        g = pa.table({"yr": batch["yr"],
+                      "f": pa.array(rev * is_focus),
+                      "t": pa.array(rev)}) \
+            .group_by("yr").aggregate([("f", "sum"), ("t", "sum")])
+        return pa.table({"yr": g["yr"], "f": g["f_sum"],
+                         "t": g["t_sum"]})
+
+    agg = joined.map_batches(share_partial, batch_format="pyarrow") \
+        .groupby("yr").aggregate(Sum("f", alias_name="focus_cents"),
+                                 Sum("t", alias_name="total_cents"))
+
+    def share_col(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "mkt_share",
+            pc.divide(pc.cast(batch["focus_cents"], pa.float64()),
+                      pc.cast(batch["total_cents"], pa.float64())))
+
+    return agg.map_batches(share_col, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+Q9_NEEDLE = "gear"   # parts whose p_name contains this substring
+# cost analog (no partsupp table): 40% of retail per unit.  Profit is
+# reported in FIFTH-cents so the whole expression stays integer:
+#   profit_fc = rev_cents*5 - qty*retail_cents*2
+# (0.4 * retail * qty in cents = qty * retail_cents * 2 / 5).
+
+
+def q9_profit(sf_dir: str):
+    """TPC-H Q9 analog — product-line profit by supplier nation and
+    ship year, for parts whose NAME contains a substring.  Profit per
+    line is revenue minus a 40%%-of-retail unit cost, kept in integer
+    fifth-cents end to end (no float accumulation anywhere).
+
+    Scale shape: NO order join (the year comes from l_shipdate); the
+    part attach is ONE broadcast probe carrying a fused
+    (name-match ? retail_cents : -1) payload so the match filter and
+    the cost basis ride a single int64 column (join fallback over the
+    cap); supplier nation is a second probe; the final groupby is
+    map-side-partial over <= |nations| x |years| keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    part_path = f"{sf_dir}/part.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    sup_ref = _keymap_broadcast(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+    nat_ref = _name_map_broadcast(f"{sf_dir}/nation.parquet",
+                                  "n_nationkey", "n_name")
+
+    li = rd.read_parquet(li_path, columns=["l_partkey", "l_suppkey",
+                                           "l_quantity",
+                                           "l_extendedprice",
+                                           "l_discount", "l_shipdate"])
+
+    def line_cols(batch: pa.Table) -> pa.Table:
+        yr = batch["l_shipdate"].to_numpy().astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        return pa.table({
+            "l_partkey": batch["l_partkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "qty": pc.cast(batch["l_quantity"], pa.int64()),
+            "rev": _rev_cents(batch["l_extendedprice"],
+                              batch["l_discount"]),
+            "yr": pa.array(yr)})
+
+    li = li.map_batches(line_cols, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def derive_retail(t: pa.Table) -> np.ndarray:
+        match = pc.match_substring(t["p_name"], Q9_NEEDLE).to_numpy(
+            zero_copy_only=False)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            t["p_retailprice"], 100.0), 0.5)), pa.int64()).to_numpy()
+        return np.where(match, cents, -1)
+
+    li = _attach_derived(li, "l_partkey", "retail_cents", part_path,
+                         ["p_partkey", "p_name", "p_retailprice"],
+                         derive_retail, rows_hint=li_rows)
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["retail_cents"], 0))
+        profit = (b["rev"].to_numpy() * 5
+                  - b["qty"].to_numpy() * b["retail_cents"].to_numpy()
+                  * 2)
+        g = pa.table({"nk": b["l_suppkey"], "yr": b["yr"],
+                      "p": pa.array(profit),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return g
+
+    # supplier nation attach BEFORE the final groupby so the reduce
+    # keyspace is |nations| x |years|, not |suppliers| x |years|
+    li = li.map_batches(profit_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    li = _attach_nat(li, "nk", "snat", sup_ref,
+                     f"{sf_dir}/supplier.parquet", "s_suppkey",
+                     "s_nationkey", rows_hint=li_rows)
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"snat": batch["snat"], "yr": batch["yr"],
+                      "p": batch["p"], "n": batch["n"]}) \
+            .group_by(["snat", "yr"]).aggregate([("p", "sum"),
+                                                 ("n", "sum")])
+        return pa.table({"snat": g["snat"], "yr": g["yr"],
+                         "p": g["p_sum"], "n": g["n_sum"]})
+
+    agg = li.map_batches(nat_partial, batch_format="pyarrow") \
+        .groupby(["snat", "yr"]).aggregate(
+            Sum("p", alias_name="profit_fcents"),
+            Sum("n", alias_name="n_lines"))
+
+    def name_attach(batch: pa.Table) -> pa.Table:
+        names = _probe_names(nat_ref, batch["snat"].to_numpy(), "snat")
+        return pa.table({"n_name": pa.array(names),
+                         "yr": batch["yr"],
+                         "profit_fcents": batch["profit_fcents"],
+                         "n_lines": batch["n_lines"]})
+
+    return agg.map_batches(name_attach, batch_format="pyarrow",
+                           zero_copy_batch=True)

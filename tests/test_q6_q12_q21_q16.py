@@ -17,7 +17,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["q6_forecast", "q12_late_priority"])
+@pytest.mark.parametrize("name", ["q6_forecast", "q12_late_priority",
+                                  "q8_share", "q9_profit"])
 def test_matches_registered_oracle(ray_session, sf_dir, duck, name):
     import __ray_entry__ as entry
 
@@ -77,3 +78,33 @@ def test_q12_counts_partition_by_priority(ray_session, sf_dir):
     for _, r in out.iterrows():
         assert r["high_count"] + r["low_count"] == \
             totals[r["l_linestatus"]]
+
+
+def test_q8_share_bounds_and_seam(ray_session, sf_dir, monkeypatch):
+    """focus_cents <= total_cents, the share stays in (0, 1), and the
+    broadcast-probe and hash-join dimension paths agree exactly."""
+    from geo_inference_ray import relational
+
+    broadcast = _canon(relational.q8_share(sf_dir).to_pandas())
+    assert (broadcast["focus_cents"] <= broadcast["total_cents"]).all()
+    assert (broadcast["total_cents"] > 0).all()
+    # the focus nation can legitimately supply nothing at tiny scales,
+    # so the lower bound is inclusive
+    assert broadcast["mkt_share"].between(0, 1, inclusive="left").all()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = _canon(relational.q8_share(sf_dir).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_q9_profit_integer_exact_seam(ray_session, sf_dir,
+                                      monkeypatch):
+    """The fused (match ? retail_cents : -1) broadcast payload and the
+    join fallback must produce identical fifth-cent sums."""
+    from geo_inference_ray import relational
+
+    broadcast = _canon(relational.q9_profit(sf_dir).to_pandas())
+    assert len(broadcast) > 0
+    assert broadcast["n_lines"].sum() > 0
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = _canon(relational.q9_profit(sf_dir).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, joined)
