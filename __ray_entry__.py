@@ -1239,6 +1239,22 @@ def q_q9_profit(sf_dir: str):
     return _rel.q9_profit(sf_dir)
 
 
+def q_q21_waiting(sf_dir: str):
+    """TPC-H Q21 analog: sole late supplier on finished multi-supplier
+    orders (EXISTS + NOT-EXISTS via key-local aggregation)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q21_waiting(sf_dir)
+
+
+def q_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 analog: distinct suppliers per part
+    (brand, type, size) with brand and supplier exclusions."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q16_supplier_cnt(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1427,6 +1443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_priority": q_q12_late_priority,
         "q8_share": q_q8_share,
         "q9_profit": q_q9_profit,
+        "q21_waiting": q_q21_waiting,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
     }
 
 
@@ -3333,4 +3351,37 @@ JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation sn ON sn.n_nationkey = s.s_nationkey
 GROUP BY 1, 2""",
+        # TPC-H Q21 analog: sole late supplier on finished
+        # multi-supplier orders.
+        "q21_waiting": f"""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    MAX(CASE WHEN epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                                           + {_rel_mod.Q21_LATE_US}
+             THEN 1 ELSE 0 END) AS late
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+       AND o.o_orderstatus = 'F'
+  GROUP BY 1, 2),
+per_o AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         CAST(SUM(late) AS BIGINT) AS n_late,
+         MAX(l_suppkey * late) AS late_supp
+  FROM lo GROUP BY 1)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM per_o
+JOIN supplier s ON s.s_suppkey = per_o.late_supp
+WHERE per_o.n_supp > 1 AND per_o.n_late = 1
+GROUP BY 1""",
+        # TPC-H Q16 analog: distinct suppliers per (brand, type, size)
+        # with NOT-IN supplier and brand exclusions.
+        "q16_supplier_cnt": f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{_rel_mod.Q16_EXCL_BRAND}'
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
     }

@@ -3839,3 +3839,192 @@ def q9_profit(sf_dir: str):
 
     return agg.map_batches(name_attach, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+Q21_LATE_US = Q4_LATE_US   # a line is "kept waiting" past 60 days
+
+
+def q21_waiting(sf_dir: str):
+    """TPC-H Q21 analog — suppliers who were the SOLE late supplier on
+    a finished multi-supplier order (the EXISTS + NOT-EXISTS
+    self-join shape, re-expressed as two key-local aggregations).
+
+    Scale shape: one orderkey hash join (lines x finished orders)
+    carries three int64 columns; per-(order, supplier) lateness is a
+    batch-local partial distinct + ONE groupby whose keyspace is the
+    supply relation (far below line count); the per-order verdict is a
+    second groupby over |orders| keys where SUM(late) == 1 pins the
+    unique late supplier via SUM(suppkey * late) — no self-join, no
+    row explosion; the winner set (<= |suppliers| rows) then joins the
+    supplier table for names."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    o_path = f"{sf_dir}/orders.parquet"
+    li_path = f"{sf_dir}/lineitem.parquet"
+    s_path = f"{sf_dir}/supplier.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    orders = rd.read_parquet(o_path, columns=["o_orderkey",
+                                              "o_orderdate",
+                                              "o_orderstatus"])
+
+    def o_finished(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": pc.cast(b["o_orderdate"], pa.int64())})
+
+    orders = orders.map_batches(o_finished, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    li = rd.read_parquet(li_path, columns=["l_orderkey", "l_suppkey",
+                                           "l_shipdate"])
+
+    def l_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_suppkey": batch["l_suppkey"],
+            "sdate_us": pc.cast(batch["l_shipdate"], pa.int64())})
+
+    li = li.map_batches(l_cols, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows // 2),
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(
+            batch["sdate_us"],
+            pc.add(batch["odate_us"],
+                   pa.scalar(Q21_LATE_US, pa.int64()))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pa.table({"k": batch["l_orderkey"],
+                      "s": batch["l_suppkey"],
+                      "late": pa.array(late)}) \
+            .group_by(["k", "s"]).aggregate([("late", "max")])
+        return pa.table({"k": g["k"], "s": g["s"],
+                         "late": g["late_max"]})
+
+    supply = joined.map_batches(late_partial, batch_format="pyarrow") \
+        .groupby(["k", "s"]).aggregate(Max("late", alias_name="late"))
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        late = batch["late"].to_numpy()
+        g = pa.table({"k": batch["k"],
+                      "ns": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "nl": pa.array(late),
+                      "ws": pa.array(batch["s"].to_numpy() * late)}) \
+            .group_by("k").aggregate([("ns", "sum"), ("nl", "sum"),
+                                      ("ws", "sum")])
+        return pa.table({"k": g["k"], "ns": g["ns_sum"],
+                         "nl": g["nl_sum"], "ws": g["ws_sum"]})
+
+    per_order = supply.map_batches(order_partial,
+                                   batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("ns", alias_name="n_supp"),
+                                Sum("nl", alias_name="n_late"),
+                                Sum("ws", alias_name="late_supp"))
+
+    def wait_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater(batch["n_supp"], 1),
+                       pc.equal(batch["n_late"], 1))
+        b = batch.filter(keep)
+        g = pa.table({"s": b["late_supp"],
+                      "n": pa.array(np.ones(len(b), np.int64))}) \
+            .group_by("s").aggregate([("n", "sum")])
+        return pa.table({"s": g["s"], "n": g["n_sum"]})
+
+    waits = per_order.map_batches(wait_partial,
+                                  batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("n", alias_name="numwait"))
+
+    sup = rd.read_parquet(s_path, columns=["s_suppkey", "s_name"])
+    out = waits.join(sup, join_type="inner",
+                     num_partitions=join_partitions_for(
+                         _parquet_rows(s_path)),
+                     on=("s",), right_on=("s_suppkey",))
+    return out.map_batches(
+        lambda b: pa.table({"s_name": b["s_name"],
+                            "numwait": b["numwait"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q16_EXCL_BRAND = "Brand#1"
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 analog — COUNT(DISTINCT supplier) per part
+    (brand, type, size) combination, excluding one brand and all
+    suppliers with negative account balance (the NOT-IN shape).
+
+    Scale shape: the supplier exclusion rides the line side as a
+    derived broadcast flag (join fallback over the cap) and drops rows
+    BEFORE the one partkey hash join; the brand exclusion filters the
+    part side BEFORE the same join; distinctness is a batch-local
+    partial distinct + ONE groupby over the (combo, supplier) supply
+    relation; the final count is map-side-partial over |combos|
+    keys."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    part_path = f"{sf_dir}/part.parquet"
+    s_path = f"{sf_dir}/supplier.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    li = rd.read_parquet(li_path, columns=["l_partkey", "l_suppkey"])
+    li = _attach_derived(
+        li, "l_suppkey", "excl", s_path, ["s_suppkey", "s_acctbal"],
+        lambda t: pc.less(t["s_acctbal"], 0.0).to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        rows_hint=li_rows)
+    li = li.map_batches(
+        lambda b: b.filter(pc.equal(b["excl"], 0))
+                   .select(["l_partkey", "l_suppkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    part = rd.read_parquet(part_path, columns=["p_partkey", "p_brand",
+                                               "p_type", "p_size"])
+
+    def p_filter(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch["p_brand"],
+                                      Q16_EXCL_BRAND))
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "p_brand": b["p_brand"],
+                         "p_type": b["p_type"],
+                         "p_size": pc.cast(b["p_size"], pa.int64())})
+
+    part = part.map_batches(p_filter, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = li.join(part, join_type="inner",
+                     num_partitions=join_partitions_for(li_rows),
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"], "p_type": batch["p_type"],
+            "p_size": batch["p_size"],
+            "s": batch["l_suppkey"]}).group_by(
+            ["p_brand", "p_type", "p_size", "s"]).aggregate([])
+
+    supply = joined.map_batches(distinct_partial,
+                                batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size", "s"]) \
+        .aggregate(Count(alias_name="_c"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"p_brand": batch["p_brand"],
+                      "p_type": batch["p_type"],
+                      "p_size": batch["p_size"],
+                      "n": pa.array(np.ones(batch.num_rows,
+                                            np.int64))}) \
+            .group_by(["p_brand", "p_type", "p_size"]) \
+            .aggregate([("n", "sum")])
+        return pa.table({"p_brand": g["p_brand"],
+                         "p_type": g["p_type"],
+                         "p_size": g["p_size"], "n": g["n_sum"]})
+
+    return supply.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["p_brand", "p_type", "p_size"]).aggregate(
+            Sum("n", alias_name="supplier_cnt"))

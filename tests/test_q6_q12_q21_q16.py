@@ -108,3 +108,64 @@ def test_q9_profit_integer_exact_seam(ray_session, sf_dir,
     monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
     joined = _canon(relational.q9_profit(sf_dir).to_pandas())
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+@pytest.mark.parametrize("name", ["q21_waiting", "q16_supplier_cnt"])
+def test_q21_q16_match_registered_oracle(ray_session, sf_dir, duck,
+                                         name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()[name]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q21_sole_late_semantics(ray_session, tmp_path):
+    """Hand-built corpus: order 1 has two suppliers with exactly one
+    late -> counted; order 2 has two late suppliers -> nobody counted;
+    order 3 is single-supplier late -> not counted; order 4 is not
+    finished -> ignored."""
+    from geo_inference_ray import relational
+
+    d = tmp_path / "q21"
+    d.mkdir()
+    day = 86_400_000_000
+    t0 = np.int64(0)
+
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array(np.full(4, t0, "datetime64[us]")),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"])})
+    late_us = relational.Q21_LATE_US + day
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 12, 13, 14, 15, 16], pa.int64()),
+        "l_shipdate": pa.array(np.array(
+            [late_us, day, late_us, late_us, late_us, late_us, day],
+            "datetime64[us]"))})
+    sup = pa.table({
+        "s_suppkey": pa.array([10, 11, 12, 13, 14, 15, 16], pa.int64()),
+        "s_name": pa.array([f"S{k}" for k in range(10, 17)])})
+    pq.write_table(orders, d / "orders.parquet")
+    pq.write_table(li, d / "lineitem.parquet")
+    pq.write_table(sup, d / "supplier.parquet")
+
+    out = relational.q21_waiting(str(d)).to_pandas()
+    assert out.to_dict("records") == [{"s_name": "S10", "numwait": 1}]
+
+
+def test_q16_exclusion_seam(ray_session, sf_dir, monkeypatch):
+    """The supplier-exclusion broadcast flag and its hash-join fallback
+    must produce identical distinct counts."""
+    from geo_inference_ray import relational
+
+    broadcast = _canon(relational.q16_supplier_cnt(sf_dir).to_pandas())
+    assert (broadcast["supplier_cnt"] >= 1).all()
+    assert (broadcast["p_brand"] != relational.Q16_EXCL_BRAND).all()
+    monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
+    joined = _canon(relational.q16_supplier_cnt(sf_dir).to_pandas())
+    pd.testing.assert_frame_equal(broadcast, joined)
