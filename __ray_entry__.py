@@ -1255,6 +1255,14 @@ def q_q16_supplier_cnt(sf_dir: str):
     return _rel.q16_supplier_cnt(sf_dir)
 
 
+def q_ttr_stats(sf_dir: str):
+    """Per-document lexical diversity: token count, distinct-token
+    count, integer-permille type-token ratio (zero-shuffle)."""
+    from geo_inference_ray import textops as _t
+
+    return _t.ttr_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1445,6 +1453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit": q_q9_profit,
         "q21_waiting": q_q21_waiting,
         "q16_supplier_cnt": q_q16_supplier_cnt,
+        "ttr_stats": q_ttr_stats,
     }
 
 
@@ -3384,4 +3393,13 @@ WHERE p.p_brand <> '{_rel_mod.Q16_EXCL_BRAND}'
   AND l.l_suppkey NOT IN (
     SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2, 3""",
+        # Per-document lexical diversity, integer-permille TTR.
+        "ttr_stats": """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+    AS n_distinct,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
+    // CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr_permille
+FROM documents""",
     }

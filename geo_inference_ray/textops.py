@@ -2293,3 +2293,45 @@ def llm_prep(sf_dir: str, q: float = 0.5, chunk_tokens: int = 32,
     filt = kept().map_batches(quality_floor, batch_format="pyarrow",
                               zero_copy_batch=True)
     return chunk_docs(filt, chunk_tokens, overlap)
+
+
+def ttr_stats(sf_dir: str):
+    """Per-document lexical diversity: token count, distinct-token
+    count, and the type-token ratio in integer permille (the corpus
+    quality signal next to length/punct ratios in quality_filter).
+
+    Scale shape: ZERO shuffle — tokens never leave the batch.  Each
+    batch flattens its token lists once, collapses (row, token) pairs
+    with one batch-local Arrow group_by (each row is one document, so
+    distinctness is row-local by construction), and emits one output
+    row per document.  The ratio is integer permille (d * 1000 // n)
+    so the distributed result is bitwise-stable vs the SQL mirror.
+
+    Tokenization matches word_count_topk: split on single spaces, so
+    an empty text yields the single empty token ([''] on both the
+    Arrow and the DuckDB side) and n_tokens >= 1 always holds."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n_tok = pc.cast(pc.list_value_length(toks),
+                        pa.int64()).to_numpy()
+        pairs = pa.table({
+            "i": pc.list_parent_indices(toks),
+            "tok": pc.list_flatten(toks)}) \
+            .group_by(["i", "tok"]).aggregate([])
+        vc = pairs["i"].combine_chunks().value_counts()
+        n_dist = np.zeros(batch.num_rows, np.int64)
+        n_dist[vc.field("values").to_numpy()] = \
+            vc.field("counts").to_numpy()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tok),
+            "n_distinct": pa.array(n_dist),
+            "ttr_permille": pa.array(n_dist * 1000 // n_tok)})
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)

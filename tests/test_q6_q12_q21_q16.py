@@ -169,3 +169,30 @@ def test_q16_exclusion_seam(ray_session, sf_dir, monkeypatch):
     monkeypatch.setattr(relational, "Q5_BROADCAST_KEYS", 0)
     joined = _canon(relational.q16_supplier_cnt(sf_dir).to_pandas())
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_ttr_stats_matches_oracle_and_edge_cases(ray_session, sf_dir,
+                                                 duck, tmp_path):
+    import __ray_entry__ as entry
+    from geo_inference_ray import textops
+
+    got = _canon(entry.queries()["ttr_stats"](sf_dir).to_pandas())
+    exp = _canon(duck.sql(entry.oracle_sql()["ttr_stats"]).df())
+    assert len(got) == len(exp) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    assert (got["n_distinct"] <= got["n_tokens"]).all()
+    assert got["ttr_permille"].between(0, 1000).all()
+
+    # edge cases: empty text (one empty token), all-repeat, all-unique
+    d = tmp_path / "ttr"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["", "a a a a", "x y z"])}),
+        d / "documents.parquet")
+    out = textops.ttr_stats(str(d)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1].tolist() == [1, 1, 1000]
+    assert out.loc[2].tolist() == [4, 1, 250]
+    assert out.loc[3].tolist() == [3, 3, 1000]
