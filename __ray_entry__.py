@@ -1263,6 +1263,22 @@ def q_ttr_stats(sf_dir: str):
     return _t.ttr_stats(sf_dir)
 
 
+def q_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 analog: parts above a fixed permille share of one
+    nation's supply revenue (HAVING vs global scalar)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q11_important_parts(sf_dir)
+
+
+def q_q20_excess_share(sf_dir: str):
+    """TPC-H Q20 analog: suppliers shipping >1/5 of a name-matched
+    part's windowed quantity (semi-join vs per-group threshold)."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.q20_excess_share(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1454,6 +1470,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting": q_q21_waiting,
         "q16_supplier_cnt": q_q16_supplier_cnt,
         "ttr_stats": q_ttr_stats,
+        "q11_important_parts": q_q11_important_parts,
+        "q20_excess_share": q_q20_excess_share,
     }
 
 
@@ -3402,4 +3420,43 @@ SELECT doc_id,
   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000
     // CAST(len(string_split(text, ' ')) AS BIGINT) AS ttr_permille
 FROM documents""",
+        # TPC-H Q11 analog: value share above a fixed permille of one
+        # nation's total, integer-exact threshold.
+        "q11_important_parts": f"""
+WITH v AS (
+  SELECT l.l_partkey AS p_partkey,
+    CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                        * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS value_cents
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+       AND n.n_name = '{_rel_mod.Q11_NATION}'
+  GROUP BY 1),
+tot AS (SELECT SUM(value_cents) AS t FROM v)
+SELECT v.p_partkey, v.value_cents
+FROM v, tot
+WHERE v.value_cents * {_rel_mod.Q11_THRESH_DEN}
+      > tot.t * {_rel_mod.Q11_THRESH_NUM}""",
+        # TPC-H Q20 analog: suppliers over 1/5 of a part's windowed
+        # quantity, integer-exact share test.
+        "q20_excess_share": f"""
+WITH pairs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+       AND p.p_name LIKE '%{_rel_mod.Q20_NEEDLE}%'
+  WHERE epoch_us(l.l_shipdate) >= {_rel_mod.Q20_LO_US}
+    AND epoch_us(l.l_shipdate) < {_rel_mod.Q20_HI_US}
+  GROUP BY 1, 2),
+tot AS (
+  SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq
+  FROM pairs GROUP BY 1)
+SELECT s.s_name, COUNT(*) AS n_parts
+FROM pairs
+JOIN tot USING (l_partkey)
+JOIN supplier s ON s.s_suppkey = pairs.l_suppkey
+WHERE pairs.q * {_rel_mod.Q20_SHARE_MUL} > tot.tq
+GROUP BY 1""",
     }

@@ -4028,3 +4028,170 @@ def q16_supplier_cnt(sf_dir: str):
     return supply.map_batches(count_partial, batch_format="pyarrow") \
         .groupby(["p_brand", "p_type", "p_size"]).aggregate(
             Sum("n", alias_name="supplier_cnt"))
+
+
+Q11_NATION = "NATION_3"
+Q11_THRESH_NUM = 8        # keep parts with value > 8/10000 of the
+Q11_THRESH_DEN = 10_000   # nation's total (0.8 permille), integer-exact
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 analog — "important stock": parts whose revenue from
+    ONE nation's suppliers exceeds a fixed fraction of that nation's
+    total (the HAVING-vs-global-scalar shape; q15 is the max variant,
+    this is the threshold variant).
+
+    Scale shape: the nation filter rides the line side as a broadcast
+    probe and drops ~24/25 of rows BEFORE any exchange; per-part value
+    is map-side partials + ONE groupby over |parts| keys; the global
+    total is a one-scalar aggregate over that (materialized,
+    |parts|-row) table, and the threshold compare is batch-local
+    integer math (value * 10000 > total * 8 — no float share)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    focus_nat = _dim_key_for_name(f"{sf_dir}/nation.parquet",
+                                  "n_nationkey", "n_name", Q11_NATION)
+    sup_ref = _keymap_broadcast(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+
+    li = rd.read_parquet(li_path, columns=["l_partkey", "l_suppkey",
+                                           "l_extendedprice",
+                                           "l_discount"])
+    li = _attach_nat(li, "l_suppkey", "snat", sup_ref,
+                     f"{sf_dir}/supplier.parquet", "s_suppkey",
+                     "s_nationkey", rows_hint=li_rows)
+
+    def value_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["snat"], focus_nat))
+        t = pa.table({"p_partkey": b["l_partkey"],
+                      "v": _rev_cents(b["l_extendedprice"],
+                                      b["l_discount"])})
+        g = t.group_by("p_partkey").aggregate([("v", "sum")])
+        return pa.table({"p_partkey": g["p_partkey"], "v": g["v_sum"]})
+
+    per_part = li.map_batches(value_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("p_partkey").aggregate(Sum("v",
+                                            alias_name="value_cents")) \
+        .materialize()  # consumed twice: global total + filter
+    total_raw = per_part.aggregate(Sum("value_cents"))[
+        "sum(value_cents)"]
+    if total_raw is None:  # no lines from the focus nation
+        return rd.from_arrow(pa.table({
+            "p_partkey": pa.array([], pa.int64()),
+            "value_cents": pa.array([], pa.int64())}))
+    total = int(total_raw)
+
+    return per_part.map_batches(
+        lambda b: b.filter(pc.greater(
+            pc.multiply(b["value_cents"],
+                        pa.scalar(Q11_THRESH_DEN, pa.int64())),
+            pa.scalar(total * Q11_THRESH_NUM, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+Q20_NEEDLE = "gear"
+Q20_LO_US = 852_076_800_000_000   # shipped in [1997-01-01, 1998-01-01)
+Q20_HI_US = 883_612_800_000_000
+Q20_SHARE_MUL = 5   # qualifies when supplier qty * 5 > part total qty
+
+
+def q20_excess_share(sf_dir: str):
+    """TPC-H Q20 analog — suppliers holding an EXCESS SHARE: for some
+    name-matched part, the supplier shipped more than 1/5 of that
+    part's total windowed quantity (the nested semi-join against a
+    per-group threshold; Q17 is the per-part AVG variant, this is the
+    per-(part, supplier)-vs-part variant).
+
+    Scale shape: the name-match flag rides the line side as a
+    broadcast probe (join fallback over the cap) and drops rows before
+    any exchange; (part, supplier) quantities collapse via map-side
+    partials + ONE groupby over the supply relation; per-part totals
+    are a second small groupby over |parts| keys, joined back on
+    partkey SIZED BY THE PAIR SIDE; the share test is batch-local
+    integer math and the winner set (<= |suppliers|) joins the
+    supplier table for names."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li_path = f"{sf_dir}/lineitem.parquet"
+    part_path = f"{sf_dir}/part.parquet"
+    s_path = f"{sf_dir}/supplier.parquet"
+    li_rows = _parquet_rows(li_path)
+
+    li = rd.read_parquet(li_path, columns=["l_partkey", "l_suppkey",
+                                           "l_quantity", "l_shipdate"])
+
+    def l_filter(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["l_shipdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, Q20_LO_US),
+                       pc.less(us, Q20_HI_US))
+        b = batch.filter(keep)
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "qty": pc.cast(b["l_quantity"], pa.int64())})
+
+    li = li.map_batches(l_filter, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    li = _attach_derived(
+        li, "l_partkey", "is_match", part_path,
+        ["p_partkey", "p_name"],
+        lambda t: pc.match_substring(t["p_name"], Q20_NEEDLE)
+        .to_numpy(zero_copy_only=False).astype(np.int64),
+        rows_hint=li_rows)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["is_match"], 1))
+        g = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"], "q": b["qty"]}) \
+            .group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("q", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "l_suppkey": g["l_suppkey"], "q": g["q_sum"]})
+
+    pairs = li.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby(["l_partkey", "l_suppkey"]) \
+        .aggregate(Sum("q", alias_name="q")) \
+        .materialize()  # consumed twice: per-part totals + share join
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"l_partkey": batch["l_partkey"],
+                      "tq": batch["q"]}) \
+            .group_by("l_partkey").aggregate([("tq", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "tq": g["tq_sum"]})
+
+    totals = pairs.map_batches(tot_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("tq", alias_name="tq"))
+
+    shared = pairs.join(totals, join_type="inner",
+                        num_partitions=join_partitions_for(li_rows // 8),
+                        on=("l_partkey",))
+
+    def win_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(batch["q"],
+                        pa.scalar(Q20_SHARE_MUL, pa.int64())),
+            batch["tq"])
+        b = batch.filter(keep)
+        g = pa.table({"s": b["l_suppkey"],
+                      "n": pa.array(np.ones(len(b), np.int64))}) \
+            .group_by("s").aggregate([("n", "sum")])
+        return pa.table({"s": g["s"], "n": g["n_sum"]})
+
+    winners = shared.map_batches(win_partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("n", alias_name="n_parts"))
+
+    sup = rd.read_parquet(s_path, columns=["s_suppkey", "s_name"])
+    out = winners.join(sup, join_type="inner",
+                       num_partitions=join_partitions_for(
+                           _parquet_rows(s_path)),
+                       on=("s",), right_on=("s_suppkey",))
+    return out.map_batches(
+        lambda b: pa.table({"s_name": b["s_name"],
+                            "n_parts": b["n_parts"]}),
+        batch_format="pyarrow", zero_copy_batch=True)

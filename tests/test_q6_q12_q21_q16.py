@@ -196,3 +196,75 @@ def test_ttr_stats_matches_oracle_and_edge_cases(ray_session, sf_dir,
     assert out.loc[1].tolist() == [1, 1, 1000]
     assert out.loc[2].tolist() == [4, 1, 250]
     assert out.loc[3].tolist() == [3, 3, 1000]
+
+
+@pytest.mark.parametrize("name", ["q11_important_parts",
+                                  "q20_excess_share"])
+def test_q11_q20_match_registered_oracle(ray_session, sf_dir, duck,
+                                         name):
+    import __ray_entry__ as entry
+
+    got = entry.queries()[name](sf_dir).to_pandas()
+    exp = duck.sql(entry.oracle_sql()[name]).df()
+    assert len(got) == len(exp) > 0
+    got, exp = _canon(got), _canon(exp)
+    assert list(got.columns) == list(exp.columns)
+    for c in got.columns:
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_q11_empty_focus_nation(ray_session, tmp_path):
+    """No lines from the focus nation -> empty result, no crash (the
+    None-total guard)."""
+    from geo_inference_ray import relational
+
+    d = tmp_path / "q11"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 3], pa.int64()),
+        "n_name": pa.array(["NATION_0", "NATION_3"])}),
+        d / "nation.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_nationkey": pa.array([0], pa.int64())}),
+        d / "supplier.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([7], pa.int64()),
+        "l_suppkey": pa.array([1], pa.int64()),
+        "l_extendedprice": pa.array([100.0]),
+        "l_discount": pa.array([0.0])}),
+        d / "lineitem.parquet")
+    out = relational.q11_important_parts(str(d))
+    # assert on the Dataset schema: Ray's to_pandas() drops column
+    # names for zero-row datasets
+    assert sorted(out.schema().names) == ["p_partkey", "value_cents"]
+    assert out.count() == 0
+
+
+def test_q20_share_semantics(ray_session, sf_dir):
+    """Every winning supplier must hold > 1/5 of some matched part's
+    windowed quantity — re-derive one winner's share from the raw
+    parquet to pin the join direction."""
+    import duckdb
+
+    from geo_inference_ray import relational
+
+    out = relational.q20_excess_share(sf_dir).to_pandas()
+    assert len(out) > 0 and (out["n_parts"] >= 1).all()
+    check = duckdb.sql(f"""
+        WITH pairs AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+          FROM read_parquet('{sf_dir}/lineitem.parquet') l
+          JOIN read_parquet('{sf_dir}/part.parquet') p
+            ON p.p_partkey = l.l_partkey
+           AND p.p_name LIKE '%{relational.Q20_NEEDLE}%'
+          WHERE epoch_us(l.l_shipdate) >= {relational.Q20_LO_US}
+            AND epoch_us(l.l_shipdate) < {relational.Q20_HI_US}
+          GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, SUM(q) AS tq FROM pairs GROUP BY 1)
+        SELECT COUNT(DISTINCT pairs.l_suppkey) AS n
+        FROM pairs JOIN tot USING (l_partkey)
+        WHERE pairs.q * {relational.Q20_SHARE_MUL} > tot.tq
+        """).df()
+    assert len(out) == int(check.loc[0, "n"])
