@@ -1282,37 +1282,25 @@ def q_q20_excess_share(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme:
+    # so the dict is ordered by evidence need, not by theme.  145
+    # registered queries, 54 of which had NO driver row when this
+    # window was frozen; the window holds 50 of those 54:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
-    #   slots 12-27  the 16 queries green in r2 but outside r3's window
-    #   slots 28-38  r3-green queries whose implementation round 4
-    #                touches (kNN kernel, pixel_counts switch, dedup
-    #                token-cache/join sizing, textops guards,
-    #                spatial-join bisect) — re-verified here
-    #   slots 39-50  the twelve r4 additions, each needing its first
-    #                driver row: host_stats, ccnet_buckets, stac_union,
-    #                sq_topk, dup_spans, mix_sample, corr_stats,
-    #                except_days, running_total, pivot_counts,
-    #                argmax_doc, mode_word.  To make room, r3-green
-    #                entries with UNCHANGED code (knn_ring1, rasterize,
-    #                tile_pyramid, zonal_stats, pip_semi, pip_left,
-    #                s2_cells, cell_agg) rotated to the tail — all have
-    #                r3 driver rows plus this round's local full-compare.
-    #   slots 51+    r3-green queries with unchanged code + late-r4
-    #                tail additions (cms_heavy, weighted_sample,
-    #                pagerank, retention, props_extract, hll_by_source,
-    #                quantiles_by_lang, order_gap, cooccur_types,
-    #                vocab_ids, source_jaccard, user_growth, bloom_join,
-    #                url_dedup, q3_shipping, rfm_scores, triangles,
-    #                sliding_distinct, mad_by_lang, search_topk,
-    #                q5_local_supply) and the four guard-only rotations
-    #                (chunk_dedup, length_quantiles, bigram_surprisal,
-    #                quality_filter)
-    # Round 5 should rotate the tail back into the window,
-    # prioritising the entries that never had a driver row (see
+    #                (kmeans .. anchor_window_follow)
+    #   slots 12-27  the 16 early-r4 additions (host_stats ..
+    #                rollup_counts)
+    #   slots 28-50  the 23 late-r4 additions (q10_returned ..
+    #                q20_excess_share — the TPC-H analog completions,
+    #                debounce, kl_by_source, user_entropy,
+    #                centroid_by_label)
+    #   slots 51+    everything with an existing r2/r3 driver row, plus
+    #                the four deferred never-checked entries
+    #                (jsonl_docs, image_dhash, llm_prep, ttr_stats) —
+    #                each pinned by pytest + the local full compare.
+    # Round 5 should front-load those four deferred entries first,
+    # then re-check any query whose implementation r5 touches (see
     # README "Driver correctness window").
     return {
-        # -- never driver-checked before this round --
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
         "bloom_probe": q_bloom_probe,
@@ -1324,7 +1312,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_source": q_multi_source,
         "asof_prior_anchor": q_asof_prior_anchor,
         "anchor_window_follow": q_anchor_window_follow,
-        # -- green in r2, outside r3's window --
+        "host_stats": q_host_stats,
+        "ccnet_buckets": q_ccnet_buckets,
+        "stac_union": q_stac_union,
+        "sq_topk": q_sq_topk,
+        "dup_spans": q_dup_spans,
+        "mix_sample": q_mix_sample,
+        "corr_stats": q_corr_stats,
+        "except_days": q_except_days,
+        "running_total": q_running_total,
+        "pivot_counts": q_pivot_counts,
+        "argmax_doc": q_argmax_doc,
+        "mode_word": q_mode_word,
+        "moving_window": q_moving_window,
+        "range_join": q_range_join,
+        "redact_pii": q_redact_pii,
+        "rollup_counts": q_rollup_counts,
+        "q10_returned": q_q10_returned,
+        "q14_promo": q_q14_promo,
+        "q18_big_orders": q_q18_big_orders,
+        "q7_volume": q_q7_volume,
+        "q13_count_dist": q_q13_count_dist,
+        "q17_small_qty": q_q17_small_qty,
+        "q22_idle_rich": q_q22_idle_rich,
+        "debounce": q_debounce,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q19_disjunctive": q_q19_disjunctive,
+        "kl_by_source": q_kl_by_source,
+        "user_entropy": q_user_entropy,
+        "q2_min_cost": q_q2_min_cost,
+        "centroid_by_label": q_centroid_by_label,
+        "q4_late_orders": q_q4_late_orders,
+        "q6_forecast": q_q6_forecast,
+        "q12_late_priority": q_q12_late_priority,
+        "q8_share": q_q8_share,
+        "q9_profit": q_q9_profit,
+        "q21_waiting": q_q21_waiting,
+        "q16_supplier_cnt": q_q16_supplier_cnt,
+        "q11_important_parts": q_q11_important_parts,
+        "q20_excess_share": q_q20_excess_share,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "minhash_pairs": q_minhash_pairs,
@@ -1341,7 +1367,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_join": q_native_join,
         "pip_count_by_poly": q_pip_count_by_poly,
         "hash_sample": q_hash_sample,
-        # -- r3-green, implementation touched in round 4 --
         "knn_cell": q_knn_cell,
         "mask_tiles": q_mask_tiles,
         "dedup_exact": q_dedup_exact,
@@ -1349,32 +1374,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_apply": q_dedup_apply,
         "minhash_verified": q_minhash_verified,
         "pip_inner": q_pip_inner,
-        # -- NEW mid round 4: window-frame / range-join / redaction /
-        # rollup family (first driver rows; the guard-only r4 touches
-        # chunk_dedup, length_quantiles, bigram_surprisal and
-        # quality_filter rotated to the tail to make room — their r4
-        # changes are asserts/guards that don't alter driver-input
-        # values, and each keeps its r3 driver row + local compare) --
-        "moving_window": q_moving_window,
-        "range_join": q_range_join,
-        "redact_pii": q_redact_pii,
-        "rollup_counts": q_rollup_counts,
-        # -- NEW in round 4 (need their first driver row) --
-        "host_stats": q_host_stats,
-        "ccnet_buckets": q_ccnet_buckets,
-        "stac_union": q_stac_union,
-        "sq_topk": q_sq_topk,
-        "dup_spans": q_dup_spans,
-        "mix_sample": q_mix_sample,
-        # -- NEW late in round 4: second-moment / set-op / window /
-        # pivot / argmax / mode operator family --
-        "corr_stats": q_corr_stats,
-        "except_days": q_except_days,
-        "running_total": q_running_total,
-        "pivot_counts": q_pivot_counts,
-        "argmax_doc": q_argmax_doc,
-        "mode_word": q_mode_word,
-        # -- r3-green, unchanged this round (rotate back in r5) --
         "chunk_dedup": q_chunk_dedup,
         "length_quantiles": q_length_quantiles,
         "bigram_surprisal": q_bigram_surprisal,
@@ -1418,8 +1417,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_shuffle": q_train_shuffle,
         "stratified_sample": q_stratified_sample,
         "fingerprint": q_fingerprint,
-        # -- NEW late in round 4 (tail: first driver row comes with
-        # the r5 rotation; local oracle evidence in the meantime) --
         "cms_heavy": q_cms_heavy,
         "weighted_sample": q_weighted_sample,
         "pagerank": q_pagerank,
@@ -1445,33 +1442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_growth": q_weekly_growth,
         "lang_confusion": q_lang_confusion,
         "transitions": q_transitions,
-        "q10_returned": q_q10_returned,
-        "q14_promo": q_q14_promo,
-        "q18_big_orders": q_q18_big_orders,
-        "q7_volume": q_q7_volume,
-        "q13_count_dist": q_q13_count_dist,
-        "q17_small_qty": q_q17_small_qty,
-        "q22_idle_rich": q_q22_idle_rich,
-        "debounce": q_debounce,
-        "q15_top_supplier": q_q15_top_supplier,
-        "q19_disjunctive": q_q19_disjunctive,
-        "kl_by_source": q_kl_by_source,
         "jsonl_docs": q_jsonl_docs,
         "image_dhash": q_image_dhash,
-        "user_entropy": q_user_entropy,
-        "q2_min_cost": q_q2_min_cost,
-        "centroid_by_label": q_centroid_by_label,
         "llm_prep": q_llm_prep,
-        "q4_late_orders": q_q4_late_orders,
-        "q6_forecast": q_q6_forecast,
-        "q12_late_priority": q_q12_late_priority,
-        "q8_share": q_q8_share,
-        "q9_profit": q_q9_profit,
-        "q21_waiting": q_q21_waiting,
-        "q16_supplier_cnt": q_q16_supplier_cnt,
         "ttr_stats": q_ttr_stats,
-        "q11_important_parts": q_q11_important_parts,
-        "q20_excess_share": q_q20_excess_share,
     }
 
 
