@@ -133,7 +133,7 @@ def run_bench() -> dict:
 
     queries: dict[str, float] = {}
     counters: dict[str, float] = {}
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
 
     def timed(name: str, fn) -> int:
         """min-of-reps wall time: this box is a shared VM with noisy
@@ -273,6 +273,9 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DEDUP="0", GRAFT_BENCH_POLY="0")
+        # the 2-CPU leg is slow; min-of-2 keeps the scaling run's wall
+        # time bounded while the main bench defaults to min-of-3
+        env.setdefault("GRAFT_BENCH_REPS", "2")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
