@@ -1,0 +1,413 @@
+"""Sequence, window and frontier analytics over the web-table schema.
+
+The reference engine (NRCan/geo-inference) stops at raster->vector
+conversion; this module extends the engine with the classic
+warehouse/feature-pipeline operators a web-scale corpus needs that no
+other module covers yet: interval union (merged-session coverage),
+sequence trigram mining, NTILE bucketing, CUBE grouping sets,
+per-dimension embedding moments, a distributed Pareto skyline, an
+integer-exact EWMA fold, multi-source BFS hop counts over the
+``graph.py`` bipartite graph, and SymSpell-style deletion-neighborhood
+edit-distance pairs.
+
+Every operator follows the house rules (see ``relational.py``): the
+result is integer-exact (or a deterministic sequential fold) so a
+DuckDB oracle reproduces it bit-for-bit; partition counts derive from
+row hints via ``partitions_for``; per-row Python never touches a
+corpus-scale stage (vocabulary- or group-count-bounded loops are
+called out where they exist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .relational import (_hash_partitioned, _parquet_rows,
+                         join_partitions_for, partitions_for)
+
+# interval_union: half-open activity window opened by every event
+IU_WINDOW_US = 1_800_000_000          # 30 min in epoch-us
+
+# bfs_hops: seed predicate + fixed round budget (exact-oracle contract)
+BFS_SEED_MAX_SUPPKEY = 2              # seeds = suppliers 0, 1, 2
+BFS_ROUNDS = 4
+BFS_BROADCAST_CAP = 5_000_000         # nodes; dedup_apply's convention
+
+# typo_pairs: vocabulary bounds + degenerate-bucket guard
+TYPO_MIN_LEN = 3
+TYPO_MAX_LEN = 12
+TYPO_MAX_DIST = 2
+TYPO_BUCKET_CAP = 4_096               # words sharing one deletion key
+
+
+# ---------------------------------------------------------------------------
+# interval_union — merged-session coverage per user
+# ---------------------------------------------------------------------------
+
+def interval_union(sf_dir: str):
+    """Per-user union length of the 30-minute activity intervals
+    opened by each event — the classic interval-merge ("islands")
+    operator, the time-coverage complement of ``sessionize``.
+
+    Scale shape: ONE hash-partition exchange on user_id, then a single
+    vectorized kernel per partition (sort + pandas C-level cummax +
+    ``np.add.reduceat`` over island boundaries).  No window shuffle, no
+    per-user Python.
+    """
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "ts"])
+
+    def islands_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        u = g["user_id"].to_numpy()
+        s = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        e = s + IU_WINDOW_US
+        # running max of interval end within each user run
+        cm = pd.Series(e).groupby(pd.Series(u), sort=False) \
+            .cummax().to_numpy()
+        new_user = np.ones(len(g), dtype=bool)
+        new_user[1:] = u[1:] != u[:-1]
+        pmax = np.empty_like(cm)
+        pmax[0] = np.iinfo(np.int64).min
+        pmax[1:] = cm[:-1]
+        start = new_user | (s > pmax)
+        starts = np.flatnonzero(start)
+        # island end = cummax at the island's LAST row
+        ends = np.empty(len(starts), dtype=np.int64)
+        ends[:-1] = cm[starts[1:] - 1]
+        ends[-1] = cm[-1]
+        lengths = ends - s[starts]
+        iu = u[starts]
+        ustart = np.ones(len(starts), dtype=bool)
+        ustart[1:] = iu[1:] != iu[:-1]
+        ub = np.flatnonzero(ustart)
+        covered = np.add.reduceat(lengths, ub)
+        counts = np.diff(np.append(ub, len(starts)))
+        return pd.DataFrame({
+            "user_id": iu[ub],
+            "n_sessions": counts.astype(np.int64),
+            "covered_us": covered.astype(np.int64)})
+
+    return _hash_partitioned(ev, "user_id", islands_part,
+                             rows_hint=_parquet_rows(path))
+
+
+# ---------------------------------------------------------------------------
+# trigram_paths — 3-event sequence mining
+# ---------------------------------------------------------------------------
+
+def trigram_paths(sf_dir: str):
+    """Counts of consecutive event-type TRIPLES per user ordered by
+    (ts, event_id) — the sequence-mining big sibling of the bigram
+    ``transitions`` operator.
+
+    Scale shape: one user_id hash partition; the kernel is a sort +
+    two vectorized shifts + a per-partition pandas groupby PARTIAL, so
+    the final trigram shuffle carries at most
+    (partitions x |types|^3) rows, never the event count.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def tri_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        if len(g) >= 3:
+            m = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        else:
+            m = np.zeros(0, dtype=bool)
+        part = pd.DataFrame({"t1": t[:-2][m] if len(g) >= 3 else [],
+                             "t2": t[1:-1][m] if len(g) >= 3 else [],
+                             "t3": t[2:][m] if len(g) >= 3 else []})
+        out = part.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        if len(out) == 0:
+            # typed empty so Ray's pandas->arrow conversion yields
+            # string columns, not null-typed ones, on empty partitions
+            return pd.DataFrame({"t1": pd.Series(dtype="string"),
+                                 "t2": pd.Series(dtype="string"),
+                                 "t3": pd.Series(dtype="string"),
+                                 "cnt": pd.Series(dtype="int64")})
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    partials = _hash_partitioned(ev, "user_id", tri_part,
+                                 rows_hint=_parquet_rows(path))
+    return partials.groupby(["t1", "t2", "t3"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+
+# ---------------------------------------------------------------------------
+# ntile_buckets — NTILE(4) quartile assignment per language
+# ---------------------------------------------------------------------------
+
+NTILE_N = 4
+
+
+def ntile_buckets(sf_dir: str):
+    """Per-language NTILE(4) over (n_chars, doc_id) with per-tile
+    count/min/max — the ranked-bucketing window operator.
+
+    Scale shape: per-GROUP sort via ``groupby(lang).map_groups`` —
+    valid because language cardinality is bounded (dozens), stated as
+    the partitioning assumption.  At petabyte scale with a single
+    dominant language the exact-NTILE contract itself becomes the
+    bottleneck; the scale path is quantile-approximate bucketing
+    (``length_quantiles``), kept as a separate operator because the
+    two contracts differ.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars", "doc_id"])
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], kind="stable")
+        n = len(g)
+        base, rem = divmod(n, NTILE_N)
+        sizes = np.full(NTILE_N, base, dtype=np.int64)
+        sizes[:rem] += 1
+        tile = np.repeat(np.arange(1, NTILE_N + 1), sizes)
+        nc = g["n_chars"].to_numpy()
+        out = pd.DataFrame({"tile": tile, "n_chars": nc}) \
+            .groupby("tile", as_index=False) \
+            .agg(cnt=("n_chars", "size"), min_chars=("n_chars", "min"),
+                 max_chars=("n_chars", "max"))
+        out.insert(0, "lang", g["lang"].iloc[0])
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    return docs.groupby("lang").map_groups(tiles, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cube_counts — GROUP BY CUBE(lang, source)
+# ---------------------------------------------------------------------------
+
+def cube_counts(sf_dir: str):
+    """All four grouping sets of CUBE(lang, source) over documents:
+    (lang, source), (lang), (source), () — counts and n_chars sums,
+    with NULL markers for rolled-up dimensions (the DuckDB CUBE
+    output shape).
+
+    Scale shape: ONE corpus pass builds the (lang, source) base
+    aggregate via per-batch partials + a tiny groupby; the other three
+    grouping sets re-aggregate the BASE (|langs| x |sources| rows),
+    never the corpus, as three more tiny distributed aggregations.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "count"), ("n_chars", "sum")])
+        return pa.table({
+            "lang": t["lang"], "source": t["source"],
+            "cnt": pc.cast(t["n_chars_count"], pa.int64()),
+            "chars": pc.cast(t["n_chars_sum"], pa.int64())})
+
+    base = docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "source"]).aggregate(
+            Sum("cnt", alias_name="cnt"), Sum("chars", alias_name="chars"))
+
+    def with_nulls(lang_col: bool, source_col: bool):
+        def fix(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table({
+                "lang": (pc.cast(batch["lang"], pa.string())
+                         if lang_col else pa.nulls(n, pa.string())),
+                "source": (pc.cast(batch["source"], pa.string())
+                           if source_col else pa.nulls(n, pa.string())),
+                "cnt": pc.cast(batch["cnt"], pa.int64()),
+                "chars": pc.cast(batch["chars"], pa.int64())})
+        return fix
+
+    by_lang = base.groupby("lang").aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("chars", alias_name="chars")) \
+        .map_batches(with_nulls(True, False), batch_format="pyarrow")
+    by_source = base.groupby("source").aggregate(
+        Sum("cnt", alias_name="cnt"), Sum("chars", alias_name="chars")) \
+        .map_batches(with_nulls(False, True), batch_format="pyarrow")
+    tot = base.aggregate(Sum("cnt", alias_name="cnt"),
+                         Sum("chars", alias_name="chars"))
+    import ray.data as _rd
+    total_row = _rd.from_arrow(pa.table({
+        "lang": pa.nulls(1, pa.string()),
+        "source": pa.nulls(1, pa.string()),
+        "cnt": pa.array([int(tot["cnt"])], pa.int64()),
+        "chars": pa.array([int(tot["chars"])], pa.int64())}))
+    fine = base.map_batches(with_nulls(True, True), batch_format="pyarrow")
+    return fine.union(by_lang).union(by_source).union(total_row)
+
+
+# ---------------------------------------------------------------------------
+# dim_variance — per-dimension embedding moments
+# ---------------------------------------------------------------------------
+
+def dim_variance(sf_dir: str):
+    """Per-dimension count / sum / sum-of-squares of the embedding
+    matrix in fixed-point millis (floor(1000*v) per element, the
+    centroid_by_label convention) — the list-column explode +
+    re-aggregate shape, feeding feature whitening at training time.
+
+    Scale shape: each batch reduces to AT MOST ``dim`` partial rows
+    (vectorized column sums over the stacked float32 matrix), so the
+    one shuffle carries (batches x dim) rows regardless of corpus
+    size; variance = (s2 - s1^2/n)/n stays with the caller so the
+    result is integer-exact.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64())})
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // n
+        q = np.floor(1000.0 * flat.astype(np.float64)).astype(np.int64) \
+            .reshape(n, dim)
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "n": pa.array(np.full(dim, n, dtype=np.int64)),
+            "s1": pa.array(q.sum(axis=0)),
+            "s2": pa.array((q * q).sum(axis=0))})
+
+    return emb.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("dim").aggregate(Sum("n", alias_name="n"),
+                                  Sum("s1", alias_name="s1"),
+                                  Sum("s2", alias_name="s2"))
+
+
+# ---------------------------------------------------------------------------
+# skyline_docs — distributed Pareto frontier
+# ---------------------------------------------------------------------------
+
+def _skyline_kernel(batch: pa.Table) -> pa.Table:
+    """2-D maximal-vector scan: keep rows not dominated on
+    (n_words MAX, n_chars MIN) — the token-density frontier.  Sort
+    desc on both optimization directions, then a row survives iff its
+    second key equals its first-key-group max AND strictly exceeds the
+    running max over all strictly-better first-key groups (equal
+    points are mutually non-dominating and all kept)."""
+    c = batch["n_words"].to_numpy()
+    w = -batch["n_chars"].to_numpy()
+    if len(c) == 0:
+        return batch
+    order = np.lexsort((-w, -c))
+    cs, ws = c[order], w[order]
+    new_grp = np.ones(len(cs), dtype=bool)
+    new_grp[1:] = cs[1:] != cs[:-1]
+    gidx = np.cumsum(new_grp) - 1
+    gmax_w = ws[np.flatnonzero(new_grp)]        # per-group max (sorted)
+    prior = np.empty_like(gmax_w)
+    prior[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(gmax_w[:-1], out=prior[1:])
+    keep_sorted = (ws == gmax_w[gidx]) & (ws > prior[gidx])
+    keep = np.zeros(len(c), dtype=bool)
+    keep[order[keep_sorted]] = True
+    return batch.filter(pa.array(keep))
+
+
+def skyline_docs(sf_dir: str):
+    """Pareto frontier of documents maximizing (n_chars, n_words):
+    rows no other document dominates (>= on both, > on one) — the
+    multi-criteria data-selection operator.
+
+    Scale shape: the classic two-level distributed skyline — a local
+    vectorized skyline per block (global frontier points always
+    survive their local pass), then ONE final pass over the union of
+    the tiny local frontiers (repartition(1), no driver collect).  A
+    2-D frontier is at most one point per distinct n_chars value;
+    pathological all-frontier inputs degrade the final pass, which is
+    the documented assumption.
+    """
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+            "n_words": pc.cast(pc.list_value_length(toks), pa.int64())})
+
+    local = docs.map_batches(metrics, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .map_batches(_skyline_kernel, batch_format="pyarrow")
+    return local.repartition(1).map_batches(
+        _skyline_kernel, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily — integer-exact exponential smoothing
+# ---------------------------------------------------------------------------
+
+def ewma_daily(sf_dir: str):
+    """Per-event-type EWMA over the daily count series (observed days,
+    alpha = 1/2) in fixed-point: e_1 = 1000*c_1,
+    e_t = (1000*c_t + e_{t-1}) // 2 — all-integer, so the sequential
+    fold is order-deterministic and a recursive-CTE oracle matches
+    bit-for-bit.
+
+    Scale shape: the corpus pass reduces to (type, day) partial counts
+    map-side; the fold itself runs per type over the ~days-long
+    aggregate (group-count-bounded Python, never corpus rows).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        # epoch-day int64 (the except_days/retention convention — no
+        # date32<->datetime64 dtype skew against the oracle)
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        c = g["c"].to_numpy()
+        e = np.empty(len(c), dtype=np.int64)
+        prev = 0
+        for i, ci in enumerate(c):       # days-long loop, not corpus
+            prev = ci * 1000 if i == 0 else (ci * 1000 + prev) // 2
+            e[i] = prev
+        return pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                             "day": g["day"].to_numpy(), "ewma_fp": e})
+
+    return daily.groupby("event_type").map_groups(
+        fold, batch_format="pandas")

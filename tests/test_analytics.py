@@ -1,0 +1,199 @@
+"""Tests for the analytics module (round-4 session-2 operators):
+interval union, trigram mining, NTILE bucketing, CUBE grouping sets,
+per-dimension embedding moments, the Pareto skyline, and the integer
+EWMA fold.
+
+These pin the SEMANTICS (island merging, NTILE remainder split,
+dominance ties, fold order) on tiny hand-checkable inputs;
+scripts/compare.py covers value equality vs DuckDB on the shared
+tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows, name="ev"):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+US = 1_000_000
+MIN30 = 1_800_000_000
+
+
+def test_interval_union_merges_overlaps_and_splits_gaps(
+        ray_session, tmp_path):
+    from geo_inference_ray.analytics import interval_union
+
+    # user 1: two events 10 min apart (one island, 40 min covered),
+    # then one event 2 h later (second island, 30 min covered).
+    # user 2: one event.
+    base = 1_700_000_000 * US
+    rows = [
+        (1, base, 1, "view"),
+        (2, base + 600 * US, 1, "view"),
+        (3, base + 7200 * US, 1, "view"),
+        (4, base, 2, "click"),
+    ]
+    d = _write_events(tmp_path, rows)
+    out = interval_union(d).to_pandas().set_index("user_id")
+    assert out.loc[1, "n_sessions"] == 2
+    assert out.loc[1, "covered_us"] == (600 * US + MIN30) + MIN30
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "covered_us"] == MIN30
+
+
+def test_interval_union_touching_endpoint_does_not_split(
+        ray_session, tmp_path):
+    from geo_inference_ray.analytics import interval_union
+
+    # second event starts EXACTLY at the first interval's end: the
+    # oracle's `s > pmax` is strict, so they merge into one island
+    base = 1_700_000_000 * US
+    rows = [(1, base, 7, "a"), (2, base + MIN30, 7, "a")]
+    d = _write_events(tmp_path, rows)
+    out = interval_union(d).to_pandas()
+    assert int(out["n_sessions"].iloc[0]) == 1
+    assert int(out["covered_us"].iloc[0]) == 2 * MIN30
+
+
+def test_trigram_paths_counts_user_ordered_triples(ray_session, tmp_path):
+    from geo_inference_ray.analytics import trigram_paths
+
+    base = 1_700_000_000 * US
+    # user 1 path a,b,c,b -> trigrams (a,b,c), (b,c,b); user 2 too
+    # short for any trigram
+    rows = [
+        (1, base + 1, 1, "a"), (2, base + 2, 1, "b"),
+        (3, base + 3, 1, "c"), (4, base + 4, 1, "b"),
+        (5, base + 1, 2, "a"), (6, base + 2, 2, "b"),
+    ]
+    d = _write_events(tmp_path, rows)
+    out = trigram_paths(d).to_pandas()
+    got = {(r.t1, r.t2, r.t3): r.cnt for r in out.itertuples()}
+    assert got == {("a", "b", "c"): 1, ("b", "c", "b"): 1}
+
+
+def test_trigram_paths_ties_broken_by_event_id(ray_session, tmp_path):
+    from geo_inference_ray.analytics import trigram_paths
+
+    base = 1_700_000_000 * US
+    # identical ts: order must follow event_id -> path is x,y,z
+    rows = [(3, base, 5, "z"), (1, base, 5, "x"), (2, base, 5, "y")]
+    d = _write_events(tmp_path, rows)
+    out = trigram_paths(d).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["t1"], out.iloc[0]["t2"], out.iloc[0]["t3"]) \
+        == ("x", "y", "z")
+
+
+def test_ntile_remainder_goes_to_leading_tiles(ray_session, tmp_path):
+    from geo_inference_ray.analytics import ntile_buckets
+
+    # 6 docs in one lang: NTILE(4) -> sizes 2,2,1,1 (SQL remainder
+    # rule), ordered by (n_chars, doc_id)
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(["x"] * 6, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = ntile_buckets(str(d)).to_pandas().sort_values("tile")
+    assert list(out["cnt"]) == [2, 2, 1, 1]
+    assert list(out["min_chars"]) == [10, 30, 50, 60]
+    assert list(out["max_chars"]) == [20, 40, 50, 60]
+
+
+def test_cube_counts_emits_all_four_grouping_sets(ray_session, sf_dir):
+    from geo_inference_ray.analytics import cube_counts
+
+    out = cube_counts(sf_dir).to_pandas()
+    fine = out[out["lang"].notna() & out["source"].notna()]
+    by_lang = out[out["lang"].notna() & out["source"].isna()]
+    by_src = out[out["lang"].isna() & out["source"].notna()]
+    total = out[out["lang"].isna() & out["source"].isna()]
+    assert len(total) == 1
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert int(total["cnt"].iloc[0]) == n_docs
+    assert int(fine["cnt"].sum()) == n_docs
+    assert int(by_lang["cnt"].sum()) == n_docs
+    assert int(by_src["cnt"].sum()) == n_docs
+    assert int(fine["chars"].sum()) == int(total["chars"].iloc[0])
+
+
+def test_dim_variance_matches_numpy(ray_session, sf_dir):
+    from geo_inference_ray.analytics import dim_variance
+
+    out = dim_variance(sf_dir).to_pandas().set_index("dim").sort_index()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")["embedding"]
+    mat = np.stack(emb.to_numpy())
+    q = np.floor(1000.0 * mat.astype(np.float64)).astype(np.int64)
+    assert (out["n"] == len(mat)).all()
+    np.testing.assert_array_equal(out["s1"].to_numpy(), q.sum(axis=0))
+    np.testing.assert_array_equal(out["s2"].to_numpy(),
+                                  (q * q).sum(axis=0))
+
+
+def test_skyline_keeps_ties_and_drops_dominated(ray_session):
+    from geo_inference_ray.analytics import _skyline_kernel
+
+    # (n_words, n_chars): maximize words, minimize chars.
+    # rows: A(5,10) B(5,10) duplicate-of-A C(5,12) dominated-by-A
+    #       D(7,20) frontier  E(3,5) frontier  F(3,9) dominated-by-E
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "n_chars": pa.array([10, 10, 12, 20, 5, 9], pa.int64()),
+        "n_words": pa.array([5, 5, 5, 7, 3, 3], pa.int64())})
+    out = _skyline_kernel(t)
+    assert sorted(out["doc_id"].to_pylist()) == [0, 1, 3, 4]
+
+
+def test_skyline_local_then_merge_equals_global(ray_session, sf_dir):
+    from geo_inference_ray.analytics import skyline_docs
+
+    out = skyline_docs(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    w = docs["text"].str.split(" ").map(len).to_numpy()
+    c = docs["n_chars"].to_numpy()
+    keep = []
+    for i in range(len(docs)):
+        dom = ((w >= w[i]) & (c <= c[i]) & ((w > w[i]) | (c < c[i])))
+        if not dom.any():
+            keep.append(int(docs["doc_id"].iloc[i]))
+    assert sorted(out["doc_id"].tolist()) == sorted(keep)
+
+
+def test_ewma_fold_order_and_first_value(ray_session, tmp_path):
+    from geo_inference_ray.analytics import ewma_daily
+
+    base = 1_700_006_400 * US   # midnight-aligned day boundary
+    day_us = 86_400 * US
+    # type "a": 2 events day0, 1 event day2 (gap day skipped: observed
+    # days only) -> e0 = 2000, e1 = (1000 + 2000)//2 = 1500
+    rows = [
+        (1, base + 1, 1, "a"), (2, base + 2, 2, "a"),
+        (3, base + 2 * day_us + 5, 3, "a"),
+    ]
+    d = _write_events(tmp_path, rows)
+    out = ewma_daily(d).to_pandas().sort_values("day")
+    assert list(out["ewma_fp"]) == [2000, 1500]
+    assert list(np.diff(out["day"].to_numpy())) == [2]
