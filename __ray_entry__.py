@@ -1336,6 +1336,22 @@ def q_ewma_daily(sf_dir: str):
     return _an.ewma_daily(sf_dir)
 
 
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop counts (4 rounds) over the part<->supplier
+    graph — frontier expansion with a recursive-CTE oracle."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.bfs_hops(sf_dir)
+
+
+def q_typo_pairs(sf_dir: str):
+    """Vocabulary pairs within Levenshtein distance 2 via the SymSpell
+    deletion-neighborhood join + exact vectorized DP verify."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.typo_pairs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1512,6 +1528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_variance": q_dim_variance,
         "skyline_docs": q_skyline_docs,
         "ewma_daily": q_ewma_daily,
+        "bfs_hops": q_bfs_hops,
+        "typo_pairs": q_typo_pairs,
     }
 
 
@@ -3583,4 +3601,41 @@ w(event_type, day, rn, ewma_fp) AS (
          CAST((r.c * 1000 + w.ewma_fp) // 2 AS BIGINT)
   FROM w JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1)
 SELECT event_type, day, ewma_fp FROM w""",
+        # Multi-source BFS: recursive UNION (distinct) over the same
+        # node encoding as the pagerank oracle; MIN(d) = first
+        # discovery = the engine's frontier expansion.
+        "bfs_hops": f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+walk(node, d) AS (
+  SELECT s_suppkey * 2 + 1, 0 FROM supplier
+  WHERE s_suppkey <= {_an_mod.BFS_SEED_MAX_SUPPKEY}
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {_an_mod.BFS_ROUNDS})
+SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY node""",
+        # Levenshtein <= 2 vocabulary pairs: the oracle brute-forces
+        # per length-class (hash-joinable equi-conditions) with
+        # DuckDB's levenshtein(); the engine's deletion-neighborhood
+        # candidates + DP verify must produce the identical set.
+        "typo_pairs": f"""
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+              FROM documents),
+v AS (SELECT DISTINCT w FROM toks
+      WHERE length(w) BETWEEN {_an_mod.TYPO_MIN_LEN}
+                          AND {_an_mod.TYPO_MAX_LEN}
+        AND octet_length(CAST(w AS BLOB)) = length(w)),
+c AS (
+ SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b
+   ON length(a.w) = length(b.w) AND a.w < b.w
+ UNION ALL
+ SELECT LEAST(a.w, b.w), GREATEST(a.w, b.w) FROM v a JOIN v b
+   ON length(b.w) = length(a.w) + 1
+ UNION ALL
+ SELECT LEAST(a.w, b.w), GREATEST(a.w, b.w) FROM v a JOIN v b
+   ON length(b.w) = length(a.w) + 2)
+SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
+FROM c WHERE levenshtein(w1, w2) BETWEEN 1 AND {_an_mod.TYPO_MAX_DIST}""",
     }

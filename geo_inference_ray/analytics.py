@@ -411,3 +411,349 @@ def ewma_daily(sf_dir: str):
 
     return daily.groupby("event_type").map_groups(
         fold, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops — multi-source BFS hop counts over the bipartite graph
+# ---------------------------------------------------------------------------
+
+def bfs_hops(sf_dir: str, *, rounds: int = BFS_ROUNDS,
+             broadcast_cap: int = BFS_BROADCAST_CAP):
+    """Minimum hop distance from the seed suppliers (s_suppkey <=
+    BFS_SEED_MAX_SUPPKEY, node id 2k+1) to every node reached within
+    ``rounds`` hops of the part<->supplier graph (``graph.py``'s node
+    encoding) — the frontier-expansion primitive under crawl-frontier
+    scheduling and graph-distance features.
+
+    Scale shape: the edge table is built once (per-batch pre-dedup +
+    one distinct shuffle, spilled to parquet scratch) and SCANNED once
+    per round; frontiers and the visited set are node-scale, not
+    edge-scale.  Under ``broadcast_cap`` estimated nodes the frontier
+    and visited sets ride ``ray.put`` + sorted ``searchsorted`` probes
+    (zero joins; the dedup_apply convention); above it every round is
+    two node-scale hash joins (inner frontier-expand + left_anti
+    novelty filter) sized by ``join_partitions_for``, and the visited
+    set is re-unioned, never collected."""
+    import ray
+    import ray.data as rd
+
+    from .graph import _edge_spill
+    from .shuffle import arrow_bridge
+
+    spill, n_edges = _edge_spill(sf_dir, None)
+
+    def edges():
+        return rd.read_parquet(spill)
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey"])
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy().astype(np.int64)
+        k = k[k <= BFS_SEED_MAX_SUPPKEY]
+        return pa.table({"node": pa.array(k * 2 + 1),
+                         "hops": pa.array(
+                             np.zeros(len(k), dtype=np.int64))})
+
+    seeds = sup.map_batches(seed_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    # node universe is bounded by 2x the (deduped) edge count
+    if 2 * n_edges <= broadcast_cap:
+        return _bfs_broadcast(edges, seeds, rounds)
+    return _bfs_join(edges, seeds, rounds, n_edges)
+
+
+def _bfs_broadcast(edges, seeds, rounds: int):
+    """Broadcast-frontier BFS: per round ONE distributed edge scan
+    (sorted-array membership probe) + a distinct-dst groupby; only
+    node-scale arrays ever reach the driver (documented cap)."""
+    import ray
+    import ray.data as rd
+
+    seed_np = np.sort(np.unique(np.concatenate(
+        [b["node"].to_numpy() for b in
+         seeds.iter_batches(batch_size=65536, batch_format="pyarrow")]
+        + [np.array([], dtype=np.int64)])))
+    visited = seed_np
+    levels = [(seed_np, 0)]
+    frontier = seed_np
+    for d in range(1, rounds + 1):
+        if len(frontier) == 0:
+            break
+        f_ref = ray.put(frontier)           # sorted
+
+        def probe(batch: pa.Table, _f=f_ref) -> pa.Table:
+            f = _f if isinstance(_f, np.ndarray) else ray.get(_f)
+            src = batch["src"].to_numpy()
+            idx = np.searchsorted(f, src)
+            idx[idx == len(f)] = 0
+            hit = f[idx] == src
+            dst = np.unique(batch["dst"].to_numpy()[hit])
+            return pa.table({"dst": pa.array(dst)})
+
+        dsts = edges().map_batches(probe, batch_format="pyarrow",
+                                   zero_copy_batch=True) \
+            .groupby("dst").count()
+        reached = np.sort(np.concatenate(
+            [b["dst"].to_numpy() for b in
+             dsts.iter_batches(batch_size=65536,
+                               batch_format="pyarrow")]
+            + [np.array([], dtype=np.int64)]))
+        new = np.setdiff1d(reached, visited, assume_unique=True)
+        if len(new) == 0:
+            break
+        levels.append((new, d))
+        visited = np.sort(np.concatenate([visited, new]))
+        frontier = new
+    nodes = np.concatenate([n for n, _ in levels])
+    hops = np.concatenate([np.full(len(n), h, dtype=np.int64)
+                           for n, h in levels])
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "hops": pa.array(hops)}))
+
+
+def _bfs_join(edges, seeds, rounds: int, n_edges: int):
+    """Join-path BFS for node sets beyond the broadcast cap: frontier
+    expansion is an inner hash join on the edge table, novelty is a
+    left_anti join against the visited set; both node-scale tables
+    stay distributed."""
+    from .shuffle import arrow_bridge
+
+    np_join = join_partitions_for(n_edges)
+    visited = seeds.materialize()
+    frontier = visited
+    for d in range(1, rounds + 1):
+        expanded = edges().join(
+            frontier.select_columns(["node"]), join_type="inner",
+            num_partitions=np_join, on=("src",), right_on=("node",))
+        dsts = expanded.select_columns(["dst"]).groupby("dst").count() \
+            .select_columns(["dst"])
+        dsts = arrow_bridge(dsts, {"dst": pa.int64()})
+        new = dsts.join(visited.select_columns(["node"]),
+                        join_type="left_anti",
+                        num_partitions=np_join,
+                        on=("dst",), right_on=("node",))
+        new = new.map_batches(
+            lambda b, _d=d: pa.table({
+                "node": b["dst"],
+                "hops": pa.array(np.full(b.num_rows, _d,
+                                         dtype=np.int64))}),
+            batch_format="pyarrow").materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# typo_pairs — SymSpell-style deletion-neighborhood edit-distance pairs
+# ---------------------------------------------------------------------------
+
+def _del_variants(words: np.ndarray, length: int):
+    """All distinct 1- and 2-deletion variants of equal-length ASCII
+    words, vectorized: the (n, L) uint8 code matrix is column-sliced
+    per deletion position (L + C(L,2) <= 78 slices for L <= 12, each a
+    whole-array numpy op — no per-word Python)."""
+    mat = words.astype(f"U{length}").view(np.uint32) \
+        .reshape(len(words), length).astype(np.uint8)
+    keys, owners = [], []
+
+    def emit(m: np.ndarray):
+        k = np.ascontiguousarray(m).view(f"S{m.shape[1]}").ravel()
+        keys.append(k.astype(object))
+        owners.append(np.arange(len(words)))
+
+    for i in range(length):
+        emit(np.delete(mat, i, axis=1))
+    if length >= 2:
+        for i in range(length):
+            for j in range(i + 1, length):
+                emit(np.delete(mat, (i, j), axis=1))
+    kk = np.concatenate(keys)
+    oo = np.concatenate(owners)
+    return kk, oo
+
+
+def _pair_dp_distance(w1: np.ndarray, w2: np.ndarray,
+                      max_len: int = TYPO_MAX_LEN) -> np.ndarray:
+    """Exact Levenshtein distance for a BATCH of short ASCII word
+    pairs: one (max_len x max_len) grid of whole-batch numpy ops (<=
+    144 vectorized steps regardless of pair count), reading each
+    pair's answer at its own (len1, len2) cell."""
+    n = len(w1)
+    A = w1.astype(f"U{max_len}").view(np.uint32) \
+        .reshape(n, max_len).astype(np.uint8)
+    B = w2.astype(f"U{max_len}").view(np.uint32) \
+        .reshape(n, max_len).astype(np.uint8)
+    la = (A != 0).sum(axis=1).astype(np.int32)
+    lb = (B != 0).sum(axis=1).astype(np.int32)
+    cur = np.tile(np.arange(max_len + 1, dtype=np.int32), (n, 1))
+    ans = np.where(la == 0, lb, 0).astype(np.int32)
+    rows = np.arange(n)
+    for i in range(1, max_len + 1):
+        nxt = np.empty_like(cur)
+        nxt[:, 0] = i
+        for j in range(1, max_len + 1):
+            sub = cur[:, j - 1] + (A[:, i - 1] != B[:, j - 1])
+            nxt[:, j] = np.minimum(np.minimum(cur[:, j] + 1,
+                                              nxt[:, j - 1] + 1), sub)
+        cur = nxt
+        m = la == i
+        if m.any():
+            ans[m] = cur[rows[m], lb[m]]
+    return ans.astype(np.int64)
+
+
+def typo_pairs(sf_dir: str, *, bucket_cap: int = TYPO_BUCKET_CAP):
+    """Vocabulary word pairs within Levenshtein distance 2 (typo /
+    variant candidates), via the SymSpell deletion-neighborhood join:
+    if lev(a, b) = d <= 2, deleting the d unmatched characters from
+    each side yields a COMMON variant with <= 2 deletions per side, so
+    every true pair shares a deletion key (recall 1.0); candidates are
+    then verified with an exact vectorized DP.  Output (w1 < w2, dist
+    in {1, 2}), ASCII words of TYPO_MIN_LEN..TYPO_MAX_LEN chars.
+
+    Scale shape: everything beyond the first corpus pass is
+    VOCABULARY-scale.  One distinct shuffle builds the vocab; variant
+    generation emits <= 79 rows per word map-side; pair generation is
+    the hash-partitioned bucket kernel (simhash_pairs pattern) with
+    the same deterministic bucket cap; the DP verify is a whole-batch
+    numpy grid, never per-pair Python."""
+    import ray.data as rd
+
+    from .shuffle import arrow_bridge
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        nchars = pc.utf8_length(toks)
+        nbytes = pc.binary_length(pc.cast(toks, pa.binary()))
+        keep = pc.and_(pc.and_(
+            pc.greater_equal(nchars, TYPO_MIN_LEN),
+            pc.less_equal(nchars, TYPO_MAX_LEN)),
+            pc.equal(nchars, nbytes))         # ASCII only
+        t = pa.table({"w": toks.filter(keep)})
+        return t.group_by(["w"]).aggregate([([], "count_all")]) \
+            .select(["w"])
+
+    # vocabulary-scale materialization: the distinct-word table is
+    # consumed twice (variant pass + row-hint count)
+    vocab = docs.map_batches(vocab_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("w").count().select_columns(["w"]).materialize()
+    n_vocab = vocab.count()
+
+    def variants(batch: pa.Table) -> pa.Table:
+        words = np.asarray(batch["w"].to_pylist(), dtype=object)
+        if len(words) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "kh": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.string())})
+        lens = np.char.str_len(words.astype("U"))
+        out_k, out_w = [], []
+        for length in np.unique(lens):
+            grp = words[lens == length]
+            out_k.append(grp.copy())          # depth-0 identity rows
+            out_w.append(grp)
+            kk, oo = _del_variants(grp, int(length))
+            out_k.append(np.char.decode(
+                kk.astype("S"), "ascii").astype(object))
+            out_w.append(grp[oo])
+        key = np.concatenate(out_k)
+        ww = np.concatenate(out_w)
+        t = pa.table({"key": pa.array(key, pa.string()),
+                      "w": pa.array(ww, pa.string())})
+        # per-word dedupe ("aaab" deletions collide) keeps the pair
+        # kernel's buckets duplicate-free
+        t = t.group_by(["key", "w"]).aggregate([([], "count_all")]) \
+            .select(["key", "w"])
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "kh": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.string())})
+        kh = np.frombuffer(
+            "\x00".join(t["key"].to_pylist()).encode(), np.uint8)
+        # vectorized FNV-1a over the NUL-joined key bytes
+        h = _fnv_per_segment(kh)
+        return pa.table({"key": t["key"], "kh": pa.array(h),
+                         "w": t["w"]})
+
+    var = vocab.map_batches(variants, batch_format="pyarrow")
+
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["key", "w"], kind="stable") \
+            .reset_index(drop=True)
+        ks = g["key"].to_numpy()
+        ws = g["w"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g):
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        oa, ob = [], []
+        n_trunc = 0
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            if sz > bucket_cap:
+                n_trunc += 1          # cap smallest words (sorted)
+                sz = bucket_cap
+            ia, ib = np.triu_indices(sz, k=1)
+            oa.append(ws[st:st + sz][ia])
+            ob.append(ws[st:st + sz][ib])
+        if n_trunc:
+            print(f"typo_pairs: truncated {n_trunc} deletion "
+                  f"bucket(s) over {bucket_cap} members "
+                  "(recall guard; see TYPO_BUCKET_CAP)")
+        if not oa:
+            return pd.DataFrame({"w1": pd.Series(dtype="string"),
+                                 "w2": pd.Series(dtype="string")})
+        return pd.DataFrame({"w1": np.concatenate(oa),
+                             "w2": np.concatenate(ob)})
+
+    cand = arrow_bridge(
+        _hash_partitioned(var, "kh", bucket_pairs_part,
+                          rows_hint=79 * max(n_vocab, 1)),
+        {"w1": pa.string(), "w2": pa.string()})
+    distinct = cand.groupby(["w1", "w2"]).count() \
+        .select_columns(["w1", "w2"])
+    distinct = arrow_bridge(distinct, {"w1": pa.string(),
+                                       "w2": pa.string()})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "dist": pa.array([], pa.int64())})
+        w1 = np.asarray(batch["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(batch["w2"].to_pylist(), dtype=object)
+        d = _pair_dp_distance(w1, w2)
+        keep = (d >= 1) & (d <= TYPO_MAX_DIST)
+        return pa.table({"w1": pa.array(w1[keep], pa.string()),
+                         "w2": pa.array(w2[keep], pa.string()),
+                         "dist": pa.array(d[keep])})
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+def _fnv_per_segment(joined: np.ndarray) -> np.ndarray:
+    """int64 FNV-1a hash of each NUL-separated segment of a uint8
+    stream — vectorized per-chunk fold (segment-count-bounded loop
+    over the LONGEST segment length, not a per-string Python loop)."""
+    seps = np.flatnonzero(joined == 0)
+    starts = np.concatenate([[0], seps + 1])
+    ends = np.concatenate([seps, [len(joined)]])
+    n = len(starts)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    max_len = int((ends - starts).max()) if n else 0
+    for off in range(max_len):
+        idx = starts + off
+        m = idx < ends
+        hv = h[m]
+        h[m] = (hv ^ joined[idx[m]].astype(np.uint64)) * prime
+    return (h >> np.uint64(1)).astype(np.int64)

@@ -197,3 +197,116 @@ def test_ewma_fold_order_and_first_value(ray_session, tmp_path):
     out = ewma_daily(d).to_pandas().sort_values("day")
     assert list(out["ewma_fp"]) == [2000, 1500]
     assert list(np.diff(out["day"].to_numpy())) == [2]
+
+
+def test_bfs_broadcast_and_join_paths_agree(ray_session, sf_dir):
+    from geo_inference_ray.analytics import bfs_hops
+
+    a = bfs_hops(sf_dir).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    # force the join path with a zero broadcast cap
+    b = bfs_hops(sf_dir, broadcast_cap=0).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # seeds are hop 0, and every hop level d+1 only appears if d does
+    assert (a.loc[a["hops"] == 0, "node"] % 2 == 1).all()
+    present = sorted(a["hops"].unique())
+    assert present == list(range(len(present)))
+
+
+def test_bfs_hops_are_minimal_distances(ray_session, sf_dir):
+    from geo_inference_ray.analytics import (BFS_ROUNDS,
+                                             BFS_SEED_MAX_SUPPKEY,
+                                             bfs_hops)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    edges = {}
+    for p, s in zip(li["l_partkey"], li["l_suppkey"]):
+        a, b = 2 * int(p), 2 * int(s) + 1
+        edges.setdefault(a, set()).add(b)
+        edges.setdefault(b, set()).add(a)
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey"])
+    frontier = {2 * int(k) + 1 for k in sup["s_suppkey"]
+                if k <= BFS_SEED_MAX_SUPPKEY}
+    dist = {n: 0 for n in frontier}
+    for d in range(1, BFS_ROUNDS + 1):
+        nxt = set()
+        for n in frontier:
+            for m in edges.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.add(m)
+        frontier = nxt
+    out = bfs_hops(sf_dir).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["hops"].astype(int)))
+    assert got == dist
+
+
+def test_pair_dp_distance_matches_reference():
+    from geo_inference_ray.analytics import _pair_dp_distance
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    import random
+    rng = random.Random(7)
+    alpha = "abcd"
+    w1, w2 = [], []
+    for _ in range(300):
+        w1.append("".join(rng.choice(alpha)
+                          for _ in range(rng.randint(3, 12))))
+        w2.append("".join(rng.choice(alpha)
+                          for _ in range(rng.randint(3, 12))))
+    got = _pair_dp_distance(np.asarray(w1, dtype=object),
+                            np.asarray(w2, dtype=object))
+    exp = [lev(a, b) for a, b in zip(w1, w2)]
+    assert got.tolist() == exp
+
+
+def test_typo_pairs_finds_all_dist_le2_pairs(ray_session, tmp_path):
+    from geo_inference_ray.analytics import typo_pairs
+
+    # hand-built vocabulary with known distances:
+    #  cat~cut 1 (sub), cat~cart 1 (ins), cat~carts 2 (2 ins),
+    #  cat~dog 3 (excluded), frog~grog 1, frog~fog 1, fog~grog 2
+    words = ["cat", "cut", "cart", "carts", "dog", "frog", "grog",
+             "fog"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(words)), pa.int64()),
+        "text": pa.array(words, pa.string()),
+        "lang": pa.array(["en"] * len(words), pa.string()),
+        "source": pa.array(["s"] * len(words), pa.string()),
+        "n_chars": pa.array([len(w) for w in words], pa.int64())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = typo_pairs(str(d)).to_pandas()
+    got = {(r.w1, r.w2): r.dist for r in out.itertuples()}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    exp = {}
+    for i in range(len(words)):
+        for j in range(i + 1, len(words)):
+            a, b = sorted([words[i], words[j]])
+            dd = lev(a, b)
+            if 1 <= dd <= 2:
+                exp[(a, b)] = dd
+    assert got == exp
+    assert ("cat", "cut") in got and got[("cat", "cut")] == 1
+    assert ("carts", "cat") in got and got[("carts", "cat")] == 2
