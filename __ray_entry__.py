@@ -1352,6 +1352,30 @@ def q_typo_pairs(sf_dir: str):
     return _an.typo_pairs(sf_dir)
 
 
+def q_lang_concat(sf_dir: str):
+    """Per-source distinct-language roster: count + sorted
+    comma-joined list (the ordered string_agg shape)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.lang_concat(sf_dir)
+
+
+def q_hierarchy_rollup(sf_dir: str):
+    """Subtree revenue totals over the decimal prefix trie of part
+    keys — hierarchical rollup via constant-factor ancestor explode."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.hierarchy_rollup(sf_dir)
+
+
+def q_covisit_pairs(sf_dir: str):
+    """User pairs sharing >= 3 active days — co-visitation similarity
+    join with per-day bucket kernel + deterministic cap."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.covisit_pairs(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
@@ -1530,6 +1554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_daily": q_ewma_daily,
         "bfs_hops": q_bfs_hops,
         "typo_pairs": q_typo_pairs,
+        "lang_concat": q_lang_concat,
+        "hierarchy_rollup": q_hierarchy_rollup,
+        "covisit_pairs": q_covisit_pairs,
     }
 
 
@@ -3638,4 +3665,33 @@ c AS (
    ON length(b.w) = length(a.w) + 2)
 SELECT w1, w2, CAST(levenshtein(w1, w2) AS BIGINT) AS dist
 FROM c WHERE levenshtein(w1, w2) BETWEEN 1 AND {_an_mod.TYPO_MAX_DIST}""",
+        # Ordered string aggregation: the roster join order IS the
+        # sort order on both sides.
+        "lang_concat": """
+SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs_csv
+FROM documents GROUP BY 1""",
+        # Prefix-trie subtree rollup: every line joins its 7 decimal
+        # ancestors (constant explode, no recursion); rev cents use
+        # the shared floor(x*100 + 0.5) expression.
+        "hierarchy_rollup": f"""
+WITH l AS (SELECT l_partkey AS k,
+    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+         AS BIGINT) AS rev
+  FROM lineitem),
+e AS (SELECT k // CAST(power(10, j) AS BIGINT) AS node, rev
+      FROM l CROSS JOIN (SELECT unnest(generate_series(0,
+        {_an_mod.HIER_LEVELS - 1})) AS j)
+      WHERE j = 0 OR k // CAST(power(10, j - 1) AS BIGINT) > 0)
+SELECT node, CAST(SUM(rev) AS BIGINT) AS rev_cents,
+       COUNT(*) AS n_lines
+FROM e GROUP BY 1""",
+        # Co-visitation: distinct (day, user) self-join; COUNT(*) is
+        # the shared-day count because the pair fires once per day.
+        "covisit_pairs": f"""
+WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                            user_id FROM events)
+SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS days
+FROM du a JOIN du b ON a.day = b.day AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {_an_mod.COVISIT_MIN_DAYS}""",
     }

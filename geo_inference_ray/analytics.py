@@ -757,3 +757,189 @@ def _fnv_per_segment(joined: np.ndarray) -> np.ndarray:
         hv = h[m]
         h[m] = (hv ^ joined[idx[m]].astype(np.uint64)) * prime
     return (h >> np.uint64(1)).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# lang_concat — ordered string aggregation per group
+# ---------------------------------------------------------------------------
+
+def lang_concat(sf_dir: str):
+    """Per-source distinct-language roster: count + the sorted
+    comma-joined language list (the string_agg shape — deterministic
+    because the join order is the sort order).
+
+    Scale shape: per-batch (source, lang) distinct partials collapse
+    the corpus before ONE tiny two-key groupby; the roster kernel then
+    runs per source over the |sources| x |langs| distinct table
+    (group-count-bounded, never corpus rows)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["source", "lang"]).aggregate(
+            [([], "count_all")]).select(["source", "lang"])
+
+    pairs = docs.map_batches(pair_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "lang"]).count() \
+        .select_columns(["source", "lang"])
+
+    def roster(g: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(g["lang"].tolist())
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "n_langs": np.array([len(langs)], dtype=np.int64),
+            "langs_csv": [",".join(langs)]})
+
+    return pairs.groupby("source").map_groups(roster,
+                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_rollup — prefix-trie subtree aggregation
+# ---------------------------------------------------------------------------
+
+HIER_LEVELS = 7       # j = 0..6: part keys < 10^6 all roll up to node 0
+
+
+def hierarchy_rollup(sf_dir: str):
+    """Subtree revenue totals over the implicit decimal prefix trie of
+    part keys (node k at level j covers every part whose key has k as
+    its base-10 prefix k = key // 10^j) — the hierarchical-rollup
+    operator WITHOUT recursion: each line explodes to its
+    ``HIER_LEVELS`` ancestor nodes map-side, pre-aggregated per batch,
+    then ONE groupby.  Lineage rollups (site -> section -> domain) are
+    this exact shape.
+
+    Scale shape: the explode multiplies rows by a CONSTANT (7), and
+    the per-batch partial collapses them to distinct-ancestor counts
+    before the shuffle; no iterative joins, no recursion depth tied to
+    data size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import _rev_cents
+
+    path = f"{sf_dir}/lineitem.parquet"
+    li = rd.read_parquet(path, columns=["l_partkey", "l_extendedprice",
+                                        "l_discount"])
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy().astype(np.int64)
+        rev = _rev_cents(batch["l_extendedprice"],
+                         batch["l_discount"]).to_numpy()
+        # distinct ancestors only: once the prefix chain reaches 0 it
+        # would repeat 0 for every remaining level — keep level j > 0
+        # only while the PARENT level was still nonzero, so the root
+        # counts each line exactly once
+        node_parts, rev_parts = [k], [rev]
+        for j in range(1, HIER_LEVELS):
+            live = (k // 10 ** (j - 1)) > 0
+            node_parts.append(k[live] // 10 ** j)
+            rev_parts.append(rev[live])
+        nodes = np.concatenate(node_parts)
+        revs = np.concatenate(rev_parts)
+        t = pa.table({"node": pa.array(nodes), "rev": pa.array(revs)})
+        g = t.group_by(["node"]).aggregate([("rev", "sum"),
+                                            ([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "rev": pc.cast(g["rev_sum"], pa.int64()),
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return li.map_batches(explode_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("node").aggregate(Sum("rev", alias_name="rev_cents"),
+                                   Sum("n", alias_name="n_lines"))
+
+
+# ---------------------------------------------------------------------------
+# covisit_pairs — co-visitation similarity join
+# ---------------------------------------------------------------------------
+
+COVISIT_MIN_DAYS = 3        # pair survives with >= this many shared days
+COVISIT_DAY_CAP = 4_096     # per-day distinct-user cap (pair blowup
+                            # guard, simhash convention: cap SMALLEST
+                            # user_ids, SQL-mirrorable via row_number)
+
+
+def covisit_pairs(sf_dir: str):
+    """User pairs active on >= COVISIT_MIN_DAYS common days — the
+    co-visitation similarity join (audience-overlap / sock-puppet
+    signal): distinct (day, user) -> per-day pairs -> pair-count
+    filter.
+
+    Scale shape: the corpus collapses to distinct (day, user) map-side
+    + one groupby; pair generation is the hash-partitioned bucket
+    kernel with the deterministic per-day cap (quadratic blowup
+    guard); pair counts pre-aggregate inside the kernel so the final
+    shuffle carries per-partition partials, not raw pair firings."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .shuffle import arrow_bridge
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "ts"])
+
+    def day_user_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"day": day, "user_id": batch["user_id"]})
+        return t.group_by(["day", "user_id"]).aggregate(
+            [([], "count_all")]).select(["day", "user_id"])
+
+    du = ev.map_batches(day_user_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .groupby(["day", "user_id"]).count() \
+        .select_columns(["day", "user_id"])
+    du = arrow_bridge(du, {"day": pa.int64(), "user_id": pa.int64()})
+
+    def day_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["day", "user_id"], kind="stable") \
+            .reset_index(drop=True)
+        ds_ = g["day"].to_numpy()
+        us = g["user_id"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g):
+            new[1:] = ds_[1:] != ds_[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        oa, ob = [], []
+        n_trunc = 0
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            if sz > COVISIT_DAY_CAP:
+                n_trunc += 1         # sorted: cap smallest user_ids
+                sz = COVISIT_DAY_CAP
+            ia, ib = np.triu_indices(sz, k=1)
+            oa.append(us[st:st + sz][ia])
+            ob.append(us[st:st + sz][ib])
+        if n_trunc:
+            print(f"covisit_pairs: truncated {n_trunc} day bucket(s) "
+                  f"over {COVISIT_DAY_CAP} users (see COVISIT_DAY_CAP)")
+        if not oa:
+            return pd.DataFrame({
+                "u1": pd.Series(dtype="int64"),
+                "u2": pd.Series(dtype="int64"),
+                "days": pd.Series(dtype="int64")})
+        part = pd.DataFrame({"u1": np.concatenate(oa),
+                             "u2": np.concatenate(ob)})
+        out = part.groupby(["u1", "u2"], as_index=False).size() \
+            .rename(columns={"size": "days"})
+        out["days"] = out["days"].astype(np.int64)
+        return out
+
+    partials = _hash_partitioned(du, "day", day_pairs_part,
+                                 rows_hint=_parquet_rows(path))
+    counts = partials.groupby(["u1", "u2"]).aggregate(
+        Sum("days", alias_name="days"))
+
+    def floor_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["days"],
+                                             COVISIT_MIN_DAYS))
+
+    return counts.map_batches(floor_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)

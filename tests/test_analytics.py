@@ -310,3 +310,69 @@ def test_typo_pairs_finds_all_dist_le2_pairs(ray_session, tmp_path):
     assert got == exp
     assert ("cat", "cut") in got and got[("cat", "cut")] == 1
     assert ("carts", "cat") in got and got[("carts", "cat")] == 2
+
+
+def test_lang_concat_roster_is_sorted(ray_session, sf_dir):
+    from geo_inference_ray.analytics import lang_concat
+
+    out = lang_concat(sf_dir).to_pandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "lang"])
+    for r in out.itertuples():
+        langs = sorted(docs.loc[docs["source"] == r.source,
+                                "lang"].unique())
+        assert r.langs_csv == ",".join(langs)
+        assert r.n_langs == len(langs)
+
+
+def test_hierarchy_rollup_parent_covers_children(ray_session, sf_dir):
+    from geo_inference_ray.analytics import hierarchy_rollup
+
+    out = hierarchy_rollup(sf_dir).to_pandas().set_index("node")
+    # root (node 0 at the top level) carries every line exactly once
+    li_rows = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey"]).shape[0]
+    assert int(out.loc[0, "n_lines"]) == li_rows
+    # a trie node's subtree = every part whose key has it as a
+    # decimal prefix at ANY depth (1 covers 1, 10-19, 100-199, ...)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    k = li["l_partkey"].to_numpy().astype(np.int64)
+    line_rev = np.floor(li["l_extendedprice"].to_numpy()
+                        * (1.0 - li["l_discount"].to_numpy())
+                        * 100.0 + 0.5).astype(np.int64)
+    from geo_inference_ray.analytics import HIER_LEVELS
+    for p in [1, 2, 3]:
+        mask = np.zeros(len(k), dtype=bool)
+        for j in range(HIER_LEVELS):
+            mask |= (k // 10 ** j) == p
+        assert int(out.loc[p, "rev_cents"]) == int(line_rev[mask].sum())
+        assert int(out.loc[p, "n_lines"]) == int(mask.sum())
+
+
+def test_covisit_pairs_matches_bruteforce(ray_session, tmp_path):
+    from geo_inference_ray.analytics import (COVISIT_MIN_DAYS,
+                                             covisit_pairs)
+
+    base = 1_700_006_400 * US
+    day_us = 86_400 * US
+    # users 1,2 share days 0,1,2 (pair kept, days=3); user 3 overlaps
+    # user 1 on days 0,1 only (dropped); duplicate events same day
+    # must not double-count
+    rows, eid = [], 0
+    for d in [0, 1, 2]:
+        for u in [1, 2]:
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, u, "v"))
+    for d in [0, 1]:
+        eid += 1
+        rows.append((eid, base + d * day_us + eid, 3, "v"))
+    eid += 1
+    rows.append((eid, base + 5, 1, "v"))   # dup (day0, user1)
+    d = _write_events(tmp_path, rows)
+    out = covisit_pairs(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r["u1"]), int(r["u2"]), int(r["days"])) == (1, 2, 3)
+    assert COVISIT_MIN_DAYS == 3
