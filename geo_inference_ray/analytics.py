@@ -141,8 +141,13 @@ def trigram_paths(sf_dir: str):
         out["cnt"] = out["cnt"].astype(np.int64)
         return out
 
-    partials = _hash_partitioned(ev, "user_id", tri_part,
-                                 rows_hint=_parquet_rows(path))
+    from .shuffle import arrow_bridge
+
+    partials = arrow_bridge(
+        _hash_partitioned(ev, "user_id", tri_part,
+                          rows_hint=_parquet_rows(path)),
+        {"t1": pa.string(), "t2": pa.string(), "t3": pa.string(),
+         "cnt": pa.int64()})
     return partials.groupby(["t1", "t2", "t3"]).aggregate(
         Sum("cnt", alias_name="cnt"))
 
@@ -932,8 +937,10 @@ def covisit_pairs(sf_dir: str):
         out["days"] = out["days"].astype(np.int64)
         return out
 
-    partials = _hash_partitioned(du, "day", day_pairs_part,
-                                 rows_hint=_parquet_rows(path))
+    partials = arrow_bridge(
+        _hash_partitioned(du, "day", day_pairs_part,
+                          rows_hint=_parquet_rows(path)),
+        {"u1": pa.int64(), "u2": pa.int64(), "days": pa.int64()})
     counts = partials.groupby(["u1", "u2"]).aggregate(
         Sum("days", alias_name="days"))
 
