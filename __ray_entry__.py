@@ -21,6 +21,7 @@ from typing import Any
 
 from geo_inference_ray import ann as _ann
 from geo_inference_ray import dedup as _dedup
+from geo_inference_ray import geoext as _gx_mod
 from geo_inference_ray import graph as _graph
 from geo_inference_ray import knn as _knn
 from geo_inference_ray import analytics as _an_mod
@@ -1376,12 +1377,60 @@ def q_covisit_pairs(sf_dir: str):
     return _an.covisit_pairs(sf_dir)
 
 
+def q_cell_smooth(sf_dir: str):
+    """Ring-1 hex-neighborhood density smoothing (H3 grid_disk
+    aggregate): two cell-bounded shuffles, pages never re-shuffled."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cell_smooth(_stages.geo_pipeline(sf_dir))
+
+
+def q_track_legs(sf_dir: str):
+    """Per-cluster great-circle track legs (chord metric, bit-exact
+    trig) over doc_id-ordered pages."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.track_legs(sf_dir)
+
+
+def q_bbox_join(sf_dir: str):
+    """Envelope-overlap spatial-join filter phase: per-polygon
+    candidate counts from broadcast bbox layer."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.bbox_overlap_counts(sf_dir)
+
+
+def q_nearest_poly(sf_dir: str):
+    """Nearest-centroid polygon assignment per page (broadcast argmin,
+    zero shuffle)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.nearest_poly(sf_dir)
+
+
+def q_weighted_median(sf_dir: str):
+    """Quantity-weighted lower-median price per return flag, exact
+    integer cents (price-domain-bounded shuffle)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.weighted_median(sf_dir)
+
+
+def q_streaks(sf_dir: str):
+    """Longest consecutive-active-day run per user
+    (gaps-and-islands, integer epoch-days)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.streaks(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  145
-    # registered queries, 54 of which had NO driver row when this
-    # window was frozen; the window holds 50 of those 54:
+    # so the dict is ordered by evidence need, not by theme.  163
+    # registered queries; r1-r3 driver rows cover only 66 distinct
+    # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
     #                (kmeans .. anchor_window_follow)
     #   slots 12-27  the 16 early-r4 additions (host_stats ..
@@ -1390,13 +1439,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                q20_excess_share — the TPC-H analog completions,
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
-    #   slots 51+    everything with an existing r2/r3 driver row, plus
-    #                the four deferred never-checked entries
-    #                (jsonl_docs, image_dhash, llm_prep, ttr_stats) —
-    #                each pinned by pytest + the local full compare.
-    # Round 5 should front-load those four deferred entries first,
-    # then re-check any query whose implementation r5 touches (see
-    # README "Driver correctness window").
+    #   slots 51+    everything with an existing driver row plus the
+    #                47 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 18 post-freeze) — each pinned
+    #                by pytest + the local full compare.
+    # Round 5 must front-load ALL 47 of those (they fit the 50-slot
+    # window with 3 spare) — see README "Driver correctness window".
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1557,6 +1605,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_concat": q_lang_concat,
         "hierarchy_rollup": q_hierarchy_rollup,
         "covisit_pairs": q_covisit_pairs,
+        "cell_smooth": q_cell_smooth,
+        "track_legs": q_track_legs,
+        "bbox_join": q_bbox_join,
+        "nearest_poly": q_nearest_poly,
+        "weighted_median": q_weighted_median,
+        "streaks": q_streaks,
     }
 
 
@@ -3694,4 +3748,86 @@ WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
 SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS days
 FROM du a JOIN du b ON a.day = b.day AND a.user_id < b.user_id
 GROUP BY 1, 2 HAVING COUNT(*) >= {_an_mod.COVISIT_MIN_DAYS}""",
+        # ring-1 hex density smoothing: cells CTE is the exact per-cell
+        # count; the 7-offset cross join mirrors knn.HEX_RING1_OFFSETS
+        "cell_smooth": _WH + f""",
+cells AS (SELECT hex7, COUNT(*) AS n FROM hex9 GROUP BY hex7),
+offs AS (SELECT * FROM (VALUES {", ".join(f"({o})" for o in _gx_mod.HEX_RING1_OFFSETS)}) t(off))
+SELECT CAST(c.hex7 + o.off AS BIGINT) AS hex7,
+       CAST(SUM(c.n) AS BIGINT) AS n_smooth
+FROM cells c CROSS JOIN offs o GROUP BY 1""",
+        # chord metric (12742*sqrt(a)), NOT haversine's asin: numpy and
+        # DuckDB asin/atan2 differ by up to 2 ulp on this box; sin/cos/
+        # sqrt/radians are bit-exact (geoext.py module docstring)
+        "track_legs": _WG + """,
+legs AS (
+  SELECT cluster, doc_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM geo WINDOW w AS (PARTITION BY cluster ORDER BY doc_id)
+),
+lt AS (
+  SELECT cluster,
+         sin(radians(lat - plat) / 2.0) AS sd1,
+         cos(radians(plat)) AS c1, cos(radians(lat)) AS c2,
+         sin(radians(lon - plon) / 2.0) AS sd2
+  FROM legs WHERE plat IS NOT NULL
+),
+ck AS (SELECT cluster,
+              12742.0 * sqrt(sd1 * sd1 + ((c1 * c2) * sd2) * sd2)
+                AS chord_km
+       FROM lt)
+SELECT cluster, COUNT(*) AS n_legs, MAX(chord_km) AS max_leg_km,
+       CAST(SUM(CAST(floor(chord_km * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS sum_leg_mm
+FROM ck GROUP BY cluster""",
+        "bbox_join": _WG + "," + _synth.sql_polygon_edges() + f""",
+pbox AS (
+  SELECT e.poly_id, MIN(e.ex1) AS xmin, MIN(e.ey1) AS ymin,
+         MAX(e.ex1) AS xmax, MAX(e.ey1) AS ymax
+  FROM edges e GROUP BY e.poly_id)
+SELECT CAST(b.poly_id AS BIGINT) AS poly_id, COUNT(*) AS n_docs
+FROM geo g JOIN pbox b
+  ON (g.lat - {_gx_mod.BBOX_EPS_DEG!r}) <= b.ymax
+ AND (g.lat + {_gx_mod.BBOX_EPS_DEG!r}) >= b.ymin
+ AND (g.lon - {_gx_mod.BBOX_EPS_DEG!r}) <= b.xmax
+ AND (g.lon + {_gx_mod.BBOX_EPS_DEG!r}) >= b.xmin
+GROUP BY 1""",
+        # centroids from exact integer terms (sum_md/1000.0)/n — bit-
+        # identical constants on both engines (geoext.poly_centroid_terms)
+        "nearest_poly": _WG + f""",
+cent AS (SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                (sx / 1000.0) / n AS cx, (sy / 1000.0) / n AS cy
+         FROM (VALUES {", ".join(f"({p}, {sx}, {sy}, {n})" for p, sx, sy, n in _gx_mod.poly_centroid_terms())}) v(poly_id, sx, sy, n)),
+d AS (
+  SELECT g.doc_id, c.poly_id,
+         (g.lat - c.cy) * (g.lat - c.cy)
+           + (g.lon - c.cx) * (g.lon - c.cx) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.doc_id
+           ORDER BY (g.lat - c.cy) * (g.lat - c.cy)
+                  + (g.lon - c.cx) * (g.lon - c.cx), c.poly_id) AS rn
+  FROM geo g CROSS JOIN cent c)
+SELECT doc_id, poly_id, d2 FROM d WHERE rn = 1""",
+        "weighted_median": """
+WITH b AS (SELECT l_returnflag,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+    CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+g AS (SELECT l_returnflag, price_c, CAST(SUM(q) AS BIGINT) AS qs
+      FROM b GROUP BY 1, 2),
+w AS (SELECT *,
+    CAST(SUM(qs) OVER (PARTITION BY l_returnflag
+                       ORDER BY price_c) AS BIGINT) AS cum,
+    CAST(SUM(qs) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM g)
+SELECT l_returnflag, MIN(price_c) AS wmedian_cents
+FROM w WHERE 2 * cum >= tot GROUP BY 1""",
+        "streaks": """
+WITH d AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT user_id, day,
+        day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+          AS grp FROM d),
+s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS max_streak FROM s GROUP BY 1""",
     }

@@ -950,3 +950,115 @@ def covisit_pairs(sf_dir: str):
 
     return counts.map_batches(floor_filter, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# weighted_median — quantity-weighted median price per return flag
+# ---------------------------------------------------------------------------
+
+def weighted_median(sf_dir: str):
+    """Per l_returnflag, the quantity-weighted LOWER median of
+    l_extendedprice in exact integer cents: the smallest price where
+    the cumulative quantity reaches half the flag's total
+    (``2 * cum >= total``).  Integer-exact end to end.
+
+    Scale shape: map-side partial (flag, price_cents) -> qty sums, ONE
+    groupby-sum whose output is bounded by the price DOMAIN (not the
+    row count), then a per-flag sorted cumulative scan over that
+    bounded table via map_groups (|flags| = 3 tiny groups).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .relational import _cents
+
+    path = f"{sf_dir}/lineitem.parquet"
+    ds = rd.read_parquet(path, columns=["l_returnflag", "l_quantity",
+                                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "price_c": _cents(batch["l_extendedprice"]),
+            "q": pc.cast(batch["l_quantity"], pa.int64()),
+        }).to_pandas()
+        g = t.groupby(["l_returnflag", "price_c"], as_index=False) \
+            .agg(qs=("q", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    by_price = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["l_returnflag", "price_c"]) \
+        .aggregate(Sum("qs", alias_name="qs"))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("price_c", kind="stable")
+        cum = g["qs"].to_numpy().cumsum()
+        tot = cum[-1]
+        i = int(np.searchsorted(2 * cum, tot))
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "wmedian_cents": np.array([g["price_c"].iloc[i]],
+                                      dtype=np.int64)})
+
+    return by_price.groupby("l_returnflag") \
+        .map_groups(pick, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# streaks — longest consecutive-active-day run per user
+# ---------------------------------------------------------------------------
+
+def streaks(sf_dir: str):
+    """Per user: number of distinct active days and the longest run of
+    CONSECUTIVE active days (gaps-and-islands).  Days are integer
+    epoch-days of the event timestamp; everything is integer-exact.
+
+    Scale shape: map-side per-batch (user, day) dedup, ONE hash
+    partition on user_id, then a single vectorized sort + diff kernel
+    per partition handling all its users — no window shuffle, no
+    per-user Python.
+    """
+    import ray.data as rd
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "ts"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = ts // 86_400_000_000
+        u = batch["user_id"].to_numpy()
+        t = pd.DataFrame({"user_id": u, "day": day}) \
+            .drop_duplicates(["user_id", "day"])
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    du = ev.map_batches(to_days, batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def streak_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="stable")
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        # run starts: new user OR a day gap
+        start = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            start[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        sidx = np.flatnonzero(start)
+        runlen = np.diff(np.append(sidx, len(g)))
+        ru = u[sidx]
+        ustart = np.ones(len(sidx), dtype=bool)
+        ustart[1:] = ru[1:] != ru[:-1]
+        ub = np.flatnonzero(ustart)
+        n_days = np.add.reduceat(runlen, ub) if len(sidx) else \
+            np.empty(0, dtype=np.int64)
+        max_streak = np.maximum.reduceat(runlen, ub) if len(sidx) else \
+            np.empty(0, dtype=np.int64)
+        return pd.DataFrame({
+            "user_id": ru[ub] if len(sidx) else
+            np.empty(0, dtype=np.int64),
+            "n_active_days": n_days.astype(np.int64),
+            "max_streak": max_streak.astype(np.int64)})
+
+    return _hash_partitioned(du, "user_id", streak_part,
+                             rows_hint=_parquet_rows(path))
