@@ -1409,6 +1409,42 @@ def q_nearest_poly(sf_dir: str):
     return _gx.nearest_poly(sf_dir)
 
 
+def q_zorder(sf_dir: str):
+    """Morton/Z-order spatial key histogram: 16-bit quantized lat/lon
+    interleave, counts per 12-bit Z prefix (the range-partitioner's
+    split-point input)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.zorder_counts(sf_dir)
+
+
+def q_dist_join(sf_dir: str):
+    """Great-circle distance-band join: per-POI count of pages within
+    500 chord-km of the broadcast centroid layer."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.dist_join(sf_dir)
+
+
+def q_hotspots(sf_dir: str):
+    """Integer-exact ring-1 hot-cell detection: populated hex7 cells
+    whose disk count exceeds 2x the uniform expectation
+    (cross-multiplied integer inequality, no float z-score)."""
+    from geo_inference_ray import geoext as _gx
+    from geo_inference_ray import stages as _stages
+
+    return _gx.hotspots(_stages.geo_pipeline(sf_dir))
+
+
+def q_hex_clusters(sf_dir: str):
+    """Hex-grid DBSCAN region growing: 6-neighbor connected components
+    of dense cells (>= 3 pages), per-component cell and page counts."""
+    from geo_inference_ray import geoext as _gx
+    from geo_inference_ray import stages as _stages
+
+    return _gx.hex_clusters(_stages.geo_pipeline(sf_dir))
+
+
 def q_weighted_median(sf_dir: str):
     """Quantity-weighted lower-median price per return flag, exact
     integer cents (price-domain-bounded shuffle)."""
@@ -1611,6 +1647,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_poly": q_nearest_poly,
         "weighted_median": q_weighted_median,
         "streaks": q_streaks,
+        "zorder": q_zorder,
+        "dist_join": q_dist_join,
+        "hotspots": q_hotspots,
+        "hex_clusters": q_hex_clusters,
     }
 
 
@@ -3830,4 +3870,74 @@ r AS (SELECT user_id, day,
 s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
 SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
        CAST(MAX(len) AS BIGINT) AS max_streak FROM s GROUP BY 1""",
+        # Morton spread: the s1..s4 magic-mask ladder mirrors
+        # geoext._part1by1 literal-for-literal (0x00FF00FF=16711935,
+        # 0x0F0F0F0F=252645135, 0x33333333=858993459,
+        # 0x55555555=1431655765)
+        "zorder": _WG + f""",
+q AS (SELECT
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qy,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qx
+  FROM geo),
+s1 AS (SELECT (qx | (qx << 8)) & 16711935 AS x,
+              (qy | (qy << 8)) & 16711935 AS y FROM q),
+s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM s3)
+SELECT CAST((x | (y << 1)) >> {_gx_mod.ZPREFIX_SHIFT} AS BIGINT)
+         AS zprefix,
+       COUNT(*) AS n_pages
+FROM s4 GROUP BY 1""",
+        # chord metric as track_legs; centroid constants from the same
+        # exact integer terms as nearest_poly
+        "dist_join": _WG + f""",
+cent AS (SELECT CAST(poly_id AS BIGINT) AS poly_id,
+                (sx / 1000.0) / n AS cx, (sy / 1000.0) / n AS cy
+         FROM (VALUES {", ".join(f"({p}, {sx}, {sy}, {n})" for p, sx, sy, n in _gx_mod.poly_centroid_terms())}) v(poly_id, sx, sy, n))
+SELECT c.poly_id, COUNT(*) AS n_docs
+FROM geo g CROSS JOIN cent c
+WHERE 12742.0 * sqrt(
+    sin(radians(c.cy - g.lat) / 2.0) * sin(radians(c.cy - g.lat) / 2.0)
+    + ((cos(radians(g.lat)) * cos(radians(c.cy)))
+       * sin(radians(c.cx - g.lon) / 2.0))
+      * sin(radians(c.cx - g.lon) / 2.0)) < {_gx_mod.DIST_RADIUS_KM!r}
+GROUP BY 1""",
+        # disk sum and self count come back from the SAME scatter
+        # groupby (off=0 carries self_n), mirroring geoext.hotspots
+        "hotspots": _WH + f""",
+cells AS (SELECT hex7, COUNT(*) AS n FROM hex9 GROUP BY 1),
+offs AS (SELECT * FROM (VALUES {", ".join(f"({o})" for o in _gx_mod.HEX_RING1_OFFSETS)}) t(off)),
+sc AS (SELECT c.hex7 + o.off AS cell, c.n AS n_src,
+              CASE WHEN o.off = 0 THEN c.n ELSE 0 END AS self_n
+       FROM cells c CROSS JOIN offs o),
+d AS (SELECT cell, SUM(n_src) AS n_disk, SUM(self_n) AS n_pages
+      FROM sc GROUP BY 1),
+tot AS (SELECT SUM(n) AS t, COUNT(*) AS c FROM cells)
+SELECT CAST(d.cell AS BIGINT) AS hex7,
+       CAST(d.n_pages AS BIGINT) AS n_pages,
+       CAST(d.n_disk AS BIGINT) AS n_disk
+FROM d, tot
+WHERE d.n_pages >= 1
+  AND d.n_disk * tot.c > {_gx_mod.HOT_FACTOR} * 7 * tot.t""",
+        # recursive min-label propagation over dense-cell hex adjacency
+        # (same reach/comp shape as the polygon_components oracle)
+        "hex_clusters": "WITH RECURSIVE " + _synth.SQL_PAGES + ","
+        + _synth.SQL_GEO + "," + _synth.sql_hex_chain() + f""",
+cells AS (SELECT hex7, COUNT(*) AS n FROM hex9 GROUP BY 1),
+dense AS (SELECT hex7, n FROM cells WHERE n >= {_gx_mod.HEX_MINPTS}),
+adj AS (SELECT a.hex7 AS src, b.hex7 AS dst FROM dense a JOIN dense b
+        ON (b.hex7 - a.hex7) IN (1, -1, 65536, -65536, 65535, -65535)),
+reach AS (SELECT hex7 AS cell, hex7 AS lbl FROM dense
+          UNION
+          SELECT a.src AS cell, r.lbl FROM adj a
+          JOIN reach r ON a.dst = r.cell),
+comp AS (SELECT cell, MIN(lbl) AS root FROM reach GROUP BY 1)
+SELECT CAST(c.root AS BIGINT) AS cluster,
+       COUNT(*) AS n_cells, CAST(SUM(d.n) AS BIGINT) AS n_pages
+FROM dense d JOIN comp c ON d.hex7 = c.cell GROUP BY 1""",
     }

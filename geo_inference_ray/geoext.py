@@ -13,7 +13,19 @@ layers on top of the raw join:
   phase; reference analog: geo_inference's bbox prefilter before the
   RTree probe, geo_transforms.py:197-258);
 - :func:`nearest_poly` — nearest-centroid polygon assignment (the
-  "label every point by closest zone" broadcast pattern).
+  "label every point by closest zone" broadcast pattern);
+- :func:`zorder_counts` — Morton/Z-order spatial key + per-prefix
+  histogram (the range-partitioner's split-point input: a Z-prefix
+  range IS a spatial locality bucket, so partitioning 10^12 pages by
+  this key co-locates neighbors without a learned index);
+- :func:`dist_join` — great-circle distance-band join against a
+  broadcast POI layer (the "pages within R km of a site" primitive);
+- :func:`hotspots` — integer-exact ring-1 hot-cell detection (a
+  Getis-Ord-style local-density screen with the float z-score
+  replaced by an exact cross-multiplied integer inequality);
+- :func:`hex_clusters` — DBSCAN-style region growing on the hex grid
+  (dense cells ≥ minpts, 6-neighbor connected components), reusing
+  dedup's driver/distributed union-find switch.
 
 House rules (relational.py): every emitted float is computed with the
 exact same IEEE-754 expression order as its DuckDB oracle mirror in
@@ -258,3 +270,280 @@ def nearest_poly(sf_dir: str):
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# zorder_counts — Morton/Z-order key + per-prefix histogram
+# ---------------------------------------------------------------------------
+
+# 16 quantization bits per axis -> 32-bit Z key; the top 12 bits
+# (>> ZPREFIX_SHIFT) are the range-partition bucket.  4096 buckets is a
+# histogram, not a partition count: a real range partitioner consumes
+# this table to pick split points (reference analog: geo-inference's
+# tile grid is the same "fixed spatial buckets" idea on raster space).
+ZQ_MAX = 65535
+ZPREFIX_SHIFT = 20
+
+_SPREAD_STEPS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                 (2, 0x33333333), (1, 0x55555555))
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of ``x`` so bit i lands at position 2i
+    (the classic Morton magic-mask ladder; int64 throughout, mirrored
+    literal-for-literal by the SQL oracle's s1..s4 CTE chain)."""
+    for sh, mask in _SPREAD_STEPS:
+        x = (x | (x << sh)) & mask
+    return x
+
+
+def zorder_counts(sf_dir: str):
+    """Per-Z-prefix page counts: quantize (lat, lon) to 16-bit grid
+    coordinates, interleave to the 32-bit Morton key, bucket by the top
+    12 bits.  This is the partition histogram a range partitioner needs
+    to co-locate spatial neighbors at 10^12 rows — Z-prefix ranges are
+    axis-aligned quadtree cells, so one sort key carries both axes.
+
+    Scale shape: stateless vectorized per-batch kernel + map-side
+    partial counts; the ONE shuffle carries O(batches x 4096) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        # expression order mirrors the SQL oracle term-for-term
+        qy = np.floor((lat + 90.0) / 180.0 * 65536.0).astype(np.int64)
+        qx = np.floor((lon + 180.0) / 360.0 * 65536.0).astype(np.int64)
+        qy = np.minimum(np.maximum(qy, 0), ZQ_MAX)
+        qx = np.minimum(np.maximum(qx, 0), ZQ_MAX)
+        z = _part1by1(qx) | (_part1by1(qy) << 1)
+        u, c = np.unique(z >> ZPREFIX_SHIFT, return_counts=True)
+        return pa.table({"zprefix": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("zprefix").aggregate(Sum("n", alias_name="n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# dist_join — great-circle distance-band join (broadcast POI layer)
+# ---------------------------------------------------------------------------
+
+DIST_RADIUS_KM = 500.0
+
+
+def dist_join(sf_dir: str, radius_km: float = DIST_RADIUS_KM):
+    """Per-POI count of pages within ``radius_km`` great-circle chord
+    distance of the POI (POIs = the synth polygon centroids).  POIs with
+    zero in-range pages are absent (inner semantics, as the SQL mirror).
+
+    Chord metric (module docstring): ``12742 * sqrt(a)`` with the
+    haversine ``a`` — bit-exact across numpy/DuckDB, monotone-equivalent
+    to haversine, so the < radius predicate is exact.
+
+    Scale shape: the POI layer is tiny (cluster: ``ray.put`` once); per
+    batch ONE (rows x n_pois) vectorized trig kernel reduces to
+    per-POI partial counts, so the shuffle carries
+    O(batches x n_pois) rows.  At a 10^6-POI layer you'd bucket POIs by
+    coarse cell first (the bbox_overlap_counts filter phase) — the
+    brute broadcast is correct for layer sizes up to ~10^4.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    pids, cxs, cys = poly_centroids()
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        # expression order mirrors the SQL oracle term-for-term
+        sd1 = np.sin(np.deg2rad(cys[None, :] - lat[:, None]) / 2.0)
+        c1 = np.cos(np.deg2rad(lat))[:, None]
+        c2 = np.cos(np.deg2rad(cys))[None, :]
+        sd2 = np.sin(np.deg2rad(cxs[None, :] - lon[:, None]) / 2.0)
+        a = sd1 * sd1 + ((c1 * c2) * sd2) * sd2
+        chord_km = EARTH_DIAMETER_KM * np.sqrt(a)
+        n = (chord_km < radius_km).sum(axis=0).astype(np.int64)
+        keep = n > 0
+        return pa.table({"poly_id": pa.array(pids[keep]),
+                         "n": pa.array(n[keep])})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("poly_id").aggregate(Sum("n", alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# hotspots — integer-exact ring-1 hot-cell detection
+# ---------------------------------------------------------------------------
+
+HOT_FACTOR = 2  # hot iff disk density > HOT_FACTOR x the global mean
+
+
+def _cell_counts(ds):
+    """(hex7, n) exact per-cell page counts via map-side partials + ONE
+    groupby-sum (shared by cell_smooth / hotspots / hex_clusters)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["hex7"].to_numpy(), return_counts=True)
+        return pa.table({"hex7": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    return ds.select_columns(["hex7"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("n", alias_name="n"))
+
+
+def hotspots(ds, factor: int = HOT_FACTOR):
+    """Populated hex7 cells whose ring-1 disk count exceeds ``factor``
+    times the expected disk count under a uniform spread — Getis-Ord
+    Gi* reduced to an EXACT integer inequality: with T total pages over
+    C populated cells, a 7-cell disk expects ``7*T/C`` pages, so hot is
+    ``n_disk * C > factor * 7 * T`` (cross-multiplied, no float).
+
+    Output: (hex7, n_pages, n_disk) for hot cells.
+
+    Scale shape: one groupby to per-cell counts, a 7x scatter of the
+    AGGREGATED cell rows carrying (count, self-count) so the disk sum
+    and the cell's own count come back from the SAME second groupby
+    (no join), then a broadcast of the two global scalars into a
+    vectorized filter.  Shuffles carry O(distinct cells), never pages.
+    """
+    from ray.data.aggregate import Sum
+
+    counts = _cell_counts(ds).materialize()  # O(cells) rows, 2 readers
+    total = int(counts.sum("n"))             # two scalar aggregates —
+    n_cells = counts.count()                 # the only driver values
+
+    offs = np.asarray(HEX_RING1_OFFSETS, dtype=np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        n = batch["n"].to_numpy()
+        idx = np.repeat(np.arange(len(cell)), len(offs))
+        off = np.tile(offs, len(cell))
+        return pa.table({
+            "hex7": pa.array(cell[idx] + off),
+            "n_src": pa.array(n[idx]),
+            "self_n": pa.array(np.where(off == 0, n[idx], 0)),
+        })
+
+    disk = counts.map_batches(scatter, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("n_src", alias_name="n_disk"),
+                                   Sum("self_n", alias_name="n_pages"))
+
+    thresh = factor * 7 * total
+
+    def hot(batch: pa.Table) -> pa.Table:
+        npg = batch["n_pages"].to_numpy()
+        nd = batch["n_disk"].to_numpy()
+        keep = (npg >= 1) & (nd * n_cells > thresh)
+        return pa.table({
+            "hex7": pa.array(batch["hex7"].to_numpy()[keep]),
+            "n_pages": pa.array(npg[keep]),
+            "n_disk": pa.array(nd[keep])})
+
+    return disk.map_batches(hot, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# hex_clusters — DBSCAN-style dense-cell region growing on the hex grid
+# ---------------------------------------------------------------------------
+
+HEX_MINPTS = 3
+
+
+def hex_clusters(ds, minpts: int = HEX_MINPTS):
+    """Connected components of DENSE hex7 cells (count >= ``minpts``)
+    under 6-neighbor hex adjacency — grid DBSCAN without border points:
+    the region-growing step of density clustering at web scale.  Output
+    one row per component: (comp = min member cell, n_cells, n_pages).
+
+    Scale shape: dense cells are the AGGREGATED count rows (never the
+    pages).  Adjacency needs no join: each dense cell scatters its id to
+    its 7-cell disk; a per-target kernel emits the edge (tgt, src) only
+    when the target is itself dense (its own id arrived via offset 0)
+    and src > tgt (each undirected edge exactly once).  Components come
+    from dedup.dedup_clusters — driver union-find under the pair limit,
+    alternating star contraction above — then ONE hash join labels the
+    dense cells and a final groupby folds per-component stats.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import dedup_clusters
+    from .relational import join_partitions_for
+
+    counts = _cell_counts(ds).materialize()
+
+    def dense_only(batch: pa.Table) -> pa.Table:
+        keep = batch["n"].to_numpy() >= minpts
+        return pa.table({"hex7": pa.array(batch["hex7"].to_numpy()[keep]),
+                         "n": pa.array(batch["n"].to_numpy()[keep])})
+
+    dense = counts.map_batches(dense_only, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    n_dense = dense.count()
+
+    offs = np.asarray(HEX_RING1_OFFSETS, dtype=np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        idx = np.repeat(np.arange(len(cell)), len(offs))
+        return pa.table({
+            "tgt": pa.array(cell[idx] + np.tile(offs, len(cell))),
+            "src": pa.array(cell[idx])})
+
+    def edges_part(g: pd.DataFrame) -> pd.DataFrame:
+        """One kernel per hash partition of targets: a target is dense
+        iff its own id arrived (offset 0 row), and every OTHER arrival
+        is a dense neighbor.  Emits src > tgt once per edge."""
+        g = g.sort_values(["tgt", "src"], kind="stable")
+        t = g["tgt"].to_numpy()
+        s = g["src"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = t[1:] != t[:-1]
+        grp = np.cumsum(new) - 1
+        is_self = t == s
+        tgt_dense = np.zeros(grp[-1] + 1 if len(g) else 0, dtype=bool)
+        tgt_dense[grp[is_self]] = True
+        keep = tgt_dense[grp] & (s > t)
+        return pd.DataFrame({"doc_a": t[keep], "doc_b": s[keep]})
+
+    pairs = _hash_partitioned(
+        dense.map_batches(scatter, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        "tgt", edges_part, rows_hint=max(1, n_dense) * len(offs))
+
+    def as_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["hex7"]})
+
+    labels = dedup_clusters(
+        dense.map_batches(as_docs, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        pairs)
+
+    def as_cells(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["hex7"], "n": batch["n"]})
+
+    cells = dense.map_batches(as_cells, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    joined = labels.join(cells, join_type="inner",
+                         num_partitions=join_partitions_for(n_dense),
+                         on=("doc_id",))
+    return joined.groupby("cluster").aggregate(
+        Count(alias_name="n_cells"), Sum("n", alias_name="n_pages"))

@@ -226,3 +226,124 @@ def test_streaks_islands_and_duplicate_days(ray_session, tmp_path):
     assert res.loc[1, "max_streak"] == 3
     assert res.loc[2, "n_active_days"] == 1
     assert res.loc[2, "max_streak"] == 1
+
+
+# ---------------------------------------------------------------------------
+# zorder_counts
+# ---------------------------------------------------------------------------
+
+def test_part1by1_matches_bit_interleave_reference():
+    from geo_inference_ray.geoext import _part1by1
+
+    rng = np.random.default_rng(7)
+    xs = np.concatenate([[0, 1, 0xFFFF, 0x8000],
+                         rng.integers(0, 65536, 64)]).astype(np.int64)
+    got = _part1by1(xs.copy())
+    for x, g in zip(xs.tolist(), got.tolist()):
+        want = sum(((x >> i) & 1) << (2 * i) for i in range(16))
+        assert g == want
+
+
+def test_zorder_counts_total_and_prefix_locality(ray_session):
+    from geo_inference_ray.geoext import zorder_counts
+
+    res = zorder_counts(SF).to_pandas()
+    assert res["n_pages"].sum() == 500          # every page bucketed once
+    assert (res["n_pages"] >= 1).all()
+    assert res["zprefix"].between(0, 4095).all()  # 32-bit z >> 20
+    # locality: one geocluster's ±0.5-degree jitter box spans few
+    # prefixes, so buckets are far fewer than pages
+    assert len(res) < 100
+
+
+# ---------------------------------------------------------------------------
+# dist_join
+# ---------------------------------------------------------------------------
+
+def test_dist_join_matches_brute_force(ray_session):
+    from geo_inference_ray.geoext import (
+        DIST_RADIUS_KM, dist_join, poly_centroids)
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = dist_join(SF).to_pandas().set_index("poly_id")["n_docs"]
+
+    pages = geo_pipeline(SF, with_cells=False) \
+        .select_columns(["lat", "lon"]).to_pandas()
+    pids, cxs, cys = poly_centroids()
+    lat = pages["lat"].to_numpy()[:, None]
+    lon = pages["lon"].to_numpy()[:, None]
+    sd1 = np.sin(np.deg2rad(cys[None, :] - lat) / 2.0)
+    a = sd1 * sd1 + ((np.cos(np.deg2rad(lat))
+                      * np.cos(np.deg2rad(cys[None, :])))
+                     * np.sin(np.deg2rad(cxs[None, :] - lon) / 2.0)) \
+        * np.sin(np.deg2rad(cxs[None, :] - lon) / 2.0)
+    want = (12742.0 * np.sqrt(a) < DIST_RADIUS_KM).sum(axis=0)
+    for pid, w in zip(pids.tolist(), want.tolist()):
+        assert res.get(pid, 0) == w
+    assert res.sum() == want.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# hotspots
+# ---------------------------------------------------------------------------
+
+def test_hotspots_integer_threshold(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import hotspots
+    from geo_inference_ray.knn import HEX_RING1_OFFSETS
+
+    base = 100 * 65536 + 200
+    # dense blob: 20 pages in one cell, 10 in a neighbor; 50 singletons
+    # spread far apart (T=80, C=52: hot needs disk*52 > 14*80=1120,
+    # i.e. disk > 21.5 — the blob's disk of 30 qualifies, nothing else)
+    cells = [base] * 20 + [base + 1] * 10 + \
+            [7_000_000 + 10 * i for i in range(50)]
+    ds = rd.from_arrow(pa.table({"hex7": pa.array(cells, pa.int64())}))
+    res = hotspots(ds, factor=2).to_pandas().set_index("hex7")
+
+    counts = pd.Series(cells).value_counts()
+    T, C = len(cells), len(counts)          # 80 pages, 52 cells
+    for cell in counts.index:
+        disk = sum(counts.get(cell + o, 0) for o in HEX_RING1_OFFSETS)
+        want_hot = disk * C > 2 * 7 * T
+        assert (cell in res.index) == want_hot
+        if want_hot:
+            assert res.loc[cell, "n_disk"] == disk
+            assert res.loc[cell, "n_pages"] == counts[cell]
+    # the blob cells are hot (disk 30 > 21.5), singletons are not
+    assert base in res.index and base + 1 in res.index
+    assert len(res) == 2
+
+
+# ---------------------------------------------------------------------------
+# hex_clusters
+# ---------------------------------------------------------------------------
+
+def test_hex_clusters_region_growing(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import hex_clusters
+
+    base = 50 * 65536 + 300
+    cells = (
+        [base] * 3                 # dense
+        + [base + 1] * 4           # dense, adjacent to base
+        + [base + 65536] * 3       # dense, adjacent to base (axial +r)
+        + [base + 10] * 5          # dense, isolated -> own component
+        + [base + 2] * 2           # SPARSE (n=2 < 3): not a member and
+        + [base - 1]               # no bridge through it
+    )
+    ds = rd.from_arrow(pa.table({"hex7": pa.array(cells, pa.int64())}))
+    res = hex_clusters(ds, minpts=3).to_pandas() \
+        .sort_values("cluster").reset_index(drop=True)
+
+    # two components: {base, base+1, base+65536} labeled min=base,
+    # and the isolated {base+10}
+    assert len(res) == 2
+    assert res.loc[0, "cluster"] == base
+    assert res.loc[0, "n_cells"] == 3
+    assert res.loc[0, "n_pages"] == 10
+    assert res.loc[1, "cluster"] == base + 10
+    assert res.loc[1, "n_cells"] == 1
+    assert res.loc[1, "n_pages"] == 5
