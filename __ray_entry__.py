@@ -1445,6 +1445,38 @@ def q_hex_clusters(sf_dir: str):
     return _gx.hex_clusters(_stages.geo_pipeline(sf_dir))
 
 
+def q_stops(sf_dir: str):
+    """Trajectory stop detection: per-cluster count of maximal dwell
+    runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.stops(sf_dir)
+
+
+def q_bearings(sf_dir: str):
+    """Per-(cluster, octant) leg direction histogram — octants from
+    exact sign/magnitude comparisons, no atan2."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.bearings(sf_dir)
+
+
+def q_zonal_mode(sf_dir: str):
+    """Zonal majority class: per-polygon modal page language
+    (tie -> smallest lang) over the exact PIP join."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.zonal_mode(sf_dir)
+
+
+def q_z_range(sf_dir: str):
+    """Morton-key range-query counts over 8 fixed quadtree-cell
+    ranges (the bbox-query-over-Z-sorted-table primitive)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.z_range(sf_dir)
+
+
 def q_weighted_median(sf_dir: str):
     """Quantity-weighted lower-median price per return flag, exact
     integer cents (price-domain-bounded shuffle)."""
@@ -1651,6 +1683,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dist_join": q_dist_join,
         "hotspots": q_hotspots,
         "hex_clusters": q_hex_clusters,
+        "stops": q_stops,
+        "bearings": q_bearings,
+        "zonal_mode": q_zonal_mode,
+        "z_range": q_z_range,
     }
 
 
@@ -3940,4 +3976,83 @@ comp AS (SELECT cell, MIN(lbl) AS root FROM reach GROUP BY 1)
 SELECT CAST(c.root AS BIGINT) AS cluster,
        COUNT(*) AS n_cells, CAST(SUM(d.n) AS BIGINT) AS n_pages
 FROM dense d JOIN comp c ON d.hex7 = c.cell GROUP BY 1""",
+        # gaps-and-islands over dwell legs (chord < eps); rn - rd is
+        # the island key (standard consecutive-rows grouping)
+        "stops": _WG + f""",
+legs AS (
+  SELECT cluster, doc_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM geo WINDOW w AS (PARTITION BY cluster ORDER BY doc_id)
+),
+ck AS (SELECT cluster, doc_id,
+         12742.0 * sqrt(
+           sin(radians(lat - plat) / 2.0) * sin(radians(lat - plat) / 2.0)
+           + ((cos(radians(plat)) * cos(radians(lat)))
+              * sin(radians(lon - plon) / 2.0))
+             * sin(radians(lon - plon) / 2.0)) AS chord
+       FROM legs WHERE plat IS NOT NULL),
+lg AS (SELECT cluster, doc_id, chord < {_gx_mod.STOP_EPS_KM!r} AS dwell,
+              ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY doc_id) AS rn FROM ck),
+dd AS (SELECT cluster, rn,
+              ROW_NUMBER() OVER (PARTITION BY cluster
+                                 ORDER BY rn) AS rd FROM lg WHERE dwell),
+isl AS (SELECT cluster, rn - rd AS grp, COUNT(*) AS len
+        FROM dd GROUP BY 1, 2)
+SELECT cluster, COUNT(*) AS n_stops,
+       CAST(MAX(len) AS BIGINT) AS max_stop_legs
+FROM isl WHERE len >= {_gx_mod.STOP_MIN_LEGS} GROUP BY 1""",
+        # octant decision tree mirrors geoext.bearings: axis-major
+        # split, then the two sign bits — comparisons only, no atan2
+        "bearings": _WG + """,
+legs AS (
+  SELECT cluster, doc_id,
+         lat - lag(lat) OVER w AS dlat,
+         lon - lag(lon) OVER w AS dlon,
+         lag(lat) OVER w AS plat
+  FROM geo WINDOW w AS (PARTITION BY cluster ORDER BY doc_id)
+),
+oc AS (SELECT cluster,
+         CASE WHEN abs(dlon) >= abs(dlat) THEN
+                CASE WHEN dlon >= 0
+                     THEN CASE WHEN dlat >= 0 THEN 0 ELSE 7 END
+                     ELSE CASE WHEN dlat >= 0 THEN 3 ELSE 4 END END
+              ELSE
+                CASE WHEN dlat >= 0
+                     THEN CASE WHEN dlon >= 0 THEN 1 ELSE 2 END
+                     ELSE CASE WHEN dlon >= 0 THEN 6 ELSE 5 END END
+         END AS octant
+       FROM legs WHERE plat IS NOT NULL)
+SELECT cluster, CAST(octant AS BIGINT) AS octant,
+       COUNT(*) AS n_legs
+FROM oc GROUP BY 1, 2""",
+        # zonal majority class: per-poly modal lang, smallest-lang tie
+        "zonal_mode": _WP + """,
+cnt AS (SELECT poly_id, lang, COUNT(*) AS n FROM pip GROUP BY 1, 2),
+rk AS (SELECT poly_id, lang, n,
+              ROW_NUMBER() OVER (PARTITION BY poly_id
+                                 ORDER BY n DESC, lang) AS rn FROM cnt)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, lang AS top_lang,
+       CAST(n AS BIGINT) AS n_docs
+FROM rk WHERE rn = 1""",
+        # same Morton ladder as zorder; ranges are module constants
+        "z_range": _WG + f""",
+q AS (SELECT
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qy,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qx
+  FROM geo),
+s1 AS (SELECT (qx | (qx << 8)) & 16711935 AS x,
+              (qy | (qy << 8)) & 16711935 AS y FROM q),
+s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM s3),
+r AS (SELECT * FROM (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in enumerate(_gx_mod.Z_RANGES))}) t(rid, lo, hi))
+SELECT CAST(r.rid AS BIGINT) AS range_id, COUNT(*) AS n_pages
+FROM s4 JOIN r ON (x | (y << 1)) >= r.lo AND (x | (y << 1)) < r.hi
+GROUP BY 1""",
     }

@@ -547,3 +547,235 @@ def hex_clusters(ds, minpts: int = HEX_MINPTS):
                          on=("doc_id",))
     return joined.groupby("cluster").aggregate(
         Count(alias_name="n_cells"), Sum("n", alias_name="n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# stops — trajectory dwell/stop detection (gaps-and-islands on legs)
+# ---------------------------------------------------------------------------
+
+STOP_EPS_KM = 60.0   # a leg shorter than this is a "dwell" step
+STOP_MIN_LEGS = 2    # a stop is >= this many consecutive dwell legs
+
+
+def stops(sf_dir: str, eps_km: float = STOP_EPS_KM,
+          min_legs: int = STOP_MIN_LEGS):
+    """Per-cluster trajectory stop detection: order the cluster's pages
+    by doc_id, flag each leg shorter than ``eps_km`` (chord metric) as
+    a dwell step, and count maximal dwell runs of >= ``min_legs`` legs
+    — the stop/move segmentation primitive of trajectory mining.
+    Output (cluster, n_stops, max_stop_legs); clusters with no stop
+    are absent (inner semantics, as the SQL mirror).
+
+    Scale shape: identical to track_legs — ONE hash-partition exchange
+    on cluster, then a single vectorized sort + run-length kernel per
+    partition (no window shuffle, no per-cluster Python).
+    """
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "doc_id", "lat", "lon"])
+
+    def stops_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cluster": pd.Series(dtype="int64"),
+            "n_stops": pd.Series(dtype="int64"),
+            "max_stop_legs": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["cluster", "doc_id"], kind="stable")
+        cl = g["cluster"].to_numpy()
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        same = cl[1:] == cl[:-1]
+        # expression order mirrors the SQL oracle term-for-term
+        sd1 = np.sin(np.deg2rad(lat[1:] - lat[:-1]) / 2.0)
+        c1 = np.cos(np.deg2rad(lat[:-1]))
+        c2 = np.cos(np.deg2rad(lat[1:]))
+        sd2 = np.sin(np.deg2rad(lon[1:] - lon[:-1]) / 2.0)
+        a = sd1 * sd1 + ((c1 * c2) * sd2) * sd2
+        dwell = same & (EARTH_DIAMETER_KM * np.sqrt(a) < eps_km)
+        # run-length encode dwell islands (a break at every non-dwell
+        # step or cluster boundary)
+        brk = np.ones(len(dwell), dtype=bool)
+        brk[1:] = (~dwell[:-1]) | (cl[1:-1] != cl[:-2])
+        starts = np.flatnonzero(dwell & brk)
+        if len(starts) == 0:
+            return empty
+        # island length = consecutive dwell count starting at each start
+        run_id = np.cumsum(brk) - 1
+        lens = np.bincount(run_id[dwell])
+        lens = lens[lens > 0]
+        island_cl = cl[1:][starts]
+        t = pd.DataFrame({"cluster": island_cl, "len": lens})
+        t = t[t["len"] >= min_legs]
+        if len(t) == 0:
+            return empty
+        out = t.groupby("cluster", as_index=False).agg(
+            n_stops=("len", "size"), max_stop_legs=("len", "max"))
+        out["n_stops"] = out["n_stops"].astype(np.int64)
+        out["max_stop_legs"] = out["max_stop_legs"].astype(np.int64)
+        return out
+
+    return _hash_partitioned(ds, "cluster", stops_part,
+                             rows_hint=_docs_rows(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# bearings — per-cluster leg direction octant histogram (comparison-exact)
+# ---------------------------------------------------------------------------
+
+def bearings(sf_dir: str):
+    """Per-(cluster, octant) leg counts, where the octant (0..7 = E NE
+    N NW W SW S SE) comes from SIGN and MAGNITUDE comparisons on the
+    raw (dlat, dlon) deltas — no atan2 (numpy and DuckDB atan2 differ
+    by ulps; subtraction and comparison are exact, so the histogram is
+    bit-deterministic on both engines).
+
+    Octant rule: |dlon| >= |dlat| picks the E/W half-axes
+    (dlon >= 0 ? (dlat >= 0 ? E : SE) : (dlat >= 0 ? NW... )) — see the
+    code: the eight cells of the (axis-major, sign, sign) decision
+    tree.  Zero-length legs land in octant 0 (E) by the >= rules.
+
+    Scale shape: as track_legs — one cluster exchange, one vectorized
+    kernel, partial counts out.
+    """
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "doc_id", "lat", "lon"])
+
+    def bearing_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", "doc_id"], kind="stable")
+        cl = g["cluster"].to_numpy()
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        same = cl[1:] == cl[:-1] if len(g) else np.zeros(0, dtype=bool)
+        dlat = (lat[1:] - lat[:-1])[same]
+        dlon = (lon[1:] - lon[:-1])[same]
+        ad, ao = np.abs(dlat), np.abs(dlon)
+        lon_major = ao >= ad
+        east, north = dlon >= 0, dlat >= 0
+        octant = np.where(
+            lon_major,
+            np.where(east, np.where(north, 0, 7), np.where(north, 3, 4)),
+            np.where(north, np.where(east, 1, 2), np.where(east, 6, 5)),
+        ).astype(np.int64)
+        t = pd.DataFrame({"cluster": cl[1:][same], "octant": octant})
+        out = t.groupby(["cluster", "octant"], as_index=False).size() \
+            .rename(columns={"size": "n_legs"})
+        out["n_legs"] = out["n_legs"].astype(np.int64)
+        if len(out) == 0:
+            return pd.DataFrame({
+                "cluster": pd.Series(dtype="int64"),
+                "octant": pd.Series(dtype="int64"),
+                "n_legs": pd.Series(dtype="int64")})
+        return out
+
+    return _hash_partitioned(ds, "cluster", bearing_part,
+                             rows_hint=_docs_rows(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# zonal_mode — per-polygon modal language (zonal majority class)
+# ---------------------------------------------------------------------------
+
+def zonal_mode(sf_dir: str):
+    """Per-polygon modal page language (ties -> lexicographically
+    smallest lang) with its count — the vector-zone majority-class
+    statistic (the categorical sibling of zonal_stats' numeric
+    aggregate; reference analog: per-zone class voting over the mask).
+
+    Scale shape: the exact PIP join emits (poly_id, lang) pairs;
+    map-side partial counts collapse each batch to the distinct pairs,
+    ONE groupby-sum makes them exact, and the argmax runs as a
+    vectorized first-row-per-poly kernel in ONE hash partition pass
+    (poly count is tiny next to pages — the shuffle carries
+    O(polys x langs)).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, mode="inner") \
+        .select_columns(["poly_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"poly_id": batch["poly_id"],
+                         "lang": batch["lang"]}) \
+            .group_by(["poly_id", "lang"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["poly_id", "lang", "n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["poly_id", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def argmax_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["poly_id", "n", "lang"], kind="stable",
+                          ascending=[True, False, True])
+        first = np.ones(len(g), dtype=bool)
+        pid = g["poly_id"].to_numpy()
+        first[1:] = pid[1:] != pid[:-1]
+        out = g[first].rename(columns={"lang": "top_lang",
+                                       "n": "n_docs"})
+        return out[["poly_id", "top_lang", "n_docs"]]
+
+    return _hash_partitioned(counts, "poly_id", argmax_part,
+                             rows_hint=4096)
+
+
+# ---------------------------------------------------------------------------
+# z_range — Morton-key range queries (bbox query via Z ranges)
+# ---------------------------------------------------------------------------
+
+# Eight fixed query ranges over the 32-bit Z space, [lo, lo + 2^27):
+# each is an axis-aligned quadtree cell — the decomposition a bbox
+# query compiles to before probing a Z-sorted table.
+Z_RANGES = tuple((i << 29, (i << 29) + (1 << 27)) for i in range(8))
+
+
+def zkeys(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """32-bit Morton keys of (lat, lon) — the zorder_counts kernel
+    exposed for reuse (expression order mirrors the SQL oracle)."""
+    qy = np.floor((lat + 90.0) / 180.0 * 65536.0).astype(np.int64)
+    qx = np.floor((lon + 180.0) / 360.0 * 65536.0).astype(np.int64)
+    qy = np.minimum(np.maximum(qy, 0), ZQ_MAX)
+    qx = np.minimum(np.maximum(qx, 0), ZQ_MAX)
+    return _part1by1(qx) | (_part1by1(qy) << 1)
+
+
+def z_range(sf_dir: str, ranges=Z_RANGES):
+    """Count pages per Morton-key query range — how a bbox query runs
+    against a Z-ordered table: the box decomposes into Z ranges, each
+    range is a contiguous scan.  Ranges with no pages are absent
+    (inner semantics).  Output (range_id, n_pages).
+
+    Scale shape: the range list is tiny and broadcast; each batch
+    reduces through ONE (rows x n_ranges) comparison matrix to
+    per-range partial counts.  On a Z-sorted table this becomes a
+    row-group prune instead of a scan — zorder_counts is the histogram
+    that builds that sort.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    rid = np.arange(len(ranges), dtype=np.int64)
+    lo = np.asarray([r[0] for r in ranges], dtype=np.int64)
+    hi = np.asarray([r[1] for r in ranges], dtype=np.int64)
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = zkeys(batch["lat"].to_numpy(zero_copy_only=False),
+                  batch["lon"].to_numpy(zero_copy_only=False))
+        hit = (z[:, None] >= lo[None, :]) & (z[:, None] < hi[None, :])
+        n = hit.sum(axis=0).astype(np.int64)
+        keep = n > 0
+        return pa.table({"range_id": pa.array(rid[keep]),
+                         "n": pa.array(n[keep])})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("range_id").aggregate(Sum("n", alias_name="n_pages"))

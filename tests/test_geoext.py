@@ -347,3 +347,119 @@ def test_hex_clusters_region_growing(ray_session):
     assert res.loc[1, "cluster"] == base + 10
     assert res.loc[1, "n_cells"] == 1
     assert res.loc[1, "n_pages"] == 5
+
+
+# ---------------------------------------------------------------------------
+# stops
+# ---------------------------------------------------------------------------
+
+def test_stops_matches_loop_reference(ray_session):
+    from geo_inference_ray.geoext import (
+        EARTH_DIAMETER_KM, STOP_EPS_KM, STOP_MIN_LEGS, stops)
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = stops(SF).to_pandas().set_index("cluster")
+
+    pages = geo_pipeline(SF, with_cells=False) \
+        .select_columns(["cluster", "doc_id", "lat", "lon"]) \
+        .to_pandas().sort_values(["cluster", "doc_id"])
+    # plain-Python island scan per cluster (reference algorithm)
+    want = {}
+    for cl, g in pages.groupby("cluster"):
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        runs, cur = [], 0
+        for i in range(1, len(g)):
+            sd1 = np.sin(np.deg2rad(lat[i] - lat[i - 1]) / 2.0)
+            sd2 = np.sin(np.deg2rad(lon[i] - lon[i - 1]) / 2.0)
+            a = sd1 * sd1 + ((np.cos(np.deg2rad(lat[i - 1]))
+                              * np.cos(np.deg2rad(lat[i]))) * sd2) * sd2
+            if EARTH_DIAMETER_KM * np.sqrt(a) < STOP_EPS_KM:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        keep = [r for r in runs if r >= STOP_MIN_LEGS]
+        if keep:
+            want[cl] = (len(keep), max(keep))
+
+    assert set(res.index) == set(want)
+    for cl, (n, mx) in want.items():
+        assert res.loc[cl, "n_stops"] == n
+        assert res.loc[cl, "max_stop_legs"] == mx
+    assert len(want) > 0          # the fixture produces real stops
+
+
+# ---------------------------------------------------------------------------
+# bearings
+# ---------------------------------------------------------------------------
+
+def test_bearings_octants_match_loop_reference(ray_session):
+    from geo_inference_ray.geoext import bearings
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = bearings(SF).to_pandas()
+    got = {(r.cluster, r.octant): r.n_legs for r in res.itertuples()}
+
+    pages = geo_pipeline(SF, with_cells=False) \
+        .select_columns(["cluster", "doc_id", "lat", "lon"]) \
+        .to_pandas().sort_values(["cluster", "doc_id"])
+    want: dict = {}
+    for cl, g in pages.groupby("cluster"):
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        for i in range(1, len(g)):
+            dlat, dlon = lat[i] - lat[i - 1], lon[i] - lon[i - 1]
+            if abs(dlon) >= abs(dlat):
+                o = (0 if dlat >= 0 else 7) if dlon >= 0 \
+                    else (3 if dlat >= 0 else 4)
+            else:
+                o = (1 if dlon >= 0 else 2) if dlat >= 0 \
+                    else (6 if dlon >= 0 else 5)
+            want[(cl, o)] = want.get((cl, o), 0) + 1
+    assert got == want
+    assert res["n_legs"].sum() == len(pages) - pages["cluster"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# zonal_mode
+# ---------------------------------------------------------------------------
+
+def test_zonal_mode_majority_and_tiebreak(ray_session):
+    from geo_inference_ray.geoext import zonal_mode
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = zonal_mode(SF).to_pandas().set_index("poly_id")
+
+    pip = geo_pipeline(SF, mode="inner") \
+        .select_columns(["poly_id", "lang"]).to_pandas()
+    cnt = pip.groupby(["poly_id", "lang"]).size().reset_index(name="n")
+    want = cnt.sort_values(["poly_id", "n", "lang"],
+                           ascending=[True, False, True]) \
+        .groupby("poly_id").first()
+    assert set(res.index) == set(want.index)
+    for pid in want.index:
+        assert res.loc[pid, "top_lang"] == want.loc[pid, "lang"]
+        assert res.loc[pid, "n_docs"] == want.loc[pid, "n"]
+
+
+# ---------------------------------------------------------------------------
+# z_range
+# ---------------------------------------------------------------------------
+
+def test_z_range_counts_match_brute(ray_session):
+    from geo_inference_ray.geoext import Z_RANGES, z_range, zkeys
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = z_range(SF).to_pandas().set_index("range_id")["n_pages"]
+
+    pages = geo_pipeline(SF, with_cells=False) \
+        .select_columns(["lat", "lon"]).to_pandas()
+    z = zkeys(pages["lat"].to_numpy(), pages["lon"].to_numpy())
+    for i, (lo, hi) in enumerate(Z_RANGES):
+        want = int(((z >= lo) & (z < hi)).sum())
+        assert res.get(i, 0) == want
+    assert res.sum() > 0
