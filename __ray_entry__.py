@@ -1445,6 +1445,29 @@ def q_hex_clusters(sf_dir: str):
     return _gx.hex_clusters(_stages.geo_pipeline(sf_dir))
 
 
+def q_pip_anti(sf_dir: str):
+    """Anti spatial join: pages inside NO polygon (complement of
+    pip_semi; completes the inner/semi/left/anti mode family)."""
+    ds = _stages.geo_pipeline(sf_dir, mode="anti")
+    return ds.select_columns(["doc_id", "lat", "lon"])
+
+
+def q_cluster_centroid(sf_dir: str):
+    """Exact per-cluster mean position via integer half-microdegree
+    sums (order-independent; single final division)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cluster_centroid(sf_dir)
+
+
+def q_cell_langmix(sf_dir: str):
+    """Per-hex7-cell language diversity: distinct langs + majority
+    share in integer permille."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cell_langmix(_stages.geo_pipeline(sf_dir))
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1687,6 +1710,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bearings": q_bearings,
         "zonal_mode": q_zonal_mode,
         "z_range": q_z_range,
+        "pip_anti": q_pip_anti,
+        "cluster_centroid": q_cluster_centroid,
+        "cell_langmix": q_cell_langmix,
     }
 
 
@@ -4055,4 +4081,31 @@ r AS (SELECT * FROM (VALUES {", ".join(f"({i}, {lo}, {hi})" for i, (lo, hi) in e
 SELECT CAST(r.rid AS BIGINT) AS range_id, COUNT(*) AS n_pages
 FROM s4 JOIN r ON (x | (y << 1)) >= r.lo AND (x | (y << 1)) < r.hi
 GROUP BY 1""",
+        "pip_anti": _WP + """
+SELECT g.doc_id, g.lat, g.lon FROM hex9 g
+WHERE NOT EXISTS (SELECT 1 FROM pip p WHERE p.doc_id = g.doc_id)""",
+        # integer half-microdegree sums; the +0.5 floor recovers the
+        # synth geocoder's exact grid integer (geoext.cluster_centroid)
+        "cluster_centroid": _WG + """,
+q AS (SELECT cluster,
+             CAST(floor(lat * 2000000.0 + 0.5) AS BIGINT) AS ilat,
+             CAST(floor(lon * 2000000.0 + 0.5) AS BIGINT) AS ilon
+      FROM geo),
+s AS (SELECT cluster, COUNT(*) AS n_pages,
+             CAST(SUM(ilat) AS BIGINT) AS slat,
+             CAST(SUM(ilon) AS BIGINT) AS slon
+      FROM q GROUP BY 1)
+SELECT cluster, n_pages,
+       (slat / 2000000.0) / n_pages AS clat,
+       (slon / 2000000.0) / n_pages AS clon
+FROM s""",
+        # exact integer permille: 1000 * top // total
+        "cell_langmix": _WH + """,
+cnt AS (SELECT hex7, lang, COUNT(*) AS n FROM hex9 GROUP BY 1, 2),
+mix AS (SELECT hex7, COUNT(*) AS n_langs, MAX(n) AS top,
+               SUM(n) AS total
+        FROM cnt GROUP BY 1)
+SELECT hex7, CAST(n_langs AS BIGINT) AS n_langs,
+       CAST((1000 * top) // total AS BIGINT) AS top_permille
+FROM mix""",
     }

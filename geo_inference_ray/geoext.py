@@ -779,3 +779,114 @@ def z_range(sf_dir: str, ranges=Z_RANGES):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("range_id").aggregate(Sum("n", alias_name="n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# cluster_centroid — exact per-cluster mean position (integer microdeg sums)
+# ---------------------------------------------------------------------------
+
+LATLON_SCALE = 2000000.0   # the synth geocoder's jitter denominator
+
+
+def cluster_centroid(sf_dir: str):
+    """Per-cluster page count and mean (lat, lon) — the cluster-center
+    feature.  Exact across engines: a raw float mean is
+    summation-order-dependent, so each coordinate is first recovered as
+    the integer ``floor(coord * 2e6 + 0.5)`` (the synth geocoder's
+    half-microdegree grid — the double is within 1e-8 of that integer,
+    so the +0.5 floor is unambiguous), summed as int64, and divided
+    back once: ``(sum / 2000000.0) / n``.  Int64-safe to ~4.6e9 pages
+    per cluster; the sum-to-double conversion stays exact to 2^53
+    half-microdegrees (~10^7 pages per cluster at extreme latitudes —
+    shard the scale factor before that at the 100 TB point).
+
+    Scale shape: map-side partial (cluster, n, slat, slon) rows, ONE
+    groupby-sum, then a stateless per-row division kernel.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy()
+        # expression order mirrors the SQL oracle term-for-term
+        ilat = np.floor(batch["lat"].to_numpy(zero_copy_only=False)
+                        * LATLON_SCALE + 0.5).astype(np.int64)
+        ilon = np.floor(batch["lon"].to_numpy(zero_copy_only=False)
+                        * LATLON_SCALE + 0.5).astype(np.int64)
+        u, inv = np.unique(cl, return_inverse=True)
+        return pa.table({
+            "cluster": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "slat": pa.array(np.bincount(inv, weights=ilat)
+                             .astype(np.int64)),
+            "slon": pa.array(np.bincount(inv, weights=ilon)
+                             .astype(np.int64))})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("cluster").aggregate(Sum("n", alias_name="n_pages"),
+                                      Sum("slat", alias_name="slat"),
+                                      Sum("slon", alias_name="slon"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_pages"].to_numpy()
+        clat = (batch["slat"].to_numpy() / LATLON_SCALE) / n
+        clon = (batch["slon"].to_numpy() / LATLON_SCALE) / n
+        return pa.table({"cluster": batch["cluster"],
+                         "n_pages": batch["n_pages"],
+                         "clat": pa.array(clat),
+                         "clon": pa.array(clon)})
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# cell_langmix — per-cell language diversity (distinct langs + top share)
+# ---------------------------------------------------------------------------
+
+def cell_langmix(ds):
+    """Per-hex7-cell language mix: distinct language count and the
+    majority language's share in integer permille
+    (``1000 * top // total`` — exact integer division, no float) —
+    the cell-level diversity screen (mixed-language cells are crawl
+    artifacts; monolingual dense cells are geography).
+
+    Scale shape: map-side distinct (cell, lang) partial counts, ONE
+    groupby-sum to exact pair counts, then one hash-partition pass
+    with a vectorized per-cell fold (shuffles carry
+    O(cells x langs), never pages).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"hex7": batch["hex7"],
+                         "lang": batch["lang"]}) \
+            .group_by(["hex7", "lang"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["hex7", "lang", "n"])
+
+    counts = ds.select_columns(["hex7", "lang"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby(["hex7", "lang"]).aggregate(Sum("n", alias_name="n"))
+
+    def mix_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "hex7": pd.Series(dtype="int64"),
+                "n_langs": pd.Series(dtype="int64"),
+                "top_permille": pd.Series(dtype="int64")})
+        out = g.groupby("hex7", as_index=False).agg(
+            n_langs=("lang", "size"), top=("n", "max"),
+            total=("n", "sum"))
+        out["n_langs"] = out["n_langs"].astype(np.int64)
+        out["top_permille"] = (1000 * out["top"].to_numpy()
+                               // out["total"].to_numpy()).astype(np.int64)
+        return out[["hex7", "n_langs", "top_permille"]]
+
+    return _hash_partitioned(counts, "hex7", mix_part, rows_hint=65536)

@@ -112,6 +112,7 @@ class PIPJoiner:
 
     mode="inner": emit one row per (page, polygon) hit, with poly_id/class_id.
     mode="semi":  keep pages with >=1 hit, no polygon columns.
+    mode="anti":  keep pages with NO hit (the complement of semi).
     mode="left":  keep all pages; poly_id = -1 when no hit (first hit wins,
                   lowest poly_id — deterministic).
     """
@@ -151,6 +152,10 @@ class PIPJoiner:
         if self.mode == "semi":
             keep = np.unique(rows)
             return batch.take(pa.array(keep))
+        if self.mode == "anti":
+            miss = np.ones(len(batch), dtype=bool)
+            miss[rows] = False
+            return batch.take(pa.array(np.flatnonzero(miss)))
         # deterministic output order within batch: by (row, poly_id)
         order = np.lexsort((pids, rows))
         rows, pids, cids = rows[order], pids[order], cids[order]

@@ -463,3 +463,84 @@ def test_z_range_counts_match_brute(ray_session):
         want = int(((z >= lo) & (z < hi)).sum())
         assert res.get(i, 0) == want
     assert res.sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# pip_anti (stages.PIPJoiner mode="anti")
+# ---------------------------------------------------------------------------
+
+def test_pip_anti_is_exact_complement_of_semi(ray_session):
+    from geo_inference_ray.stages import geo_pipeline
+
+    all_ids = set(geo_pipeline(SF, with_cells=False)
+                  .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    semi = set(geo_pipeline(SF, mode="semi")
+               .select_columns(["doc_id"]).to_pandas()["doc_id"])
+    anti = set(geo_pipeline(SF, mode="anti")
+               .select_columns(["doc_id"]).to_pandas()["doc_id"])
+
+    assert semi | anti == all_ids
+    assert semi & anti == set()
+    assert len(anti) > 0          # synth scatter leaves misses
+
+
+# ---------------------------------------------------------------------------
+# cluster_centroid
+# ---------------------------------------------------------------------------
+
+def test_cluster_centroid_matches_integer_sum_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import LATLON_SCALE, cluster_centroid
+
+    res = cluster_centroid(SF).to_pandas().set_index("cluster")
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    ilat = np.floor(lat * LATLON_SCALE + 0.5).astype(np.int64)
+    ilon = np.floor(lon * LATLON_SCALE + 0.5).astype(np.int64)
+    df = pd.DataFrame({"cluster": cluster, "ilat": ilat, "ilon": ilon})
+    want = df.groupby("cluster").agg(n=("ilat", "size"),
+                                     slat=("ilat", "sum"),
+                                     slon=("ilon", "sum"))
+
+    assert set(res.index) == set(want.index)
+    for cl in want.index:
+        n = want.loc[cl, "n"]
+        assert res.loc[cl, "n_pages"] == n
+        # bitwise: same expression order as the kernel and the oracle
+        assert res.loc[cl, "clat"] == (want.loc[cl, "slat"]
+                                       / LATLON_SCALE) / n
+        assert res.loc[cl, "clon"] == (want.loc[cl, "slon"]
+                                       / LATLON_SCALE) / n
+    # the integer grid recovery is lossless on the synth geocoder
+    assert np.allclose(ilat / LATLON_SCALE, lat, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# cell_langmix
+# ---------------------------------------------------------------------------
+
+def test_cell_langmix_distinct_and_majority_share(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import cell_langmix
+
+    # cell 10: 3 en + 1 fr -> 2 langs, 750 permille
+    # cell 20: 2 de        -> 1 lang, 1000 permille
+    # cell 30: 1 en + 1 fr + 1 de -> 3 langs, 333 permille (floor)
+    t = pa.table({
+        "hex7": pa.array([10, 10, 10, 10, 20, 20, 30, 30, 30],
+                         pa.int64()),
+        "lang": pa.array(["en", "en", "en", "fr", "de", "de",
+                          "en", "fr", "de"]),
+    })
+    res = cell_langmix(rd.from_arrow(t)).to_pandas().set_index("hex7")
+
+    assert res.loc[10, "n_langs"] == 2
+    assert res.loc[10, "top_permille"] == 750
+    assert res.loc[20, "n_langs"] == 1
+    assert res.loc[20, "top_permille"] == 1000
+    assert res.loc[30, "n_langs"] == 3
+    assert res.loc[30, "top_permille"] == 333
+    assert res["top_permille"].dtype == np.int64
