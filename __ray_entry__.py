@@ -1265,6 +1265,18 @@ def q_ttr_stats(sf_dir: str):
     return _t.ttr_stats(sf_dir)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Composite Gopher-style quality screen: per-document 5-bit rule
+    mask + keep verdict (integer-exact predicates, zero shuffle)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _t.gopher_rules(ds)
+
+
 def q_q11_important_parts(sf_dir: str):
     """TPC-H Q11 analog: parts above a fixed permille share of one
     nation's supply revenue (HAVING vs global scalar)."""
@@ -1466,6 +1478,22 @@ def q_cell_langmix(sf_dir: str):
     from geo_inference_ray import geoext as _gx
 
     return _gx.cell_langmix(_stages.geo_pipeline(sf_dir))
+
+
+def q_od_flows(sf_dir: str):
+    """Origin-destination flow matrix: (first-cell, last-cell) track
+    counts per cluster — the mobility OD primitive."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.od_flows(sf_dir)
+
+
+def q_radius_gyration(sf_dir: str):
+    """Per-cluster radius of gyration (integer-quantized variance
+    sums; single final sqrt) — the mobility dispersion measure."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.radius_gyration(sf_dir)
 
 
 def q_stops(sf_dir: str):
@@ -1713,6 +1741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_anti": q_pip_anti,
         "cluster_centroid": q_cluster_centroid,
         "cell_langmix": q_cell_langmix,
+        "od_flows": q_od_flows,
+        "radius_gyration": q_radius_gyration,
+        "gopher_rules": q_gopher_rules,
     }
 
 
@@ -4108,4 +4139,57 @@ mix AS (SELECT hex7, COUNT(*) AS n_langs, MAX(n) AS top,
 SELECT hex7, CAST(n_langs AS BIGINT) AS n_langs,
        CAST((1000 * top) // total AS BIGINT) AS top_permille
 FROM mix""",
+        "od_flows": _WH + """,
+ep AS (SELECT cluster, arg_min(hex7, doc_id) AS o_hex,
+              arg_max(hex7, doc_id) AS d_hex
+       FROM hex9 GROUP BY 1)
+SELECT o_hex, d_hex, COUNT(*) AS n_tracks FROM ep GROUP BY 1, 2""",
+        # integer half-millidegree quantized variance sums; the finish
+        # expression order mirrors geoext.radius_gyration term-for-term
+        "radius_gyration": _WG + """,
+q AS (SELECT cluster,
+             CAST(floor(lat * 2000.0 + 0.5) AS BIGINT) AS qx,
+             CAST(floor(lon * 2000.0 + 0.5) AS BIGINT) AS qy
+      FROM geo),
+s AS (SELECT cluster, COUNT(*) AS n_pages,
+             CAST(SUM(qx) AS BIGINT) AS sx,
+             CAST(SUM(qy) AS BIGINT) AS sy,
+             CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+             CAST(SUM(qy * qy) AS BIGINT) AS syy
+      FROM q GROUP BY 1)
+SELECT cluster, n_pages,
+       sqrt(greatest(
+         (CAST(sxx AS DOUBLE) / n_pages
+            - (CAST(sx AS DOUBLE) / n_pages) * (CAST(sx AS DOUBLE) / n_pages))
+         + (CAST(syy AS DOUBLE) / n_pages
+            - (CAST(sy AS DOUBLE) / n_pages) * (CAST(sy AS DOUBLE) / n_pages)),
+         0.0)) / 2000.0 AS rgyr_deg
+FROM s""",
+        # five cross-multiplied integer predicates; bit values and
+        # thresholds mirror textops.gopher_rules (GOPHER_* constants)
+        "gopher_rules": """
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents) GROUP BY 1, 2),
+agg AS (SELECT doc_id, MAX(tf) AS max_tf, COUNT(*) AS n_dist
+        FROM tf GROUP BY 1),
+m AS (
+  SELECT b.doc_id,
+         (CASE WHEN b.n_tok < 25 THEN 1 ELSE 0 END
+          + CASE WHEN b.n_chars > 450 THEN 2 ELSE 0 END
+          + CASE WHEN 10 * (b.n_chars - (b.n_tok - 1)) < 40 * b.n_tok
+                   OR 10 * (b.n_chars - (b.n_tok - 1)) > 49 * b.n_tok
+                 THEN 4 ELSE 0 END
+          + CASE WHEN 100 * a.max_tf > 15 * b.n_tok THEN 8 ELSE 0 END
+          + CASE WHEN 1000 * a.n_dist < 450 * b.n_tok THEN 16 ELSE 0 END
+         ) AS rule_mask
+  FROM base b JOIN agg a ON a.doc_id = b.doc_id)
+SELECT doc_id, CAST(rule_mask AS BIGINT) AS rule_mask,
+       CAST(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m""",
     }

@@ -890,3 +890,151 @@ def cell_langmix(ds):
         return out[["hex7", "n_langs", "top_permille"]]
 
     return _hash_partitioned(counts, "hex7", mix_part, rows_hint=65536)
+
+
+# ---------------------------------------------------------------------------
+# od_flows — origin-destination matrix over per-cluster tracks
+# ---------------------------------------------------------------------------
+
+def od_flows(sf_dir: str):
+    """Origin-destination flow matrix: each cluster's track starts at
+    the hex7 cell of its LOWEST doc_id and ends at the cell of its
+    HIGHEST; flows are (origin_cell, dest_cell) track counts — the
+    mobility OD-matrix primitive (and the aggregate a 100 TB movement
+    corpus is usually reduced to before any modeling).
+
+    Scale shape: per-batch argmin/argmax partials (2 small rows per
+    cluster per batch — pages never shuffle), ONE hash-partition fold
+    on cluster to the global endpoints, then a map-side pair count +
+    ONE groupby-sum on (o_hex, d_hex).  Both exchanges carry
+    O(clusters) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from .shuffle import arrow_bridge
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(
+        ["cluster", "doc_id", "hex7"])
+
+    def endpoints_partial(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy()
+        did = batch["doc_id"].to_numpy()
+        hx = batch["hex7"].to_numpy()
+        order = np.lexsort((did, cl))
+        cl, did, hx = cl[order], did[order], hx[order]
+        first = np.concatenate(([True], cl[1:] != cl[:-1])) \
+            if len(cl) else np.zeros(0, dtype=bool)
+        last = np.concatenate((cl[1:] != cl[:-1], [True])) \
+            if len(cl) else np.zeros(0, dtype=bool)
+        return pa.table({
+            "cluster": pa.array(cl[first]),
+            "min_doc": pa.array(did[first]),
+            "o_hex": pa.array(hx[first]),
+            "max_doc": pa.array(did[last]),
+            "d_hex": pa.array(hx[last])})
+
+    partials = ds.map_batches(endpoints_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "o_hex": pd.Series(dtype="int64"),
+                "d_hex": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")})
+        g = g.sort_values(["cluster", "min_doc"], kind="stable")
+        lo = g.groupby("cluster", as_index=False).first()
+        g = g.sort_values(["cluster", "max_doc"], kind="stable")
+        hi = g.groupby("cluster", as_index=False).last()
+        pairs = pd.DataFrame({"o_hex": lo["o_hex"].to_numpy(),
+                              "d_hex": hi["d_hex"].to_numpy()})
+        out = pairs.groupby(["o_hex", "d_hex"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    counts = arrow_bridge(
+        _hash_partitioned(partials, "cluster", fold,
+                          rows_hint=_docs_rows(sf_dir)),
+        {"o_hex": pa.int64(), "d_hex": pa.int64(), "n": pa.int64()})
+    return counts.groupby(["o_hex", "d_hex"]) \
+        .aggregate(Sum("n", alias_name="n_tracks"))
+
+
+# ---------------------------------------------------------------------------
+# radius_gyration — per-cluster dispersion (mobility radius)
+# ---------------------------------------------------------------------------
+
+RGYR_SCALE = 2000.0   # half-millidegree grid for the squared sums
+
+
+def radius_gyration(sf_dir: str):
+    """Per-cluster radius of gyration (planar degree approximation):
+    ``sqrt(var(lat) + var(lon))`` — the canonical mobility dispersion
+    measure (Gonzalez et al. 2008 use it over cell towers; here over
+    the page scatter).
+
+    Exactness: coordinates quantize to the half-millidegree integer
+    grid (``floor(coord * 2000 + 0.5)``), and the shuffle carries ONLY
+    int64 partials (n, sx, sy, sxx, syy — order-independent).  The
+    final per-cluster division/sqrt runs once, with the expression
+    order mirrored term-for-term by the SQL oracle; a
+    ``max(v, 0)`` guard absorbs the one-ulp negative variance a
+    degenerate (single-point) cluster can produce.  Int64 bound:
+    sxx <= n * 3.24e10, safe to ~2.8e8 pages per cluster; past that
+    shard the cluster key before this stage.
+
+    Scale shape: map-side partial rows, ONE groupby-sum, stateless
+    finish kernel.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy()
+        qx = np.floor(batch["lat"].to_numpy(zero_copy_only=False)
+                      * RGYR_SCALE + 0.5).astype(np.int64)
+        qy = np.floor(batch["lon"].to_numpy(zero_copy_only=False)
+                      * RGYR_SCALE + 0.5).astype(np.int64)
+        u, inv = np.unique(cl, return_inverse=True)
+        return pa.table({
+            "cluster": pa.array(u),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": pa.array(np.bincount(inv, weights=qx).astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=qy).astype(np.int64)),
+            "sxx": pa.array(np.bincount(inv, weights=qx * qx)
+                            .astype(np.int64)),
+            "syy": pa.array(np.bincount(inv, weights=qy * qy)
+                            .astype(np.int64))})
+
+    sums = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("cluster").aggregate(
+            Sum("n", alias_name="n_pages"),
+            Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_pages"].to_numpy().astype(np.float64)
+        sx = batch["sx"].to_numpy().astype(np.float64)
+        sy = batch["sy"].to_numpy().astype(np.float64)
+        sxx = batch["sxx"].to_numpy().astype(np.float64)
+        syy = batch["syy"].to_numpy().astype(np.float64)
+        # expression order mirrors the SQL oracle term-for-term
+        mx = sx / n
+        my = sy / n
+        vx = sxx / n - mx * mx
+        vy = syy / n - my * my
+        v = np.maximum(vx + vy, 0.0)
+        rgyr = np.sqrt(v) / RGYR_SCALE
+        return pa.table({"cluster": batch["cluster"],
+                         "n_pages": batch["n_pages"],
+                         "rgyr_deg": pa.array(rgyr)})
+
+    return sums.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)

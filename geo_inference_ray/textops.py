@@ -2335,3 +2335,71 @@ def ttr_stats(sf_dir: str):
 
     return ds.map_batches(stats, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules — composite quality-rule screen (Gopher-style bitmask)
+# ---------------------------------------------------------------------------
+
+# Integer-exact rule thresholds, adapted to the synth corpus's feature
+# ranges (tokens 10..99, mean token length 3.7..5.1) so each rule has
+# both passing and failing documents at every sf.  Real-web values
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1)
+# would be n_tok in [50, 100000], mean length in [3, 10], etc. — the
+# MACHINERY (cross-multiplied integer predicates, one bitmask pass,
+# zero shuffle) is the deliverable; thresholds are config.
+GOPHER_MIN_TOKENS = 25        # R0 (bit 1): too short
+GOPHER_MAX_CHARS = 450        # R1 (bit 2): too long
+GOPHER_MEAN_LEN_LO = 40       # R2 (bit 4): 10*mean_tok_len < 40  (i.e. <4.0)
+GOPHER_MEAN_LEN_HI = 49       # R2 (bit 4): 10*mean_tok_len > 49  (i.e. >4.9)
+GOPHER_TOP_TF_PCT = 15        # R3 (bit 8): top token > 15% of tokens
+GOPHER_TTR_PERMILLE = 450     # R4 (bit 16): distinct/total < 0.45
+
+
+def gopher_rules(ds):
+    """Composite quality-rule screen: per-document bitmask over five
+    Gopher-style repetition/length rules + the keep verdict — the
+    standard web-corpus pre-training filter stage (each rule is a
+    cross-multiplied INTEGER predicate, so the mask is hash-exact).
+
+    Bits: 1 too-few-tokens | 2 too-many-chars | 4 mean token length
+    outside [4.0, 4.9] | 8 top-token share > 15% | 16 type-token
+    ratio < 0.45.
+
+    Scale shape: ZERO shuffle — tokens never leave the batch; each
+    batch does one Arrow split + one batch-local (row, token) group_by
+    (rows are documents, so tf/distinct are row-local), then numpy
+    scatter-max.  Output is one row per document.
+    """
+    def screen(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = batch.num_rows
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        toks = pc.split_pattern(text, " ")
+        n_tok = pc.cast(pc.list_value_length(toks),
+                        pa.int64()).to_numpy()
+        tf = pa.table({"i": pc.list_parent_indices(toks),
+                       "tok": pc.list_flatten(toks)}) \
+            .group_by(["i", "tok"]).aggregate([([], "count_all")])
+        ti = tf["i"].to_numpy()
+        tc = tf["count_all"].to_numpy().astype(np.int64)
+        max_tf = np.zeros(n, np.int64)
+        np.maximum.at(max_tf, ti, tc)
+        n_dist = np.bincount(ti, minlength=n).astype(np.int64)
+
+        sum_len = n_chars - (n_tok - 1)     # token chars = chars - spaces
+        mask = np.where(n_tok < GOPHER_MIN_TOKENS, 1, 0)
+        mask += np.where(n_chars > GOPHER_MAX_CHARS, 2, 0)
+        mask += np.where((10 * sum_len < GOPHER_MEAN_LEN_LO * n_tok)
+                         | (10 * sum_len > GOPHER_MEAN_LEN_HI * n_tok),
+                         4, 0)
+        mask += np.where(100 * max_tf > GOPHER_TOP_TF_PCT * n_tok, 8, 0)
+        mask += np.where(1000 * n_dist < GOPHER_TTR_PERMILLE * n_tok,
+                         16, 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rule_mask": pa.array(mask.astype(np.int64)),
+            "keep": pa.array((mask == 0).astype(np.int64))})
+
+    return ds.map_batches(screen, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -841,3 +841,53 @@ def test_weighted_sample_matches_bruteforce(ray_session, sf_dir):
     assert out["pri"].to_numpy().tolist() == pri[order].tolist()  # bitwise
     # priorities are sorted descending (sample is the global top-k)
     assert (np.diff(out["pri"].to_numpy()) <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_bitmask_reference(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import gopher_rules
+
+    docs = {
+        # 30 distinct 4-char tokens, mean len 4.0 in band -> keep
+        1: " ".join(f"t{i:03d}" for i in range(30)),
+        # 10 tokens -> too short (bit 1); all distinct, mean 4.0
+        2: " ".join(f"w{i:03d}" for i in range(10)),
+        # "spam" repeated 20/40 -> top-tf 50% (bit 8); ttr 21/40 ok
+        3: " ".join(["spam"] * 20 + [f"o{i:03d}" for i in range(20)]),
+        # 100 x 4-char tokens = 499 chars > 450 (bit 2), mean 4.0
+        4: " ".join(f"t{i:03d}" for i in range(100)),
+        # mean token length 2.0 (bit 4) + repetition (8) + ttr (16)
+        5: " ".join(["ab"] * 30),
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    res = gopher_rules(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+
+    assert res.loc[1, "rule_mask"] == 0 and res.loc[1, "keep"] == 1
+    assert res.loc[2, "rule_mask"] == 1
+    assert res.loc[3, "rule_mask"] == 8
+    assert res.loc[4, "rule_mask"] == 2
+    # doc 5: mean len 2.0 (bit 4) + single repeated token (bit 8)
+    # + ttr 1/30 (bit 16); 30 tokens of 2 chars = 89 chars, not long
+    assert res.loc[5, "rule_mask"] == 4 | 8 | 16
+    assert (res.loc[res["rule_mask"] != 0, "keep"] == 0).all()
+
+
+def test_gopher_rules_discriminates_on_corpus(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import gopher_rules
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    res = gopher_rules(ds).to_pandas()
+    assert len(res) == 500
+    # thresholds are tuned so BOTH outcomes occur on the synth corpus
+    assert 0 < int(res["keep"].sum()) < 500
+    assert res["rule_mask"].max() < 32

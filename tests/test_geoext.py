@@ -544,3 +544,66 @@ def test_cell_langmix_distinct_and_majority_share(ray_session):
     assert res.loc[30, "n_langs"] == 3
     assert res.loc[30, "top_permille"] == 333
     assert res["top_permille"].dtype == np.int64
+
+
+# ---------------------------------------------------------------------------
+# od_flows
+# ---------------------------------------------------------------------------
+
+def test_od_flows_matches_endpoint_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.cells import HEX7_SIZE, hex_cell
+    from geo_inference_ray.geoext import od_flows
+
+    res = od_flows(SF).to_pandas()
+    assert set(res.columns) == {"o_hex", "d_hex", "n_tracks"}
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    hx = hex_cell(lat, lon, HEX7_SIZE)
+    df = pd.DataFrame({"cluster": cluster, "doc_id": ids, "hex7": hx})
+    lo = df.loc[df.groupby("cluster")["doc_id"].idxmin()] \
+        .set_index("cluster")["hex7"]
+    hi = df.loc[df.groupby("cluster")["doc_id"].idxmax()] \
+        .set_index("cluster")["hex7"]
+    want = pd.DataFrame({"o_hex": lo, "d_hex": hi}) \
+        .groupby(["o_hex", "d_hex"]).size()
+
+    got = res.set_index(["o_hex", "d_hex"])["n_tracks"]
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert got[k] == v
+    # every cluster contributes exactly one track
+    assert int(res["n_tracks"].sum()) == df["cluster"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# radius_gyration
+# ---------------------------------------------------------------------------
+
+def test_radius_gyration_matches_quantized_variance(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import RGYR_SCALE, radius_gyration
+
+    res = radius_gyration(SF).to_pandas().set_index("cluster")
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    qx = np.floor(lat * RGYR_SCALE + 0.5).astype(np.int64)
+    qy = np.floor(lon * RGYR_SCALE + 0.5).astype(np.int64)
+    df = pd.DataFrame({"cluster": cluster, "qx": qx, "qy": qy})
+    for cl, g in df.groupby("cluster"):
+        n = float(len(g))
+        sx, sy = float(g["qx"].sum()), float(g["qy"].sum())
+        sxx = float((g["qx"].to_numpy() ** 2).sum())
+        syy = float((g["qy"].to_numpy() ** 2).sum())
+        mx, my = sx / n, sy / n
+        v = max((sxx / n - mx * mx) + (syy / n - my * my), 0.0)
+        want = np.sqrt(v) / RGYR_SCALE
+        assert res.loc[cl, "rgyr_deg"] == want   # bitwise
+        assert res.loc[cl, "n_pages"] == len(g)
+    # dispersion is bounded by the synth cluster jitter (~0.5 deg box)
+    assert (res["rgyr_deg"] <= 1.0).all()
+    assert (res["rgyr_deg"] >= 0.0).all()
