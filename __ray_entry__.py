@@ -1496,6 +1496,30 @@ def q_radius_gyration(sf_dir: str):
     return _gx.radius_gyration(sf_dir)
 
 
+def q_geohash(sf_dir: str):
+    """Per-geohash5 page counts — the fourth cell-index scheme
+    (base-32 Morton readout, lon-first interleave)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.geohash_counts(sf_dir)
+
+
+def q_cell_markov(sf_dir: str):
+    """First-order hex7 transition counts over per-cluster tracks —
+    the Markov mobility-model estimator."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cell_markov(sf_dir)
+
+
+def q_emb_quantize(sf_dir: str):
+    """Int8 scalar quantization codes for the embedding column
+    (per-dim global min/max; exact integer floor arithmetic)."""
+    from geo_inference_ray import ann as _ann
+
+    return _ann.emb_quantize(sf_dir)
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1744,6 +1768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": q_od_flows,
         "radius_gyration": q_radius_gyration,
         "gopher_rules": q_gopher_rules,
+        "geohash": q_geohash,
+        "cell_markov": q_cell_markov,
+        "emb_quantize": q_emb_quantize,
     }
 
 
@@ -4192,4 +4219,46 @@ m AS (
 SELECT doc_id, CAST(rule_mask AS BIGINT) AS rule_mask,
        CAST(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m""",
+        # geohash = Morton interleave (lon at even bits) read out 5
+        # bits/char; same magic-mask ladder as zorder
+        "geohash": _WG + f""",
+gq AS (SELECT
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 4096.0)
+                      AS BIGINT), 0), 4095) AS qy,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 8192.0)
+                      AS BIGINT), 0), 8191) AS qx
+  FROM geo),
+g1 AS (SELECT (qx | (qx << 8)) & 16711935 AS x,
+              (qy | (qy << 8)) & 16711935 AS y FROM gq),
+g2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM g1),
+g3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM g2),
+g4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM g3),
+gg AS (SELECT (x | (y << 1)) AS g FROM g4)
+SELECT {" || ".join(f"substr('{_gx_mod.GEOHASH32}', CAST((g >> {s}) & 31 AS INTEGER) + 1, 1)" for s in (20, 15, 10, 5, 0))} AS ghash,
+       COUNT(*) AS n_pages
+FROM gg GROUP BY 1""",
+        "cell_markov": _WH + """,
+mv AS (SELECT cluster, hex7,
+              LAG(hex7) OVER (PARTITION BY cluster
+                              ORDER BY doc_id) AS from_hex
+       FROM hex9)
+SELECT from_hex, hex7 AS to_hex, COUNT(*) AS n_moves
+FROM mv WHERE from_hex IS NOT NULL GROUP BY 1, 2""",
+        # milli-grid first, then pure integer floor arithmetic — no
+        # float scale factor (mirrors ann.emb_quantize)
+        "emb_quantize": """
+WITH u AS (SELECT vec_id, unnest(range(len(embedding))) AS dim_idx,
+                  unnest(embedding) AS v FROM embeddings),
+q AS (SELECT vec_id, CAST(dim_idx AS BIGINT) AS dim_idx,
+             CAST(floor(1000.0 * CAST(v AS DOUBLE)) AS BIGINT) AS q
+      FROM u),
+st AS (SELECT dim_idx, MIN(q) AS mn,
+              GREATEST(MAX(q) - MIN(q), 1) AS rng
+       FROM q GROUP BY 1)
+SELECT q.vec_id, q.dim_idx,
+       (q.q - st.mn) * 255 // st.rng AS code
+FROM q JOIN st USING (dim_idx)""",
     }

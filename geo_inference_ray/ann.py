@@ -750,3 +750,74 @@ def centroid_by_label(sf_dir: str):
         .groupby(["label", "dim_idx"]).aggregate(
             Sum("s", alias_name="sum_milli"),
             Sum("n", alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# emb_quantize — global-min/max int8 quantization codes
+# ---------------------------------------------------------------------------
+
+def emb_quantize(sf_dir: str):
+    """Scalar (per-dimension min/max) int8 quantization of the
+    embedding column — the memory-compression step before an ANN
+    index is built at 100 TB (256-level codes cut a float32 corpus
+    4x).  Codes are EXACT integers end-to-end: values quantize to the
+    milli grid first (floor(1000*v), the centroid_by_label trick), the
+    per-dim [mn, mx] range is an int64 aggregate, and
+    ``code = (q - mn) * 255 // (mx - mn)`` is pure integer floor
+    arithmetic — no float scale factor to drift between engines.
+
+    Scale shape: pass 1 collapses each batch to <= D (dim, mn, mx)
+    partial rows -> ONE tiny groupby (D rows) -> driver collect
+    bounded by DIMENSIONALITY (not data) broadcast via ray.put;
+    pass 2 is a stateless per-batch encode.  Two reads of the
+    embedding column, zero data shuffles.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"dim_idx": e, "mn": e, "mx": e})
+        emb = np.stack(batch["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(1000.0 * emb).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim_idx": pa.array(np.arange(d, dtype=np.int64)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0))})
+
+    stats = ds.map_batches(minmax_partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("dim_idx").aggregate(Min("mn", alias_name="mn"),
+                                      Max("mx", alias_name="mx")) \
+        .to_pandas()          # D rows — bounded by dimensionality
+    stats = stats.sort_values("dim_idx")
+    mn = stats["mn"].to_numpy()
+    rng = np.maximum(stats["mx"].to_numpy() - mn, 1)
+    ref = ray.put((mn, rng))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"vec_id": e, "dim_idx": e, "code": e})
+        b_mn, b_rng = ray.get(ref)
+        emb = np.stack(batch["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        q = np.floor(1000.0 * emb).astype(np.int64)
+        codes = (q - b_mn) * 255 // b_rng            # (n, D) int64
+        n, d = codes.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                batch["vec_id"].to_numpy(), d)),
+            "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        n)),
+            "code": pa.array(codes.reshape(-1))})
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -1038,3 +1038,107 @@ def radius_gyration(sf_dir: str):
 
     return sums.map_batches(finish, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# geohash_counts — base-32 geohash encoding (4th cell-index scheme)
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+GH_LAT_BITS = 12          # 5-char geohash: 13 lon bits + 12 lat bits
+GH_LON_BITS = 13
+
+
+def geohash5(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    """5-character geohash strings (object array).  A geohash is the
+    Morton interleave of the lat/lon binary fractions with LONGITUDE
+    first, read out 5 bits per base-32 character — so the kernel
+    reuses the zorder bit ladder (``_part1by1``) and only adds the
+    charset readout.  Expression order mirrors the SQL oracle.
+    """
+    qy = np.floor((lat + 90.0) / 180.0 * 4096.0).astype(np.int64)
+    qx = np.floor((lon + 180.0) / 360.0 * 8192.0).astype(np.int64)
+    qy = np.minimum(np.maximum(qy, 0), (1 << GH_LAT_BITS) - 1)
+    qx = np.minimum(np.maximum(qx, 0), (1 << GH_LON_BITS) - 1)
+    g = _part1by1(qx) | (_part1by1(qy) << 1)      # 25-bit, lon at even
+    chars = np.array(list(GEOHASH32))
+    out = chars[(g >> 20) & 31]
+    for shift in (15, 10, 5, 0):
+        out = np.char.add(out, chars[(g >> shift) & 31])
+    return out.astype(object)
+
+
+def geohash_counts(sf_dir: str):
+    """Per-geohash5 page counts — the engine's fourth cell-index
+    scheme (hex grid, S2, Morton/Z, geohash) demonstrating that cell
+    encodings are pluggable one-batch kernels over the same geocode.
+
+    Scale shape: stateless vectorized encode, map-side partial counts,
+    ONE groupby-sum carrying O(cells) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gh = geohash5(batch["lat"].to_numpy(zero_copy_only=False),
+                      batch["lon"].to_numpy(zero_copy_only=False))
+        u, cnt = np.unique(gh, return_counts=True)
+        return pa.table({"ghash": pa.array(u, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("ghash").aggregate(Sum("n", alias_name="n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# cell_markov — first-order mobility transition matrix
+# ---------------------------------------------------------------------------
+
+def cell_markov(sf_dir: str):
+    """First-order cell-transition counts: for each cluster's track
+    (pages ordered by doc_id), count every consecutive (from_hex,
+    to_hex) hex7 move — the Markov mobility-model estimator (od_flows
+    keeps only endpoints; this keeps the full chain).
+
+    Scale shape: ONE hash-partition exchange on cluster (track_legs
+    shape), a vectorized sort+shift kernel with partition-local pair
+    pre-counts, then ONE groupby-sum on the pair key carrying
+    O(cells^2 occupied) rows, never pages.
+    """
+    from ray.data.aggregate import Sum
+
+    from .shuffle import arrow_bridge
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(
+        ["cluster", "doc_id", "hex7"])
+
+    def moves_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "from_hex": pd.Series(dtype="int64"),
+                "to_hex": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")})
+        g = g.sort_values(["cluster", "doc_id"], kind="stable")
+        cl = g["cluster"].to_numpy()
+        hx = g["hex7"].to_numpy()
+        same = cl[1:] == cl[:-1]
+        t = pd.DataFrame({"from_hex": hx[:-1][same],
+                          "to_hex": hx[1:][same]})
+        out = t.groupby(["from_hex", "to_hex"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    moves = arrow_bridge(
+        _hash_partitioned(ds, "cluster", moves_part,
+                          rows_hint=_docs_rows(sf_dir)),
+        {"from_hex": pa.int64(), "to_hex": pa.int64(),
+         "n": pa.int64()})
+    return moves.groupby(["from_hex", "to_hex"]) \
+        .aggregate(Sum("n", alias_name="n_moves"))

@@ -607,3 +607,111 @@ def test_radius_gyration_matches_quantized_variance(ray_session):
     # dispersion is bounded by the synth cluster jitter (~0.5 deg box)
     assert (res["rgyr_deg"] <= 1.0).all()
     assert (res["rgyr_deg"] >= 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# geohash
+# ---------------------------------------------------------------------------
+
+def test_geohash5_matches_bisection_reference():
+    """Pin the ladder kernel against the textbook bit-bisection
+    geohash algorithm (lon-first interleave, base-32 readout)."""
+    from geo_inference_ray.geoext import GEOHASH32, geohash5
+
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-89.9, 89.9, 200)
+    lon = rng.uniform(-179.9, 179.9, 200)
+
+    def ref_one(la, lo, nchars=5):
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, even, out = 0, True, []
+        ch = 0
+        for _ in range(nchars * 5):
+            if even:
+                mid = (lon_rng[0] + lon_rng[1]) / 2
+                bit = lo >= mid
+                lon_rng[0 if bit else 1] = mid
+            else:
+                mid = (lat_rng[0] + lat_rng[1]) / 2
+                bit = la >= mid
+                lat_rng[0 if bit else 1] = mid
+            ch = ch * 2 + int(bit)
+            even = not even
+            bits += 1
+            if bits % 5 == 0:
+                out.append(GEOHASH32[ch])
+                ch = 0
+        return "".join(out)
+
+    got = geohash5(lat, lon)
+    for i in range(len(lat)):
+        assert got[i] == ref_one(lat[i], lon[i]), \
+            (lat[i], lon[i], got[i], ref_one(lat[i], lon[i]))
+
+
+def test_geohash_counts_total(ray_session):
+    from geo_inference_ray.geoext import geohash_counts
+
+    res = geohash_counts(SF).to_pandas()
+    assert int(res["n_pages"].sum()) == 500
+    assert res["ghash"].str.len().eq(5).all()
+    assert res["ghash"].is_unique
+
+
+# ---------------------------------------------------------------------------
+# cell_markov
+# ---------------------------------------------------------------------------
+
+def test_cell_markov_matches_loop_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.cells import HEX7_SIZE, hex_cell
+    from geo_inference_ray.geoext import cell_markov
+
+    res = cell_markov(SF).to_pandas() \
+        .set_index(["from_hex", "to_hex"])["n_moves"]
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    hx = hex_cell(lat, lon, HEX7_SIZE)
+    want: dict = {}
+    df = pd.DataFrame({"cluster": cluster, "doc_id": ids, "hex7": hx}) \
+        .sort_values(["cluster", "doc_id"])
+    for _, g in df.groupby("cluster"):
+        h = g["hex7"].to_numpy()
+        for a, b in zip(h[:-1], h[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+
+    assert len(res) == len(want)
+    for k, v in want.items():
+        assert res[k] == v
+    # chain length identity: moves = pages - clusters
+    assert int(res.sum()) == len(ids) - df["cluster"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# emb_quantize
+# ---------------------------------------------------------------------------
+
+def test_emb_quantize_codes_exact(ray_session):
+    from geo_inference_ray.ann import emb_quantize
+
+    res = emb_quantize(SF).to_pandas()
+    emb = np.stack(pq.read_table(f"{SF}/embeddings.parquet")
+                   ["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    vec_ids = pq.read_table(f"{SF}/embeddings.parquet")["vec_id"] \
+        .to_numpy()
+    q = np.floor(1000.0 * emb).astype(np.int64)
+    mn = q.min(axis=0)
+    rng = np.maximum(q.max(axis=0) - mn, 1)
+    want = (q - mn) * 255 // rng
+
+    assert len(res) == emb.size
+    piv = res.pivot(index="vec_id", columns="dim_idx", values="code") \
+        .loc[vec_ids].to_numpy()
+    assert (piv == want).all()
+    assert want.min() == 0 and want.max() == 255
+    # every dim's min maps to 0 and max to 255 (range-exact codes)
+    assert (want.min(axis=0) == 0).all()
+    assert (want.max(axis=0) == 255).all()
