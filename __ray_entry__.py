@@ -1520,6 +1520,30 @@ def q_emb_quantize(sf_dir: str):
     return _ann.emb_quantize(sf_dir)
 
 
+def q_mobility_entropy(sf_dir: str):
+    """Per-cluster Shannon entropy of the hex7 visit distribution
+    (integer milli-nat numerator) — the predictability feature."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.mobility_entropy(sf_dir)
+
+
+def q_traj_jaccard(sf_dir: str):
+    """Co-travel pairs: exact integer-permille Jaccard of the visited
+    hex7 cell sets for every cluster pair sharing >= 1 cell."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.traj_jaccard(sf_dir)
+
+
+def q_peak_hour(sf_dir: str):
+    """Per-hex7-cell peak crawl hour (ties -> lowest hour) + count —
+    the space-time rhythm screen."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.peak_hour(sf_dir)
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1771,6 +1795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
+        "mobility_entropy": q_mobility_entropy,
+        "traj_jaccard": q_traj_jaccard,
+        "peak_hour": q_peak_hour,
     }
 
 
@@ -4261,4 +4288,41 @@ st AS (SELECT dim_idx, MIN(q) AS mn,
 SELECT q.vec_id, q.dim_idx,
        (q.q - st.mn) * 255 // st.rng AS code
 FROM q JOIN st USING (dim_idx)""",
+        # milli-nat numerator convention (user_entropy) on (cluster,
+        # hex7) visit counts
+        "mobility_entropy": _WH + """,
+c AS (SELECT cluster, hex7, COUNT(*) AS c FROM hex9 GROUP BY 1, 2),
+n AS (SELECT cluster, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT c.cluster, MAX(n.n) AS n_pages,
+  CAST(SUM(c.c * CAST(floor(-1000.0 * ln(
+      CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) AS BIGINT))
+    AS BIGINT) AS entropy_numer_milli
+FROM c JOIN n USING (cluster) GROUP BY c.cluster""",
+        # all-integer: COUNT sizes, pair counts, 1000*inter // union;
+        # 20-deg trajectory grid (geoext.TRAJ_CELL_DEG)
+        "traj_jaccard": _WG + """,
+dv AS (SELECT DISTINCT cluster,
+              CAST(floor((lat + 90.0) / 20.0) AS BIGINT) * 4096
+                + CAST(floor((lon + 180.0) / 20.0) AS BIGINT) AS tcell
+       FROM geo),
+sz AS (SELECT cluster, COUNT(*) AS s FROM dv GROUP BY 1),
+pr AS (SELECT a.cluster AS c1, b.cluster AS c2, COUNT(*) AS n_inter
+       FROM dv a JOIN dv b
+         ON a.tcell = b.tcell AND a.cluster < b.cluster
+       GROUP BY 1, 2)
+SELECT c1, c2, n_inter,
+       sa.s + sb.s - n_inter AS n_union,
+       1000 * n_inter // (sa.s + sb.s - n_inter) AS jac_permille
+FROM pr JOIN sz sa ON sa.cluster = c1
+        JOIN sz sb ON sb.cluster = c2""",
+        "peak_hour": _WH + """,
+h AS (SELECT hex7, CAST(EXTRACT(HOUR FROM warc_ts) AS BIGINT) AS hr,
+             COUNT(*) AS n
+      FROM hex9 GROUP BY 1, 2),
+r AS (SELECT hex7, hr, n,
+             ROW_NUMBER() OVER (PARTITION BY hex7
+                                ORDER BY n DESC, hr) AS rn
+      FROM h)
+SELECT hex7, hr AS peak_hour, CAST(n AS BIGINT) AS n_peak
+FROM r WHERE rn = 1""",
     }

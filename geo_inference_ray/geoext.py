@@ -1142,3 +1142,295 @@ def cell_markov(sf_dir: str):
          "n": pa.int64()})
     return moves.groupby(["from_hex", "to_hex"]) \
         .aggregate(Sum("n", alias_name="n_moves"))
+
+
+# ---------------------------------------------------------------------------
+# mobility_entropy — per-cluster cell-visit Shannon entropy
+# ---------------------------------------------------------------------------
+
+def mobility_entropy(sf_dir: str):
+    """Per-cluster Shannon entropy of the hex7 visit distribution —
+    the mobility-predictability feature (Song et al. 2010 compute it
+    over cell towers).  Integer milli-nat NUMERATOR convention
+    (relational.user_entropy): ``sum_cell c * floor(-1000 *
+    ln(c / n))``; the caller divides by n_pages for the per-visit
+    entropy, so the distributed value is integer-exact and
+    order-independent.
+
+    Scale shape: ONE hash-partition exchange on cluster, one
+    vectorized kernel per partition (grouped counts -> transform
+    totals -> term fold); per-cluster totals never leave the kernel.
+    """
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(["cluster", "hex7"])
+
+    def entropy_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "cluster": pd.Series(dtype="int64"),
+                "n_pages": pd.Series(dtype="int64"),
+                "entropy_numer_milli": pd.Series(dtype="int64")})
+        c = g.groupby(["cluster", "hex7"], as_index=False) \
+            .size().rename(columns={"size": "c"})
+        n = c.groupby("cluster")["c"].transform("sum").to_numpy()
+        cc = c["c"].to_numpy().astype(np.float64)
+        term = np.floor(-1000.0 * np.log(
+            cc / n.astype(np.float64))).astype(np.int64)
+        c["t"] = c["c"].to_numpy() * term
+        out = c.groupby("cluster", as_index=False).agg(
+            n_pages=("c", "sum"), entropy_numer_milli=("t", "sum"))
+        out["n_pages"] = out["n_pages"].astype(np.int64)
+        out["entropy_numer_milli"] = \
+            out["entropy_numer_milli"].astype(np.int64)
+        return out
+
+    return _hash_partitioned(ds, "cluster", entropy_part,
+                             rows_hint=_docs_rows(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# traj_jaccard — co-travel detection (cell-set Jaccard between clusters)
+# ---------------------------------------------------------------------------
+
+# Per-cell distinct-cluster cap for the pair kernel: a cell visited by
+# more than this many clusters emits O(k^2) pairs from one partition.
+# The synth scatter is cluster-disjoint by construction (occupancy is
+# single digits); a real 100 TB corpus would salt or LSH-bucket hot
+# cells exactly like dedup's band buckets — the loud raise marks the
+# seam rather than silently OOMing.
+TRAJ_MAX_CLUSTERS_PER_CELL = 4096
+
+# Trajectory-grid size for the co-travel screen.  Deliberately COARSE
+# (20 deg): co-travel asks "same region at track granularity", not
+# "same block" — and the synth cluster lattice is low-discrepancy
+# (1-deg-spaced centers that provably never share a fine cell), so the
+# fine hex7 grid would make every pair score zero.  20 deg yields a
+# discriminating pair set at every sf (4 pairs at sf0.001/0.01, 44 at
+# sf0.1).
+TRAJ_CELL_DEG = 20.0
+
+# Size-table broadcast bound (clusters are user-scale): under this the
+# per-cluster set sizes ship as one sorted-array ray.put; above it the
+# two-hash-join fallback runs (dedup_apply's convention).
+TRAJ_BROADCAST_MAX = 5_000_000
+
+
+def traj_jaccard(sf_dir: str):
+    """Co-travel pairs: for every pair of clusters sharing >= 1
+    trajectory-grid cell (TRAJ_CELL_DEG), the Jaccard similarity of
+    their visited-cell SETS in exact integer permille — the
+    trajectory-similarity screen (co-travel / account-linking
+    analysis), the spatial twin of source_jaccard's vocabulary
+    overlap.
+
+    Scale shape: batch-local distinct -> ONE distinct shuffle to the
+    (cluster, hex7) set -> per-cell pair generation in a
+    hash-partitioned kernel (bounded by TRAJ_MAX_CLUSTERS_PER_CELL,
+    run-detection over sorted cells, no per-cell Python beyond
+    run-size classes) -> pair-key Sum -> set sizes attached via TWO
+    hash joins (clusters are user-scale, so no driver-side size dict)
+    -> stateless integer finish.  Pages never cross a shuffle after
+    the first distinct.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import join_partitions_for
+    from .shuffle import arrow_bridge
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "lat", "lon"])
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        tc = (np.floor((lat + 90.0) / TRAJ_CELL_DEG).astype(np.int64)
+              * 4096
+              + np.floor((lon + 180.0) / TRAJ_CELL_DEG)
+              .astype(np.int64))
+        return pa.table({"cluster": batch["cluster"],
+                         "tcell": pa.array(tc)}) \
+            .group_by(["cluster", "tcell"]).aggregate([])
+
+    distinct = ds.map_batches(distinct_part, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["cluster", "tcell"]).count() \
+        .select_columns(["cluster", "tcell"])
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy()
+        u, cnt = np.unique(cl, return_counts=True)
+        return pa.table({"cluster": pa.array(u),
+                         "s": pa.array(cnt.astype(np.int64))})
+
+    sizes = distinct.map_batches(size_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True) \
+        .groupby("cluster").aggregate(Sum("s", alias_name="s"))
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"c1": pd.Series(dtype="int64"),
+                              "c2": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["tcell", "cluster"],
+                          kind="stable").reset_index(drop=True)
+        hx = g["tcell"].to_numpy()
+        cl = g["cluster"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = hx[1:] != hx[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.diff(np.concatenate([starts, [len(g)]]))
+        if len(seg) and seg.max() > TRAJ_MAX_CLUSTERS_PER_CELL:
+            raise ValueError(
+                "traj_jaccard: a cell is visited by more than "
+                f"{TRAJ_MAX_CLUSTERS_PER_CELL} clusters — salt or "
+                "LSH-bucket hot cells before the pair stage")
+        outs = []
+        for k in np.unique(seg):
+            if k < 2:
+                continue
+            st = starts[seg == k]
+            mat = cl[(st[:, None] + np.arange(k)[None, :])]
+            ia, ib = np.triu_indices(int(k), 1)
+            outs.append(pd.DataFrame({
+                "c1": mat[:, ia].ravel(), "c2": mat[:, ib].ravel()}))
+        if not outs:
+            return empty
+        allp = pd.concat(outs, ignore_index=True)
+        out = allp.groupby(["c1", "c2"], as_index=False) \
+            .agg(n=("c1", "size"))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    n_hint = _docs_rows(sf_dir)
+    inter = arrow_bridge(
+        arrow_bridge(
+            _hash_partitioned(distinct, "tcell", pairs_part,
+                              rows_hint=n_hint),
+            {"c1": pa.int64(), "c2": pa.int64(), "n": pa.int64()})
+        .groupby(["c1", "c2"]).aggregate(Sum("n", alias_name="n_inter")),
+        {"c1": pa.int64(), "c2": pa.int64(), "n_inter": pa.int64()})
+
+    # attach set sizes: broadcast sorted-array probe under the bound
+    # (dedup_apply's drop-set convention), two hash joins above it.
+    # The broadcast path also sidesteps Ray 2.49 JoinOperator resource
+    # demands (two joins deadlock a 4-CPU session) and its
+    # empty-left-partition ArrowInvalid.
+    import ray
+
+    n_cl = 0
+    ks, vs = [], []
+    for b in sizes.iter_batches(batch_format="pyarrow",
+                                batch_size=65536):
+        n_cl += b.num_rows
+        if n_cl > TRAJ_BROADCAST_MAX:
+            break
+        ks.append(b["cluster"].to_numpy())
+        vs.append(b["s"].to_numpy())
+
+    if n_cl <= TRAJ_BROADCAST_MAX:
+        k = np.concatenate(ks) if ks else np.zeros(0, np.int64)
+        v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+        order = np.argsort(k)
+        ref = ray.put((k[order], v[order]))
+
+        def finish(batch: pa.Table) -> pa.Table:
+            kk, vv = ray.get(ref)
+            c1 = batch["c1"].to_numpy()
+            c2 = batch["c2"].to_numpy()
+            s1 = vv[np.searchsorted(kk, c1)]
+            s2 = vv[np.searchsorted(kk, c2)]
+            inter_n = batch["n_inter"].to_numpy()
+            union = s1 + s2 - inter_n
+            out_n = np.where(union > 0, union, 1)
+            return pa.table({
+                "c1": batch["c1"], "c2": batch["c2"],
+                "n_inter": batch["n_inter"],
+                "n_union": pa.array(union),
+                "jac_permille": pa.array(1000 * inter_n // out_n)})
+
+        return inter.map_batches(finish, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def r1(batch: pa.Table) -> pa.Table:
+        return pa.table({"c1": batch["cluster"], "s1": batch["s"]})
+
+    def r2(batch: pa.Table) -> pa.Table:
+        return pa.table({"c2": batch["cluster"], "s2": batch["s"]})
+
+    np_join = join_partitions_for(n_hint)
+    j = inter.join(sizes.map_batches(r1, batch_format="pyarrow"),
+                   join_type="inner", num_partitions=np_join,
+                   on=("c1",))
+    j = arrow_bridge(j, {"c1": pa.int64(), "c2": pa.int64(),
+                         "n_inter": pa.int64(), "s1": pa.int64()})
+    j = j.join(sizes.map_batches(r2, batch_format="pyarrow"),
+               join_type="inner", num_partitions=np_join,
+               on=("c2",))
+
+    def finish_join(batch: pa.Table) -> pa.Table:
+        inter_n = batch["n_inter"].to_numpy()
+        union = batch["s1"].to_numpy() + batch["s2"].to_numpy() \
+            - inter_n
+        return pa.table({
+            "c1": batch["c1"], "c2": batch["c2"],
+            "n_inter": batch["n_inter"],
+            "n_union": pa.array(union),
+            "jac_permille": pa.array(1000 * inter_n // union)})
+
+    return j.map_batches(finish_join, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# peak_hour — per-cell peak visiting hour (space-time argmax)
+# ---------------------------------------------------------------------------
+
+def peak_hour(sf_dir: str):
+    """Per-hex7-cell peak crawl hour: the hour-of-day with the most
+    page visits (ties -> lowest hour) and its count — the space-time
+    rhythm screen (commercial vs residential cells separate cleanly
+    on it).
+
+    Scale shape: map-side (cell, hour) partial counts -> ONE
+    groupby-sum over the (cells x 24) keyspace -> hash-partitioned
+    vectorized argmax kernel.  Pages never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(["hex7", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+        secs = ts.astype("datetime64[s]").astype(np.int64)
+        hr = (secs // 3600) % 24
+        t = pa.table({"hex7": batch["hex7"],
+                      "hr": pa.array(hr.astype(np.int64))})
+        return t.group_by(["hex7", "hr"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["hex7", "hr", "n"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby(["hex7", "hr"]).aggregate(Sum("n", alias_name="n"))
+
+    def argmax_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "hex7": pd.Series(dtype="int64"),
+                "peak_hour": pd.Series(dtype="int64"),
+                "n_peak": pd.Series(dtype="int64")})
+        g = g.sort_values(["hex7", "n", "hr"],
+                          ascending=[True, False, True], kind="stable")
+        out = g.groupby("hex7", as_index=False).first()
+        return pd.DataFrame({
+            "hex7": out["hex7"].to_numpy(),
+            "peak_hour": out["hr"].to_numpy().astype(np.int64),
+            "n_peak": out["n"].to_numpy().astype(np.int64)})
+
+    return _hash_partitioned(counts, "hex7", argmax_part,
+                             rows_hint=65536 * 24)

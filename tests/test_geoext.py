@@ -715,3 +715,108 @@ def test_emb_quantize_codes_exact(ray_session):
     # every dim's min maps to 0 and max to 255 (range-exact codes)
     assert (want.min(axis=0) == 0).all()
     assert (want.max(axis=0) == 255).all()
+
+
+# ---------------------------------------------------------------------------
+# mobility_entropy
+# ---------------------------------------------------------------------------
+
+def test_mobility_entropy_matches_loop_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.cells import HEX7_SIZE, hex_cell
+    from geo_inference_ray.geoext import mobility_entropy
+
+    res = mobility_entropy(SF).to_pandas().set_index("cluster")
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    hx = hex_cell(lat, lon, HEX7_SIZE)
+    df = pd.DataFrame({"cluster": cluster, "hex7": hx})
+    for cl, g in df.groupby("cluster"):
+        cnt = g["hex7"].value_counts().to_numpy().astype(np.float64)
+        n = cnt.sum()
+        term = np.floor(-1000.0 * np.log(cnt / n)).astype(np.int64)
+        numer = int((cnt.astype(np.int64) * term).sum())
+        assert res.loc[cl, "n_pages"] == int(n)
+        assert res.loc[cl, "entropy_numer_milli"] == numer
+    # single-cell clusters have exactly zero entropy numerator
+    one_cell = df.groupby("cluster")["hex7"].nunique() == 1
+    for cl in one_cell[one_cell].index:
+        assert res.loc[cl, "entropy_numer_milli"] == 0
+
+
+# ---------------------------------------------------------------------------
+# traj_jaccard
+# ---------------------------------------------------------------------------
+
+def test_traj_jaccard_matches_set_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import TRAJ_CELL_DEG, traj_jaccard
+
+    res = traj_jaccard(SF).to_pandas()
+    assert len(res) > 0          # the 20-deg grid yields real pairs
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    hx = (np.floor((lat + 90.0) / TRAJ_CELL_DEG).astype(np.int64)
+          * 4096
+          + np.floor((lon + 180.0) / TRAJ_CELL_DEG).astype(np.int64))
+    sets = {cl: set(g)
+            for cl, g in pd.Series(hx).groupby(pd.Series(cluster))}
+    want = {}
+    cls = sorted(sets)
+    for i, a in enumerate(cls):
+        for b in cls[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                union = len(sets[a] | sets[b])
+                want[(a, b)] = (inter, union, 1000 * inter // union)
+
+    got = {(r.c1, r.c2): (r.n_inter, r.n_union, r.jac_permille)
+           for r in res.itertuples()}
+    assert got == want
+    # permille range + identity sanity
+    assert all(0 < v[2] <= 1000 for v in got.values())
+
+
+def test_traj_jaccard_cell_cap_raises(ray_session):
+    """The pair kernel refuses a cell hotter than the documented cap
+    instead of emitting O(k^2) pairs silently."""
+    import geo_inference_ray.geoext as gx
+
+    old = gx.TRAJ_MAX_CLUSTERS_PER_CELL
+    gx.TRAJ_MAX_CLUSTERS_PER_CELL = 1
+    try:
+        with pytest.raises(Exception):
+            gx.traj_jaccard(SF).to_pandas()
+    finally:
+        gx.TRAJ_MAX_CLUSTERS_PER_CELL = old
+
+
+# ---------------------------------------------------------------------------
+# peak_hour
+# ---------------------------------------------------------------------------
+
+def test_peak_hour_matches_loop_reference(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.cells import HEX7_SIZE, hex_cell
+    from geo_inference_ray.geoext import peak_hour
+
+    res = peak_hour(SF).to_pandas().set_index("hex7")
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, _ = synth.geocode_ids(ids)
+    hx = hex_cell(lat, lon, HEX7_SIZE)
+    hr = (ids // 3600) % 24       # warc_ts = 2024-01-01 + doc_id sec
+    df = pd.DataFrame({"hex7": hx, "hr": hr})
+    for cell, g in df.groupby("hex7"):
+        vc = g.groupby("hr").size()
+        top = vc.max()
+        # tie-break: lowest hour among the maxima
+        want_hr = min(h for h, v in vc.items() if v == top)
+        assert res.loc[cell, "peak_hour"] == want_hr
+        assert res.loc[cell, "n_peak"] == top
+    assert res["peak_hour"].between(0, 23).all()
