@@ -1544,6 +1544,22 @@ def q_peak_hour(sf_dir: str):
     return _gx.peak_hour(sf_dir)
 
 
+def q_hilbert(sf_dir: str):
+    """Per-Hilbert-prefix page histogram — the lower-adjacency
+    range-partitioner key next to zorder."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.hilbert_counts(sf_dir)
+
+
+def q_cell_sample(sf_dir: str):
+    """Deterministic per-hex7-cell k-sample (smallest multiplicative
+    hash, ties by doc_id) — the geo-stratified corpus sampler."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cell_sample(sf_dir)
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1798,7 +1814,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mobility_entropy": q_mobility_entropy,
         "traj_jaccard": q_traj_jaccard,
         "peak_hour": q_peak_hour,
+        "hilbert": q_hilbert,
+        "cell_sample": q_cell_sample,
     }
+
+
+def _hilbert_sql_steps() -> str:
+    """Generated CTE chain mirroring geoext.hilbert_d bit-for-bit: one
+    CTE per bit level s = 128..1, each computing the classic xy2d step
+    (d += s*s*((3*rx)^ry); conditional flip + swap).  All-integer, so
+    the mirror is exact by construction; the (3*rx)^ry term is a CASE
+    over rx*2+ry (values 0,1,3,2)."""
+    steps = []
+    prev = "hq"
+    for i, s in enumerate(1 << b for b in
+                          range(_gx_mod.HILBERT_BITS - 1, -1, -1)):
+        steps.append(f"""
+hs{i} AS (SELECT
+  d + {s * s} * (CASE ((CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END) * 2
+                 + (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END))
+                 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+                 ELSE 2 END) AS d,
+  CASE WHEN (y & {s}) = 0
+       THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+       ELSE x END AS x,
+  CASE WHEN (y & {s}) = 0
+       THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+       ELSE y END AS y
+  FROM {prev})""")
+        prev = f"hs{i}"
+    return ",".join(steps), prev
+
+
+def _hilbert_oracle() -> str:
+    steps, last = _hilbert_sql_steps()
+    grid = 1 << _gx_mod.HILBERT_BITS
+    return _WG + f""",
+hq AS (SELECT
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {grid}.0)
+                      AS BIGINT), 0), {grid - 1}) AS x,
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {grid}.0)
+                      AS BIGINT), 0), {grid - 1}) AS y,
+  CAST(0 AS BIGINT) AS d
+  FROM geo),{steps}
+SELECT d >> {_gx_mod.HILBERT_PREFIX_SHIFT} AS hprefix,
+       COUNT(*) AS n_pages
+FROM {last} GROUP BY 1"""
 
 
 def _minhash_sql_chain() -> str:
@@ -4325,4 +4386,16 @@ r AS (SELECT hex7, hr, n,
       FROM h)
 SELECT hex7, hr AS peak_hour, CAST(n AS BIGINT) AS n_peak
 FROM r WHERE rn = 1""",
+        "hilbert": _hilbert_oracle(),
+        # smallest multiplicative hash per cell, k=3, ties by doc_id
+        "cell_sample": _WH + """,
+hh AS (SELECT hex7, doc_id,
+              (doc_id % 1000003 * 2654435761) % 1000003 AS h
+       FROM hex9),
+rk AS (SELECT hex7, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY hex7
+                                 ORDER BY h, doc_id) AS rank
+       FROM hh)
+SELECT hex7, doc_id, CAST(rank AS BIGINT) AS rank
+FROM rk WHERE rank <= 3""",
     }

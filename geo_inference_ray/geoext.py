@@ -1434,3 +1434,118 @@ def peak_hour(sf_dir: str):
 
     return _hash_partitioned(counts, "hex7", argmax_part,
                              rows_hint=65536 * 24)
+
+
+# ---------------------------------------------------------------------------
+# hilbert_counts — Hilbert-curve keys (locality-better range partitioner)
+# ---------------------------------------------------------------------------
+
+HILBERT_BITS = 8           # 256 x 256 grid -> 16-bit d
+HILBERT_PREFIX_SHIFT = 8   # histogram over d >> 8 (256 buckets)
+
+
+def hilbert_d(qx: np.ndarray, qy: np.ndarray,
+              bits: int = HILBERT_BITS) -> np.ndarray:
+    """Hilbert-curve distance d of grid cells (qx, qy) — the classic
+    xy2d bit loop (Wikipedia's algorithm), vectorized.  All-integer,
+    so the SQL mirror (one generated CTE per bit level, see
+    __ray_entry__._hilbert_sql_steps) is trivially exact.
+
+    Why next to zorder: a Hilbert prefix range has ~half the
+    cross-boundary adjacency of the equivalent Z prefix (no Z jumps),
+    so it is the better range-partitioner key when neighbor joins
+    follow the repartition."""
+    x = qx.astype(np.int64).copy()
+    y = qy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += (s * s) * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x1 = np.where(flip, s - 1 - x, x)
+        y1 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y1, x1), np.where(swap, x1, y1)
+        s >>= 1
+    return d
+
+
+def hilbert_counts(sf_dir: str):
+    """Per-Hilbert-prefix page histogram — zorder_counts' sibling on
+    the Hilbert key (same quantization, same histogram shape), giving
+    the range partitioner the lower-adjacency split-point input.
+
+    Scale shape: stateless vectorized encode, map-side partial counts,
+    ONE groupby-sum over <= 256 prefix buckets.
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+    grid = 1 << HILBERT_BITS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        qx = np.floor((lon + 180.0) / 360.0 * grid).astype(np.int64)
+        qy = np.floor((lat + 90.0) / 180.0 * grid).astype(np.int64)
+        qx = np.minimum(np.maximum(qx, 0), grid - 1)
+        qy = np.minimum(np.maximum(qy, 0), grid - 1)
+        hp = hilbert_d(qx, qy) >> HILBERT_PREFIX_SHIFT
+        u, cnt = np.unique(hp, return_counts=True)
+        return pa.table({"hprefix": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hprefix").aggregate(Sum("n", alias_name="n_pages"))
+
+
+# ---------------------------------------------------------------------------
+# cell_sample — deterministic per-cell k-sample (stratified spatial sample)
+# ---------------------------------------------------------------------------
+
+CELL_SAMPLE_K = 3
+CELL_SAMPLE_MULT = 2654435761    # Knuth multiplicative (hash_sample's)
+CELL_SAMPLE_MOD = 1_000_003      # prime > any per-cell count
+
+
+def cell_sample(sf_dir: str, k: int = CELL_SAMPLE_K):
+    """Spatially stratified corpus sample: the k pages per hex7 cell
+    with the smallest deterministic hash ``(doc_id % M * MULT) % M``
+    (ties impossible: the map is a bijection mod the prime M for
+    doc_id < M; collisions above M break ties by doc_id) — the
+    "cap every cell's contribution" sampler a geo-balanced training
+    mix needs (dense cities would otherwise dominate a uniform
+    sample).
+
+    Scale shape: ONE hash-partition exchange on hex7, one vectorized
+    sort + rank kernel per partition (no per-cell Python, no global
+    sort).
+    """
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(["hex7", "doc_id"])
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "hex7": pd.Series(dtype="int64"),
+                "doc_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64")})
+        did = g["doc_id"].to_numpy()
+        h = (did % CELL_SAMPLE_MOD * CELL_SAMPLE_MULT) % CELL_SAMPLE_MOD
+        g = pd.DataFrame({"hex7": g["hex7"].to_numpy(),
+                          "doc_id": did, "h": h})
+        g = g.sort_values(["hex7", "h", "doc_id"], kind="stable")
+        rank = g.groupby("hex7").cumcount() + 1
+        g["rank"] = rank.astype(np.int64)
+        out = g[g["rank"] <= k]
+        return out[["hex7", "doc_id", "rank"]]
+
+    return _hash_partitioned(ds, "hex7", topk_part,
+                             rows_hint=_docs_rows(sf_dir))

@@ -820,3 +820,69 @@ def test_peak_hour_matches_loop_reference(ray_session):
         assert res.loc[cell, "peak_hour"] == want_hr
         assert res.loc[cell, "n_peak"] == top
     assert res["peak_hour"].between(0, 23).all()
+
+
+# ---------------------------------------------------------------------------
+# hilbert
+# ---------------------------------------------------------------------------
+
+def test_hilbert_d_is_a_bijection_and_adjacent():
+    """The 256x256 Hilbert map is a bijection onto [0, 65536) and
+    consecutive d values are always grid-adjacent (the defining
+    property Z-order lacks)."""
+    from geo_inference_ray.geoext import hilbert_d
+
+    n = 256
+    xx, yy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    d = hilbert_d(xx.ravel(), yy.ravel())
+    assert sorted(d.tolist()) == list(range(n * n))
+    # invert and check the walk is king-move-free unit steps
+    inv_x = np.empty(n * n, np.int64)
+    inv_y = np.empty(n * n, np.int64)
+    inv_x[d] = xx.ravel()
+    inv_y[d] = yy.ravel()
+    step = np.abs(np.diff(inv_x)) + np.abs(np.diff(inv_y))
+    assert (step == 1).all()
+
+
+def test_hilbert_counts_total(ray_session):
+    from geo_inference_ray.geoext import hilbert_counts
+
+    res = hilbert_counts(SF).to_pandas()
+    assert int(res["n_pages"].sum()) == 500
+    assert res["hprefix"].between(0, 255).all()
+
+
+# ---------------------------------------------------------------------------
+# cell_sample
+# ---------------------------------------------------------------------------
+
+def test_cell_sample_picks_k_smallest_hashes(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.cells import HEX7_SIZE, hex_cell
+    from geo_inference_ray.geoext import (CELL_SAMPLE_K,
+                                          CELL_SAMPLE_MOD,
+                                          CELL_SAMPLE_MULT, cell_sample)
+
+    res = cell_sample(SF).to_pandas()
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, _ = synth.geocode_ids(ids)
+    hx = hex_cell(lat, lon, HEX7_SIZE)
+    h = (ids % CELL_SAMPLE_MOD * CELL_SAMPLE_MULT) % CELL_SAMPLE_MOD
+    df = pd.DataFrame({"hex7": hx, "doc_id": ids, "h": h}) \
+        .sort_values(["hex7", "h", "doc_id"], kind="stable")
+    df["rank"] = df.groupby("hex7").cumcount() + 1
+    want = df[df["rank"] <= CELL_SAMPLE_K][["hex7", "doc_id", "rank"]]
+
+    got = res.sort_values(["hex7", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["hex7", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["hex7", "doc_id", "rank"]], want, check_dtype=False)
+    # every cell contributes at most k, and dense cells exactly k
+    per = got.groupby("hex7").size()
+    assert (per <= CELL_SAMPLE_K).all()
+    dense = df.groupby("hex7").size()
+    assert (per[dense[dense >= CELL_SAMPLE_K].index]
+            == CELL_SAMPLE_K).all()
