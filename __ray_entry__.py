@@ -1560,6 +1560,22 @@ def q_cell_sample(sf_dir: str):
     return _gx.cell_sample(sf_dir)
 
 
+def q_z_splits(sf_dir: str):
+    """Exact N-way range-partition split points over the Morton key
+    space (domain-bounded histogram, integer ceil targets)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.z_splits(sf_dir)
+
+
+def q_cluster_bbox(sf_dir: str):
+    """Per-cluster track bounding box + exact integer box area
+    (half-microdegree grid)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.cluster_bbox(sf_dir)
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1816,6 +1832,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_hour": q_peak_hour,
         "hilbert": q_hilbert,
         "cell_sample": q_cell_sample,
+        "z_splits": q_z_splits,
+        "cluster_bbox": q_cluster_bbox,
     }
 
 
@@ -4387,6 +4405,46 @@ r AS (SELECT hex7, hr, n,
 SELECT hex7, hr AS peak_hour, CAST(n AS BIGINT) AS n_peak
 FROM r WHERE rn = 1""",
         "hilbert": _hilbert_oracle(),
+        # same magic-mask ladder as zorder; ceil via (i*total+7)//8
+        "z_splits": _WG + f""",
+q AS (SELECT
+  LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qy,
+  LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 65536.0)
+                      AS BIGINT), 0), {_gx_mod.ZQ_MAX}) AS qx
+  FROM geo),
+s1 AS (SELECT (qx | (qx << 8)) & 16711935 AS x,
+              (qy | (qy << 8)) & 16711935 AS y FROM q),
+s2 AS (SELECT (x | (x << 4)) & 252645135 AS x,
+              (y | (y << 4)) & 252645135 AS y FROM s1),
+s3 AS (SELECT (x | (x << 2)) & 858993459 AS x,
+              (y | (y << 2)) & 858993459 AS y FROM s2),
+s4 AS (SELECT (x | (x << 1)) & 1431655765 AS x,
+              (y | (y << 1)) & 1431655765 AS y FROM s3),
+hist AS (SELECT (x | (y << 1)) >> {_gx_mod.ZPREFIX_SHIFT} AS zprefix,
+                COUNT(*) AS n FROM s4 GROUP BY 1),
+c AS (SELECT zprefix,
+             CAST(SUM(n) OVER (ORDER BY zprefix) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total FROM hist),
+i AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
+      t(split_idx)),
+sel AS (SELECT i.split_idx, MIN(c.zprefix) AS zprefix
+        FROM i JOIN c
+          ON c.cum >= (CAST(i.split_idx AS BIGINT) * c.total + 7) // 8
+        GROUP BY 1)
+SELECT CAST(s.split_idx AS BIGINT) AS split_idx, s.zprefix,
+       c.cum AS cum_pages
+FROM sel s JOIN c ON c.zprefix = s.zprefix""",
+        "cluster_bbox": _WG + """,
+q AS (SELECT cluster,
+             CAST(floor(lat * 2000000.0 + 0.5) AS BIGINT) AS ilat,
+             CAST(floor(lon * 2000000.0 + 0.5) AS BIGINT) AS ilon
+      FROM geo)
+SELECT cluster,
+       MIN(ilat) AS mn_lat, MAX(ilat) AS mx_lat,
+       MIN(ilon) AS mn_lon, MAX(ilon) AS mx_lon,
+       (MAX(ilat) - MIN(ilat)) * (MAX(ilon) - MIN(ilon)) AS box_area
+FROM q GROUP BY 1""",
         # smallest multiplicative hash per cell, k=3, ties by doc_id
         "cell_sample": _WH + """,
 hh AS (SELECT hex7, doc_id,

@@ -1549,3 +1549,139 @@ def cell_sample(sf_dir: str, k: int = CELL_SAMPLE_K):
 
     return _hash_partitioned(ds, "hex7", topk_part,
                              rows_hint=_docs_rows(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# z_splits — exact range-partitioner split points over the Z-key space
+# ---------------------------------------------------------------------------
+
+Z_SPLITS_N = 8             # produce N-1 split points (N ranges)
+
+
+def z_splits(sf_dir: str, n_parts: int = Z_SPLITS_N):
+    """Exact split points for an N-way RANGE partition of the Morton
+    key space: split q_i (i = 1..N-1) is the smallest 16-bit Z prefix
+    whose cumulative page count reaches ``ceil(i * total / N)`` — the
+    planner input that turns zorder_counts' histogram into actual
+    partition bounds (balanced ranges over 10^12 pages without a
+    global sort).
+
+    Exactness: the key space is bounded (4096 prefixes), so the
+    histogram is the FULL distribution at prefix resolution and the
+    quantile is exact, not a sketch.  All-integer.
+
+    Scale shape: map-side partial histograms, ONE groupby-sum over
+    <= 65536 rows, then a single bounded-size kernel computes all
+    split points (the length_quantiles driver-fold shape, but
+    distribution-bounded instead of data-bounded).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        z = zkeys(batch["lat"].to_numpy(zero_copy_only=False),
+                  batch["lon"].to_numpy(zero_copy_only=False))
+        zp = z >> ZPREFIX_SHIFT
+        u, cnt = np.unique(zp, return_counts=True)
+        return pa.table({"zprefix": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("zprefix").aggregate(Sum("n", alias_name="n"))
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pk", pa.array(np.zeros(batch.num_rows, np.int64)))
+
+    def splits_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({
+                "split_idx": pd.Series(dtype="int64"),
+                "zprefix": pd.Series(dtype="int64"),
+                "cum_pages": pd.Series(dtype="int64")})
+        g = g.sort_values("zprefix", kind="stable")
+        zp = g["zprefix"].to_numpy()
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        idx = np.arange(1, n_parts, dtype=np.int64)
+        # smallest prefix with cum >= ceil(i * total / N), integer math
+        targets = -(-idx * total // n_parts)
+        pos = np.searchsorted(cum, targets)
+        return pd.DataFrame({"split_idx": idx,
+                             "zprefix": zp[pos].astype(np.int64),
+                             "cum_pages": cum[pos].astype(np.int64)})
+
+    # single-group fold: the histogram is <= 4096 rows BY CONSTRUCTION
+    # (bounded by the key space, not the data), so one kernel sees it
+    # all — same justification as length_quantiles' domain-bounded fold
+    return hist.map_batches(add_pkey, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .groupby("pk").map_groups(splits_kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cluster_bbox — per-track bounding box (integer micro-degrees)
+# ---------------------------------------------------------------------------
+
+def cluster_bbox(sf_dir: str):
+    """Per-cluster track bounding box in half-microdegree integers
+    (the cluster_centroid grid): min/max lat/lon plus the exact
+    integer box area — the cheap track-extent feature next to
+    radius_gyration's dispersion.
+
+    Scale shape: map-side min/max partials, ONE groupby over cluster
+    (Min/Max are associative), stateless finish.  All-integer.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir, with_cells=False) \
+        .select_columns(["cluster", "lat", "lon"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cl = batch["cluster"].to_numpy()
+        ilat = np.floor(batch["lat"].to_numpy(zero_copy_only=False)
+                        * LATLON_SCALE + 0.5).astype(np.int64)
+        ilon = np.floor(batch["lon"].to_numpy(zero_copy_only=False)
+                        * LATLON_SCALE + 0.5).astype(np.int64)
+        u, inv = np.unique(cl, return_inverse=True)
+        big = np.int64(2 ** 62)
+        mn_lat = np.full(len(u), big)
+        mx_lat = np.full(len(u), -big)
+        mn_lon = np.full(len(u), big)
+        mx_lon = np.full(len(u), -big)
+        np.minimum.at(mn_lat, inv, ilat)
+        np.maximum.at(mx_lat, inv, ilat)
+        np.minimum.at(mn_lon, inv, ilon)
+        np.maximum.at(mx_lon, inv, ilon)
+        return pa.table({
+            "cluster": pa.array(u),
+            "mn_lat": pa.array(mn_lat), "mx_lat": pa.array(mx_lat),
+            "mn_lon": pa.array(mn_lon), "mx_lon": pa.array(mx_lon)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("cluster").aggregate(
+            Min("mn_lat", alias_name="mn_lat"),
+            Max("mx_lat", alias_name="mx_lat"),
+            Min("mn_lon", alias_name="mn_lon"),
+            Max("mx_lon", alias_name="mx_lon"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        area = (batch["mx_lat"].to_numpy()
+                - batch["mn_lat"].to_numpy()) \
+            * (batch["mx_lon"].to_numpy() - batch["mn_lon"].to_numpy())
+        return pa.table({
+            "cluster": batch["cluster"],
+            "mn_lat": batch["mn_lat"], "mx_lat": batch["mx_lat"],
+            "mn_lon": batch["mn_lon"], "mx_lon": batch["mx_lon"],
+            "box_area": pa.array(area)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -886,3 +886,67 @@ def test_cell_sample_picks_k_smallest_hashes(ray_session):
     dense = df.groupby("hex7").size()
     assert (per[dense[dense >= CELL_SAMPLE_K].index]
             == CELL_SAMPLE_K).all()
+
+
+# ---------------------------------------------------------------------------
+# z_splits
+# ---------------------------------------------------------------------------
+
+def test_z_splits_balance_and_exactness(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import (Z_SPLITS_N, ZPREFIX_SHIFT,
+                                          z_splits, zkeys)
+    from geo_inference_ray.stages import geo_pipeline
+
+    res = z_splits(SF).to_pandas().set_index("split_idx")
+    assert len(res) == Z_SPLITS_N - 1
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, _ = synth.geocode_ids(ids)
+    zp = zkeys(lat, lon) >> ZPREFIX_SHIFT
+    u, cnt = np.unique(zp, return_counts=True)
+    cum = np.cumsum(cnt)
+    total = int(cum[-1])
+    for i in range(1, Z_SPLITS_N):
+        target = -(-i * total // Z_SPLITS_N)
+        pos = int(np.searchsorted(cum, target))
+        assert res.loc[i, "zprefix"] == u[pos]
+        assert res.loc[i, "cum_pages"] == cum[pos]
+        # defining property: smallest prefix reaching the target
+        assert cum[pos] >= target
+        if pos:
+            assert cum[pos - 1] < target
+    # split points are non-decreasing (valid range bounds)
+    assert (np.diff(res["zprefix"].to_numpy()) >= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# cluster_bbox
+# ---------------------------------------------------------------------------
+
+def test_cluster_bbox_matches_reference_and_contains_pages(ray_session):
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import LATLON_SCALE, cluster_bbox
+
+    res = cluster_bbox(SF).to_pandas().set_index("cluster")
+
+    ids = np.sort(pq.read_table(f"{SF}/documents.parquet")["doc_id"]
+                  .to_numpy())
+    lat, lon, cluster = synth.geocode_ids(ids)
+    ilat = np.floor(lat * LATLON_SCALE + 0.5).astype(np.int64)
+    ilon = np.floor(lon * LATLON_SCALE + 0.5).astype(np.int64)
+    df = pd.DataFrame({"cluster": cluster, "ilat": ilat, "ilon": ilon})
+    want = df.groupby("cluster").agg(
+        mn_lat=("ilat", "min"), mx_lat=("ilat", "max"),
+        mn_lon=("ilon", "min"), mx_lon=("ilon", "max"))
+    for cl in want.index:
+        w = want.loc[cl]
+        r = res.loc[cl]
+        assert (r["mn_lat"], r["mx_lat"], r["mn_lon"], r["mx_lon"]) \
+            == (w["mn_lat"], w["mx_lat"], w["mn_lon"], w["mx_lon"])
+        assert r["box_area"] == (w["mx_lat"] - w["mn_lat"]) \
+            * (w["mx_lon"] - w["mn_lon"])
+    # jitter is +-0.5 deg -> box edge bounded by 1 deg = 2e6 half-us
+    assert (res["mx_lat"] - res["mn_lat"] <= 2_000_000).all()
+    assert (res["mx_lon"] - res["mn_lon"] <= 2_000_000).all()
