@@ -1477,7 +1477,8 @@ def q_cell_langmix(sf_dir: str):
     share in integer permille."""
     from geo_inference_ray import geoext as _gx
 
-    return _gx.cell_langmix(_stages.geo_pipeline(sf_dir))
+    return _gx.cell_langmix(_stages.geo_pipeline(sf_dir),
+                            rows_hint=_gx._docs_rows(sf_dir))
 
 
 def q_od_flows(sf_dir: str):

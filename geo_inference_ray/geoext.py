@@ -849,7 +849,7 @@ def cluster_centroid(sf_dir: str):
 # cell_langmix — per-cell language diversity (distinct langs + top share)
 # ---------------------------------------------------------------------------
 
-def cell_langmix(ds):
+def cell_langmix(ds, rows_hint: int | None = None):
     """Per-hex7-cell language mix: distinct language count and the
     majority language's share in integer permille
     (``1000 * top // total`` — exact integer division, no float) —
@@ -889,7 +889,10 @@ def cell_langmix(ds):
                                // out["total"].to_numpy()).astype(np.int64)
         return out[["hex7", "n_langs", "top_permille"]]
 
-    return _hash_partitioned(counts, "hex7", mix_part, rows_hint=65536)
+    # (cell, lang) rows are bounded by pages; callers with a corpus
+    # hint should pass it so partitioning scales (wrapper does)
+    return _hash_partitioned(counts, "hex7", mix_part,
+                             rows_hint=rows_hint or 65536)
 
 
 # ---------------------------------------------------------------------------
@@ -1432,8 +1435,10 @@ def peak_hour(sf_dir: str):
             "peak_hour": out["hr"].to_numpy().astype(np.int64),
             "n_peak": out["n"].to_numpy().astype(np.int64)})
 
+    # counts rows <= occupied cells x 24 <= pages — the page count is
+    # the safe upper bound (a constant would under-partition at 100 TB)
     return _hash_partitioned(counts, "hex7", argmax_part,
-                             rows_hint=65536 * 24)
+                             rows_hint=_docs_rows(sf_dir))
 
 
 # ---------------------------------------------------------------------------
