@@ -1577,6 +1577,14 @@ def q_cluster_bbox(sf_dir: str):
     return _gx.cluster_bbox(sf_dir)
 
 
+def q_s2_compact(sf_dir: str):
+    """Mixed-granularity S2 cell cover (H3 compact() analog): complete
+    4-sibling level-12 sets collapse to their level-11 parent."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.s2_compact(sf_dir)
+
+
 def q_stops(sf_dir: str):
     """Trajectory stop detection: per-cluster count of maximal dwell
     runs (>= 2 consecutive legs under 60 chord-km) + longest run."""
@@ -1835,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_sample": q_cell_sample,
         "z_splits": q_z_splits,
         "cluster_bbox": q_cluster_bbox,
+        "s2_compact": q_s2_compact,
     }
 
 
@@ -2081,6 +2090,34 @@ SELECT doc_id,
             + CAST(pos AS HUGEINT) * {1 << (shift + 1)}
             + {1 << shift} AS UBIGINT) AS s2_12
 FROM walk WHERE k = 0"""
+
+
+def _s2_compact_oracle() -> str:
+    """s2_compact mirror: rewrap _s2_sql's final SELECT as a CTE, then
+    pure-integer parent extraction — a level-12 id is
+    ``face<<61 | pos<<37 | 1<<36``, so its level-11 parent is
+    ``(id // 2^39) * 2^39 + 2^38`` (clear the child's 2 position bits
+    + lsb, set the coarser lsb), identical to cells.s2_parent's
+    bitwise form.  A parent with all 4 children populated compacts;
+    anything else passes its children through at level 12."""
+    full = _s2_sql()
+    head, tail = full.rsplit("SELECT doc_id,", 1)
+    two39 = 1 << 39
+    two38 = 1 << 38
+    return (_WGR + "," + head.rstrip()
+            + ",\ns2c AS (SELECT doc_id," + tail + ")" + f""",
+c12 AS (SELECT DISTINCT s2_12 FROM s2c),
+par AS (SELECT s2_12,
+               CAST(s2_12 // {two39} * {two39} + {two38} AS UBIGINT)
+                 AS parent
+        FROM c12),
+pc AS (SELECT parent, count(*) AS nch FROM par GROUP BY parent)
+SELECT parent AS cell, CAST(11 AS BIGINT) AS level
+FROM pc WHERE nch = 4
+UNION ALL
+SELECT p.s2_12 AS cell, CAST(12 AS BIGINT) AS level
+FROM par p JOIN pc ON p.parent = pc.parent
+WHERE pc.nch < 4""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4457,4 +4494,5 @@ rk AS (SELECT hex7, doc_id,
        FROM hh)
 SELECT hex7, doc_id, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 3""",
+        "s2_compact": _s2_compact_oracle(),
     }

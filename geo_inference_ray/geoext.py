@@ -1690,3 +1690,91 @@ def cluster_bbox(sf_dir: str):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# s2_compact — mixed-granularity cell cover (H3 compact() analog on S2)
+# ---------------------------------------------------------------------------
+
+S2_COMPACT_PARENT_LEVEL = 11
+S2_CHILD_LEVEL = 12
+
+
+def s2_compact(sf_dir: str):
+    """Mixed-granularity cell cover: the distinct populated S2
+    level-12 cells with every COMPLETE 4-sibling set replaced by its
+    level-11 parent — the H3 ``compact()`` analog on the S2 hierarchy
+    (public algorithm; the reference has no compaction — cells.py's
+    ``s2_parent`` supplies the hierarchy).  Output ``(cell, level)``
+    with level 11 for compacted parents, 12 for remaining children.
+
+    Scale shape: pages collapse to distinct cells via map-side unique
+    partials + ONE groupby (the shuffle carries O(populated cells)
+    rows, never pages); the compaction itself is a hash partition on
+    the PARENT id — parent is a pure function of the child (bits
+    >= 39 | 1 << 38), so every sibling set co-locates without a join —
+    and one vectorized run-detection kernel per partition (sorting by
+    cell id groups siblings contiguously because they differ only in
+    bits 37-38).
+    """
+    from ray.data.aggregate import Sum
+
+    from .stages import geo_pipeline
+
+    ds = geo_pipeline(sf_dir).select_columns(["s2_12"])
+
+    # Ray 2.49 groupby pickles uint64 key columns (extension-type
+    # round-trip), so the id rides the shuffles as its int64 BIT
+    # PATTERN (lossless .view; faces 4-5 go negative, which only the
+    # final uint64 view needs to care about).
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["s2_12"].to_numpy().view(np.int64))
+        return pa.table({"s2i": pa.array(u, pa.int64()),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    cells12 = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("s2i").aggregate(Sum("one", alias_name="n")) \
+        .select_columns(["s2i"]).materialize()  # O(populated cells)
+    return compact_cells(cells12, cells12.count())
+
+
+def compact_cells(cells12, n_cells: int):
+    """The compaction exchange over an already-DISTINCT cell table
+    (one ``s2i`` int64-bit-pattern row per populated level-12 cell).
+    Split out so tests can drive it with hand-built sibling sets —
+    the synthetic geocode only produces complete 4-child sets at
+    sf >= 0.1."""
+    from .cells import s2_parent
+    from .relational import partitions_for
+    from .shuffle import arrow_bridge
+
+    def add_parent(batch: pa.Table) -> pa.Table:
+        c = batch["s2i"].to_numpy().view(np.uint64)
+        par = s2_parent(c, S2_COMPACT_PARENT_LEVEL).view(np.int64)
+        return batch.append_column("parent", pa.array(par, pa.int64()))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"cell": pd.Series(dtype="uint64"),
+                                 "level": pd.Series(dtype="int64")})
+        c = g["s2i"].to_numpy().view(np.uint64)
+        p = g["parent"].to_numpy().view(np.uint64)
+        o = np.argsort(c, kind="stable")
+        c, p = c[o], p[o]
+        new = np.ones(len(c), dtype=bool)
+        new[1:] = p[1:] != p[:-1]
+        grp = np.cumsum(new) - 1
+        full = np.bincount(grp)[grp] == 4   # all 4 siblings populated
+        head = new & full
+        cell = np.concatenate([p[head], c[~full]])
+        level = np.concatenate([
+            np.full(int(head.sum()), S2_COMPACT_PARENT_LEVEL, np.int64),
+            np.full(int((~full).sum()), S2_CHILD_LEVEL, np.int64)])
+        return pd.DataFrame({"cell": cell, "level": level})
+
+    out = _hash_partitioned(
+        cells12.map_batches(add_parent, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        "parent", kernel, num_partitions=partitions_for(n_cells))
+    return arrow_bridge(out, {"cell": pa.uint64(), "level": pa.int64()})

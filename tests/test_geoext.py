@@ -950,3 +950,79 @@ def test_cluster_bbox_matches_reference_and_contains_pages(ray_session):
     # jitter is +-0.5 deg -> box edge bounded by 1 deg = 2e6 half-us
     assert (res["mx_lat"] - res["mn_lat"] <= 2_000_000).all()
     assert (res["mx_lon"] - res["mn_lon"] <= 2_000_000).all()
+
+
+# ---------------------------------------------------------------------------
+# s2_compact
+# ---------------------------------------------------------------------------
+
+def test_s2_compact_cover_is_exact_and_minimal(ray_session):
+    """Expanding every level-11 row to its 4 children plus the level-12
+    rows reproduces the distinct populated cell set EXACTLY, and no
+    level-12 row's sibling set is complete (else it would have been
+    compacted)."""
+    from geo_inference_ray.cells import s2_parent
+    from geo_inference_ray.geoext import s2_compact
+    from geo_inference_ray.stages import geo_pipeline
+
+    pages = geo_pipeline(SF).select_columns(["s2_12"]).to_pandas()
+    want = np.unique(pages["s2_12"].to_numpy())          # uint64
+
+    out = s2_compact(SF).to_pandas()
+    assert set(out.columns) == {"cell", "level"}
+    assert out["cell"].dtype == np.uint64
+    assert set(out["level"].unique()) <= {11, 12}
+    assert not out["cell"].duplicated().any()
+
+    par = out.loc[out["level"] == 11, "cell"].to_numpy()
+    kids = out.loc[out["level"] == 12, "cell"].to_numpy()
+    # children of a level-11 parent: high bits | pos2 << 37 | 1 << 36
+    high = par >> np.uint64(39) << np.uint64(39)
+    expand = (high[:, None]
+              | (np.arange(4, dtype=np.uint64) << np.uint64(37))[None, :]
+              | np.uint64(1 << 36)).ravel()
+    got = np.sort(np.concatenate([expand, kids]))
+    assert np.array_equal(got, want)
+
+    # minimality: every surviving level-12 sibling set is incomplete
+    kp = s2_parent(kids, 11)
+    _, cnt = np.unique(kp, return_counts=True)
+    assert cnt.max() < 4
+    # and no surviving child sits under an emitted parent
+    assert not np.isin(kp, par).any()
+
+
+def test_compact_cells_collapses_complete_sibling_sets(ray_session):
+    """Hand-built sets (the sf0.001 geocode never produces a complete
+    4-child set): two complete parents collapse, a 3-child parent and
+    a singleton pass through — including a face-5 id whose int64 bit
+    pattern is negative."""
+    import ray.data as rd
+
+    from geo_inference_ray.cells import s2_parent
+    from geo_inference_ray.geoext import compact_cells
+
+    def child(face, pos11, pos2):
+        return np.uint64((face << 61) | (pos11 << 39)
+                         | (pos2 << 37) | (1 << 36))
+
+    cells = (
+        [child(0, 5, p) for p in range(4)]      # complete -> parent
+        + [child(5, 9, p) for p in range(4)]    # complete, face 5
+        + [child(1, 7, p) for p in range(3)]    # incomplete (3/4)
+        + [child(2, 3, 1)])                     # singleton
+    arr = np.array(cells, dtype=np.uint64)
+    ds = rd.from_arrow(pa.table(
+        {"s2i": pa.array(arr.view(np.int64), pa.int64())}))
+    out = compact_cells(ds, len(arr)).to_pandas()
+
+    par = np.sort(out.loc[out["level"] == 11, "cell"].to_numpy())
+    kids = np.sort(out.loc[out["level"] == 12, "cell"].to_numpy())
+    want_par = np.sort(np.array(
+        [s2_parent(np.array([child(0, 5, 0)]), 11)[0],
+         s2_parent(np.array([child(5, 9, 0)]), 11)[0]], dtype=np.uint64))
+    want_kids = np.sort(np.array(
+        [child(1, 7, p) for p in range(3)] + [child(2, 3, 1)],
+        dtype=np.uint64))
+    assert np.array_equal(par, want_par)
+    assert np.array_equal(kids, want_kids)
