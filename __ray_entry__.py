@@ -1633,10 +1633,25 @@ def q_streaks(sf_dir: str):
     return _an.streaks(sf_dir)
 
 
+def q_pmi_topk(sf_dir: str):
+    """Top-100 bigram collocations by integer-milli-nat PMI (support
+    floor 5) — collocation mining over the document corpus; the sort
+    input is candidate-bounded, never corpus-bounded."""
+    return _textops.pmi_topk(_docs_text(sf_dir))
+
+
+def q_cusum_shift(sf_dir: str):
+    """Per-event-type integer CUSUM change-point over daily counts:
+    max_k |n*S_k - k*S_n| with the earliest argmax day."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.cusum_shift(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  163
+    # so the dict is ordered by evidence need, not by theme.  190
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1648,11 +1663,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                47 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 18 post-freeze) — each pinned
+    #                72 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 43 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load ALL 47 of those (they fit the 50-slot
-    # window with 3 spare) — see README "Driver correctness window".
+    # Round 5 must front-load 50 of those 72 (README "Driver
+    # correctness window" names the suggested 22-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1844,6 +1859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "z_splits": q_z_splits,
         "cluster_bbox": q_cluster_bbox,
         "s2_compact": q_s2_compact,
+        "pmi_topk": q_pmi_topk,
+        "cusum_shift": q_cusum_shift,
     }
 
 
@@ -4495,4 +4512,46 @@ rk AS (SELECT hex7, doc_id,
 SELECT hex7, doc_id, CAST(rank AS BIGINT) AS rank
 FROM rk WHERE rank <= 3""",
         "s2_compact": _s2_compact_oracle(),
+        # Top-PMI bigram collocations: occurrence-weighted marginals
+        # over the bigram table, milli-nat floor quantization on the
+        # identical double expression ((n*T)/(c1*c2)) the engine uses.
+        "pmi_topk": f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+bg AS (SELECT ts[g.i] AS w1, ts[g.i + 1] AS w2,
+              ts[g.i] || ' ' || ts[g.i + 1] AS b
+       FROM t, unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+cb AS (SELECT b, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS n
+       FROM bg GROUP BY b),
+c1 AS (SELECT w1, SUM(n) AS n1 FROM cb GROUP BY w1),
+c2 AS (SELECT w2, SUM(n) AS n2 FROM cb GROUP BY w2),
+tt AS (SELECT SUM(n) AS tot FROM cb),
+sc AS (SELECT cb.b, cb.n,
+              CAST(floor(1000.0 * ln(
+                  (CAST(cb.n AS DOUBLE) * CAST(tt.tot AS DOUBLE))
+                  / (CAST(c1.n1 AS DOUBLE) * CAST(c2.n2 AS DOUBLE))))
+                   AS BIGINT) AS pmi_milli
+       FROM cb JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tt
+       WHERE cb.n >= {_textops.PMI_MIN_COUNT})
+SELECT b, CAST(n AS BIGINT) AS n, pmi_milli
+FROM sc ORDER BY pmi_milli DESC, b LIMIT {_textops.PMI_TOPK}""",
+        # Integer CUSUM change-point per event type over daily counts;
+        # QUALIFY picks the max statistic with the earliest day.
+        "cusum_shift": """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+w AS (SELECT event_type, day,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS s,
+             SUM(c) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS k
+      FROM d)
+SELECT event_type, CAST(day AS BIGINT) AS shift_day,
+       CAST(ABS(n * s - k * tot) AS BIGINT) AS shift_stat,
+       CAST(n AS BIGINT) AS n_days
+FROM w
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY ABS(n * s - k * tot) DESC,
+                                    day) = 1""",
     }

@@ -419,6 +419,62 @@ def ewma_daily(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# cusum_shift — integer-exact change-point scan over daily counts
+# ---------------------------------------------------------------------------
+
+def cusum_shift(sf_dir: str):
+    """Per-event-type change-point detection over the daily count
+    series — the drift monitor of a streaming ingest pipeline.  With
+    observed days d_1 < ... < d_n and counts c_i, the scaled CUSUM
+    statistic at k is ``stat_k = |n * S_k - k * S_n|`` (S = prefix
+    sum) — the classic mean-shift scan with the division cleared, so
+    every term is int64 and the argmax is bit-deterministic.  Reports
+    per type the max statistic, the EARLIEST day attaining it, and the
+    series length.
+
+    Scale shape: the corpus pass reduces map-side to (type, day)
+    partial counts (``ewma_daily``'s epoch-day convention); the scan
+    itself is one vectorized kernel per type over the ~days-long
+    aggregate.  Partitioning assumption: event-type cardinality is
+    bounded (same contract as ewma_daily/ntile_buckets).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        c = g["c"].to_numpy()
+        n = np.int64(len(c))
+        s = np.cumsum(c)
+        k = np.arange(1, n + 1, dtype=np.int64)
+        stat = np.abs(n * s - k * s[-1])
+        i = int(np.argmax(stat))        # first max == earliest day
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "shift_day": [np.int64(g["day"].to_numpy()[i])],
+            "shift_stat": [np.int64(stat[i])],
+            "n_days": [n]})
+
+    return daily.groupby("event_type").map_groups(
+        scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # bfs_hops — multi-source BFS hop counts over the bipartite graph
 # ---------------------------------------------------------------------------
 

@@ -1291,6 +1291,102 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
             Sum("tf", alias_name="n_bigrams"))
 
 
+PMI_MIN_COUNT = 5     # bigram support floor for collocation candidates
+PMI_TOPK = 100        # global top-k collocations reported
+
+
+def pmi_topk(ds):
+    """Top-PMI bigram collocations (integer milli-nats) — the
+    collocation-mining primitive of a corpus-analysis pipeline: for
+    every bigram with corpus occurrence count n >= PMI_MIN_COUNT,
+    ``pmi_milli = floor(1000 * ln((n * T) / (c1 * c2)))`` where T is
+    the total bigram-occurrence count and c1/c2 are the
+    occurrence-weighted first-/second-word marginals; report the
+    global PMI_TOPK by (pmi_milli DESC, b ASC) — a total order, so the
+    limit boundary is deterministic.
+
+    Scale shape: the only corpus pass is ``doc_bigram_tf`` (distinct
+    (doc, bigram) rows leave each task; the occurrence stream never
+    shuffles).  Everything downstream runs on the vocab^2-bounded
+    bigram-count table: two marginal groupbys, a support filter BEFORE
+    the joins (marginals are computed over the full table, but only
+    candidates pay join cost), one vectorized score, and a sort+limit
+    whose input is candidate-bounded, never corpus-bounded.  The ln is
+    evaluated on the identical double expression the DuckDB oracle
+    uses ((n*T)/(c1*c2)), so the floor-quantized score is hash-exact.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import join_partitions_for
+
+    pairs = ds.map_batches(doc_bigram_tf, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=16384)
+
+    def cb_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["b", "w1", "tf"]).group_by(["b", "w1"]) \
+            .aggregate([("tf", "sum")])
+        return pa.table({"b": g["b"], "w1": g["w1"],
+                         "n": g["tf_sum"]})
+
+    cb = pairs.map_batches(cb_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["b", "w1"]).aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+
+    def add_w2(batch: pa.Table) -> pa.Table:
+        # b == w1 || ' ' || w2 with exactly one space (tokens come
+        # from splitting text on ' ', so they contain none); split at
+        # the first space rather than slicing by w1's length to stay
+        # codepoint-safe
+        w2 = pc.list_element(
+            pc.split_pattern(batch["b"], " ", max_splits=1), 1)
+        return batch.append_column("w2", w2)
+
+    cbw = cb.map_batches(add_w2, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+
+    def c1_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["w1", "n"]).group_by("w1") \
+            .aggregate([("n", "sum")])
+        return pa.table({"w1": g["w1"], "n1": g["n_sum"]})
+
+    def c2_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["w2", "n"]).group_by("w2") \
+            .aggregate([("n", "sum")])
+        return pa.table({"w2": g["w2"], "n2": g["n_sum"]})
+
+    c1 = cbw.map_batches(c1_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("w1").aggregate(Sum("n1", alias_name="n1"))
+    c2 = cbw.map_batches(c2_partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby("w2").aggregate(Sum("n2", alias_name="n2"))
+
+    tot = float(cbw.sum("n"))            # T: one scalar off the small table
+    n_bigrams = cbw.count()              # metadata-cheap (materialized)
+    np_small = join_partitions_for(n_bigrams)
+
+    cand = cbw.filter(expr=f"n >= {PMI_MIN_COUNT}")
+    j = cand.join(c1, join_type="inner", num_partitions=np_small,
+                  on=("w1",)) \
+        .join(c2, join_type="inner", num_partitions=np_small,
+              on=("w2",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy().astype(np.float64)
+        n1 = batch["n1"].to_numpy().astype(np.float64)
+        n2 = batch["n2"].to_numpy().astype(np.float64)
+        pmi = np.floor(1000.0 * np.log((n * tot) / (n1 * n2))) \
+            .astype(np.int64)
+        return pa.table({"b": batch["b"], "n": batch["n"],
+                         "pmi_milli": pa.array(pmi)})
+
+    return j.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .sort(["pmi_milli", "b"], descending=[True, False]) \
+        .limit(PMI_TOPK)
+
+
 def host_stats(ds):
     """Per-(host, top path segment) crawl rollup — the host-level
     aggregation sweep of a Common-Crawl pipeline: page count, total

@@ -376,3 +376,60 @@ def test_covisit_pairs_matches_bruteforce(ray_session, tmp_path):
     r = out.iloc[0]
     assert (int(r["u1"]), int(r["u2"]), int(r["days"])) == (1, 2, 3)
     assert COVISIT_MIN_DAYS == 3
+
+
+def test_cusum_shift_finds_level_change_and_breaks_ties_early(
+        ray_session, tmp_path):
+    from geo_inference_ray.analytics import cusum_shift
+
+    base = 1_700_006_400 * US
+    day_us = 86_400 * US
+    rows, eid = [], 0
+    # type "a": daily counts [1, 1, 10, 10] -> S=[1,2,12,22], n=4,
+    # stat_k = |4*S_k - k*22| = [18, 36, 18, 0] -> max 36 at day 1
+    for d, c in enumerate([1, 1, 10, 10]):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, 1, "a"))
+    # type "b": counts [5, 5] -> stat = [0, 0]; earliest day wins
+    for d in range(2):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, 1, "b"))
+    d = _write_events(tmp_path, rows)
+    out = cusum_shift(d).to_pandas().set_index("event_type")
+    day0 = (base // US) // 86_400
+    a = out.loc["a"]
+    assert (int(a["shift_day"]), int(a["shift_stat"]),
+            int(a["n_days"])) == (day0 + 1, 36, 4)
+    b = out.loc["b"]
+    assert (int(b["shift_day"]), int(b["shift_stat"]),
+            int(b["n_days"])) == (day0, 0, 2)
+
+
+def test_pmi_topk_scores_and_support_floor(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import PMI_MIN_COUNT, pmi_topk
+
+    assert PMI_MIN_COUNT == 5
+    # cb = {"a b": 6, "b a": 5, "b c": 1}; T=12, c1={a:6,b:6},
+    # c2={b:6,a:5,c:1} -> pmi("a b") = floor(1000*ln(6*12/(6*6)))
+    # = floor(1000*ln 2) = 693 and pmi("b a") =
+    # floor(1000*ln(5*12/(6*5))) = 693 too — the tie is broken by
+    # bigram ASC.  "b c" (n=1) stays under the support floor but
+    # still counts toward T and the marginals.
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b a b a b a b a b a b", "b c"],
+                         pa.string()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    ds = rd.read_parquet(str(d / "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = pmi_topk(ds).to_pandas()
+    assert [(r.b, int(r.n), int(r.pmi_milli))
+            for r in out.itertuples()] == [("a b", 6, 693),
+                                           ("b a", 5, 693)]
