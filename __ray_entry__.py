@@ -1648,10 +1648,36 @@ def q_cusum_shift(sf_dir: str):
     return _an.cusum_shift(sf_dir)
 
 
+def q_keyness_topk(sf_dir: str):
+    """Per-source Dunning-G2 keyness keywords (top 20, milli-nat
+    floor, support floor 5): corpus-linguistics 'what characterizes
+    this source vs the rest'."""
+    import ray.data as rd
+
+    return _textops.keyness_topk(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]))
+
+
+def q_theilsen_slope(sf_dir: str):
+    """Per-event-type Theil-Sen daily-count trend: lower median of
+    integer milli-slopes over all day pairs."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.theilsen_slope(sf_dir)
+
+
+def q_gini_by_source(sf_dir: str):
+    """Per-source exact integer Gini coefficient of document lengths
+    (micro units) from the length histogram."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.gini_by_source(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  190
+    # so the dict is ordered by evidence need, not by theme.  193
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1663,11 +1689,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                72 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 43 post-freeze) — each pinned
+    #                75 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 46 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 72 (README "Driver
-    # correctness window" names the suggested 22-query defer set).
+    # Round 5 must front-load 50 of those 75 (README "Driver
+    # correctness window" names the suggested 25-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1861,6 +1887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_compact": q_s2_compact,
         "pmi_topk": q_pmi_topk,
         "cusum_shift": q_cusum_shift,
+        "keyness_topk": q_keyness_topk,
+        "theilsen_slope": q_theilsen_slope,
+        "gini_by_source": q_gini_by_source,
     }
 
 
@@ -4554,4 +4583,69 @@ FROM w
 QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
                            ORDER BY ABS(n * s - k * tot) DESC,
                                     day) = 1""",
+        # Dunning log-likelihood keyness per source: expected counts
+        # E = (a+b)*N_side/N, b-term zero when b = 0; identical double
+        # parenthesization to the engine kernel.
+        "keyness_topk": f"""
+WITH flat AS (SELECT d.source, unnest(string_split(d.text, ' ')) AS token
+              FROM documents d),
+st AS (SELECT source, token, COUNT(*) AS a FROM flat
+       GROUP BY source, token),
+tt AS (SELECT token, SUM(a) AS t FROM st GROUP BY token),
+ns AS (SELECT source, SUM(a) AS na FROM st GROUP BY source),
+nn AS (SELECT SUM(a) AS n FROM st),
+sc AS (SELECT st.source, st.token, st.a,
+              CAST(tt.t - st.a AS BIGINT) AS b, ns.na, nn.n
+       FROM st JOIN tt USING (token) JOIN ns USING (source)
+            CROSS JOIN nn
+       WHERE st.a >= {_textops.KEYNESS_MIN_COUNT}),
+g AS (SELECT source, token, a,
+        CAST(floor(1000.0 * (2.0 * (
+            CAST(a AS DOUBLE) * ln(CAST(a AS DOUBLE)
+                / ((CAST(a + b AS DOUBLE) * CAST(na AS DOUBLE))
+                   / CAST(n AS DOUBLE)))
+            + CASE WHEN b = 0 THEN 0.0 ELSE
+                CAST(b AS DOUBLE) * ln(CAST(b AS DOUBLE)
+                  / ((CAST(a + b AS DOUBLE) * CAST(n - na AS DOUBLE))
+                     / CAST(n AS DOUBLE)))
+              END))) AS BIGINT) AS g2_milli
+      FROM sc)
+SELECT source, token, CAST(a AS BIGINT) AS a, g2_milli
+FROM g
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY g2_milli DESC, token)
+        <= {_textops.KEYNESS_TOPK}""",
+        # Theil-Sen: lower median of floor(1000*(dc/dd)) over all day
+        # pairs; single-day types have no pairs and are absent.
+        "theilsen_slope": """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+p AS (SELECT a.event_type,
+             CAST(floor(1000.0 * (CAST(b.c - a.c AS DOUBLE)
+                                  / CAST(b.day - a.day AS DOUBLE)))
+                  AS BIGINT) AS sm
+      FROM d a JOIN d b ON a.event_type = b.event_type
+                        AND b.day > a.day),
+r AS (SELECT event_type, sm,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY sm) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM p)
+SELECT event_type, CAST(sm AS BIGINT) AS slope_milli,
+       CAST(m AS BIGINT) AS n_pairs
+FROM r WHERE i = (m + 1) // 2""",
+        # Exact integer Gini from the sorted formula; the numerator is
+        # tie-order invariant, the division is integer floor division.
+        "gini_by_source": """
+WITH r AS (SELECT source, n_chars AS x,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY n_chars) AS i,
+                  COUNT(*) OVER (PARTITION BY source) AS n,
+                  SUM(n_chars) OVER (PARTITION BY source) AS sx
+           FROM documents)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+       CAST((1000000 * SUM((2 * i - n - 1) * x))
+            // (MAX(n) * MAX(sx)) AS BIGINT) AS gini_micro
+FROM r GROUP BY source""",
     }

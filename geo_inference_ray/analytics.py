@@ -475,6 +475,124 @@ def cusum_shift(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# theilsen_slope — robust daily-count trend per event type
+# ---------------------------------------------------------------------------
+
+def theilsen_slope(sf_dir: str):
+    """Per-event-type Theil–Sen trend over the daily count series —
+    the robust (median-of-pairwise-slopes) alternative to least
+    squares, immune to count spikes.  Each pair of observed days
+    (i < j) contributes ``floor(1000 * ((c_j - c_i) / (d_j - d_i)))``
+    (one IEEE division then floor — bit-deterministic), and the
+    reported statistic is the LOWER median (the ceil(m/2)-th smallest)
+    of those integer milli-slopes, avoiding the engine-specific
+    even-count interpolation of a true median.  Types with a single
+    observed day have no pairs and are absent (both sides).
+
+    Scale shape: the corpus pass reduces map-side to (type, day)
+    partials; the O(days^2) pair scan runs per type over the
+    ~days-long aggregate (days are calendar-bounded — 365/year — so
+    pairs are ~66K/type/year, a vectorized triu kernel, never corpus
+    rows).  Same bounded-type-cardinality contract as ewma_daily."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        d = g["day"].to_numpy()
+        c = g["c"].to_numpy()
+        if len(d) < 2:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "slope_milli": pd.Series([], dtype=np.int64),
+                                 "n_pairs": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(len(d), k=1)
+        sm = np.floor(1000.0 * ((c[ib] - c[ia]).astype(np.float64)
+                                / (d[ib] - d[ia]).astype(np.float64))) \
+            .astype(np.int64)
+        sm.sort()
+        m = len(sm)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "slope_milli": [np.int64(sm[(m + 1) // 2 - 1])],
+            "n_pairs": [np.int64(m)]})
+
+    return daily.groupby("event_type").map_groups(
+        scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# gini_by_source — exact integer Gini of document lengths
+# ---------------------------------------------------------------------------
+
+def gini_by_source(sf_dir: str):
+    """Per-source Gini coefficient of document lengths (micro units,
+    exact) — the inequality profile of a crawl: 0 = every page the
+    same length, ->1 = a few giant pages dominate.  Uses the sorted
+    formula ``G = sum_i (2i - n - 1) x_(i) / (n * sum x)`` whose
+    numerator is tie-order invariant (equal x share a contiguous rank
+    run), evaluated entirely in arbitrary-precision Python ints from
+    the per-source LENGTH HISTOGRAM, then floor-divided:
+    ``gini_micro = (1_000_000 * num) // den`` — no float anywhere.
+
+    Scale shape: the corpus pass reduces map-side to (source, n_chars)
+    partial counts; the kernel runs per source over the
+    histogram-sized aggregate (distinct lengths x sources, never
+    docs).  For a run of count c ending at cumulative rank C (start
+    s = C - c), sum of (2i - n - 1) over the run collapses to
+    C(C+1) - s(s+1) - c(n+1)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "n_chars"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "x": g["n_chars"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = docs.map_batches(hist_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "x"]).aggregate(Sum("c", alias_name="c"))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("x", kind="stable")
+        x = [int(v) for v in g["x"].to_numpy()]
+        c = [int(v) for v in g["c"].to_numpy()]
+        n = sum(c)
+        sumx = sum(ci * xi for ci, xi in zip(c, x))
+        num, C = 0, 0
+        for ci, xi in zip(c, x):
+            s = C
+            C += ci
+            num += xi * (C * (C + 1) - s * (s + 1) - ci * (n + 1))
+        den = n * sumx
+        gini = (1_000_000 * num) // den if den else 0
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_docs": [np.int64(n)],
+                             "gini_micro": [np.int64(gini)]})
+
+    return hist.groupby("source").map_groups(
+        kernel, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # bfs_hops — multi-source BFS hop counts over the bipartite graph
 # ---------------------------------------------------------------------------
 

@@ -1294,6 +1294,111 @@ def bigram_surprisal(ds, rows_hint: int | None = None):
 PMI_MIN_COUNT = 5     # bigram support floor for collocation candidates
 PMI_TOPK = 100        # global top-k collocations reported
 
+KEYNESS_MIN_COUNT = 5   # in-source support floor for keyword candidates
+KEYNESS_TOPK = 20       # keywords reported per source
+
+
+def keyness_topk(ds):
+    """Per-source keyword extraction by Dunning log-likelihood (G2)
+    keyness — the corpus-linguistics "what words characterize this
+    source vs the rest" operator, distinct from tf-idf (document
+    weighting) and PMI (bigram association).  For token t in source s
+    with in-source occurrence count a, rest-of-corpus count b, source
+    occurrence total NA and corpus total N:
+    ``G2 = 2*(a*ln(a/E1) + b*ln(b/E2))`` with expected counts
+    ``E1 = (a+b)*NA/N`` and ``E2 = (a+b)*(N-NA)/N`` (the b term is 0
+    when b = 0); reported as floor(1000*G2) so the double expression
+    is identical to the oracle's and hash-exact.  Top KEYNESS_TOPK per
+    source by (g2_milli DESC, token ASC), support floor a >= 5.
+
+    Scale shape: ONE corpus pass emits batch-local (source, token)
+    partial counts (the occurrence stream never shuffles); the
+    source-token table is |sources| x vocab bounded.  Token row totals
+    come from a groupby of that table, source totals from a tiny
+    aggregate broadcast as a driver dict (|sources| entries).  The
+    per-source top-k is a two-stage partial top-k (each batch emits
+    <= sources*k rows before the single final fold), never a global
+    sort."""
+    from ray.data.aggregate import Sum
+
+    from .relational import join_partitions_for
+
+    def st_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).to_numpy()
+        flat = pa.table({
+            "source": pa.array(np.repeat(
+                batch["source"].to_numpy(zero_copy_only=False), n)),
+            "token": pc.list_flatten(toks)})
+        g = flat.group_by(["source", "token"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "token": g["token"],
+                         "a": pc.cast(g["count_all"], pa.int64())})
+
+    st = ds.map_batches(st_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=16384) \
+        .groupby(["source", "token"]).aggregate(Sum("a", alias_name="a")) \
+        .materialize()
+
+    def tt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["token", "a"]).group_by("token") \
+            .aggregate([("a", "sum")])
+        return pa.table({"token": g["token"], "t": g["a_sum"]})
+
+    tt = st.map_batches(tt_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .groupby("token").aggregate(Sum("t", alias_name="t"))
+
+    # source totals: |sources| rows — a driver dict, not a join side
+    na = {r["source"]: int(r["a"])
+          for r in st.groupby("source")
+          .aggregate(Sum("a", alias_name="a")).take_all()}
+    n_tot = sum(na.values())
+
+    np_small = join_partitions_for(st.count())
+    cand = st.filter(expr=f"a >= {KEYNESS_MIN_COUNT}") \
+        .join(tt, join_type="inner", num_partitions=np_small,
+              on=("token",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["t"].to_numpy() - a
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        na_i = np.array([na[s] for s in src], dtype=np.int64)
+        nb_i = n_tot - na_i
+        af = a.astype(np.float64)
+        bf = b.astype(np.float64)
+        abf = (a + b).astype(np.float64)
+        naf = na_i.astype(np.float64)
+        nbf = nb_i.astype(np.float64)
+        nf = float(n_tot)
+        t1 = af * np.log(af / ((abf * naf) / nf))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t2 = np.where(b == 0, 0.0,
+                          bf * np.log(bf / ((abf * nbf) / nf)))
+        g2 = np.floor(1000.0 * (2.0 * (t1 + t2))).astype(np.int64)
+        return pa.table({"source": batch["source"],
+                         "token": batch["token"],
+                         "a": batch["a"],
+                         "g2_milli": pa.array(g2)})
+
+    scored = cand.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["source", "g2_milli", "token"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("source", sort=False).head(KEYNESS_TOPK),
+            preserve_index=False)
+
+    return scored.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(topk_part, batch_format="pyarrow",
+                     batch_size=None)
+
 
 def pmi_topk(ds):
     """Top-PMI bigram collocations (integer milli-nats) — the

@@ -433,3 +433,87 @@ def test_pmi_topk_scores_and_support_floor(ray_session, tmp_path):
     assert [(r.b, int(r.n), int(r.pmi_milli))
             for r in out.itertuples()] == [("a b", 6, 693),
                                            ("b a", 5, 693)]
+
+
+def test_theilsen_lower_median_and_single_day_absent(
+        ray_session, tmp_path):
+    from geo_inference_ray.analytics import theilsen_slope
+
+    base = 1_700_006_400 * US
+    day_us = 86_400 * US
+    rows, eid = [], 0
+    # type "a": counts [1, 3, 2] on days 0,1,3 -> slopes
+    # (3-1)/1=2.0, (2-1)/3=0.333.., (2-3)/2=-0.5 -> milli
+    # [2000, 333, -500] sorted [-500, 333, 2000]; lower median
+    # (m=3 -> 2nd) = 333
+    for d, c in [(0, 1), (1, 3), (3, 2)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, 1, "a"))
+    # type "b": one observed day -> no pairs -> absent
+    eid += 1
+    rows.append((eid, base + eid, 1, "b"))
+    d = _write_events(tmp_path, rows)
+    out = theilsen_slope(d).to_pandas()
+    assert set(out["event_type"]) == {"a"}
+    r = out.iloc[0]
+    assert (int(r["slope_milli"]), int(r["n_pairs"])) == (333, 3)
+
+
+def test_gini_exact_integer_values(ray_session, tmp_path):
+    from geo_inference_ray.analytics import gini_by_source
+
+    # source "u": all equal -> gini 0.  source "v": [1, 3] ->
+    # num = (2*1-3)*1 + (2*2-3)*3 = -1 + 3 = 2; den = 2*4 = 8 ->
+    # 250000.  source "w": [0, 0, 6] -> num = (2*3-4)*6 = 12;
+    # den = 3*6 = 18 -> 666666 (floor).
+    lens = [("u", 5), ("u", 5), ("v", 1), ("v", 3),
+            ("w", 0), ("w", 0), ("w", 6)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(lens))), pa.int64()),
+        "text": pa.array(["x"] * len(lens), pa.string()),
+        "lang": pa.array(["en"] * len(lens), pa.string()),
+        "source": pa.array([s for s, _ in lens], pa.string()),
+        "n_chars": pa.array([n for _, n in lens], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = gini_by_source(str(d)).to_pandas().set_index("source")
+    assert int(out.loc["u", "gini_micro"]) == 0
+    assert int(out.loc["v", "gini_micro"]) == 250_000
+    assert int(out.loc["w", "gini_micro"]) == 666_666
+    assert int(out.loc["w", "n_docs"]) == 3
+
+
+def test_keyness_support_floor_and_b_zero_term(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (KEYNESS_MIN_COUNT,
+                                           keyness_topk)
+
+    assert KEYNESS_MIN_COUNT == 5
+    # source A: "only" x5 (exclusive to A -> b=0 term exercised),
+    # "both" x5; source B: "both" x5, "rare" x4 (under the floor).
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "source": pa.array(["A", "B"], pa.string()),
+        "text": pa.array([" ".join(["only"] * 5 + ["both"] * 5),
+                          " ".join(["both"] * 5 + ["rare"] * 4)],
+                         pa.string()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    ds = rd.read_parquet(str(d / "documents.parquet"),
+                         columns=["source", "text"])
+    out = keyness_topk(ds).to_pandas()
+    # "rare" (a=4) filtered; "only" in A has b=0: N=19, NA=10,
+    # E1 = 5*10/19 -> G2 = 2*5*ln(19/10) = 6.418.. -> 6418
+    keys = {(r.source, r.token): int(r.g2_milli)
+            for r in out.itertuples()}
+    assert ("B", "rare") not in keys
+    assert keys[("A", "only")] == int(
+        np.floor(1000.0 * (2.0 * (5.0 * np.log(5.0 / ((5.0 * 10.0) / 19.0))))))
+    # "both" is evenly split vs expectation in B (a=5, b=5, na=9):
+    assert ("B", "both") in keys
