@@ -1674,10 +1674,32 @@ def q_gini_by_source(sf_dir: str):
     return _an.gini_by_source(sf_dir)
 
 
+def q_moran_i(sf_dir: str):
+    """Global Moran's I over hex7 page counts (ring-1 weights):
+    exact integer components (n_cells, w_pairs, num, den)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.moran_i(_stages.geo_pipeline(sf_dir))
+
+
+def q_lexical_entropy(sf_dir: str):
+    """Per-doc lexical diversity: token total, distinct count, and the
+    order-free integer entropy term sum(tf * floor(1000*ln(tf)))."""
+    return _textops.lexical_entropy(_docs_text(sf_dir))
+
+
+def q_fano_factor(sf_dir: str):
+    """Per-event-type burstiness of daily counts: exact integer
+    variance-to-mean in micro units."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.fano_factor(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  193
+    # so the dict is ordered by evidence need, not by theme.  196
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1689,11 +1711,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                75 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 46 post-freeze) — each pinned
+    #                78 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 49 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 75 (README "Driver
-    # correctness window" names the suggested 25-query defer set).
+    # Round 5 must front-load 50 of those 78 (README "Driver
+    # correctness window" names the suggested 28-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1890,6 +1912,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_topk": q_keyness_topk,
         "theilsen_slope": q_theilsen_slope,
         "gini_by_source": q_gini_by_source,
+        "moran_i": q_moran_i,
+        "lexical_entropy": q_lexical_entropy,
+        "fano_factor": q_fano_factor,
     }
 
 
@@ -4648,4 +4673,45 @@ SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
        CAST((1000000 * SUM((2 * i - n - 1) * x))
             // (MAX(n) * MAX(sx)) AS BIGINT) AS gini_micro
 FROM r GROUP BY source""",
+        # Moran's I integer components over hex7 page counts with
+        # ring-1 hex weights (self excluded); the scatter-to-target
+        # CTE mirrors geoext.moran_i's aggregated-cell scatter.
+        "moran_i": _WH + f""",
+cells AS (SELECT hex7, COUNT(*) AS x FROM hex9 GROUP BY hex7),
+st AS (SELECT COUNT(*) AS nn, SUM(x) AS s FROM cells),
+z AS (SELECT hex7, nn * x - s AS z FROM cells, st),
+offs AS (SELECT * FROM (VALUES {", ".join(
+    f"({o})" for o in _gx_mod.HEX_RING1_OFFSETS if o != 0)}) t(off)),
+nb AS (SELECT b.hex7 + o.off AS i, SUM(b.z) AS zn, COUNT(*) AS w
+       FROM z b CROSS JOIN offs o GROUP BY b.hex7 + o.off)
+SELECT (SELECT CAST(nn AS BIGINT) FROM st) AS n_cells,
+       CAST(SUM(nb.w) AS BIGINT) AS w_pairs,
+       CAST(SUM(z.z * nb.zn) AS BIGINT) AS num,
+       (SELECT CAST(SUM(z2.z * z2.z) AS BIGINT) FROM z z2) AS den
+FROM z JOIN nb ON nb.i = z.hex7""",
+        # Per-doc lexical diversity; the entropy term is quantized per
+        # tf VALUE before the sum, so it is reduction-order-free.
+        "lexical_entropy": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+       GROUP BY doc_id, token)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(tf * CAST(floor(1000.0 * ln(CAST(tf AS DOUBLE)))
+                          AS BIGINT)) AS BIGINT) AS ent_term_milli
+FROM tf GROUP BY doc_id""",
+        # Fano factor: numerator n*s2 - s1^2 >= 0, so integer floor
+        # division is engine-agnostic.
+        "fano_factor": """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+m AS (SELECT event_type, SUM(c) AS s1, SUM(c * c) AS s2,
+             COUNT(*) AS n
+      FROM d GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST((1000000 * (n * s2 - s1 * s1)) // (n * s1) AS BIGINT)
+           AS fano_micro
+FROM m""",
     }

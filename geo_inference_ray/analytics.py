@@ -536,6 +536,71 @@ def theilsen_slope(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# fano_factor — burstiness of per-type daily counts
+# ---------------------------------------------------------------------------
+
+def fano_factor(sf_dir: str):
+    """Per-event-type burstiness (Fano factor, variance-to-mean of
+    the daily count series) in exact micro units:
+    ``fano_micro = (1_000_000 * (n*s2 - s1^2)) // (n * s1)`` with
+    n observed days, s1 = sum c, s2 = sum c^2 — the numerator is the
+    population variance scaled by n^2, non-negative, so integer floor
+    division is engine-agnostic.  ~1 = Poisson arrivals, >1 bursty,
+    <1 regular.
+
+    Scale shape: one corpus pass to (type, day) map-side partials,
+    one groupby to exact daily counts, then a SECOND map-side partial
+    (c, c^2, 1) fold and a |types|-row final aggregate — no per-group
+    Python, no sort."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def mom_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy()
+        t = pa.table({"event_type": batch["event_type"],
+                      "s1": pa.array(c), "s2": pa.array(c * c),
+                      "n": pa.array(np.ones(len(c), dtype=np.int64))})
+        g = t.group_by("event_type").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("n", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "s1": g["s1_sum"], "s2": g["s2_sum"],
+                         "n": g["n_sum"]})
+
+    mom = daily.map_batches(mom_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+        .groupby("event_type").aggregate(Sum("s1", alias_name="s1"),
+                                         Sum("s2", alias_name="s2"),
+                                         Sum("n", alias_name="n"))
+
+    def fano(batch: pa.Table) -> pa.Table:
+        s1 = batch["s1"].to_numpy()
+        s2 = batch["s2"].to_numpy()
+        n = batch["n"].to_numpy()
+        f = (1_000_000 * (n * s2 - s1 * s1)) // (n * s1)
+        return pa.table({"event_type": batch["event_type"],
+                         "n_days": pa.array(n),
+                         "fano_micro": pa.array(f.astype(np.int64))})
+
+    return mom.map_batches(fano, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # gini_by_source — exact integer Gini of document lengths
 # ---------------------------------------------------------------------------
 

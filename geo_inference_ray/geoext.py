@@ -99,6 +99,115 @@ def cell_smooth(ds):
 
 
 # ---------------------------------------------------------------------------
+# moran_i — global spatial autocorrelation over hex7 page counts
+# ---------------------------------------------------------------------------
+
+def moran_i(ds):
+    """Global Moran's I spatial autocorrelation of per-hex7 page
+    counts with ring-1 weights (the 6 axial hex neighbors,
+    self-weight 0), over POPULATED cells only — the classic
+    point-pattern clustering statistic (clustered counts -> I > 0,
+    checkerboard -> I < 0).
+
+    Division-free exact form: with N populated cells, S = sum x and
+    z'_i = N*x_i - S (mean-centering cleared of the /N), the statistic
+    is ``I = (N/W) * num/den`` with ``num = sum_i z'_i * sum_{j~i}
+    z'_j``, ``den = sum_i z'_i^2`` and W the ordered populated
+    neighbor-pair count.  This operator returns the one-row INTEGER
+    component table (n_cells, w_pairs, num, den) — no float anywhere,
+    so the DuckDB mirror is exact by construction (num may be
+    negative; emitting components avoids engine-specific floor/trunc
+    division semantics).
+
+    Scale shape: exactly cell_smooth's — map-side per-cell partial
+    counts, one groupby to exact counts, a 6x scatter of the
+    AGGREGATED cell rows for the neighbor z-sum + pair count, one
+    cell-bounded join, and int64 partial sums folded by a tiny final
+    aggregate.  Pages shuffle once (cell partials); everything after
+    is O(populated cells).  int64 bound: |num| <= N * (N*x_max)^2 —
+    fine through ~1e9-page regional extracts; a planetary 100 TB run
+    needs the components widened to two-limb accumulation (documented
+    seam, same as the reference's area accumulators)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"hex7": pa.array(u),
+                         "x": pa.array(c.astype(np.int64))})
+
+    counts = ds.select_columns(["hex7"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("x", alias_name="x")) \
+        .materialize()
+
+    n_cells = counts.count()
+    if n_cells == 0:
+        return pa.table({"n_cells": pa.array([0], pa.int64()),
+                         "w_pairs": pa.array([0], pa.int64()),
+                         "num": pa.array([0], pa.int64()),
+                         "den": pa.array([0], pa.int64())})
+    s = int(counts.sum("x"))
+
+    def center(batch: pa.Table) -> pa.Table:
+        z = n_cells * batch["x"].to_numpy() - s
+        return pa.table({"hex7": batch["hex7"], "z": pa.array(z)})
+
+    z = counts.map_batches(center, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    offs = np.asarray([o for o in HEX_RING1_OFFSETS if o != 0],
+                      dtype=np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        zz = batch["z"].to_numpy()
+        idx = np.repeat(np.arange(len(cell)), len(offs))
+        return pa.table({
+            "hex7": pa.array(cell[idx] + np.tile(offs, len(cell))),
+            "zn": pa.array(zz[idx]),
+            "w": pa.array(np.ones(len(idx), dtype=np.int64))})
+
+    nb = z.map_batches(scatter, batch_format="pyarrow",
+                       zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("zn", alias_name="zn"),
+                                   Sum("w", alias_name="w"))
+
+    from .relational import join_partitions_for
+
+    joined = z.join(nb, join_type="inner",
+                    num_partitions=join_partitions_for(n_cells),
+                    on=("hex7",))
+
+    def num_partial(batch: pa.Table) -> pa.Table:
+        zz = batch["z"].to_numpy()
+        return pa.table({
+            "num": pa.array([int((zz * batch["zn"].to_numpy()).sum())]),
+            "w_pairs": pa.array([int(batch["w"].to_numpy().sum())])})
+
+    agg = joined.map_batches(num_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .sum(["num", "w_pairs"])
+    if agg is None:          # every populated cell isolated
+        agg = {"sum(num)": 0, "sum(w_pairs)": 0}
+
+    def den_partial(batch: pa.Table) -> pa.Table:
+        zz = batch["z"].to_numpy()
+        return pa.table({"den": pa.array([int((zz * zz).sum())])})
+
+    den = z.map_batches(den_partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .sum("den")
+
+    return pa.table({"n_cells": pa.array([n_cells], pa.int64()),
+                     "w_pairs": pa.array([int(agg["sum(w_pairs)"])],
+                                         pa.int64()),
+                     "num": pa.array([int(agg["sum(num)"])], pa.int64()),
+                     "den": pa.array([int(den)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # track_legs — per-cluster ordered great-circle legs (chord metric)
 # ---------------------------------------------------------------------------
 

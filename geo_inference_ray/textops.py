@@ -1298,6 +1298,42 @@ KEYNESS_MIN_COUNT = 5   # in-source support floor for keyword candidates
 KEYNESS_TOPK = 20       # keywords reported per source
 
 
+def lexical_entropy(ds):
+    """Per-document lexical-diversity profile — token total, distinct
+    count, and the integer entropy term ``ent_term_milli =
+    sum over distinct tokens of tf * floor(1000 * ln(tf))`` (the
+    order-independent integer-quantized piece of Shannon entropy:
+    H = ln(n) - ent_term/1000/n, derivable downstream without any
+    float reduction crossing the engine/oracle boundary).
+
+    Scale shape: documents are row-atomic, so the whole computation is
+    batch-local — tokenize, one in-batch (doc, token) groupby, one
+    in-batch per-doc fold; NOTHING shuffles.  The quantization is per
+    tf VALUE (floor before the sum), so the integer per-doc sum is
+    reduction-order-free and hash-exact."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        tf = doc_token_tf(batch)
+        df = tf.to_pandas()
+        t = df["tf"].to_numpy()
+        df["ent"] = t * np.floor(1000.0 * np.log(
+            t.astype(np.float64))).astype(np.int64)
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), n_distinct=("tf", "size"),
+            ent_term_milli=("ent", "sum"))
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy()
+                                 .astype(np.int64)),
+            "n_distinct": pa.array(g["n_distinct"].to_numpy()
+                                   .astype(np.int64)),
+            "ent_term_milli": pa.array(g["ent_term_milli"].to_numpy()
+                                       .astype(np.int64))})
+
+    return ds.map_batches(kernel, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=16384)
+
+
 def keyness_topk(ds):
     """Per-source keyword extraction by Dunning log-likelihood (G2)
     keyness — the corpus-linguistics "what words characterize this

@@ -517,3 +517,55 @@ def test_keyness_support_floor_and_b_zero_term(ray_session, tmp_path):
         np.floor(1000.0 * (2.0 * (5.0 * np.log(5.0 / ((5.0 * 10.0) / 19.0))))))
     # "both" is evenly split vs expectation in B (a=5, b=5, na=9):
     assert ("B", "both") in keys
+
+
+def test_fano_factor_exact_micro(ray_session, tmp_path):
+    from geo_inference_ray.analytics import fano_factor
+
+    base = 1_700_006_400 * US
+    day_us = 86_400 * US
+    rows, eid = [], 0
+    # type "a": daily counts [1, 3] -> n=2, s1=4, s2=10 ->
+    # (1e6 * (2*10 - 16)) // (2*4) = 500000
+    for d, c in [(0, 1), (1, 3)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, 1, "a"))
+    d = _write_events(tmp_path, rows)
+    out = fano_factor(d).to_pandas()
+    assert (int(out["n_days"].iloc[0]),
+            int(out["fano_micro"].iloc[0])) == (2, 500_000)
+
+
+def test_lexical_entropy_orderfree_quantization(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import lexical_entropy
+
+    # "x x y": tf = {x: 2, y: 1} -> ent = 2*floor(1000*ln 2) + 1*0
+    # = 1386; n_tokens 3, n_distinct 2
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["x x y"], pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = lexical_entropy(
+        rd.read_parquet(str(d / "documents.parquet"))).to_pandas()
+    r = out.iloc[0]
+    assert (int(r["n_tokens"]), int(r["n_distinct"]),
+            int(r["ent_term_milli"])) == (3, 2, 1386)
+
+
+def test_moran_i_perfect_anticorrelation(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import moran_i
+
+    # two adjacent populated cells (offset +1 is a ring-1 neighbor),
+    # counts 2 and 1: N=2, S=3, z = [1, -1]; each sees only the other
+    # -> num = -2, w = 2, den = 2 -> I = (N/W)*num/den = -1
+    ds = rd.from_arrow(pa.table(
+        {"hex7": pa.array([100, 100, 101], pa.int64())}))
+    out = moran_i(ds).to_pandas().iloc[0]
+    assert (int(out["n_cells"]), int(out["w_pairs"]),
+            int(out["num"]), int(out["den"])) == (2, 2, -2, 2)
