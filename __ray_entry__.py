@@ -1696,10 +1696,24 @@ def q_fano_factor(sf_dir: str):
     return _an.fano_factor(sf_dir)
 
 
+def q_lisa_cells(sf_dir: str):
+    """Local Moran (LISA) HH/LL/HL/LH cluster labels per populated
+    hex7 cell — the per-cell decomposition of moran_i."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.lisa_cells(_stages.geo_pipeline(sf_dir))
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf rank-frequency fit components (integer-quantized log-log
+    sums) from the frequency histogram — no vocab-wide rank pass."""
+    return _textops.zipf_fit(_docs_text(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  196
+    # so the dict is ordered by evidence need, not by theme.  198
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1711,11 +1725,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                78 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 49 post-freeze) — each pinned
+    #                80 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 51 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 78 (README "Driver
-    # correctness window" names the suggested 28-query defer set).
+    # Round 5 must front-load 50 of those 80 (README "Driver
+    # correctness window" names the suggested 30-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1915,6 +1929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moran_i": q_moran_i,
         "lexical_entropy": q_lexical_entropy,
         "fano_factor": q_fano_factor,
+        "lisa_cells": q_lisa_cells,
+        "zipf_fit": q_zipf_fit,
     }
 
 
@@ -4714,4 +4730,42 @@ SELECT event_type, CAST(n AS BIGINT) AS n_days,
        CAST((1000000 * (n * s2 - s1 * s1)) // (n * s1) AS BIGINT)
            AS fano_micro
 FROM m""",
+        # LISA quadrant labels: same CTE chain as moran_i, per-cell
+        # output with sign-quadrant CASE.
+        "lisa_cells": _WH + f""",
+cells AS (SELECT hex7, COUNT(*) AS x FROM hex9 GROUP BY hex7),
+st AS (SELECT COUNT(*) AS nn, SUM(x) AS s FROM cells),
+z AS (SELECT hex7, nn * x - s AS z FROM cells, st),
+offs AS (SELECT * FROM (VALUES {", ".join(
+    f"({o})" for o in _gx_mod.HEX_RING1_OFFSETS if o != 0)}) t(off)),
+nb AS (SELECT b.hex7 + o.off AS i, SUM(b.z) AS zn, COUNT(*) AS w
+       FROM z b CROSS JOIN offs o GROUP BY b.hex7 + o.off)
+SELECT CAST(z.hex7 AS BIGINT) AS hex7, CAST(z.z AS BIGINT) AS z,
+       CAST(nb.zn AS BIGINT) AS zn, CAST(nb.w AS BIGINT) AS w,
+       CASE WHEN z.z > 0 AND nb.zn > 0 THEN 'HH'
+            WHEN z.z < 0 AND nb.zn < 0 THEN 'LL'
+            WHEN z.z > 0 AND nb.zn < 0 THEN 'HL'
+            WHEN z.z < 0 AND nb.zn > 0 THEN 'LH'
+            ELSE 'NS' END AS label
+FROM z JOIN nb ON nb.i = z.hex7""",
+        # Zipf components: rank over (freq DESC, token ASC) — within a
+        # frequency run the rank SET is fixed, so the quantized sums
+        # are tie-assignment independent (the engine exploits this).
+        "zipf_fit": """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents),
+v AS (SELECT token, COUNT(*) AS f FROM toks GROUP BY token),
+r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token) AS rank
+      FROM v),
+q AS (SELECT CAST(floor(1000.0 * ln(CAST(rank AS DOUBLE)))
+                  AS BIGINT) AS lx,
+             CAST(floor(1000.0 * ln(CAST(f AS DOUBLE)))
+                  AS BIGINT) AS ly
+      FROM r)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(lx) AS BIGINT) AS sx,
+       CAST(SUM(ly) AS BIGINT) AS sy,
+       CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+       CAST(SUM(lx * lx) AS BIGINT) AS sxx
+FROM q""",
     }

@@ -99,35 +99,15 @@ def cell_smooth(ds):
 
 
 # ---------------------------------------------------------------------------
-# moran_i — global spatial autocorrelation over hex7 page counts
+# moran_i / lisa_cells — spatial autocorrelation over hex7 page counts
 # ---------------------------------------------------------------------------
 
-def moran_i(ds):
-    """Global Moran's I spatial autocorrelation of per-hex7 page
-    counts with ring-1 weights (the 6 axial hex neighbors,
-    self-weight 0), over POPULATED cells only — the classic
-    point-pattern clustering statistic (clustered counts -> I > 0,
-    checkerboard -> I < 0).
-
-    Division-free exact form: with N populated cells, S = sum x and
-    z'_i = N*x_i - S (mean-centering cleared of the /N), the statistic
-    is ``I = (N/W) * num/den`` with ``num = sum_i z'_i * sum_{j~i}
-    z'_j``, ``den = sum_i z'_i^2`` and W the ordered populated
-    neighbor-pair count.  This operator returns the one-row INTEGER
-    component table (n_cells, w_pairs, num, den) — no float anywhere,
-    so the DuckDB mirror is exact by construction (num may be
-    negative; emitting components avoids engine-specific floor/trunc
-    division semantics).
-
-    Scale shape: exactly cell_smooth's — map-side per-cell partial
-    counts, one groupby to exact counts, a 6x scatter of the
-    AGGREGATED cell rows for the neighbor z-sum + pair count, one
-    cell-bounded join, and int64 partial sums folded by a tiny final
-    aggregate.  Pages shuffle once (cell partials); everything after
-    is O(populated cells).  int64 bound: |num| <= N * (N*x_max)^2 —
-    fine through ~1e9-page regional extracts; a planetary 100 TB run
-    needs the components widened to two-limb accumulation (documented
-    seam, same as the reference's area accumulators)."""
+def _cell_autocorr(ds):
+    """Shared machinery for moran_i/lisa_cells: per-hex7 page counts
+    -> division-free centered z' = N*x - S -> ring-1 neighbor z-sum +
+    pair count via a 6x scatter of the AGGREGATED cell rows -> one
+    cell-bounded inner join.  Returns (n_cells, z table, z|X|nb join);
+    n_cells == 0 short-circuits (empty input)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -144,10 +124,7 @@ def moran_i(ds):
 
     n_cells = counts.count()
     if n_cells == 0:
-        return pa.table({"n_cells": pa.array([0], pa.int64()),
-                         "w_pairs": pa.array([0], pa.int64()),
-                         "num": pa.array([0], pa.int64()),
-                         "den": pa.array([0], pa.int64())})
+        return 0, None, None
     s = int(counts.sum("x"))
 
     def center(batch: pa.Table) -> pa.Table:
@@ -179,6 +156,78 @@ def moran_i(ds):
     joined = z.join(nb, join_type="inner",
                     num_partitions=join_partitions_for(n_cells),
                     on=("hex7",))
+    return n_cells, z, joined
+
+
+def lisa_cells(ds):
+    """Local Moran (LISA) cluster labels per populated hex7 cell: the
+    per-cell decomposition of moran_i.  Each populated cell with at
+    least one populated ring-1 neighbor gets its centered value
+    z' = N*x - S, the neighbor z-sum zn, the populated-neighbor count
+    w, and the quadrant label — 'HH' (hot cluster, z>0 & zn>0), 'LL'
+    (cold cluster), 'HL' (hot outlier), 'LH' (cold outlier), 'NS' when
+    either side is exactly 0.  All-integer, same scatter machinery as
+    moran_i (pages shuffle once; everything after is cell-bounded);
+    isolated populated cells are omitted (no neighbors -> no local
+    statistic), matching the oracle's inner join."""
+    n_cells, _, joined = _cell_autocorr(ds)
+    if n_cells == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "hex7": pa.array([], pa.int64()),
+            "z": pa.array([], pa.int64()),
+            "zn": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "label": pa.array([], pa.string())}))
+
+    def label(batch: pa.Table) -> pa.Table:
+        z = batch["z"].to_numpy()
+        zn = batch["zn"].to_numpy()
+        lab = np.where((z > 0) & (zn > 0), "HH",
+                       np.where((z < 0) & (zn < 0), "LL",
+                                np.where((z > 0) & (zn < 0), "HL",
+                                         np.where((z < 0) & (zn > 0),
+                                                  "LH", "NS"))))
+        return pa.table({"hex7": batch["hex7"], "z": batch["z"],
+                         "zn": batch["zn"], "w": batch["w"],
+                         "label": pa.array(lab.astype(object),
+                                           pa.string())})
+
+    return joined.map_batches(label, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+def moran_i(ds):
+    """Global Moran's I spatial autocorrelation of per-hex7 page
+    counts with ring-1 weights (the 6 axial hex neighbors,
+    self-weight 0), over POPULATED cells only — the classic
+    point-pattern clustering statistic (clustered counts -> I > 0,
+    checkerboard -> I < 0).
+
+    Division-free exact form: with N populated cells, S = sum x and
+    z'_i = N*x_i - S (mean-centering cleared of the /N), the statistic
+    is ``I = (N/W) * num/den`` with ``num = sum_i z'_i * sum_{j~i}
+    z'_j``, ``den = sum_i z'_i^2`` and W the ordered populated
+    neighbor-pair count.  This operator returns the one-row INTEGER
+    component table (n_cells, w_pairs, num, den) — no float anywhere,
+    so the DuckDB mirror is exact by construction (num may be
+    negative; emitting components avoids engine-specific floor/trunc
+    division semantics).
+
+    Scale shape: exactly cell_smooth's — map-side per-cell partial
+    counts, one groupby to exact counts, a 6x scatter of the
+    AGGREGATED cell rows for the neighbor z-sum + pair count, one
+    cell-bounded join, and int64 partial sums folded by a tiny final
+    aggregate.  Pages shuffle once (cell partials); everything after
+    is O(populated cells).  int64 bound: |num| <= N * (N*x_max)^2 —
+    fine through ~1e9-page regional extracts; a planetary 100 TB run
+    needs the components widened to two-limb accumulation (documented
+    seam, same as the reference's area accumulators)."""
+    n_cells, z, joined = _cell_autocorr(ds)
+    if n_cells == 0:
+        return pa.table({"n_cells": pa.array([0], pa.int64()),
+                         "w_pairs": pa.array([0], pa.int64()),
+                         "num": pa.array([0], pa.int64()),
+                         "den": pa.array([0], pa.int64())})
 
     def num_partial(batch: pa.Table) -> pa.Table:
         zz = batch["z"].to_numpy()

@@ -1298,6 +1298,103 @@ KEYNESS_MIN_COUNT = 5   # in-source support floor for keyword candidates
 KEYNESS_TOPK = 20       # keywords reported per source
 
 
+ZIPF_SEG = 1 << 20    # max ranks per computed segment (bounds task heap)
+
+
+def zipf_fit(ds):
+    """Zipf rank-frequency regression components over the corpus
+    vocabulary — the classic log-log fit of frequency vs rank, with
+    rank = ROW_NUMBER over (freq DESC, token ASC).  Emits the one-row
+    integer component table (n_vocab, sx, sy, sxy, sxx) of the least
+    squares fit over lx = floor(1000*ln(rank)), ly =
+    floor(1000*ln(freq)); the slope/intercept are derivable downstream
+    without any float reduction crossing the engine/oracle boundary.
+
+    KEY REDUCTION: within an equal-frequency run, ly is constant and
+    the ranks are exactly the integer range (offset, offset+cnt] —
+    WHICH token gets which rank never matters to the sums.  So the
+    whole statistic needs only the FREQUENCY HISTOGRAM (distinct
+    frequency values — O(sqrt(total occurrences)) by Zipf, thousands
+    even at corpus scale, the documented driver-fold bound), never a
+    vocabulary-wide rank assignment: one corpus pass to batch-local
+    token partials, one vocab-bounded groupby, one histogram groupby,
+    a driver cumsum over the tiny histogram, then rank-range segments
+    (chunked to ZIPF_SEG) evaluated as distributed vectorized tasks."""
+    from ray.data.aggregate import Sum
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        g = pa.table({"token": pc.list_flatten(toks)}) \
+            .group_by("token").aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "f": pc.cast(g["count_all"], pa.int64())})
+
+    vocab = ds.map_batches(tok_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=16384) \
+        .groupby("token").aggregate(Sum("f", alias_name="f"))
+
+    def f_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["f"].to_numpy(), return_counts=True)
+        return pa.table({"f": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    fhist = vocab.map_batches(f_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None) \
+        .groupby("f").aggregate(Sum("cnt", alias_name="cnt")) \
+        .take_all()                       # distinct-frequency-bounded
+
+    if not fhist:
+        return pa.table({"n_vocab": pa.array([0], pa.int64()),
+                         "sx": pa.array([0], pa.int64()),
+                         "sy": pa.array([0], pa.int64()),
+                         "sxy": pa.array([0], pa.int64()),
+                         "sxx": pa.array([0], pa.int64())})
+
+    fhist.sort(key=lambda r: -int(r["f"]))
+    segs, off = [], 0
+    for r in fhist:
+        f, cnt = int(r["f"]), int(r["cnt"])
+        ly = int(np.floor(1000.0 * np.log(float(f))))
+        start = off
+        while start < off + cnt:
+            ln = min(ZIPF_SEG, off + cnt - start)
+            segs.append((ly, start, ln))
+            start += ln
+        off += cnt
+    n_vocab = off
+
+    import ray.data as rd
+
+    seg_ds = rd.from_arrow(pa.table({
+        "ly": pa.array([s[0] for s in segs], pa.int64()),
+        "start": pa.array([s[1] for s in segs], pa.int64()),
+        "len": pa.array([s[2] for s in segs], pa.int64())}))
+
+    def seg_sums(batch: pa.Table) -> pa.Table:
+        sx = sy = sxy = sxx = 0
+        for ly, st, ln in zip(batch["ly"].to_numpy(),
+                              batch["start"].to_numpy(),
+                              batch["len"].to_numpy()):
+            r = np.arange(st + 1, st + ln + 1, dtype=np.float64)
+            lx = np.floor(1000.0 * np.log(r)).astype(np.int64)
+            sx += int(lx.sum())
+            sy += int(ly) * int(ln)
+            sxy += int(ly) * int(lx.sum())
+            sxx += int((lx * lx).sum())
+        return pa.table({"sx": pa.array([sx]), "sy": pa.array([sy]),
+                         "sxy": pa.array([sxy]),
+                         "sxx": pa.array([sxx])})
+
+    tot = seg_ds.map_batches(seg_sums, batch_format="pyarrow",
+                             batch_size=8).sum(["sx", "sy", "sxy", "sxx"])
+    return pa.table({
+        "n_vocab": pa.array([n_vocab], pa.int64()),
+        "sx": pa.array([int(tot["sum(sx)"])], pa.int64()),
+        "sy": pa.array([int(tot["sum(sy)"])], pa.int64()),
+        "sxy": pa.array([int(tot["sum(sxy)"])], pa.int64()),
+        "sxx": pa.array([int(tot["sum(sxx)"])], pa.int64())})
+
+
 def lexical_entropy(ds):
     """Per-document lexical-diversity profile — token total, distinct
     count, and the integer entropy term ``ent_term_milli =

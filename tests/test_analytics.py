@@ -569,3 +569,41 @@ def test_moran_i_perfect_anticorrelation(ray_session):
     out = moran_i(ds).to_pandas().iloc[0]
     assert (int(out["n_cells"]), int(out["w_pairs"]),
             int(out["num"]), int(out["den"])) == (2, 2, -2, 2)
+
+
+def test_lisa_quadrant_labels(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import lisa_cells
+
+    # cells 100 (x=2) and 101 (x=1) adjacent: z = [1, -1]; cell 100
+    # sees zn=-1 -> HL (hot outlier), cell 101 sees zn=1 -> LH
+    ds = rd.from_arrow(pa.table(
+        {"hex7": pa.array([100, 100, 101], pa.int64())}))
+    out = lisa_cells(ds).to_pandas().set_index("hex7")
+    assert out.loc[100, "label"] == "HL"
+    assert out.loc[101, "label"] == "LH"
+    assert int(out.loc[100, "z"]) == 1
+    assert int(out.loc[100, "zn"]) == -1
+    assert int(out.loc[100, "w"]) == 1
+
+
+def test_zipf_fit_hand_values_and_tie_independence(
+        ray_session, tmp_path):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import zipf_fit
+
+    # freqs a=2, b=2, c=1 -> ranks {1,2} for the f=2 run (assignment
+    # within the tie is irrelevant to the sums), 3 for c.
+    # lx = [0, 693, 1098], ly = [693, 693, 0]
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["a a b b c"], pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = zipf_fit(rd.read_parquet(
+        str(d / "documents.parquet"))).to_pandas().iloc[0]
+    assert (int(out["n_vocab"]), int(out["sx"]), int(out["sy"]),
+            int(out["sxy"]), int(out["sxx"])) == \
+        (3, 1791, 1386, 480249, 1685853)
