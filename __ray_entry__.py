@@ -1710,10 +1710,28 @@ def q_zipf_fit(sf_dir: str):
     return _textops.zipf_fit(_docs_text(sf_dir))
 
 
+def q_knox_pairs(sf_dir: str):
+    """Knox space-time interaction: same-hex7-cell page pairs within
+    a 1 h warc_ts window, exact integer counts per cell."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.knox_pairs(_stages.geo_pipeline(sf_dir),
+                          rows_hint=_gx._docs_rows(sf_dir))
+
+
+def q_ks_drift(sf_dir: str):
+    """Per-source KS drift of the length distribution vs the rest,
+    division-free: max |nb*A(v) - na*B(v)| over the value grid."""
+    import ray.data as rd
+
+    return _textops.ks_drift(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  198
+    # so the dict is ordered by evidence need, not by theme.  200
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1725,11 +1743,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                80 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 51 post-freeze) — each pinned
+    #                82 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 53 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 80 (README "Driver
-    # correctness window" names the suggested 30-query defer set).
+    # Round 5 must front-load 50 of those 82 (README "Driver
+    # correctness window" names the suggested 32-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1931,6 +1949,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fano_factor": q_fano_factor,
         "lisa_cells": q_lisa_cells,
         "zipf_fit": q_zipf_fit,
+        "knox_pairs": q_knox_pairs,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -4768,4 +4788,38 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
        CAST(SUM(lx * ly) AS BIGINT) AS sxy,
        CAST(SUM(lx * lx) AS BIGINT) AS sxx
 FROM q""",
+        # Knox: per-cell windowed pair count = (ordered pairs with
+        # b.ts <= a.ts + W) - n(n+1)/2 — depends only on the timestamp
+        # multiset, so it mirrors the engine's searchsorted exactly.
+        "knox_pairs": _WH + f""",
+sel AS (SELECT hex7, epoch_us(warc_ts) AS ts FROM hex9),
+pc AS (SELECT a.hex7, COUNT(*) AS cnt
+       FROM sel a JOIN sel b
+         ON a.hex7 = b.hex7 AND b.ts <= a.ts + {_gx_mod.KNOX_WINDOW_US}
+       GROUP BY a.hex7),
+nn AS (SELECT hex7, COUNT(*) AS n FROM sel GROUP BY hex7)
+SELECT CAST(nn.hex7 AS BIGINT) AS hex7, CAST(nn.n AS BIGINT) AS n_pages,
+       CAST(pc.cnt - nn.n * (nn.n + 1) // 2 AS BIGINT) AS pairs
+FROM nn JOIN pc USING (hex7)""",
+        # Division-free two-sample KS: D*na*nb as max over the global
+        # distinct-length grid of |nb*A - na*B|.
+        "ks_drift": """
+WITH v AS (SELECT source, n_chars AS x, COUNT(*) AS c FROM documents
+           GROUP BY source, n_chars),
+g AS (SELECT x, SUM(c) AS c FROM v GROUP BY x),
+s AS (SELECT source, SUM(c) AS na FROM v GROUP BY source),
+tot AS (SELECT SUM(c) AS n FROM v),
+grid AS (SELECT s.source, s.na, g.x FROM s CROSS JOIN g),
+j AS (SELECT grid.source, grid.na, grid.x, COALESCE(v.c, 0) AS c
+      FROM grid LEFT JOIN v
+        ON v.source = grid.source AND v.x = grid.x),
+cums AS (SELECT source, na, x,
+                SUM(c) OVER (PARTITION BY source ORDER BY x) AS ca
+         FROM j),
+gc AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cg FROM g)
+SELECT c1.source, CAST(MAX(c1.na) AS BIGINT) AS n_src,
+       CAST(MAX(ABS((t.n - c1.na) * c1.ca
+                    - c1.na * (gc.cg - c1.ca))) AS BIGINT) AS d_scaled
+FROM cums c1 JOIN gc USING (x) CROSS JOIN tot t
+GROUP BY c1.source""",
     }

@@ -42,6 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import synth
 from .knn import HEX_RING1_OFFSETS
@@ -254,6 +255,61 @@ def moran_i(ds):
                                          pa.int64()),
                      "num": pa.array([int(agg["sum(num)"])], pa.int64()),
                      "den": pa.array([int(den)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# knox_pairs — space-time interaction counts per hex cell
+# ---------------------------------------------------------------------------
+
+KNOX_WINDOW_US = 3_600_000_000      # 1 h close-in-time window
+
+
+def knox_pairs(ds, window_us: int = KNOX_WINDOW_US,
+               rows_hint: int | None = None):
+    """Knox space-time interaction per hex7 cell: the number of
+    unordered page pairs that are close in space (same cell) AND close
+    in time (|warc_ts difference| <= window) — the epidemiology /
+    event-burst clustering screen.  Exact integer counts; the per-cell
+    total is tie-order independent (it depends only on the timestamp
+    multiset), so the self-join oracle matches bitwise.
+
+    Scale shape: pages shuffle ONCE, hash-partitioned on hex7
+    (``_hash_partitioned`` — whole cells co-locate); the kernel sorts
+    its partition by (cell, ts) and counts windowed successors with
+    one vectorized searchsorted per cell run — O(rows log rows), never
+    the O(rows^2) pair materialization the naive self-join would do.
+    Only (hex7, ts) int64 columns enter the shuffle."""
+    from .relational import _hash_partitioned
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hex7": batch["hex7"],
+            "ts": pc.cast(batch["warc_ts"], pa.int64())})
+
+    slim = ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hex7", "ts"], kind="stable")
+        cell = g["hex7"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = cell[1:] != cell[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(g)]])
+        out_c, out_n, out_p = [], [], []
+        for s, e in zip(starts, ends):       # cells in partition
+            t = ts[s:e]
+            hi = np.searchsorted(t, t + window_us, side="right")
+            out_c.append(cell[s])
+            out_n.append(e - s)
+            out_p.append(int(hi.sum()) - ((e - s) * (e - s + 1)) // 2)
+        return pd.DataFrame({"hex7": np.array(out_c, dtype=np.int64),
+                             "n_pages": np.array(out_n, dtype=np.int64),
+                             "pairs": np.array(out_p, dtype=np.int64)})
+
+    return _hash_partitioned(slim, "hex7", kernel,
+                             rows_hint=rows_hint)
 
 
 # ---------------------------------------------------------------------------

@@ -1301,6 +1301,78 @@ KEYNESS_TOPK = 20       # keywords reported per source
 ZIPF_SEG = 1 << 20    # max ranks per computed segment (bounds task heap)
 
 
+def ks_drift(ds):
+    """Per-source two-sample Kolmogorov-Smirnov drift statistic of the
+    document-length distribution (source vs rest-of-corpus) — the
+    distribution-shift detector of a corpus-mix pipeline, in
+    division-free integer form: with A(v) the source's cumulative
+    count at length v, B(v) the rest's, na/nb the totals,
+    ``d_scaled = max over distinct lengths v of
+    |nb*A(v) - na*B(v)|`` (the classic D statistic times na*nb, so no
+    float CDF ever exists).  The max over the GLOBAL distinct-value
+    grid is exact — the KS sup is attained at a sample point.
+
+    Scale shape: one corpus pass to (source, length) map-side partial
+    counts, one histogram groupby, then a per-source vectorized kernel
+    over the value grid with the GLOBAL cumulative histogram broadcast
+    once via ``ray.put`` (distinct lengths x sources bounded — the
+    same contract as length_quantiles/gini)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "x": pc.cast(batch["n_chars"], pa.int64())})
+        g = t.group_by(["source", "x"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "x": g["x"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "x"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def g_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["x", "c"]).group_by("x") \
+            .aggregate([("c", "sum")])
+        return pa.table({"x": g["x"], "c": g["c_sum"]})
+
+    gl = hist.map_batches(g_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("x").aggregate(Sum("c", alias_name="c")) \
+        .sort("x").take_all()              # distinct-length-bounded
+    if not gl:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_src": pa.array([], pa.int64()),
+            "d_scaled": pa.array([], pa.int64())}))
+    gx = np.array([r["x"] for r in gl], dtype=np.int64)
+    gcum = np.cumsum(np.array([r["c"] for r in gl], dtype=np.int64))
+    n_tot = int(gcum[-1])
+    grid = ray.put((gx, gcum))
+
+    def kernel(g):
+        import pandas as pd
+
+        gx_, gcum_ = ray.get(grid)
+        g = g.sort_values("x", kind="stable")
+        pos = np.searchsorted(gx_, g["x"].to_numpy())
+        a = np.zeros(len(gx_), dtype=np.int64)
+        a[pos] = g["c"].to_numpy()
+        a = np.cumsum(a)
+        na = int(a[-1])
+        b = gcum_ - a
+        nb = n_tot - na
+        d = int(np.abs(nb * a - na * b).max())
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_src": [np.int64(na)],
+                             "d_scaled": [np.int64(d)]})
+
+    return hist.groupby("source").map_groups(
+        kernel, batch_format="pandas")
+
+
 def zipf_fit(ds):
     """Zipf rank-frequency regression components over the corpus
     vocabulary — the classic log-log fit of frequency vs rank, with

@@ -1026,3 +1026,48 @@ def test_compact_cells_collapses_complete_sibling_sets(ray_session):
         dtype=np.uint64))
     assert np.array_equal(par, want_par)
     assert np.array_equal(kids, want_kids)
+
+
+def test_knox_pairs_window_and_equal_ts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_inference_ray.geoext import knox_pairs
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    # cell 5: ts at 0, +30min, +2h -> only (0, 30min) within 1h -> 1;
+    # plus an equal-ts pair at +2h -> (2h, 2h) dt=0 counts once, and
+    # (30min, 2h) is 90min apart (out).  total = 1 + 1 + (0,2h? 2h>1h
+    # no) = 2.  cell 9: single page -> 0 pairs.
+    ds = rd.from_arrow(pa.table({
+        "hex7": pa.array([5, 5, 5, 5, 9], pa.int64()),
+        "warc_ts": pa.array([base, base + 1800 * us,
+                             base + 7200 * us, base + 7200 * us,
+                             base], pa.timestamp("us"))}))
+    out = knox_pairs(ds, rows_hint=5).to_pandas().set_index("hex7")
+    assert (int(out.loc[5, "n_pages"]), int(out.loc[5, "pairs"])) == (4, 2)
+    assert (int(out.loc[9, "n_pages"]), int(out.loc[9, "pairs"])) == (1, 0)
+
+
+def test_ks_drift_disjoint_distributions_max_out(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geo_inference_ray.textops import ks_drift
+
+    # A: lengths [1, 1]; B: [3] -> at v=1: |nb*2 - na*0| = 2 = na*nb
+    # (D = 1, fully disjoint)
+    t = pa.table({
+        "source": pa.array(["A", "A", "B"], pa.string()),
+        "n_chars": pa.array([1, 1, 3], pa.int64())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    ds = rd.read_parquet(str(d / "documents.parquet"))
+    out = ks_drift(ds).to_pandas().set_index("source")
+    assert (int(out.loc["A", "n_src"]), int(out.loc["A", "d_scaled"])) \
+        == (2, 2)
+    assert (int(out.loc["B", "n_src"]), int(out.loc["B", "d_scaled"])) \
+        == (1, 2)
