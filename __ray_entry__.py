@@ -1728,10 +1728,16 @@ def q_ks_drift(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
 
 
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codebook assignment: integer-exact Lloyd
+    per dim subspace, one (vec_id, sub, code, dist) row each."""
+    return _ann.pq_codes(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  200
+    # so the dict is ordered by evidence need, not by theme.  201
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1743,11 +1749,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                82 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 53 post-freeze) — each pinned
+    #                83 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 54 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 82 (README "Driver
-    # correctness window" names the suggested 32-query defer set).
+    # Round 5 must front-load 50 of those 83 (README "Driver
+    # correctness window" names the suggested 33-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1951,6 +1957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": q_zipf_fit,
         "knox_pairs": q_knox_pairs,
         "ks_drift": q_ks_drift,
+        "pq_codes": q_pq_codes,
     }
 
 
@@ -2197,6 +2204,60 @@ SELECT doc_id,
             + CAST(pos AS HUGEINT) * {1 << (shift + 1)}
             + {1 << shift} AS UBIGINT) AS s2_12
 FROM walk WHERE k = 0"""
+
+
+def _pq_oracle() -> str:
+    """Generated PQ mirror: the kmeans oracle's 2-iteration Lloyd CTE
+    chain instantiated once per dim subspace (filtered on the carried
+    vector length, so the SQL adapts to any d divisible by PQ_SUBS),
+    UNION ALL'd with a literal sub id — mirrors ann.pq_codes
+    bit-for-bit (same seeds, ties, floor(double/double) update)."""
+    n = _ann.PQ_SUBS
+    parts = [f"""WITH elems AS (
+  SELECT vec_id, g.i AS dim, len(embedding) AS d,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
+              AS BIGINT) AS qx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {_ann.KMEANS_K}))"""]
+    for s in range(n):
+        parts.append(f""",
+e{s} AS (SELECT vec_id, dim, qx FROM elems
+         WHERE dim > {s} * (d // {n}) AND dim <= {s + 1} * (d // {n})),
+c0_{s} AS (SELECT s.cid, e.dim, e.qx AS qc
+           FROM seeds s JOIN e{s} e USING (vec_id)),
+d1_{s} AS (SELECT e.vec_id, c.cid,
+                  SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+           FROM e{s} e JOIN c0_{s} c ON c.dim = e.dim
+           GROUP BY e.vec_id, c.cid),
+a1_{s} AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+             FROM d1_{s}) WHERE rn = 1),
+m1_{s} AS (SELECT a.cid, e.dim,
+                  CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
+                             / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
+           FROM a1_{s} a JOIN e{s} e USING (vec_id)
+           GROUP BY a.cid, e.dim),
+c1_{s} AS (SELECT c0_{s}.cid, c0_{s}.dim,
+                  COALESCE(m1_{s}.qc, c0_{s}.qc) AS qc
+           FROM c0_{s} LEFT JOIN m1_{s}
+             ON m1_{s}.cid = c0_{s}.cid AND m1_{s}.dim = c0_{s}.dim),
+d2_{s} AS (SELECT e.vec_id, c.cid,
+                  SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+           FROM e{s} e JOIN c1_{s} c ON c.dim = e.dim
+           GROUP BY e.vec_id, c.cid),
+f{s} AS (SELECT vec_id, CAST({s} AS BIGINT) AS sub,
+                CAST(cid AS BIGINT) AS code, CAST(dist AS BIGINT) AS dist
+         FROM (SELECT vec_id, cid, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) AS rn
+               FROM d2_{s}) WHERE rn = 1)""")
+    parts.append("\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM f{s}" for s in range(n)))
+    return "".join(parts)
 
 
 def _s2_compact_oracle() -> str:
@@ -4822,4 +4883,5 @@ SELECT c1.source, CAST(MAX(c1.na) AS BIGINT) AS n_src,
                     - c1.na * (gc.cg - c1.ca))) AS BIGINT) AS d_scaled
 FROM cums c1 JOIN gc USING (x) CROSS JOIN tot t
 GROUP BY c1.source""",
+        "pq_codes": _pq_oracle(),
     }

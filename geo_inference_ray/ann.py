@@ -572,6 +572,121 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
                           zero_copy_batch=True)
 
 
+PQ_SUBS = 4          # product-quantization subspaces (d must divide)
+
+
+def _assign_int(Q: np.ndarray, C: np.ndarray):
+    """(n,d) x (k,d) int64 -> (labels, dists): exact squared-L2 argmin
+    with lowest-cluster tie-break (np.argmin takes the first min) —
+    the shared kernel of kmeans_assign / pq_codes."""
+    dists = np.empty((len(Q), len(C)), dtype=np.int64)
+    for ci in range(len(C)):
+        diff = Q - C[ci][None, :]
+        dists[:, ci] = np.einsum("ij,ij->i", diff, diff)
+    lab = np.argmin(dists, axis=1)
+    return lab, dists[np.arange(len(Q)), lab]
+
+
+def pq_codes(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+             n_sub: int = PQ_SUBS):
+    """Product-quantization codebook assignment — the vector
+    COMPRESSION scale path of an ANN index (IVF-PQ's second stage):
+    the embedding is split into ``n_sub`` contiguous dim subspaces and
+    an independent integer-exact Lloyd's k-means (kmeans_assign's
+    exact determinism contract: 2^20 fixed point, k-smallest-vec_id
+    seeds, argmin ties to lowest cid, floor(double(sum)/count)
+    updates) runs per subspace.  Output: one (vec_id, sub, code, dist)
+    row per vector per subspace — the 64-dim float vector compresses
+    to n_sub codebook bytes.
+
+    Scale shape per iteration: ONE pass over the data trains ALL
+    subspaces (per-batch partial (sub, cid, cnt, dim-sum) rows —
+    n_sub x k x (w+3) ints per batch — folded on the driver,
+    k*n_sub-bounded state); centroid lists broadcast via ``ray.put``;
+    no shuffle of the vectors ever."""
+    import ray
+    import ray.data as rd
+
+    head = _head_by_id(f"{sf_dir}/embeddings.parquet", k,
+                       ["vec_id", "embedding"])
+    order = np.argsort(head["vec_id"].to_numpy())[:k]
+    full = _quantize(head["embedding"].combine_chunks())[order]
+    d = full.shape[1]
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by {n_sub} subspaces")
+    w = d // n_sub
+    cents = [np.ascontiguousarray(full[:, s * w:(s + 1) * w])
+             for s in range(n_sub)]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    for _ in range(iters - 1):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            C = ray.get(cref)
+            Q = _quantize(batch["embedding"])
+            subs, cids, cnts, sums = [], [], [], []
+            for si in range(n_sub):
+                Qs = Q[:, si * w:(si + 1) * w]
+                lab, _ = _assign_int(Qs, C[si])
+                for ci in np.unique(lab):
+                    sel = Qs[lab == ci]
+                    subs.append(si)
+                    cids.append(int(ci))
+                    cnts.append(len(sel))
+                    sums.append(sel.sum(axis=0, dtype=np.int64))
+            return pa.table({
+                "sub": pa.array(subs, pa.int64()),
+                "cid": pa.array(cids, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "s": pa.array(sums, pa.list_(pa.int64()))})
+
+        cnt = np.zeros((n_sub, k), dtype=np.int64)
+        acc = np.zeros((n_sub, k, w), dtype=np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None) \
+                .iter_batches(batch_size=65536, batch_format="pyarrow"):
+            si = b["sub"].to_numpy()
+            ci = b["cid"].to_numpy()
+            cnt_b = b["cnt"].to_numpy()
+            S = np.stack(b["s"].to_numpy(zero_copy_only=False))
+            np.add.at(cnt, (si, ci), cnt_b)
+            np.add.at(acc, (si, ci), S)
+        new = []
+        for si in range(n_sub):
+            c = cents[si].copy()
+            nz = cnt[si] > 0
+            c[nz] = np.floor(acc[si][nz].astype(np.float64)
+                             / cnt[si][nz, None].astype(np.float64)) \
+                .astype(np.int64)
+            new.append(c)
+        cents = new
+
+    cref = ray.put(cents)
+
+    def final(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Q = _quantize(batch["embedding"])
+        vid = batch["vec_id"].to_numpy()
+        out_v, out_s, out_c, out_d = [], [], [], []
+        for si in range(n_sub):
+            lab, dist = _assign_int(Q[:, si * w:(si + 1) * w], C[si])
+            out_v.append(vid)
+            out_s.append(np.full(len(vid), si, dtype=np.int64))
+            out_c.append(lab.astype(np.int64))
+            out_d.append(dist)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "sub": pa.array(np.concatenate(out_s)),
+            "code": pa.array(np.concatenate(out_c)),
+            "dist": pa.array(np.concatenate(out_d))})
+
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # Scalar-quantized top-k (the PQ-family compression scale path)
 # ---------------------------------------------------------------------------

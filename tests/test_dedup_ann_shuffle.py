@@ -811,3 +811,38 @@ def test_sq_topk_quantizer_and_recall(ray_session, sf_dir):
         b = set(got[got["query_id"] == qid]["neighbor_id"])
         ov.append(len(set(top) & b) / TOPK_DEFAULT)
     assert np.mean(ov) > 0.6
+
+
+def test_pq_codes_subspace_equals_sliced_kmeans(ray_session, sf_dir,
+                                                tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import PQ_SUBS, kmeans_assign, pq_codes
+
+    out = pq_codes(sf_dir).to_pandas()
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert len(out) == PQ_SUBS * n_vecs
+    assert set(out["sub"]) == set(range(PQ_SUBS))
+
+    # independence: sub-0 codes/dists must equal full kmeans_assign
+    # run on a table holding ONLY the first d/PQ_SUBS dims
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    w = len(emb["embedding"].iloc[0]) // PQ_SUBS
+    sliced = pa.table({
+        "vec_id": pa.array(emb["vec_id"].to_numpy(), pa.int64()),
+        "embedding": pa.array(
+            [list(np.asarray(v[:w], dtype=np.float32))
+             for v in emb["embedding"]],
+            pa.list_(pa.float32()))})
+    d = tmp_path / "sliced"
+    d.mkdir()
+    pq.write_table(sliced, d / "embeddings.parquet")
+    ref = kmeans_assign(str(d)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    got = out[out["sub"] == 0].sort_values("vec_id") \
+        .reset_index(drop=True)
+    assert (got["code"].to_numpy() == ref["cluster"].to_numpy()).all()
+    assert (got["dist"].to_numpy() == ref["dist"].to_numpy()).all()
