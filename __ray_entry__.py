@@ -1734,10 +1734,27 @@ def q_pq_codes(sf_dir: str):
     return _ann.pq_codes(sf_dir)
 
 
+def q_acf_lag1(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation integer components of the
+    daily count series (consecutive observed days only)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.acf_lag1(sf_dir)
+
+
+def q_mannwhitney_u(sf_dir: str):
+    """Per-source Mann-Whitney 2U rank-sum of the length distribution
+    vs the rest — division-free integer (ties count 1 in 2U)."""
+    import ray.data as rd
+
+    return _textops.mannwhitney_u(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  201
+    # so the dict is ordered by evidence need, not by theme.  203
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1749,11 +1766,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                83 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 54 post-freeze) — each pinned
+    #                85 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 56 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 83 (README "Driver
-    # correctness window" names the suggested 33-query defer set).
+    # Round 5 must front-load 50 of those 85 (README "Driver
+    # correctness window" names the suggested 35-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1958,6 +1975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knox_pairs": q_knox_pairs,
         "ks_drift": q_ks_drift,
         "pq_codes": q_pq_codes,
+        "acf_lag1": q_acf_lag1,
+        "mannwhitney_u": q_mannwhitney_u,
     }
 
 
@@ -4884,4 +4903,49 @@ SELECT c1.source, CAST(MAX(c1.na) AS BIGINT) AS n_src,
 FROM cums c1 JOIN gc USING (x) CROSS JOIN tot t
 GROUP BY c1.source""",
         "pq_codes": _pq_oracle(),
+        # Lag-1 autocorrelation components; adjacency = day delta 1.
+        "acf_lag1": """
+WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY event_type, day),
+w AS (SELECT event_type, day, c,
+             LEAD(day) OVER (PARTITION BY event_type
+                             ORDER BY day) AS nday,
+             LEAD(c) OVER (PARTITION BY event_type
+                           ORDER BY day) AS nc
+      FROM d)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(c) AS BIGINT) AS s1,
+       CAST(SUM(c * c) AS BIGINT) AS s2,
+       CAST(SUM(CASE WHEN nday = day + 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_adj,
+       CAST(SUM(CASE WHEN nday = day + 1 THEN c * nc ELSE 0 END)
+            AS BIGINT) AS sxy
+FROM w GROUP BY event_type""",
+        # Doubled Mann-Whitney U (ties contribute 1), division-free.
+        "mannwhitney_u": """
+WITH v AS (SELECT source, n_chars AS x, COUNT(*) AS c FROM documents
+           GROUP BY source, n_chars),
+g AS (SELECT x, SUM(c) AS c FROM v GROUP BY x),
+gb AS (SELECT x, c AS cg,
+              COALESCE(SUM(c) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS gbelow
+       FROM g),
+s AS (SELECT source FROM v GROUP BY source),
+grid AS (SELECT s.source, gb.x, gb.cg, gb.gbelow
+         FROM s CROSS JOIN gb),
+j AS (SELECT grid.source, grid.x, grid.cg, grid.gbelow,
+             COALESCE(v.c, 0) AS a
+      FROM grid LEFT JOIN v
+        ON v.source = grid.source AND v.x = grid.x),
+k AS (SELECT source, x, a, cg - a AS b_at,
+             gbelow - COALESCE(SUM(a) OVER (PARTITION BY source
+               ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS bbelow
+      FROM j)
+SELECT source, CAST(SUM(a) AS BIGINT) AS n_src,
+       CAST(SUM(a * (2 * bbelow + b_at)) AS BIGINT) AS u2
+FROM k GROUP BY source""",
     }

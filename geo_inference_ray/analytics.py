@@ -601,6 +601,60 @@ def fano_factor(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# acf_lag1 — lag-1 autocorrelation components of daily counts
+# ---------------------------------------------------------------------------
+
+def acf_lag1(sf_dir: str):
+    """Per-event-type lag-1 autocorrelation components of the daily
+    count series — the "is yesterday predictive of today"
+    seasonality/momentum screen.  Emits the one-row-per-type INTEGER
+    component table (n_days, s1, s2, n_adj, sxy) with sxy =
+    sum of c_t * c_{t+1} over CONSECUTIVE observed days (day delta
+    exactly 1 — gaps contribute no adjacent pair); r1 is derivable
+    downstream as (n*sxy - s1*s1-ish moments) without any float
+    reduction crossing the engine/oracle boundary.
+
+    Scale shape: ewma_daily's — corpus pass to (type, day) map-side
+    partials, one groupby, then a vectorized per-type kernel over the
+    ~days-long aggregate (bounded type cardinality)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(day_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day", kind="stable")
+        d = g["day"].to_numpy()
+        c = g["c"].to_numpy()
+        adj = (d[1:] - d[:-1]) == 1 if len(d) > 1 \
+            else np.zeros(0, dtype=bool)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_days": [np.int64(len(c))],
+            "s1": [np.int64(c.sum())],
+            "s2": [np.int64((c * c).sum())],
+            "n_adj": [np.int64(int(adj.sum()))],
+            "sxy": [np.int64(int((c[:-1][adj] * c[1:][adj]).sum())
+                             if len(c) > 1 else 0)]})
+
+    return daily.groupby("event_type").map_groups(
+        scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # gini_by_source — exact integer Gini of document lengths
 # ---------------------------------------------------------------------------
 

@@ -1467,6 +1467,75 @@ def zipf_fit(ds):
         "sxx": pa.array([int(tot["sum(sxx)"])], pa.int64())})
 
 
+def mannwhitney_u(ds):
+    """Per-source Mann-Whitney rank-sum drift of the length
+    distribution (source vs rest-of-corpus) — the nonparametric
+    location-shift companion to ``ks_drift`` (KS is max deviation,
+    U is total rank mass).  Division-free doubled form so ties stay
+    integer: ``u2 = sum over distinct lengths v of
+    a_v * (2*B_below(v) + b_v)`` (each tie pair contributes 1 to 2U);
+    u2 == na*nb means perfect balance, 0 / 2*na*nb the extremes.
+
+    Scale shape: identical to ks_drift — (source, length) map-side
+    partial counts, one histogram groupby, a per-source vectorized
+    kernel over the value grid with the GLOBAL cumulative histogram
+    broadcast once via ``ray.put``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "x": pc.cast(batch["n_chars"], pa.int64())})
+        g = t.group_by(["source", "x"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "x": g["x"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "x"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    def g_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["x", "c"]).group_by("x") \
+            .aggregate([("c", "sum")])
+        return pa.table({"x": g["x"], "c": g["c_sum"]})
+
+    gl = hist.map_batches(g_partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("x").aggregate(Sum("c", alias_name="c")) \
+        .sort("x").take_all()              # distinct-length-bounded
+    if not gl:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_src": pa.array([], pa.int64()),
+            "u2": pa.array([], pa.int64())}))
+    gx = np.array([r["x"] for r in gl], dtype=np.int64)
+    gc = np.array([r["c"] for r in gl], dtype=np.int64)
+    gbelow = np.concatenate([[0], np.cumsum(gc)[:-1]])
+    n_tot = int(gc.sum())
+    grid = ray.put((gx, gc, gbelow))
+
+    def kernel(g):
+        import pandas as pd
+
+        gx_, gc_, gbelow_ = ray.get(grid)
+        pos = np.searchsorted(gx_, g["x"].to_numpy())
+        a = np.zeros(len(gx_), dtype=np.int64)
+        a[pos] = g["c"].to_numpy()
+        na = int(a.sum())
+        abelow = np.concatenate([[0], np.cumsum(a)[:-1]])
+        bbelow = gbelow_ - abelow
+        b_at = gc_ - a
+        u2 = int((a * (2 * bbelow + b_at)).sum())
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "n_src": [np.int64(na)],
+                             "u2": [np.int64(u2)]})
+
+    return hist.groupby("source").map_groups(
+        kernel, batch_format="pandas")
+
+
 def lexical_entropy(ds):
     """Per-document lexical-diversity profile — token total, distinct
     count, and the integer entropy term ``ent_term_milli =

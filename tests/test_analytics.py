@@ -607,3 +607,44 @@ def test_zipf_fit_hand_values_and_tie_independence(
     assert (int(out["n_vocab"]), int(out["sx"]), int(out["sy"]),
             int(out["sxy"]), int(out["sxx"])) == \
         (3, 1791, 1386, 480249, 1685853)
+
+
+def test_acf_lag1_gap_breaks_adjacency(ray_session, tmp_path):
+    from geo_inference_ray.analytics import acf_lag1
+
+    base = 1_700_006_400 * US
+    day_us = 86_400 * US
+    rows, eid = [], 0
+    # counts [2, 3] on days 0,1 (adjacent) and [5] on day 3 (gap) ->
+    # n_days=3, s1=10, s2=38, n_adj=1, sxy=2*3=6
+    for d, c in [(0, 2), (1, 3), (3, 5)]:
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, base + d * day_us + eid, 1, "a"))
+    d = _write_events(tmp_path, rows)
+    out = acf_lag1(d).to_pandas().iloc[0]
+    assert (int(out["n_days"]), int(out["s1"]), int(out["s2"]),
+            int(out["n_adj"]), int(out["sxy"])) == (3, 10, 38, 1, 6)
+
+
+def test_mannwhitney_u2_with_ties(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geo_inference_ray.textops import mannwhitney_u
+
+    # A: [1, 2]; B: [2, 3].  u2 counts pairs the source's sample
+    # EXCEEDS the rest (x2) plus ties (x1).  A beats B in 0 pairs,
+    # ties once ((2,2)) -> u2_A = 1; B beats A in 3 pairs + 1 tie
+    # -> u2_B = 7; u2_A + u2_B = 2*na*nb = 8.
+    t = pa.table({
+        "source": pa.array(["A", "A", "B", "B"], pa.string()),
+        "n_chars": pa.array([1, 2, 2, 3], pa.int64())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    out = mannwhitney_u(rd.read_parquet(
+        str(d / "documents.parquet"))).to_pandas().set_index("source")
+    assert (int(out.loc["A", "n_src"]), int(out.loc["A", "u2"])) == (2, 1)
+    assert (int(out.loc["B", "n_src"]), int(out.loc["B", "u2"])) == (2, 7)
+    # symmetry: u2_A + u2_B == 2 * na * nb
+    assert int(out.loc["A", "u2"]) + int(out.loc["B", "u2"]) == 8
