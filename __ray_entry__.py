@@ -1742,6 +1742,14 @@ def q_acf_lag1(sf_dir: str):
     return _an.acf_lag1(sf_dir)
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Per-event-type peak concurrent 30-min sessions with the
+    earliest attaining timestamp (bucket-scatter ghost-row kernel)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.peak_concurrency(sf_dir)
+
+
 def q_mannwhitney_u(sf_dir: str):
     """Per-source Mann-Whitney 2U rank-sum of the length distribution
     vs the rest — division-free integer (ties count 1 in 2U)."""
@@ -1754,7 +1762,7 @@ def q_mannwhitney_u(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  203
+    # so the dict is ordered by evidence need, not by theme.  204
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1766,11 +1774,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                85 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 56 post-freeze) — each pinned
+    #                86 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 57 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 85 (README "Driver
-    # correctness window" names the suggested 35-query defer set).
+    # Round 5 must front-load 50 of those 86 (README "Driver
+    # correctness window" names the suggested 36-query defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
@@ -1977,6 +1985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "acf_lag1": q_acf_lag1,
         "mannwhitney_u": q_mannwhitney_u,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -4948,4 +4957,20 @@ k AS (SELECT source, x, a, cg - a AS b_at,
 SELECT source, CAST(SUM(a) AS BIGINT) AS n_src,
        CAST(SUM(a * (2 * bbelow + b_at)) AS BIGINT) AS u2
 FROM k GROUP BY source""",
+        # Peak concurrency: the step-function max occurs at a start t
+        # with value #{ts in (t-W, t]}; DISTINCT starts avoid
+        # double-counted duplicate (type, t) evaluation rows.
+        "peak_concurrency": """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t FROM events),
+a AS (SELECT DISTINCT event_type, t FROM e),
+c AS (SELECT a.event_type, a.t, COUNT(*) AS conc
+      FROM a JOIN e b
+        ON b.event_type = a.event_type
+       AND b.t > a.t - 1800000000 AND b.t <= a.t
+      GROUP BY a.event_type, a.t)
+SELECT event_type, CAST(conc AS BIGINT) AS conc,
+       CAST(t AS BIGINT) AS at_us
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                           ORDER BY conc DESC, t) = 1""",
     }

@@ -601,8 +601,80 @@ def fano_factor(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# acf_lag1 — lag-1 autocorrelation components of daily counts
+# peak_concurrency — max concurrent fixed-length sessions per type
 # ---------------------------------------------------------------------------
+
+CONC_WINDOW_US = 1_800_000_000     # 30-min session length
+
+
+def peak_concurrency(sf_dir: str, window_us: int = CONC_WINDOW_US):
+    """Per-event-type PEAK CONCURRENCY — the max number of
+    simultaneously-open fixed-length sessions (every event opens a
+    ``window_us`` interval), the capacity-planning statistic of a
+    streaming backend.  Because all intervals share one length, the
+    step function's maximum occurs at an event start t with value
+    ``#{ts in (t - W, t]}``; reported per type with the EARLIEST
+    attaining timestamp.
+
+    Scale shape: one slim (type, t) pass scatters each event to its
+    own W-bucket and the NEXT one (a window ending in bucket b starts
+    in b-1 or b, so two copies give every kernel its full context —
+    the ghost-row trick, one 2x int-pair shuffle); a per-(type,
+    bucket) vectorized searchsorted kernel evaluates its OWN bucket's
+    candidate starts only (no double counting), and a |types x
+    buckets|-bounded final groupby folds (max, earliest t).  No global
+    sort, no driver scan."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        b = t // window_us
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(np.concatenate([et, et])),
+            "bucket": pa.array(np.concatenate([b, b + 1])),
+            "t": pa.array(np.concatenate([t, t])),
+            "own": pa.array(np.concatenate([
+                np.ones(len(t), dtype=bool),
+                np.zeros(len(t), dtype=bool)]))})
+
+    slim = ev.map_batches(scatter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        all_t = np.sort(g["t"].to_numpy())
+        own_t = np.unique(g.loc[g["own"], "t"].to_numpy())
+        if not len(own_t):
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "conc": pd.Series([], dtype=np.int64),
+                                 "at_us": pd.Series([], dtype=np.int64)})
+        hi = np.searchsorted(all_t, own_t, side="right")
+        lo = np.searchsorted(all_t, own_t - window_us, side="right")
+        conc = hi - lo
+        i = int(np.argmax(conc))          # first max == earliest start
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "conc": [np.int64(conc[i])],
+                             "at_us": [np.int64(own_t[i])]})
+
+    per_bucket = slim.groupby(["event_type", "bucket"]).map_groups(
+        kernel, batch_format="pandas")
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["event_type", "conc", "at_us"],
+                            ascending=[True, False, True],
+                            kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("event_type", sort=False).head(1),
+            preserve_index=False)
+
+    return per_bucket.map_batches(fold_partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(fold_partial, batch_format="pyarrow",
+                     batch_size=None)
 
 def acf_lag1(sf_dir: str):
     """Per-event-type lag-1 autocorrelation components of the daily

@@ -648,3 +648,25 @@ def test_mannwhitney_u2_with_ties(ray_session, tmp_path):
     assert (int(out.loc["B", "n_src"]), int(out.loc["B", "u2"])) == (2, 7)
     # symmetry: u2_A + u2_B == 2 * na * nb
     assert int(out.loc["A", "u2"]) + int(out.loc["B", "u2"]) == 8
+
+
+def test_peak_concurrency_window_edges_and_ghost_buckets(
+        ray_session, tmp_path):
+    from geo_inference_ray.analytics import peak_concurrency
+
+    base = 1_700_006_400 * US
+    m = 60 * US
+    # type "a": starts at 0, 10min, 40min.  conc(10min) = 2;
+    # conc(40min) = 1 because the 10min event sits EXACTLY at the
+    # window's open edge (strict >).  type "b": 25min and 35min fall
+    # in DIFFERENT 30-min buckets, the window at 35min spans both ->
+    # exercises the ghost scatter: conc = 2 at 35min.
+    rows = [(1, base, 1, "a"), (2, base + 10 * m, 1, "a"),
+            (3, base + 40 * m, 1, "a"),
+            (4, base + 25 * m, 1, "b"), (5, base + 35 * m, 1, "b")]
+    d = _write_events(tmp_path, rows)
+    out = peak_concurrency(d).to_pandas().set_index("event_type")
+    assert (int(out.loc["a", "conc"]), int(out.loc["a", "at_us"])) \
+        == (2, base + 10 * m)
+    assert (int(out.loc["b", "conc"]), int(out.loc["b", "at_us"])) \
+        == (2, base + 35 * m)
