@@ -1759,10 +1759,49 @@ def q_mannwhitney_u(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
 
 
+def q_benford(sf_dir: str):
+    """Benford first-digit profile of n_chars per source with the
+    integer-quantized log10 expectation."""
+    import ray.data as rd
+
+    return _textops.benford(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]))
+
+
+def q_chi2_contingency(sf_dir: str):
+    """lang × source contingency cells with exact arbitrary-precision
+    chi-square components (micro-units)."""
+    import ray.data as rd
+
+    return _textops.chi2_contingency(rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]))
+
+
+def q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve on the power-of-two doc
+    grid."""
+    import ray.data as rd
+
+    path = f"{sf_dir}/documents.parquet"
+    from geo_inference_ray.relational import _parquet_rows
+
+    return _textops.heaps_law(
+        rd.read_parquet(path, columns=["doc_id", "text"]),
+        n_docs=_parquet_rows(path))
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch purchase attribution within a 30-min lookback,
+    rolled up per credited event type."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.attribution(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  204
+    # so the dict is ordered by evidence need, not by theme.  208
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1986,6 +2025,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acf_lag1": q_acf_lag1,
         "mannwhitney_u": q_mannwhitney_u,
         "peak_concurrency": q_peak_concurrency,
+        "benford": q_benford,
+        "chi2_contingency": q_chi2_contingency,
+        "heaps_law": q_heaps_law,
+        "attribution": q_attribution,
     }
 
 
@@ -4973,4 +5016,64 @@ SELECT event_type, CAST(conc AS BIGINT) AS conc,
 FROM c
 QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
                            ORDER BY conc DESC, t) = 1""",
+        # Benford first digit via string head (engine: integer
+        # repeated division — identical for positive ints).
+        "benford": """
+WITH d AS (SELECT source,
+                  CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT)
+                      AS digit
+           FROM documents WHERE n_chars >= 1)
+SELECT source, digit, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(1000 * log10(1 + 1.0 / digit)) AS BIGINT)
+           AS exp_milli
+FROM d GROUP BY source, digit""",
+        # Exact chi-square components via HUGEINT floor division
+        # (engine: arbitrary-precision Python ints).
+        "chi2_contingency": """
+WITH o AS (SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o
+           FROM documents GROUP BY lang, source),
+r AS (SELECT lang, SUM(o) AS r FROM o GROUP BY lang),
+c AS (SELECT source, SUM(o) AS c FROM o GROUP BY source),
+n AS (SELECT SUM(o) AS n FROM o)
+SELECT o.lang, o.source, CAST(o.o AS BIGINT) AS o,
+       CAST(r.r AS BIGINT) AS r_tot, CAST(c.c AS BIGINT) AS c_tot,
+       CAST(n.n AS BIGINT) AS n_tot,
+       CAST(((o.o * n.n - r.r * c.c) * (o.o * n.n - r.r * c.c)
+             * 1000000) // (r.r * c.c * n.n) AS BIGINT) AS comp_micro
+FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN n""",
+        # Vocabulary growth on the power-of-two grid; fd < t counts
+        # tokens first seen among doc_id 0..t-1.
+        "heaps_law": """
+WITH m AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+f AS (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token),
+grid AS (SELECT DISTINCT
+                LEAST(CAST(power(2, k) AS BIGINT), m.n) AS t
+         FROM unnest(generate_series(0, 62)) AS g(k), m
+         WHERE power(2, k) < 2 * m.n)
+SELECT grid.t AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE f.fd < grid.t) AS BIGINT) AS vocab
+FROM grid CROSS JOIN f GROUP BY grid.t""",
+        # Last-touch attribution: rn=1 over in-window strictly-prior
+        # non-purchase events; window emptiness == latest-touch-stale.
+        "attribution": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+                  CAST(ROUND(value * 1000) AS BIGINT) AS vm
+           FROM events),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+b AS (SELECT p.event_id AS pid, x.event_type AS src_type,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY x.t DESC, x.event_id DESC)
+                 AS rn
+      FROM p JOIN e x
+        ON x.user_id = p.user_id AND x.event_type <> 'purchase'
+       AND (x.t < p.t OR (x.t = p.t AND x.event_id < p.event_id))
+       AND x.t >= p.t - 1800000000),
+a AS (SELECT pid, src_type FROM b WHERE rn = 1)
+SELECT COALESCE(a.src_type, '(none)') AS src_type,
+       CAST(COUNT(*) AS BIGINT) AS n_conv,
+       CAST(SUM(p.vm) AS BIGINT) AS value_milli
+FROM p LEFT JOIN a ON a.pid = p.event_id
+GROUP BY COALESCE(a.src_type, '(none)')""",
     }

@@ -4195,3 +4195,75 @@ def q20_excess_share(sf_dir: str):
         lambda b: pa.table({"s_name": b["s_name"],
                             "n_parts": b["n_parts"]}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+ATTR_WINDOW_US = 1_800_000_000   # 30-min lookback, matches SESSION_GAP
+
+
+def attribution(sf_dir: str):
+    """Last-touch conversion attribution: every ``purchase`` event is
+    credited to the most recent PRIOR non-purchase event by the same
+    user within a 30-minute lookback (ties in ts broken by event_id,
+    the usual deterministic event order); purchases with no in-window
+    prior touch fall into the ``(none)`` bucket.  Output: per credited
+    event type, the conversion count and the summed purchase value in
+    integer milli-units.
+
+    Scale shape: one user-hash shuffle (the sessionize partitioning
+    assumption: one user's events fit in a partition), then a fully
+    vectorized kernel — the "last prior non-purchase index" is a
+    single ``np.maximum.accumulate`` over masked global indices with a
+    cheap same-user post-check (no per-user loop, no pandas group
+    dispatch), partial (type, count, value) rows per partition, one
+    type-bounded groupby Sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+
+    def attr_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        t = g["ts"].astype("int64").to_numpy()
+        et = g["event_type"].to_numpy()
+        vm = np.round(g["value"].to_numpy() * 1000.0).astype(np.int64)
+        is_p = et == "purchase"
+        idx = np.arange(len(g), dtype=np.int64)
+        # last non-purchase index at-or-before each row (may leak
+        # across the user boundary; the uid check below rejects that)
+        last_np = np.maximum.accumulate(np.where(is_p, -1, idx))
+        # credit strictly PRIOR events: at a non-purchase row last_np
+        # is the row itself, but purchases only read last_np, and at a
+        # purchase row last_np is < idx by construction.
+        pi = np.flatnonzero(is_p)
+        if len(pi) == 0:
+            return pd.DataFrame({
+                "src_type": pd.Series([], dtype=object),
+                "n_conv": pd.Series([], dtype=np.int64),
+                "value_milli": pd.Series([], dtype=np.int64)})
+        j = last_np[pi]
+        ok = (j >= 0)
+        ok &= np.where(ok, uid[np.maximum(j, 0)] == uid[pi], False)
+        ok &= np.where(ok, t[pi] - t[np.maximum(j, 0)]
+                       <= ATTR_WINDOW_US, False)
+        src = np.where(ok, et[np.maximum(j, 0)], "(none)")
+        df = pd.DataFrame({"src_type": src, "vm": vm[pi]})
+        out = df.groupby("src_type", as_index=False).agg(
+            n_conv=("vm", "size"), value_milli=("vm", "sum"))
+        out["n_conv"] = out["n_conv"].astype(np.int64)
+        out["value_milli"] = out["value_milli"].astype(np.int64)
+        return out
+
+    parts = _hash_partitioned(ev, "user_id", attr_part,
+                              rows_hint=_parquet_rows(path))
+    from .shuffle import arrow_bridge
+
+    bridged = arrow_bridge(parts, {"src_type": pa.string(),
+                                   "n_conv": pa.int64(),
+                                   "value_milli": pa.int64()})
+    return bridged.groupby("src_type").aggregate(
+        Sum("n_conv", alias_name="n_conv"),
+        Sum("value_milli", alias_name="value_milli"))

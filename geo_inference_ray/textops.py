@@ -2878,3 +2878,164 @@ def gopher_rules(ds):
 
     return ds.map_batches(screen, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def benford(ds):
+    """Benford's-law first-digit profile per source — the classic
+    forensic screen for fabricated numeric columns (here the document
+    length ``n_chars``): observed count per (source, leading digit)
+    plus the integer-quantized Benford expectation ``exp_milli =
+    floor(1000 * log10(1 + 1/d))`` so the deviation is derivable
+    downstream without a float reduction crossing the engine/oracle
+    boundary.
+
+    Scale shape: leading digit extracted by vectorized integer
+    repeated-division (≤19 halvings for int64, no string formatting,
+    no float log), map-side (source, digit) partial counts, one
+    digit-grid-bounded groupby.  Rows with ``n_chars < 1`` are
+    excluded (no leading digit)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy().astype(np.int64)
+        d = x[x >= 1].copy()
+        while (d >= 10).any():
+            np.floor_divide(d, 10, out=d, where=d >= 10)
+        t = pa.table({
+            "source": pc.array_filter(batch["source"],
+                                      pa.array(x >= 1)),
+            "digit": pa.array(d)})
+        g = t.group_by(["source", "digit"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"source": g["source"], "digit": g["digit"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    hist = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby(["source", "digit"]).aggregate(Sum("n", alias_name="n"))
+
+    def expect(batch: pa.Table) -> pa.Table:
+        d = batch["digit"].to_numpy().astype(np.float64)
+        e = np.floor(1000.0 * np.log10(1.0 + 1.0 / d)).astype(np.int64)
+        return batch.append_column("exp_milli", pa.array(e))
+
+    return hist.map_batches(expect, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def chi2_contingency(ds):
+    """lang × source contingency table with the EXACT integer
+    chi-square component per cell: ``comp_micro =
+    floor(10^6 * (O*N - R*C)^2 / (R*C*N))`` where O is the cell count,
+    R/C the row/column marginals and N the grand total — the
+    independence screen for "does this source's language mix diverge
+    from the corpus?".  Arbitrary-precision Python ints in the final
+    cell kernel (the products overflow int64 beyond ~5 K rows), so the
+    result is exact at any corpus size; the oracle mirrors it with
+    DuckDB HUGEINT floor division.
+
+    Scale shape: map-side (lang, source) partial counts, one
+    cell-bounded groupby, marginals folded on the driver over the
+    distinct-cell table (bounded by |langs|×|sources|, NOT corpus
+    size)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["lang", "source"]) \
+            .group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "o": pc.cast(g["count_all"], pa.int64())})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "source"]).aggregate(Sum("o", alias_name="o")) \
+        .take_all()                       # distinct-(lang,source)-bounded
+    if not cells:
+        empty = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "o": empty, "r_tot": empty, "c_tot": empty,
+            "n_tot": empty, "comp_micro": empty}))
+    r_tot: dict[str, int] = {}
+    c_tot: dict[str, int] = {}
+    n_tot = 0
+    for row in cells:
+        o = int(row["o"])
+        r_tot[row["lang"]] = r_tot.get(row["lang"], 0) + o
+        c_tot[row["source"]] = c_tot.get(row["source"], 0) + o
+        n_tot += o
+    out = {"lang": [], "source": [], "o": [], "r_tot": [], "c_tot": [],
+           "n_tot": [], "comp_micro": []}
+    for row in cells:
+        o, r, c = int(row["o"]), r_tot[row["lang"]], c_tot[row["source"]]
+        dev = o * n_tot - r * c           # Python ints: exact
+        out["lang"].append(row["lang"])
+        out["source"].append(row["source"])
+        out["o"].append(o)
+        out["r_tot"].append(r)
+        out["c_tot"].append(c)
+        out["n_tot"].append(n_tot)
+        out["comp_micro"].append(dev * dev * 10**6 // (r * c * n_tot))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "source": pa.array(out["source"], pa.string()),
+        "o": pa.array(out["o"], pa.int64()),
+        "r_tot": pa.array(out["r_tot"], pa.int64()),
+        "c_tot": pa.array(out["c_tot"], pa.int64()),
+        "n_tot": pa.array(out["n_tot"], pa.int64()),
+        "comp_micro": pa.array(out["comp_micro"], pa.int64())}))
+
+
+def heaps_law(ds, n_docs: int | None = None):
+    """Heaps'-law vocabulary-growth curve: V(t) = number of distinct
+    tokens whose FIRST occurrence lies in the first t documents (by
+    doc_id), sampled on the geometric grid t ∈ {min(2^k, n_docs)} —
+    the standard diagnostic for "how fast does the vocabulary grow as
+    the corpus grows" (sub-linear for natural text, near-linear for
+    noise/boilerplate).
+
+    Scale shape: (doc, token, tf) pre-aggregated rows -> map-side
+    per-token MIN(doc_id) partials -> one vocab-bounded groupby ->
+    per-batch bincount against the broadcast ~64-entry grid -> one
+    grid-bounded Sum.  The raw token stream never shuffles; nothing
+    corpus-sized reaches the driver."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    if n_docs is None:
+        n_docs = int(ds.count())
+    if n_docs <= 0:
+        e = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({"n_docs": e, "vocab": e}))
+    grid: list[int] = []
+    k = 1
+    while k < n_docs:
+        grid.append(k)
+        k *= 2
+    grid.append(n_docs)
+    garr = np.asarray(grid, dtype=np.int64)
+
+    tokens = ds.map_batches(doc_token_tf, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["token", "doc_id"]).group_by("token") \
+            .aggregate([("doc_id", "min")])
+        return pa.table({"token": g["token"], "fd": g["doc_id_min"]})
+
+    first = tokens.map_batches(min_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+        .groupby("token").aggregate(Min("fd", alias_name="fd"))
+
+    def grid_partial(batch: pa.Table) -> pa.Table:
+        fd = batch["fd"].to_numpy().astype(np.int64)
+        # v[j] = # tokens with fd < grid[j]
+        v = np.searchsorted(np.sort(fd), garr, side="left")
+        return pa.table({"n_docs": pa.array(garr),
+                         "vocab": pa.array(v.astype(np.int64))})
+
+    return first.map_batches(grid_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+        .groupby("n_docs").aggregate(Sum("vocab", alias_name="vocab"))

@@ -1,0 +1,192 @@
+"""Round-4 batch: Benford first-digit profile, exact chi-square
+contingency components, Heaps'-law vocabulary growth, and last-touch
+conversion attribution.
+
+These pin the semantics the SQL oracles rely on — digit extraction,
+arbitrary-precision floor division, the power-of-two grid, lookback
+window and tie order — on tiny constructed inputs; scripts/compare.py
+covers value equality on the shared tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from geo_inference_ray import textops
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        k: pa.array([r[k] for r in rows]) for k in rows[0]}))
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, d / "events.parquet")
+    return str(d)
+
+
+# ---------------------------------------------------------------- benford
+
+def test_benford_digit_extraction_and_expectation(ray_session):
+    rows = [
+        {"source": "a", "n_chars": 1},
+        {"source": "a", "n_chars": 19},
+        {"source": "a", "n_chars": 1999},
+        {"source": "a", "n_chars": 905},
+        {"source": "b", "n_chars": 42},
+        {"source": "b", "n_chars": 0},     # excluded: no leading digit
+    ]
+    df = textops.benford(_docs_ds(rows)).to_pandas() \
+        .sort_values(["source", "digit"]).reset_index(drop=True)
+    got = {(r.source, r.digit): r.n for r in df.itertuples()}
+    assert got == {("a", 1): 3, ("a", 9): 1, ("b", 4): 1}
+    # exp_milli matches floor(1000*log10(1+1/d)) — string-digit oracle
+    for r in df.itertuples():
+        assert r.exp_milli == int(np.floor(
+            1000 * np.log10(1 + 1.0 / r.digit)))
+    # digits agree with the SQL string-head extraction on random ints
+    rng = np.random.default_rng(7)
+    xs = rng.integers(1, 10**17, 500)
+    d = xs.copy()
+    while (d >= 10).any():
+        np.floor_divide(d, 10, out=d, where=d >= 10)
+    assert all(int(str(x)[0]) == dd for x, dd in zip(xs, d))
+
+
+# ------------------------------------------------------- chi2_contingency
+
+def test_chi2_contingency_exact_small_case(ray_session):
+    # 2x2 table: O = [[10, 20], [30, 40]]
+    rows = ([{"lang": "en", "source": "s1"}] * 10
+            + [{"lang": "en", "source": "s2"}] * 20
+            + [{"lang": "de", "source": "s1"}] * 30
+            + [{"lang": "de", "source": "s2"}] * 40)
+    df = textops.chi2_contingency(_docs_ds(rows)).to_pandas()
+    assert len(df) == 4
+    n = 100
+    for r in df.itertuples():
+        assert r.n_tot == n
+        dev = r.o * n - r.r_tot * r.c_tot
+        assert r.comp_micro == dev * dev * 10**6 // (
+            r.r_tot * r.c_tot * n)
+    en_s1 = df[(df.lang == "en") & (df.source == "s1")].iloc[0]
+    assert (en_s1.o, en_s1.r_tot, en_s1.c_tot) == (10, 30, 40)
+    # (10*100 - 30*40)^2 * 1e6 // (30*40*100) = 200^2*1e6//120000
+    assert en_s1.comp_micro == 200 * 200 * 10**6 // 120000
+    # marginal identity: sum of o per lang == r_tot
+    assert (df.groupby("lang").o.sum()
+            .eq(df.groupby("lang").r_tot.first())).all()
+
+
+def test_chi2_contingency_bigint_safe(ray_session):
+    # values chosen so (O*N - R*C)^2 * 1e6 overflows int64 if done in
+    # numpy — the kernel must use Python ints
+    rows = ([{"lang": "en", "source": "s1"}] * 5000
+            + [{"lang": "de", "source": "s2"}] * 5000)
+    df = textops.chi2_contingency(_docs_ds(rows)).to_pandas()
+    r = df[(df.lang == "en") & (df.source == "s1")].iloc[0]
+    dev = 5000 * 10000 - 5000 * 5000     # 25e6; squared*1e6 = 6.25e20
+    assert r.comp_micro == dev * dev * 10**6 // (5000 * 5000 * 10000)
+
+
+# --------------------------------------------------------------- heaps_law
+
+def test_heaps_law_grid_and_counts(ray_session):
+    rows = [
+        {"doc_id": 0, "text": "a b a"},      # new: a b
+        {"doc_id": 1, "text": "b c"},        # new: c
+        {"doc_id": 2, "text": "a"},          # new: -
+        {"doc_id": 3, "text": "d d"},        # new: d
+        {"doc_id": 4, "text": "e"},          # new: e
+    ]
+    df = textops.heaps_law(_docs_ds(rows), n_docs=5).to_pandas() \
+        .sort_values("n_docs").reset_index(drop=True)
+    # grid = 1, 2, 4, 5 (powers of two below n, then n)
+    assert df.n_docs.tolist() == [1, 2, 4, 5]
+    assert df.vocab.tolist() == [2, 3, 4, 5]
+
+
+def test_heaps_law_monotone_on_synth(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = textops.heaps_law(ds).to_pandas().sort_values("n_docs")
+    v = df.vocab.to_numpy()
+    assert (np.diff(v) >= 0).all()
+    # final point = total distinct tokens over the corpus
+    toks = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"]).map_batches(
+        textops.doc_token_tf, batch_format="pyarrow")
+    n_distinct = toks.to_pandas().token.nunique()
+    assert v[-1] == n_distinct
+
+
+# ------------------------------------------------------------- attribution
+
+def test_attribution_window_ties_and_none(ray_session, tmp_path):
+    TS = 1_700_000_000_000_000
+    M = 60_000_000
+    rows = [
+        # u1: click at t0, purchase 10 min later -> credited to click
+        (1, TS, 1, "click", 1.0),
+        (2, TS + 10 * M, 1, "purchase", 5.0),
+        # u1: second purchase 40 min after the click -> out of window
+        (3, TS + 41 * M, 1, "purchase", 7.0),
+        # u2: view then click (later), purchase -> last touch = click
+        (4, TS, 2, "view", 1.0),
+        (5, TS + 5 * M, 2, "click", 1.0),
+        (6, TS + 6 * M, 2, "purchase", 11.0),
+        # u3: purchase with NO prior event at all -> (none)
+        (7, TS, 3, "purchase", 3.0),
+        # u4: tie in ts — non-purchase with SMALLER event_id counts,
+        # the one with larger event_id does not
+        (8, TS, 4, "signup", 1.0),
+        (9, TS, 4, "purchase", 13.0),
+        (10, TS, 4, "error", 1.0),
+    ]
+    from geo_inference_ray import relational
+
+    sf = _write_events(tmp_path, rows)
+    df = relational.attribution(sf).to_pandas() \
+        .sort_values("src_type").reset_index(drop=True)
+    got = {r.src_type: (r.n_conv, r.value_milli)
+           for r in df.itertuples()}
+    assert got == {
+        "(none)": (2, 10000),     # events 3 (stale) and 7 (no touch)
+        "click": (2, 16000),      # events 2 and 6
+        "signup": (1, 13000),     # event 9 (tie: event_id 8 < 9)
+    }
+
+
+def test_attribution_exact_window_boundary(ray_session, tmp_path):
+    TS = 1_700_000_000_000_000
+    rows = [
+        (1, TS, 1, "view", 1.0),
+        # exactly 30 min later: still in window (<=)
+        (2, TS + 1_800_000_000, 1, "purchase", 2.0),
+        (3, TS, 2, "view", 1.0),
+        # 30 min + 1 us: out
+        (4, TS + 1_800_000_001, 2, "purchase", 2.0),
+    ]
+    from geo_inference_ray import relational
+
+    sf = _write_events(tmp_path, rows)
+    df = relational.attribution(sf).to_pandas()
+    got = {r.src_type: r.n_conv for r in df.itertuples()}
+    assert got == {"view": 1, "(none)": 1}
