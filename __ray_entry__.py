@@ -1798,10 +1798,26 @@ def q_attribution(sf_dir: str):
     return _rel.attribution(sf_dir)
 
 
+def q_grid_idw(sf_dir: str):
+    """IDW interpolation of page density onto empty hex7 cells within
+    hex distance 2 (1/d² integer weights, join-free anti-semijoin)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.grid_idw(_stages.geo_pipeline(sf_dir))
+
+
+def q_rolling_median(sf_dir: str):
+    """Exact trailing-7-day rolling median (doubled-integer) of daily
+    event counts per type."""
+    from geo_inference_ray import relational as _rel
+
+    return _rel.rolling_median(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  208
+    # so the dict is ordered by evidence need, not by theme.  210
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -2029,6 +2045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_contingency": q_chi2_contingency,
         "heaps_law": q_heaps_law,
         "attribution": q_attribution,
+        "grid_idw": q_grid_idw,
+        "rolling_median": q_rolling_median,
     }
 
 
@@ -5076,4 +5094,33 @@ SELECT COALESCE(a.src_type, '(none)') AS src_type,
        CAST(SUM(p.vm) AS BIGINT) AS value_milli
 FROM p LEFT JOIN a ON a.pid = p.event_id
 GROUP BY COALESCE(a.src_type, '(none)')""",
+        # IDW onto empty cells: 18-offset scatter with 1/d² integer
+        # weights; NOT EXISTS mirrors the folded occupancy marker.
+        "grid_idw": _WH + f""",
+cells AS (SELECT hex7, COUNT(*) AS n FROM hex9 GROUP BY hex7),
+offs AS (SELECT * FROM (VALUES {", ".join(
+    f"({o}, {_gx_mod.IDW_W_RING1})"
+    for o in _gx_mod.HEX_RING1_OFFSETS[1:])}, {", ".join(
+    f"({o}, {_gx_mod.IDW_W_RING2})"
+    for o in _gx_mod.HEX_RING2_OFFSETS)}) t(off, w)),
+sc AS (SELECT c.hex7 + o.off AS hex7,
+              SUM(o.w * c.n) AS num, SUM(o.w) AS den
+       FROM cells c CROSS JOIN offs o GROUP BY 1)
+SELECT CAST(sc.hex7 AS BIGINT) AS hex7,
+       CAST(sc.num AS BIGINT) AS num, CAST(sc.den AS BIGINT) AS den,
+       CAST((1000 * sc.num) // sc.den AS BIGINT) AS est_milli
+FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM cells c2 WHERE c2.hex7 = sc.hex7)""",
+        # Rolling exact median over the trailing 7 OBSERVED days (ROWS
+        # frame); doubled so even frames stay integer.
+        "rolling_median": """
+WITH d AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY event_type, day)
+SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS c,
+       CAST(2 * median(c) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS med2
+FROM d""",
     }

@@ -1992,3 +1992,89 @@ def compact_cells(cells12, n_cells: int):
                             zero_copy_batch=True),
         "parent", kernel, num_partitions=partitions_for(n_cells))
     return arrow_bridge(out, {"cell": pa.uint64(), "level": pa.int64()})
+
+
+# Ring-2 axial hex offsets packed as q*65536 + r (same packing as
+# knn.HEX_RING1_OFFSETS): the 12 cells at hex distance exactly 2.
+HEX_RING2_OFFSETS = (
+    131072, -131072,           # (±2,  0)
+    2, -2,                     # ( 0, ±2)
+    131070, -131070,           # (±2, ∓2)
+    65537, -65537,             # (±1, ±1)
+    131071, -131071,           # (±2, ∓1)
+    65534, -65534,             # (±1, ∓2)
+)
+IDW_W_RING1 = 1000             # 1/d² weights scaled ×1000: d=1 → 1000
+IDW_W_RING2 = 250              # d=2 → 1000/4
+
+
+def grid_idw(ds):
+    """Inverse-distance-weighted spatial interpolation onto EMPTY hex7
+    cells: every unoccupied cell within hex distance ≤2 of an occupied
+    cell gets the IDW estimate of the page density, weights 1/d²
+    (scaled ×1000 so everything stays integer): ``est_milli =
+    floor(1000 * Σ w_d·n / Σ w_d)``.  The gap-filling companion to
+    ``cell_smooth`` — smoothing re-weights occupied cells, IDW
+    *predicts* the holes between them.
+
+    Scale shape: map-side per-cell partial counts -> ONE cell-bounded
+    groupby -> an 18× scatter of the AGGREGATED cell rows (ring-1
+    weight 1000, ring-2 weight 250) unioned with occupancy marker rows
+    -> a second cell-bounded groupby -> filter occ == 0.  No join at
+    all: the anti-semijoin against occupied cells is folded into the
+    same groupby via the marker column.  Both shuffles carry
+    O(distinct cells), never the pages.  int64 bound: 1000·num =
+    10⁶ × (ring-local page count), safe below ~9·10¹² pages per
+    2-ring neighborhood."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"hex7": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    counts = ds.select_columns(["hex7"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("n", alias_name="n"))
+
+    offs = np.asarray(HEX_RING1_OFFSETS[1:] + HEX_RING2_OFFSETS,
+                      dtype=np.int64)          # drop the self-offset 0
+    ws = np.asarray([IDW_W_RING1] * 6 + [IDW_W_RING2] * 12,
+                    dtype=np.int64)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch["hex7"].to_numpy()
+        n = batch["n"].to_numpy()
+        idx = np.repeat(np.arange(len(cell)), len(offs))
+        w = np.tile(ws, len(cell))
+        return pa.table({
+            "hex7": pa.array(np.concatenate(
+                [cell[idx] + np.tile(offs, len(cell)), cell])),
+            "num": pa.array(np.concatenate(
+                [w * n[idx], np.zeros(len(cell), np.int64)])),
+            "den": pa.array(np.concatenate(
+                [w, np.zeros(len(cell), np.int64)])),
+            "occ": pa.array(np.concatenate(
+                [np.zeros(len(idx), np.int64),
+                 np.ones(len(cell), np.int64)]))})
+
+    agg = counts.map_batches(scatter, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby("hex7").aggregate(Sum("num", alias_name="num"),
+                                   Sum("den", alias_name="den"),
+                                   Sum("occ", alias_name="occ"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["occ"], 0)
+        t = batch.filter(keep)
+        num = t["num"].to_numpy()
+        den = t["den"].to_numpy()
+        est = 1000 * num // den            # den ≥ 250 by construction
+        return pa.table({"hex7": t["hex7"], "num": pa.array(num),
+                         "den": pa.array(den),
+                         "est_milli": pa.array(est)})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

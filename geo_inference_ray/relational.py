@@ -4267,3 +4267,82 @@ def attribution(sf_dir: str):
     return bridged.groupby("src_type").aggregate(
         Sum("n_conv", alias_name="n_conv"),
         Sum("value_milli", alias_name="value_milli"))
+
+
+ROLLMED_FRAME = 7          # ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+
+
+def rolling_median(sf_dir: str):
+    """Per-event-type daily counts with the EXACT rolling median over
+    the trailing 7 observed days (ROWS frame, matching the SQL window
+    aggregate) — the robust-baseline sibling of ewma_daily (EWMA is
+    mean-ish and outlier-sensitive; the median is the robust anomaly
+    baseline).  ``med2`` is the DOUBLED median so even-width frames
+    stay integer (2·median of ints is always an int).
+
+    Scale shape: map-side (type, day) partial counts -> one
+    (type × day)-bounded groupby -> a per-type vectorized
+    sliding-window kernel over the DAILY series (calendar-bounded, not
+    corpus-bounded — a year is 365 rows per type no matter how many
+    events the corpus holds), dispatched through the hash-partitioned
+    kernel runner."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"event_type": batch["event_type"], "day": day})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["event_type", "day"]) \
+        .aggregate(Sum("c", alias_name="c"))
+
+    k = ROLLMED_FRAME
+
+    def med_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day"],
+                          kind="stable").reset_index(drop=True)
+        et = g["event_type"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        n = len(g)
+        run = np.zeros(n, dtype=np.int64)
+        run[1:] = np.cumsum(et[1:] != et[:-1])
+        first = np.ones(n, dtype=bool)
+        first[1:] = run[1:] != run[:-1]
+        start = np.maximum.accumulate(np.where(first,
+                                               np.arange(n), 0))
+        lo = np.maximum(start, np.arange(n) - (k - 1))
+        # frame width ≤ 7: sort each frame via a padded 2-D gather
+        # (pad with int64 max so pads sort to the tail)
+        pad = np.iinfo(np.int64).max
+        cols = lo[:, None] + np.arange(k)[None, :]
+        valid = cols <= np.arange(n)[:, None]
+        fr = np.where(valid, c[np.minimum(cols, n - 1)], pad)
+        fr.sort(axis=1)
+        w = valid.sum(axis=1)
+        hi_i = w // 2
+        lo_i = (w - 1) // 2
+        r = np.arange(n)
+        med2 = fr[r, lo_i] + fr[r, hi_i]
+        return pd.DataFrame({"event_type": et, "day": g["day"],
+                             "c": c, "med2": med2})
+
+    # per-GROUP pandas dispatch is safe here: groups == event types
+    # (a handful), each a calendar-bounded daily series
+    out = daily.groupby("event_type").map_groups(
+        med_part, batch_format="pandas")
+    from .shuffle import arrow_bridge
+
+    return arrow_bridge(out, {"event_type": pa.string(),
+                              "day": pa.int64(), "c": pa.int64(),
+                              "med2": pa.int64()})

@@ -190,3 +190,61 @@ def test_attribution_exact_window_boundary(ray_session, tmp_path):
     df = relational.attribution(sf).to_pandas()
     got = {r.src_type: r.n_conv for r in df.itertuples()}
     assert got == {"view": 1, "(none)": 1}
+
+
+# ---------------------------------------------------------------- grid_idw
+
+def test_grid_idw_weights_and_occupancy(ray_session):
+    import ray.data as rd
+    from geo_inference_ray import geoext
+
+    # two occupied cells packed as q*65536+r: (0,0) x3 pages, (2,0) x6
+    a, b = 0, 2 * 65536
+    ds = rd.from_arrow(pa.table({
+        "hex7": pa.array([a] * 3 + [b] * 6, pa.int64())}))
+    df = geoext.grid_idw(ds).to_pandas().set_index("hex7")
+    # occupied cells never appear
+    assert a not in df.index and b not in df.index
+    # (1,0) is ring-1 of both: num = 1000*3 + 1000*6, den = 2000
+    mid = 65536
+    r = df.loc[mid]
+    assert (r.num, r.den) == (9000, 2000)
+    assert r.est_milli == 1000 * 9000 // 2000
+    # (0,2) is ring-2 of BOTH (0,0) and (2,0) (axial distance 2 each)
+    r2 = df.loc[2]
+    assert (r2.num, r2.den) == (250 * 3 + 250 * 6, 500)
+    assert r2.est_milli == 1000 * 2250 // 500
+    # (-1,-1) is ring-2 of (0,0) only (distance 3 from (2,0))
+    r3 = df.loc[-65537]
+    assert (r3.num, r3.den) == (250 * 3, 250)
+    assert r3.est_milli == 3000
+    # (4,0) is ring-2 of (2,0) only
+    r4 = df.loc[4 * 65536]
+    assert (r4.num, r4.den) == (250 * 6, 250)
+    # nothing farther than distance 2 from any occupied cell
+    offs = set(geoext.HEX_RING1_OFFSETS[1:]) | set(
+        geoext.HEX_RING2_OFFSETS)
+    assert all(h - a in offs or h - b in offs for h in df.index)
+
+
+# ------------------------------------------------------------ rolling_median
+
+def test_rolling_median_frames(ray_session, tmp_path):
+    from geo_inference_ray import relational
+
+    TS = 0
+    D = 86_400_000_000
+    # type "x": daily counts 5,1,9,3 on days 0,1,2,4 (gap at 3 —
+    # ROWS frame uses observed days only)
+    rows, eid = [], 0
+    for day, cnt in [(0, 5), (1, 1), (2, 9), (4, 3)]:
+        for _ in range(cnt):
+            rows.append((eid, TS + day * D + eid, 7, "x", 1.0))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    df = relational.rolling_median(sf).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    assert df.day.tolist() == [0, 1, 2, 4]
+    assert df.c.tolist() == [5, 1, 9, 3]
+    # frames: [5] [5,1] [5,1,9] [5,1,9,3] -> med2 = 10, 6, 10, 8
+    assert df.med2.tolist() == [10, 6, 10, 8]
