@@ -1814,10 +1814,27 @@ def q_rolling_median(sf_dir: str):
     return _rel.rolling_median(sf_dir)
 
 
+def q_session_path_topk(sf_dir: str):
+    """Top-20 session event-type paths (30-min sessions, first 8
+    types, '>'-joined) by count."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.session_path_topk(sf_dir)
+
+
+def q_out_of_order(sf_dir: str):
+    """Watermark audit per event type: late-arrival counts and
+    lateness vs the running max event time in arrival order
+    (distributed exclusive prefix max)."""
+    from geo_inference_ray import analytics as _an
+
+    return _an.out_of_order(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  210
+    # so the dict is ordered by evidence need, not by theme.  212
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -2047,6 +2064,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "grid_idw": q_grid_idw,
         "rolling_median": q_rolling_median,
+        "session_path_topk": q_session_path_topk,
+        "out_of_order": q_out_of_order,
     }
 
 
@@ -5123,4 +5142,45 @@ SELECT event_type, CAST(day AS BIGINT) AS day, CAST(c AS BIGINT) AS c,
               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
            AS med2
 FROM d""",
+        # Session paths: sessionize with (ts, event_id) tie order,
+        # first 8 types per session, ordered string_agg, top-20.
+        "session_path_topk": """
+WITH d AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM d),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                               ORDER BY ts, event_id) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, session_idx,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 8 GROUP BY user_id, session_idx)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY path ORDER BY n DESC, path LIMIT 20""",
+        # Watermark audit: running max ts over arrival (event_id)
+        # order, strictly prior rows.
+        "out_of_order": """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t
+           FROM events),
+w AS (SELECT event_type, t,
+             MAX(t) OVER (ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM e)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE t < pm) AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(pm - t) FILTER (WHERE t < pm), 0) AS BIGINT)
+           AS max_late_us,
+       CAST(COALESCE(SUM(pm - t) FILTER (WHERE t < pm), 0) AS BIGINT)
+           AS sum_late_us
+FROM w GROUP BY event_type""",
     }

@@ -1427,3 +1427,169 @@ def streaks(sf_dir: str):
 
     return _hash_partitioned(du, "user_id", streak_part,
                              rows_hint=_parquet_rows(path))
+
+
+SESSION_PATH_MAXLEN = 8     # event types kept per session path
+SESSION_PATH_TOPK = 20
+
+
+def session_path_topk(sf_dir: str, gap_minutes: int = 30,
+                      maxlen: int = SESSION_PATH_MAXLEN,
+                      k: int = SESSION_PATH_TOPK):
+    """Frequent-session-path mining: sessionize per user (30-min gap,
+    the sessionize rule), concatenate the first ``maxlen`` event types
+    of each session in (ts, event_id) order into a '>'-joined path
+    string, and report the top-k paths by count (ties broken by path
+    text) — the classic clickstream "what do users actually do"
+    query.
+
+    Scale shape: one user-hash shuffle; session ids and in-session
+    positions are the sessionize segmented-cumsum kernel; the path
+    string_agg is a pandas C-level groupby join per partition (one
+    string build per SESSION — inherent to the output, never per
+    event); partial path counts per partition, one
+    path-bounded groupby (≤ |types|^maxlen distinct paths), and a
+    driver-free sort-limit."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .shuffle import arrow_bridge
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def paths_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="stable").reset_index(drop=True)
+        ts = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        newu = np.ones(len(g), dtype=bool)
+        newu[1:] = uid[1:] != uid[:-1]
+        is_new = newu.copy()
+        is_new[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(is_new.astype(np.int64))   # partition-unique
+        starts = np.flatnonzero(is_new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        pos = np.arange(len(g)) - np.repeat(starts, sizes)
+        head = pos < maxlen
+        df = pd.DataFrame({"sess": sess[head],
+                           "et": g["event_type"].to_numpy()[head]})
+        p = df.groupby("sess")["et"].agg(">".join)
+        out = p.value_counts().rename_axis("path").reset_index(
+            name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out[["path", "n"]]
+
+    parts = _hash_partitioned(ev, "user_id", paths_part,
+                              rows_hint=_parquet_rows(path))
+    counts = arrow_bridge(parts, {"path": pa.string(),
+                                  "n": pa.int64()}) \
+        .groupby("path").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "path"], descending=[True, False]) \
+        .limit(k)
+
+
+OOO_RANGE_IDS = 4096        # event_ids per prefix-max range
+
+
+def out_of_order(sf_dir: str, range_ids: int = OOO_RANGE_IDS):
+    """Out-of-orderness audit of the event stream: with arrival order
+    = event_id and event time = ts, an event is LATE when its ts is
+    below the running maximum ts of all earlier arrivals (the
+    watermark).  Per event type: event count, late count, max and
+    total lateness (µs) — the statistics that size a streaming
+    watermark delay.
+
+    Scale shape: the running max is a distributed EXCLUSIVE PREFIX MAX
+    in the pack_sequences two-stage pattern — per-range MAX(ts)
+    partials (driver state = id_space/range_ids rows), an exclusive
+    max-scan over the sorted ranges broadcast once, then a per-
+    partition segmented cummax kernel (pandas C groupby cummax/shift)
+    with the range offset added back.  No global sort; one hash
+    shuffle on the range key."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum, Max
+
+    from .shuffle import arrow_bridge
+
+    path = f"{sf_dir}/events.parquet"
+    ev = rd.read_parquet(path, columns=["event_id", "ts",
+                                        "event_type"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "t": t,
+            "event_type": batch["event_type"],
+            "rkey": pa.array(batch["event_id"].to_numpy()
+                             // range_ids)})
+
+    kev = ev.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None)
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(["rkey", "t"]).group_by("rkey") \
+            .aggregate([("t", "max")])
+        return pa.table({"rkey": g["rkey"], "m": g["t_max"]})
+
+    rk_list, mx_list = [], []
+    for b in kev.map_batches(range_partial, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None) \
+            .groupby("rkey").aggregate(Max("m", alias_name="m")) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        rk_list.append(b["rkey"].to_numpy())
+        mx_list.append(b["m"].to_numpy())
+    if not rk_list:
+        e = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()), "n_events": e,
+            "n_late": e, "max_late_us": e, "sum_late_us": e}))
+    rk = np.concatenate(rk_list)
+    mx = np.concatenate(mx_list)
+    order = np.argsort(rk)
+    rk, mx = rk[order], mx[order]
+    lowest = np.iinfo(np.int64).min
+    premax = np.concatenate([[lowest],
+                             np.maximum.accumulate(mx)[:-1]])
+    state_ref = ray.put((rk, premax))
+
+    def scan_part(g: pd.DataFrame) -> pd.DataFrame:
+        rkeys, offsets = ray.get(state_ref)
+        g = g.sort_values("event_id", kind="stable") \
+            .reset_index(drop=True)
+        t = g["t"].to_numpy()
+        r = g["rkey"].to_numpy()
+        seg = pd.Series(np.cumsum(np.concatenate(
+            [[True], r[1:] != r[:-1]])))
+        ts_s = pd.Series(t)
+        excl = ts_s.groupby(seg).cummax().groupby(seg).shift(1)
+        base = offsets[np.searchsorted(rkeys, r)].astype(np.float64)
+        prev = np.fmax(excl.to_numpy(), base)
+        late = t < prev
+        lateness = np.where(late, prev - t, 0).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "one": np.ones(len(g), dtype=np.int64),
+            "late": late.astype(np.int64),
+            "lateness": lateness})
+        out = df.groupby("event_type", as_index=False).agg(
+            n_events=("one", "sum"), n_late=("late", "sum"),
+            max_late_us=("lateness", "max"),
+            sum_late_us=("lateness", "sum"))
+        return out
+
+    parts = _hash_partitioned(kev, "rkey", scan_part,
+                              rows_hint=_parquet_rows(path))
+    return arrow_bridge(parts, {
+        "event_type": pa.string(), "n_events": pa.int64(),
+        "n_late": pa.int64(), "max_late_us": pa.int64(),
+        "sum_late_us": pa.int64()}) \
+        .groupby("event_type").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+            Max("max_late_us", alias_name="max_late_us"),
+            Sum("sum_late_us", alias_name="sum_late_us"))

@@ -248,3 +248,66 @@ def test_rolling_median_frames(ray_session, tmp_path):
     assert df.c.tolist() == [5, 1, 9, 3]
     # frames: [5] [5,1] [5,1,9] [5,1,9,3] -> med2 = 10, 6, 10, 8
     assert df.med2.tolist() == [10, 6, 10, 8]
+
+
+# ------------------------------------------------------- session_path_topk
+
+def test_session_path_topk_order_and_truncation(ray_session, tmp_path):
+    from geo_inference_ray import analytics
+
+    TS = 1_700_000_000_000_000
+    M = 60_000_000
+    rows = []
+    eid = 0
+    # 3 sessions "view>click", 1 session "click>view"
+    for u, order in [(1, ["view", "click"]), (2, ["view", "click"]),
+                     (3, ["view", "click"]), (4, ["click", "view"])]:
+        for i, et in enumerate(order):
+            rows.append((eid, TS + i * M, u, et, 1.0))
+            eid += 1
+    # u5: one long session of 10 views -> truncated to 8
+    for i in range(10):
+        rows.append((eid, TS + i * M, 5, "view", 1.0))
+        eid += 1
+    # u1 again 2 h later: NEW session, single event
+    rows.append((eid, TS + 120 * M, 1, "error", 1.0))
+    sf = _write_events(tmp_path, rows)
+    df = analytics.session_path_topk(sf).to_pandas()
+    got = list(zip(df.path, df.n))
+    assert got[0] == ("view>click", 3)
+    d = dict(got)
+    assert d["click>view"] == 1
+    assert d[">".join(["view"] * 8)] == 1      # truncated at 8
+    assert d["error"] == 1
+    # sorted by n desc then path asc
+    assert all(got[i][1] > got[i + 1][1]
+               or (got[i][1] == got[i + 1][1]
+                   and got[i][0] < got[i + 1][0])
+               for i in range(len(got) - 1))
+
+
+# ------------------------------------------------------------ out_of_order
+
+def test_out_of_order_watermark(ray_session, tmp_path):
+    from geo_inference_ray import analytics
+
+    TS = 1_700_000_000_000_000
+    rows = [
+        # arrival order = event_id; event times jump around
+        (0, TS + 100, 1, "view", 1.0),
+        (1, TS + 50, 1, "click", 1.0),    # late by 50
+        (2, TS + 200, 2, "view", 1.0),
+        (3, TS + 200, 2, "view", 1.0),    # equal: NOT late (strict <)
+        (4, TS + 10, 3, "error", 1.0),    # late by 190
+        (5, TS + 300, 3, "view", 1.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    df = analytics.out_of_order(sf, range_ids=2).to_pandas() \
+        .set_index("event_type")
+    assert df.loc["view"].n_events == 4
+    assert df.loc["view"].n_late == 0
+    assert df.loc["click"].n_late == 1
+    assert df.loc["click"].max_late_us == 50
+    assert df.loc["error"].n_late == 1
+    assert df.loc["error"].max_late_us == 190
+    assert df.loc["error"].sum_late_us == 190
