@@ -1831,10 +1831,16 @@ def q_out_of_order(sf_dir: str):
     return _an.out_of_order(sf_dir)
 
 
+def q_silhouette(sf_dir: str):
+    """Per-cluster integer simplified silhouette of the kmeans
+    clustering (second-nearest-centroid ratio, milli-units)."""
+    return _ann.silhouette(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  212
+    # so the dict is ordered by evidence need, not by theme.  213
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -2066,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": q_rolling_median,
         "session_path_topk": q_session_path_topk,
         "out_of_order": q_out_of_order,
+        "silhouette": q_silhouette,
     }
 
 
@@ -5183,4 +5190,49 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COALESCE(SUM(pm - t) FILTER (WHERE t < pm), 0) AS BIGINT)
            AS sum_late_us
 FROM w GROUP BY event_type""",
+        # Simplified silhouette over the SAME 2-iteration Lloyd chain
+        # as the kmeans oracle; b2 = second-smallest centroid distance
+        # (rn=2 in (dist, cid) order), s_milli integer floor division.
+        "silhouette": f"""
+WITH elems AS (
+  SELECT vec_id, g.i AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
+              AS BIGINT) AS qx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {_ann.KMEANS_K})),
+c0 AS (SELECT s.cid, e.dim, e.qx AS qc
+       FROM seeds s JOIN elems e USING (vec_id)),
+d1 AS (SELECT e.vec_id, c.cid,
+              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+       FROM elems e JOIN c0 c ON c.dim = e.dim
+       GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a.cid, e.dim,
+              CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
+       FROM a1 a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
+c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
+       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+d2 AS (SELECT e.vec_id, c.cid,
+              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+       FROM elems e JOIN c1 c ON c.dim = e.dim
+       GROUP BY e.vec_id, c.cid),
+r AS (SELECT vec_id, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d2),
+ab AS (SELECT a.vec_id, a.cid, a.dist AS a2, b.dist AS b2
+       FROM r a JOIN r b ON b.vec_id = a.vec_id
+       WHERE a.rn = 1 AND b.rn = 2)
+SELECT CAST(cid AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN b2 > 0 THEN (1000 * (b2 - a2)) // b2
+                     ELSE 0 END) AS BIGINT) AS s_milli_sum
+FROM ab GROUP BY cid""",
     }

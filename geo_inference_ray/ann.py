@@ -503,6 +503,28 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
     (k-bounded state, like the reference's grid-bounded merges); no
     shuffle of the vectors, ``iters`` passes over the data total."""
     import ray
+
+    ds, cents = _lloyd_cents(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def final(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Q = _quantize(batch["embedding"])
+        lab, d = _assign_int(Q, C)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(lab.astype(np.int64)),
+                         "dist": pa.array(d)})
+
+    return ds.map_batches(final, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _lloyd_cents(sf_dir: str, k: int, iters: int):
+    """The Lloyd centroid loop of ``kmeans_assign`` (see its
+    determinism contract), extracted so silhouette scoring shares the
+    exact centroids.  Returns (embedding Dataset, final int64
+    centroids)."""
+    import ray
     import ray.data as rd
 
     head = _head_by_id(f"{sf_dir}/embeddings.parquet", k,
@@ -513,23 +535,13 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
 
-    def assign(Q: np.ndarray, C: np.ndarray):
-        """(n,d) x (k,d) -> (labels, dists): exact int64 argmin with
-        lowest-cluster tie-break (np.argmin takes the first min)."""
-        dists = np.empty((len(Q), len(C)), dtype=np.int64)
-        for ci in range(len(C)):
-            diff = Q - C[ci][None, :]
-            dists[:, ci] = np.einsum("ij,ij->i", diff, diff)
-        lab = np.argmin(dists, axis=1)
-        return lab, dists[np.arange(len(Q)), lab]
-
     for _ in range(iters - 1):
         cref = ray.put(cents)
 
         def partial(batch: pa.Table, cref=cref) -> pa.Table:
             C = ray.get(cref)
             Q = _quantize(batch["embedding"])
-            lab, _ = assign(Q, C)
+            lab, _ = _assign_int(Q, C)
             rows = []
             for ci in np.unique(lab):
                 sel = Q[lab == ci]
@@ -558,18 +570,56 @@ def kmeans_assign(sf_dir: str, k: int = KMEANS_K,
                              / cnt[nz, None].astype(np.float64)) \
             .astype(np.int64)
 
+    return ds, cents
+
+
+def silhouette(sf_dir: str, k: int = KMEANS_K,
+               iters: int = KMEANS_ITERS):
+    """Per-cluster simplified (centroid) silhouette of the kmeans
+    clustering, integer-exact: for each vector, ``a2`` = squared
+    distance to its own (nearest) centroid and ``b2`` = squared
+    distance to the second-nearest; the squared-distance silhouette
+    ``s_milli = floor(1000·(b2 − a2) / b2)`` (0 when b2 = 0) is summed
+    per cluster — the standard "how separated are the clusters"
+    diagnostic, computed without any pairwise point-point pass.
+    Output: (cluster, n, s_milli_sum); the mean is s_milli_sum / n
+    downstream.
+
+    Scale shape: identical to kmeans_assign's final pass — centroids
+    broadcast once, ONE map over the vectors emitting k-bounded
+    partial rows, one k-bounded groupby.  b2 comes from
+    ``np.partition`` (second-smallest of the k distances), not a
+    second scan."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds, cents = _lloyd_cents(sf_dir, k, iters)
     cref = ray.put(cents)
 
-    def final(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
         C = ray.get(cref)
         Q = _quantize(batch["embedding"])
-        lab, d = assign(Q, C)
-        return pa.table({"vec_id": batch["vec_id"],
-                         "cluster": pa.array(lab.astype(np.int64)),
-                         "dist": pa.array(d)})
+        dists = np.empty((len(Q), len(C)), dtype=np.int64)
+        for ci in range(len(C)):
+            diff = Q - C[ci][None, :]
+            dists[:, ci] = np.einsum("ij,ij->i", diff, diff)
+        lab = np.argmin(dists, axis=1)
+        two = np.partition(dists, 1, axis=1)
+        a2, b2 = two[:, 0], two[:, 1]
+        s = np.where(b2 > 0, 1000 * (b2 - a2) // np.maximum(b2, 1), 0)
+        df_lab = pa.table({"cluster": pa.array(lab.astype(np.int64)),
+                           "one": pa.array(np.ones(len(Q), np.int64)),
+                           "s": pa.array(s.astype(np.int64))})
+        g = df_lab.group_by("cluster").aggregate(
+            [("one", "sum"), ("s", "sum")])
+        return pa.table({"cluster": g["cluster"], "n": g["one_sum"],
+                         "s_milli_sum": g["s_sum"]})
 
-    return ds.map_batches(final, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None) \
+        .groupby("cluster").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_milli_sum", alias_name="s_milli_sum"))
 
 
 PQ_SUBS = 4          # product-quantization subspaces (d must divide)

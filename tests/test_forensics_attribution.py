@@ -311,3 +311,19 @@ def test_out_of_order_watermark(ray_session, tmp_path):
     assert df.loc["error"].n_late == 1
     assert df.loc["error"].max_late_us == 190
     assert df.loc["error"].sum_late_us == 190
+
+
+# -------------------------------------------------------------- silhouette
+
+def test_silhouette_identities(ray_session):
+    from geo_inference_ray import ann
+
+    df = ann.silhouette("/root/testdata/sf0.001").to_pandas()
+    km = ann.kmeans_assign("/root/testdata/sf0.001").to_pandas()
+    # one row per non-empty cluster; n matches the kmeans assignment
+    sizes = km.groupby("cluster").size()
+    assert df.set_index("cluster").n.sort_index() \
+        .equals(sizes.sort_index().astype("int64"))
+    # silhouette is in [0, 1000] per point -> bounded sums
+    assert (df.s_milli_sum >= 0).all()
+    assert (df.s_milli_sum <= 1000 * df.n).all()
