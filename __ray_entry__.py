@@ -1852,11 +1852,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                86 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 57 post-freeze) — each pinned
+    #                95 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 66 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 86 (README "Driver
-    # correctness window" names the suggested 36-query defer set).
+    # Round 5 must front-load 50 of those 95 (README "Driver
+    # correctness window" names the suggested defer set).
     return {
         "kmeans": q_kmeans,
         "simhash_pairs": q_simhash_pairs,
