@@ -327,3 +327,33 @@ def test_silhouette_identities(ray_session):
     # silhouette is in [0, 1000] per point -> bounded sums
     assert (df.s_milli_sum >= 0).all()
     assert (df.s_milli_sum <= 1000 * df.n).all()
+
+
+# ------------------------------------------------------------- empty guards
+
+def test_new_ops_empty_inputs(ray_session, tmp_path):
+    import ray.data as rd
+    from geo_inference_ray import analytics, relational
+
+    # benford: all rows excluded (n_chars = 0)
+    df = textops.benford(_docs_ds(
+        [{"source": "a", "n_chars": 0}])).to_pandas()
+    assert len(df) == 0
+    # chi2 on empty dataset
+    empty_docs = rd.from_arrow(pa.table({
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string())}))
+    assert len(textops.chi2_contingency(empty_docs).to_pandas()) == 0
+    # heaps_law on empty corpus
+    assert len(textops.heaps_law(
+        rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string())})),
+        n_docs=0).to_pandas()) == 0
+    # attribution with zero purchases -> empty result
+    sf = _write_events(tmp_path, [(1, 1_700_000_000_000_000, 1,
+                                   "view", 1.0)])
+    assert len(relational.attribution(sf).to_pandas()) == 0
+    # out_of_order single event -> never late
+    df = analytics.out_of_order(sf).to_pandas()
+    assert df.n_late.tolist() == [0]
