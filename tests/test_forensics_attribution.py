@@ -357,3 +357,95 @@ def test_new_ops_empty_inputs(ray_session, tmp_path):
     # out_of_order single event -> never late
     df = analytics.out_of_order(sf).to_pandas()
     assert df.n_late.tolist() == [0]
+
+
+# ------------------------------------------------- randomized vs naive
+
+def _random_events(seed, n=2000, users=40, span_min=600):
+    rng = np.random.default_rng(seed)
+    TS = 1_700_000_000_000_000
+    ts = TS + rng.integers(0, span_min * 60_000_000, n)
+    return [(i, int(ts[i]), int(rng.integers(1, users + 1)),
+             ["view", "click", "purchase", "signup", "error"][
+                 int(rng.integers(0, 5))],
+             float(rng.integers(1, 10000)) / 100.0)
+            for i in range(n)]
+
+
+def test_attribution_matches_naive_bruteforce(ray_session, tmp_path):
+    from geo_inference_ray import relational
+
+    rows = _random_events(11)
+    sf = _write_events(tmp_path, rows)
+    got = relational.attribution(sf).to_pandas() \
+        .set_index("src_type").sort_index()
+
+    df = pd.DataFrame(rows, columns=["event_id", "t", "user_id",
+                                     "et", "value"])
+    df = df.sort_values(["user_id", "t", "event_id"]) \
+        .reset_index(drop=True)
+    W = 1_800_000_000
+    agg = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.reset_index(drop=True)
+        for i in range(len(g)):
+            if g.et[i] != "purchase":
+                continue
+            src = "(none)"
+            for j in range(i - 1, -1, -1):
+                if g.et[j] != "purchase":
+                    if g.t[i] - g.t[j] <= W:
+                        src = g.et[j]
+                    break
+            n, v = agg.get(src, (0, 0))
+            agg[src] = (n + 1, v + round(g.value[i] * 1000))
+    exp = pd.DataFrame(
+        [(k, n, v) for k, (n, v) in agg.items()],
+        columns=["src_type", "n_conv", "value_milli"]) \
+        .set_index("src_type").sort_index()
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+
+
+def test_rolling_median_matches_pandas(ray_session, tmp_path):
+    from geo_inference_ray import relational
+
+    rows = _random_events(12, n=3000, span_min=20 * 24 * 60)
+    sf = _write_events(tmp_path, rows)
+    got = relational.rolling_median(sf).to_pandas() \
+        .sort_values(["event_type", "day"]).reset_index(drop=True)
+
+    df = pd.DataFrame(rows, columns=["event_id", "t", "user_id",
+                                     "et", "value"])
+    df["day"] = df.t // 86_400_000_000
+    daily = df.groupby(["et", "day"]).size().rename("c").reset_index()
+    daily = daily.sort_values(["et", "day"]).reset_index(drop=True)
+    exp_med2 = daily.groupby("et")["c"].transform(
+        lambda s: 2 * s.rolling(7, min_periods=1).median())
+    assert got.med2.tolist() == exp_med2.astype("int64").tolist()
+    assert got.c.tolist() == daily.c.tolist()
+
+
+def test_out_of_order_matches_naive(ray_session, tmp_path):
+    from geo_inference_ray import analytics
+
+    rows = _random_events(13, n=2500)
+    sf = _write_events(tmp_path, rows)
+    got = analytics.out_of_order(sf, range_ids=64).to_pandas() \
+        .set_index("event_type").sort_index()
+
+    df = pd.DataFrame(rows, columns=["event_id", "t", "user_id",
+                                     "et", "value"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    pm = df.t.cummax().shift(1)
+    late = df.t < pm
+    lateness = np.where(late, (pm - df.t).fillna(0), 0).astype(np.int64)
+    exp = pd.DataFrame({"et": df.et, "late": late.astype(np.int64),
+                        "lateness": lateness}) \
+        .groupby("et").agg(n_events=("late", "size"),
+                           n_late=("late", "sum"),
+                           max_late_us=("lateness", "max"),
+                           sum_late_us=("lateness", "sum"))
+    pd.testing.assert_frame_equal(
+        got.astype("int64"),
+        exp.rename_axis("event_type").astype("int64"))
