@@ -1837,10 +1837,16 @@ def q_silhouette(sf_dir: str):
     return _ann.silhouette(sf_dir)
 
 
+def q_hybrid_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the lexical tf-idf top-20 and the
+    semantic cosine top-10 (query 0) — hybrid search."""
+    return _ann.hybrid_rrf(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  213
+    # so the dict is ordered by evidence need, not by theme.  214
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1852,10 +1858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                95 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 66 post-freeze) — each pinned
+    #                96 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 67 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 95 (README "Driver
+    # Round 5 must front-load 50 of those 96 (README "Driver
     # correctness window" names the suggested defer set).
     return {
         "kmeans": q_kmeans,
@@ -2073,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_path_topk": q_session_path_topk,
         "out_of_order": q_out_of_order,
         "silhouette": q_silhouette,
+        "hybrid_rrf": q_hybrid_rrf,
     }
 
 
@@ -5235,4 +5242,48 @@ SELECT CAST(cid AS BIGINT) AS cluster,
        CAST(SUM(CASE WHEN b2 > 0 THEN (1000 * (b2 - a2)) // b2
                      ELSE 0 END) AS BIGINT) AS s_milli_sum
 FROM ab GROUP BY cid""",
+        # RRF fusion of the search_topk and ann_topk(query 0) mirrors;
+        # FULL OUTER JOIN == the union-of-lists fold.
+        "hybrid_rrf": f"""
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM flat
+  WHERE token IN {tuple(_textops.SEARCH_TERMS)!r}
+  GROUP BY doc_id, token),
+dfs AS (SELECT token, COUNT(*) AS df FROM toks GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT t.doc_id,
+         CAST(SUM(t.tf * CAST(floor(1000.0 *
+              ln(CAST(nd.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)))
+              AS BIGINT)) AS BIGINT) AS score_milli
+  FROM toks t JOIN dfs d ON d.token = t.token, nd
+  GROUP BY t.doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id)
+                   AS r
+        FROM sc ORDER BY score_milli DESC, doc_id
+        LIMIT {_textops.SEARCH_TOPK}),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      ORDER BY vec_id LIMIT 1),
+sims AS (SELECT e.vec_id AS doc_id,
+                list_cosine_similarity(q.embedding, e.embedding) AS sim
+         FROM q, embeddings e WHERE e.vec_id != q.query_id),
+sem AS (SELECT doc_id, r FROM (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+          FROM sims) WHERE r <= {_ann.TOPK_DEFAULT}),
+u AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(1000 // ({_ann.RRF_C} + l.r), 0)
+               + COALESCE(1000 // ({_ann.RRF_C} + s.r), 0) AS rrf_milli,
+             CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END AS in_lex,
+             CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END AS in_sem
+      FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rrf_milli AS BIGINT) AS rrf_milli,
+       CAST(in_lex AS BIGINT) AS in_lex,
+       CAST(in_sem AS BIGINT) AS in_sem
+FROM u ORDER BY rrf_milli DESC, doc_id LIMIT {_ann.RRF_TOPK}""",
     }

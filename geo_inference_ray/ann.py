@@ -986,3 +986,51 @@ def emb_quantize(sf_dir: str):
 
     return ds.map_batches(encode, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+RRF_C = 60                 # the standard reciprocal-rank-fusion offset
+RRF_TOPK = 20
+
+
+def hybrid_rrf(sf_dir: str, c: int = RRF_C, k: int = RRF_TOPK):
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical tf-idf
+    ranking (``textops.search_topk``, fixed demo query) and the
+    semantic cosine ranking (``ann_topk`` for query_id 0, neighbors
+    over the shared doc/vec id domain) are fused with the standard RRF
+    score ``Σ 1000 // (c + rank)`` (integer milli-units, c = 60) — the
+    production hybrid-search pattern (BM25 ∪ dense retrieval → one
+    list).  Ids absent from a list contribute 0 from it; output the
+    top-k by (rrf_milli DESC, doc_id) with membership flags.
+
+    Scale shape: both input rankings are already k-bounded engine
+    pipelines (partial top-k reductions — nothing here rescans the
+    corpus); the fusion itself is a 30-row driver-bounded join, the
+    same bounded-collect contract as the kmeans centroid fold."""
+    from .textops import search_topk
+    import ray.data as rd
+
+    from .relational import _parquet_rows
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    lex = search_topk(docs, _parquet_rows(path)).take_all()
+    sem_all = ann_topk(sf_dir).take_all()
+    qmin = min((r["query_id"] for r in sem_all), default=0)
+    sem = [r for r in sem_all if r["query_id"] == qmin]
+
+    fused: dict[int, list[int]] = {}
+    for r in lex:
+        fused.setdefault(int(r["doc_id"]), [0, 0, 0])
+        fused[int(r["doc_id"])][0] += 1000 // (c + int(r["rk"]))
+        fused[int(r["doc_id"])][1] = 1
+    for r in sem:
+        d = int(r["neighbor_id"])
+        fused.setdefault(d, [0, 0, 0])
+        fused[d][0] += 1000 // (c + int(r["rank"]))
+        fused[d][2] = 1
+    rows = sorted(fused.items(), key=lambda kv: (-kv[1][0], kv[0]))[:k]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+        "rrf_milli": pa.array([v[0] for _, v in rows], pa.int64()),
+        "in_lex": pa.array([v[1] for _, v in rows], pa.int64()),
+        "in_sem": pa.array([v[2] for _, v in rows], pa.int64())}))

@@ -449,3 +449,39 @@ def test_out_of_order_matches_naive(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got.astype("int64"),
         exp.rename_axis("event_type").astype("int64"))
+
+
+# -------------------------------------------------------------- hybrid_rrf
+
+def test_hybrid_rrf_fusion_identities(ray_session):
+    import ray.data as rd
+    from geo_inference_ray import ann
+    from geo_inference_ray.textops import search_topk
+
+    sf = "/root/testdata/sf0.001"
+    df = ann.hybrid_rrf(sf).to_pandas()
+    assert len(df) == 20
+    # descending by (rrf, doc_id asc)
+    assert all(
+        (df.rrf_milli[i], -df.doc_id[i])
+        >= (df.rrf_milli[i + 1], -df.doc_id[i + 1])
+        or df.rrf_milli[i] > df.rrf_milli[i + 1]
+        for i in range(len(df) - 1))
+    # every fused doc is a member of at least one list
+    assert ((df.in_lex + df.in_sem) >= 1).all()
+    # docs in both lists score the sum of both reciprocal ranks:
+    # cross-check one doc against the raw rankings
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    lex = {r["doc_id"]: r["rk"]
+           for r in search_topk(docs, 500).take_all()}
+    sem_all = ann.ann_topk(sf).take_all()
+    qmin = min(r["query_id"] for r in sem_all)
+    sem = {r["neighbor_id"]: r["rank"] for r in sem_all
+           if r["query_id"] == qmin}
+    for r in df.itertuples():
+        exp = (1000 // (60 + lex[r.doc_id]) if r.doc_id in lex else 0) \
+            + (1000 // (60 + sem[r.doc_id]) if r.doc_id in sem else 0)
+        assert r.rrf_milli == exp
+        assert r.in_lex == int(r.doc_id in lex)
+        assert r.in_sem == int(r.doc_id in sem)
