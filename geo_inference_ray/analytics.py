@@ -1491,10 +1491,11 @@ def session_path_topk(sf_dir: str, gap_minutes: int = 30,
         .limit(k)
 
 
-OOO_RANGE_IDS = 4096        # event_ids per prefix-max range
+OOO_RANGE_IDS = 4096        # event_ids per prefix-max range (floor)
+OOO_MAX_DRIVER_RANGES = 2_000_000   # driver-state bound on range rows
 
 
-def out_of_order(sf_dir: str, range_ids: int = OOO_RANGE_IDS):
+def out_of_order(sf_dir: str, range_ids: int | None = None):
     """Out-of-orderness audit of the event stream: with arrival order
     = event_id and event time = ts, an event is LATE when its ts is
     below the running maximum ts of all earlier arrivals (the
@@ -1504,11 +1505,13 @@ def out_of_order(sf_dir: str, range_ids: int = OOO_RANGE_IDS):
 
     Scale shape: the running max is a distributed EXCLUSIVE PREFIX MAX
     in the pack_sequences two-stage pattern — per-range MAX(ts)
-    partials (driver state = id_space/range_ids rows), an exclusive
-    max-scan over the sorted ranges broadcast once, then a per-
-    partition segmented cummax kernel (pandas C groupby cummax/shift)
-    with the range offset added back.  No global sort; one hash
-    shuffle on the range key."""
+    partials (driver state = id_space/range_ids rows — ``range_ids``
+    defaults to corpus_rows / OOO_MAX_DRIVER_RANGES so the driver
+    fold stays ≤ 2 M rows at ANY corpus size), an exclusive max-scan
+    over the sorted ranges broadcast once, then a per-partition
+    segmented cummax kernel (pandas C groupby cummax/shift) with the
+    range offset added back.  No global sort; one hash shuffle on the
+    range key."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Sum, Max
@@ -1516,6 +1519,9 @@ def out_of_order(sf_dir: str, range_ids: int = OOO_RANGE_IDS):
     from .shuffle import arrow_bridge
 
     path = f"{sf_dir}/events.parquet"
+    if range_ids is None:
+        range_ids = max(OOO_RANGE_IDS,
+                        _parquet_rows(path) // OOO_MAX_DRIVER_RANGES)
     ev = rd.read_parquet(path, columns=["event_id", "ts",
                                         "event_type"])
 

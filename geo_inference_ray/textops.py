@@ -2947,10 +2947,20 @@ def chi2_contingency(ds):
         return pa.table({"lang": g["lang"], "source": g["source"],
                          "o": pc.cast(g["count_all"], pa.int64())})
 
-    cells = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True, batch_size=None) \
-        .groupby(["lang", "source"]).aggregate(Sum("o", alias_name="o")) \
-        .take_all()                       # distinct-(lang,source)-bounded
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None) \
+        .groupby(["lang", "source"]).aggregate(Sum("o", alias_name="o"))
+    # distinct-(lang, source)-bounded driver fold; hard-guard the
+    # bound like the other bounded collects (dedup drop-set, kmeans
+    # centroid fold) so a pathological high-cardinality source column
+    # fails loudly instead of OOMing the driver
+    CHI2_MAX_CELLS = 5_000_000
+    cells = agg.limit(CHI2_MAX_CELLS + 1).take_all()
+    if len(cells) > CHI2_MAX_CELLS:
+        raise ValueError(
+            "chi2_contingency: > {:,} distinct (lang, source) cells — "
+            "the driver fold bound; bucket one key first".format(
+                CHI2_MAX_CELLS))
     if not cells:
         empty = pa.array([], pa.int64())
         return rd.from_arrow(pa.table({
