@@ -1843,10 +1843,18 @@ def q_hybrid_rrf(sf_dir: str):
     return _ann.hybrid_rrf(sf_dir)
 
 
+def q_emerging_hotspots(sf_dir: str):
+    """Mann-Kendall daily-count trend per hex7 cell (space-time-cube
+    emerging-hot-spot screen, integer S)."""
+    from geo_inference_ray import geoext as _gx
+
+    return _gx.emerging_hotspots(_stages.geo_pipeline(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  214
+    # so the dict is ordered by evidence need, not by theme.  215
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1858,10 +1866,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                96 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 67 post-freeze) — each pinned
+    #                97 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 68 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 96 (README "Driver
+    # Round 5 must front-load 50 of those 97 (README "Driver
     # correctness window" names the suggested defer set).
     return {
         "kmeans": q_kmeans,
@@ -2080,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_of_order": q_out_of_order,
         "silhouette": q_silhouette,
         "hybrid_rrf": q_hybrid_rrf,
+        "emerging_hotspots": q_emerging_hotspots,
     }
 
 
@@ -5286,4 +5295,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(in_lex AS BIGINT) AS in_lex,
        CAST(in_sem AS BIGINT) AS in_sem
 FROM u ORDER BY rrf_milli DESC, doc_id LIMIT {_ann.RRF_TOPK}""",
+        # Mann-Kendall S per cell over daily counts: strict day<day
+        # self-join, SIGN sum; cells with one day get s=0 via the
+        # LEFT JOIN.
+        "emerging_hotspots": _WH + """,
+cd AS (SELECT hex7, epoch_us(warc_ts) // 86400000000 AS day,
+              COUNT(*) AS c
+       FROM hex9 GROUP BY hex7, day),
+nd AS (SELECT hex7, COUNT(*) AS n_days FROM cd GROUP BY hex7),
+p AS (SELECT a.hex7, SIGN(b.c - a.c) AS sg
+      FROM cd a JOIN cd b ON b.hex7 = a.hex7 AND b.day > a.day)
+SELECT nd.hex7, CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS s
+FROM nd LEFT JOIN p ON p.hex7 = nd.hex7
+GROUP BY nd.hex7, nd.n_days""",
     }

@@ -2078,3 +2078,64 @@ def grid_idw(ds):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def emerging_hotspots(ds):
+    """Emerging-hot-spot screen (the space-time-cube analysis): per
+    hex7 cell, the Mann-Kendall trend statistic of the DAILY page
+    count series — ``s = Σ_{i<j} sign(c_j − c_i)`` over day pairs —
+    plus the day count (the variance term n(n−1)(2n+5)/18 is derivable
+    from ``n_days`` downstream).  s > 0: intensifying cell, s < 0:
+    cooling — the temporal companion to the static ``hotspots``
+    screen, entirely integer.
+
+    Scale shape: map-side (cell, day) partial counts -> ONE
+    (cells × days)-bounded groupby -> hash-partitioned vectorized
+    kernel (run-detection over cells sorted by day; the per-cell pair
+    triangle is CALENDAR-bounded — O(days²) per cell with days ≤ the
+    crawl span, never corpus-sized)."""
+    from ray.data.aggregate import Sum
+
+    from .shuffle import arrow_bridge
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                        86_400_000_000)
+        t = pa.table({"hex7": batch["hex7"], "day": day})
+        g = t.group_by(["hex7", "day"]).aggregate([([], "count_all")])
+        return pa.table({"hex7": g["hex7"], "day": g["day"],
+                         "c": pc.cast(g["count_all"], pa.int64())})
+
+    daily = ds.select_columns(["hex7", "warc_ts"]) \
+        .map_batches(partial, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .groupby(["hex7", "day"]).aggregate(Sum("c", alias_name="c"))
+
+    def mk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["hex7", "day"],
+                          kind="stable").reset_index(drop=True)
+        h = g["hex7"].to_numpy()
+        c = g["c"].to_numpy().astype(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(g)]]))
+        hs, nd, ss = [], [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            v = c[st:st + sz]
+            if sz < 2:
+                s = 0
+            else:
+                ia, ib = np.triu_indices(sz, k=1)
+                s = int(np.sign(v[ib] - v[ia]).sum())
+            hs.append(h[st])
+            nd.append(sz)
+            ss.append(s)
+        return pd.DataFrame({
+            "hex7": np.asarray(hs, dtype=np.int64),
+            "n_days": np.asarray(nd, dtype=np.int64),
+            "s": np.asarray(ss, dtype=np.int64)})
+
+    out = _hash_partitioned(daily, "hex7", mk_part)
+    return arrow_bridge(out, {"hex7": pa.int64(), "n_days": pa.int64(),
+                              "s": pa.int64()})

@@ -485,3 +485,29 @@ def test_hybrid_rrf_fusion_identities(ray_session):
         assert r.rrf_milli == exp
         assert r.in_lex == int(r.doc_id in lex)
         assert r.in_sem == int(r.doc_id in sem)
+
+
+# ------------------------------------------------------- emerging_hotspots
+
+def test_emerging_hotspots_mann_kendall(ray_session):
+    import ray.data as rd
+    from geo_inference_ray import geoext
+
+    # cell 1: strictly rising 1,2,3 -> S = 3; cell 2: flat -> S = 0;
+    # cell 3: single day -> S = 0, n_days = 1
+    D = 86_400_000_000
+    rows = {"hex7": [], "warc_ts": []}
+    for cell, days_counts in [(1, [(0, 1), (1, 2), (2, 3)]),
+                              (2, [(0, 2), (1, 2)]),
+                              (3, [(5, 4)])]:
+        for day, cnt in days_counts:
+            for _ in range(cnt):
+                rows["hex7"].append(cell)
+                rows["warc_ts"].append(day * D + 1)
+    ds = rd.from_arrow(pa.table({
+        "hex7": pa.array(rows["hex7"], pa.int64()),
+        "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us"))}))
+    df = geoext.emerging_hotspots(ds).to_pandas().set_index("hex7")
+    assert (df.loc[1].n_days, df.loc[1].s) == (3, 3)
+    assert (df.loc[2].n_days, df.loc[2].s) == (2, 0)
+    assert (df.loc[3].n_days, df.loc[3].s) == (1, 0)
