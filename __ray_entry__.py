@@ -1851,10 +1851,19 @@ def q_emerging_hotspots(sf_dir: str):
     return _gx.emerging_hotspots(_stages.geo_pipeline(sf_dir))
 
 
+def q_extract_title(sf_dir: str):
+    """<title> field extraction from the raw html bytes with the
+    page-integrity probe (title == 'doc <id>')."""
+    ds = _synth.pages_dataset(sf_dir)
+    return ds.map_batches(_stages.ExtractTitle, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          concurrency=_pool_caps(None))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ROUND-4 ROTATION (see README "Driver correctness window"): the
     # driver writes CORRECTNESS rows for exactly the FIRST 50 entries,
-    # so the dict is ordered by evidence need, not by theme.  215
+    # so the dict is ordered by evidence need, not by theme.  216
     # registered queries; r1-r3 driver rows cover only 66 distinct
     # names, and this window holds 50 of the never-checked ones:
     #   slots 1-11   the 11 queries never driver-checked in r1-r3
@@ -1866,10 +1875,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #                debounce, kl_by_source, user_entropy,
     #                centroid_by_label)
     #   slots 51+    everything with an existing driver row plus the
-    #                97 still-never-checked entries (4 deferred at the
-    #                freeze, 25 mid-r4, 68 post-freeze) — each pinned
+    #                98 still-never-checked entries (4 deferred at the
+    #                freeze, 25 mid-r4, 69 post-freeze) — each pinned
     #                by pytest + the local full compare.
-    # Round 5 must front-load 50 of those 97 (README "Driver
+    # Round 5 must front-load 50 of those 98 (README "Driver
     # correctness window" names the suggested defer set).
     return {
         "kmeans": q_kmeans,
@@ -2089,6 +2098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette": q_silhouette,
         "hybrid_rrf": q_hybrid_rrf,
         "emerging_hotspots": q_emerging_hotspots,
+        "extract_title": q_extract_title,
     }
 
 
@@ -5309,4 +5319,17 @@ SELECT nd.hex7, CAST(nd.n_days AS BIGINT) AS n_days,
        CAST(COALESCE(SUM(p.sg), 0) AS BIGINT) AS s
 FROM nd LEFT JOIN p ON p.hex7 = nd.hex7
 GROUP BY nd.hex7, nd.n_days""",
+        # Title field extraction: same regex class over decode(html);
+        # the integrity probe mirrors the synth title contract.
+        "extract_title": _W + """
+SELECT doc_id,
+       regexp_extract(decode(html), '<title>([^<]*)</title>', 1)
+           AS title,
+       CAST(length(regexp_extract(decode(html),
+            '<title>([^<]*)</title>', 1)) AS BIGINT) AS n_title_chars,
+       CAST(CASE WHEN regexp_extract(decode(html),
+                 '<title>([^<]*)</title>', 1)
+                 = 'doc ' || CAST(doc_id AS VARCHAR)
+            THEN 1 ELSE 0 END AS BIGINT) AS title_ok
+FROM pages""",
     }

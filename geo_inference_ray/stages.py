@@ -323,3 +323,28 @@ def fused_page_fn(mode: str | None = "inner", with_cells: bool = True,
         return out
 
     return fn
+
+
+class ExtractTitle:
+    """html binary -> <title> field (the second field-extraction stage
+    next to ExtractText: a WARC pipeline extracts MANY fields from the
+    same raw bytes — title, canonical link, meta lang — each a
+    vectorized regex over the decoded page).  Emits the title text,
+    its length, and ``title_ok`` = 1 when the title matches the
+    synth contract ``doc <doc_id>`` (a cheap end-to-end page-integrity
+    probe, like extract_text's byte-identity invariant)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html_str = pc.cast(batch["html"], pa.string())
+        ext = pc.extract_regex(html_str,
+                               r"<title>(?P<t>[^<]*)</title>")
+        title = pc.struct_field(ext, "t")
+        expect = pc.binary_join_element_wise(
+            pa.scalar("doc "),
+            pc.cast(batch["doc_id"], pa.string()), pa.scalar(""))
+        ok = pc.cast(pc.equal(title, expect), pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "title": title,
+            "n_title_chars": pc.cast(pc.utf8_length(title), pa.int64()),
+            "title_ok": ok})

@@ -511,3 +511,16 @@ def test_emerging_hotspots_mann_kendall(ray_session):
     assert (df.loc[1].n_days, df.loc[1].s) == (3, 3)
     assert (df.loc[2].n_days, df.loc[2].s) == (2, 0)
     assert (df.loc[3].n_days, df.loc[3].s) == (1, 0)
+
+
+# ------------------------------------------------------------ extract_title
+
+def test_extract_title_integrity(ray_session):
+    from geo_inference_ray import stages, synth
+
+    ds = synth.pages_dataset("/root/testdata/sf0.001")
+    df = ds.map_batches(stages.ExtractTitle, batch_format="pyarrow",
+                        concurrency=(1, 2)).to_pandas()
+    assert (df.title_ok == 1).all()
+    assert (df.title == "doc " + df.doc_id.astype(str)).all()
+    assert (df.n_title_chars == df.title.str.len()).all()
