@@ -202,6 +202,13 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_ppjoin_pairs(sf_dir: str):
+    """Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    every pair with shingle Jaccard >= 0.5, recall 1.0 by construction
+    — the deterministic counterpart of the MinHash candidate path."""
+    return _dedup.ppjoin_pairs(_docs_text(sf_dir))
+
+
 def q_polygons(sf_dir: str):
     from geo_inference_ray import tiling as _tiling
     from geo_inference_ray.polygonize import polygons_from_tiles
@@ -2099,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": q_hybrid_rrf,
         "emerging_hotspots": q_emerging_hotspots,
         "extract_title": q_extract_title,
+        "ppjoin_pairs": q_ppjoin_pairs,
     }
 
 
@@ -5332,4 +5340,21 @@ SELECT doc_id,
                  = 'doc ' || CAST(doc_id AS VARCHAR)
             THEN 1 ELSE 0 END AS BIGINT) AS title_ok
 FROM pages""",
+        # Exact set-similarity self-join: ALL pairs with shingle
+        # Jaccard >= tau, computed directly (shared-shingle self-join
+        # + exact integer milli-Jaccard).  The engine's prefix filter
+        # (recall 1.0 by the AllPairs/PPJoin bound) must reproduce
+        # this exactly; floor(1000*J) >= tau  <=>  J >= tau/1000 for
+        # an integer threshold, so both sides filter identically.
+        "ppjoin_pairs": "WITH " + _minhash_sql_chain() + f""",
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ov AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS o
+       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       1000 * o // (sa.sz + sb.sz - o) AS jaccard_milli
+FROM ov
+JOIN sizes sa ON da = sa.doc_id
+JOIN sizes sb ON db = sb.doc_id
+WHERE 1000 * o >= {_dedup.PPJOIN_TAU_MILLI} * (sa.sz + sb.sz - o)""",
     }

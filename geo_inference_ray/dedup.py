@@ -1240,3 +1240,163 @@ def hll_by_source(ds):
                           zero_copy_batch=True, batch_size=None) \
         .groupby(["source", "bucket"]).aggregate(
             Max("rho", alias_name="rho"))
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+PPJOIN_TAU_MILLI = 500       # default Jaccard threshold (milli-units)
+PPJOIN_BUCKET_CAP = 4096     # per-prefix-token candidate-bucket cap
+
+
+def ppjoin_pairs(docs_ds, tau_milli: int = PPJOIN_TAU_MILLI,
+                 bucket_cap: int = PPJOIN_BUCKET_CAP):
+    """EXACT Jaccard set-similarity self-join via prefix filtering
+    (AllPairs/PPJoin family, Bayardo et al. WWW'07 / Xiao et al.
+    ICDE'08 — public algorithms): every document pair whose shingle
+    Jaccard is >= tau is returned with its exact (floor) milli-Jaccard
+    — no probabilistic recall gap, unlike the MinHash path.
+
+    Pipeline (all distributed, text never leaves its batch):
+
+    1. shingle explode: (doc_id, sh, sz) rows via the shared
+       ``_token_hashes`` 3-gram family (same sets the SQL oracle
+       builds, so the verify arithmetic mirrors bit-for-bit);
+    2. global document frequency per shingle: groupby count (an
+       all-to-all on the short hash key only);
+    3. prefix selection: each doc keeps the first
+       ``p = sz - ceil(tau*sz) + 1`` of its shingles in the global
+       (df asc, sh asc) total order — the classic prefix-filter bound:
+       two sets with J >= tau MUST share a prefix token, so recall is
+       1.0 by construction.  Rare-first ordering makes prefix buckets
+       small even when the corpus shares a huge head vocabulary;
+    4. candidate pairs per prefix token (hash-partitioned vectorized
+       kernel, one pandas call per partition) with the length filter
+       ``1000*|x| >= tau_milli*|y|`` (J <= |x|/|y| for |x| <= |y|);
+       degenerate buckets (mass-duplicated docs) are truncated to the
+       ``bucket_cap`` smallest (sz, doc_id) rows — the SIM_BUCKET_CAP
+       recall guard; run exact dedup first to collapse such mass;
+    5. distinct pairs (same pair found via several prefix tokens) then
+       exact verification through :func:`jaccard_pairs` (distributed
+       shingle join, integer milli-Jaccard), filtered at the
+       threshold.  ``floor(1000*J) >= tau_milli  <=>  J >= tau`` for
+       integer thresholds, so the filter is exact.
+
+    Scale shape: the shingle explode is re-executed by the df pass and
+    the join pass instead of pinning an O(corpus * shingles) table in
+    the object store (the knn_in_cells doctrine); the only shuffles
+    carry (int, int) rows.  Returns (doc_a, doc_b, jaccard_milli),
+    doc_a < doc_b.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .relational import _hash_partitioned, join_partitions_for
+    from .shuffle import arrow_bridge
+
+    docs = docs_ds.select_columns(["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        shs = [_token_hashes(t) for t in batch["text"].to_pylist()]
+        lens = np.array([len(s) for s in shs], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, lens)),
+            "sh": pa.array(np.concatenate(shs)
+                           if shs else np.empty(0, np.int64)),
+            "sz": pa.array(np.repeat(lens, lens)),
+        })
+
+    def ex():
+        return docs.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    n_sh = ex().count()
+    if n_sh == 0:
+        return _empty_verified()
+
+    df = ex().groupby("sh").aggregate(Count(alias_name="df"))
+    jp = join_partitions_for(n_sh)
+    joined = ex().join(df, join_type="inner", num_partitions=jp,
+                       on=("sh",))
+
+    def prefix_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "df", "sh"],
+                          kind="stable").reset_index(drop=True)
+        ids = g["doc_id"].to_numpy()
+        sz = g["sz"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        rank = np.arange(n) - starts[run_id]
+        p = sz - ((tau_milli * sz + 999) // 1000) + 1
+        keep = rank < p
+        return pd.DataFrame({"sh": g["sh"].to_numpy()[keep],
+                             "doc_id": ids[keep],
+                             "sz": sz[keep]})
+
+    prefixes = arrow_bridge(
+        _hash_partitioned(joined, "doc_id", prefix_part,
+                          rows_hint=n_sh),
+        {"sh": pa.int64(), "doc_id": pa.int64(), "sz": pa.int64()})
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sh", "sz", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+        shv = g["sh"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        sz = g["sz"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = shv[1:] != shv[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [n]]))
+        oa, ob = [], []
+        n_trunc = 0
+        for st, szr in zip(starts.tolist(), sizes.tolist()):
+            if szr < 2:
+                continue
+            if szr > bucket_cap:
+                n_trunc += 1
+                szr = bucket_cap
+            ia, ib = np.triu_indices(szr, k=1)
+            la, lb = sz[st:st + szr][ia], sz[st:st + szr][ib]
+            ok = 1000 * la >= tau_milli * lb  # la <= lb by sort order
+            a = ids[st:st + szr][ia][ok]
+            b = ids[st:st + szr][ib][ok]
+            swap = a > b
+            oa.append(np.where(swap, b, a))
+            ob.append(np.where(swap, a, b))
+        if n_trunc:
+            print(f"ppjoin_pairs: truncated {n_trunc} prefix "
+                  f"bucket(s) over {bucket_cap} members (recall "
+                  "guard; run exact dedup first)")
+        if not oa:
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(oa),
+                             "doc_b": np.concatenate(ob)})
+
+    raw = arrow_bridge(
+        _hash_partitioned(prefixes, "sh", pair_part, rows_hint=n_sh),
+        {"doc_a": pa.int64(), "doc_b": pa.int64()})
+
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
+
+    cand = arrow_bridge(
+        _hash_partitioned(raw, "doc_a", distinct_part, rows_hint=n_sh),
+        {"doc_a": pa.int64(), "doc_b": pa.int64()})
+
+    ver = jaccard_pairs(cand, docs_ds)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["jaccard_milli"], tau_milli))
+
+    return ver.map_batches(thresh, batch_format="pyarrow",
+                           zero_copy_batch=True)

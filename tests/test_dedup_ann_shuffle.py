@@ -846,3 +846,70 @@ def test_pq_codes_subspace_equals_sliced_kmeans(ray_session, sf_dir,
         .reset_index(drop=True)
     assert (got["code"].to_numpy() == ref["cluster"].to_numpy()).all()
     assert (got["dist"].to_numpy() == ref["dist"].to_numpy()).all()
+
+
+def test_ppjoin_exact_recall_vs_bruteforce(ray_session):
+    """Prefix-filtered self-join returns EXACTLY the brute-force
+    Jaccard >= tau pair set (recall 1.0, precision 1.0) — the property
+    the AllPairs/PPJoin prefix bound guarantees."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import (_token_hashes, jaccard_pairs,
+                                         ppjoin_pairs)
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{v}" for v in range(60)]
+    rows = []
+    for i in range(30):
+        words = list(rng.choice(vocab, size=25))
+        rows.append({"doc_id": i, "text": " ".join(words)})
+        if i % 3 == 0:  # planted near-dup: small edit
+            w2 = list(words)
+            w2[5] = "edited"
+            rows.append({"doc_id": 1000 + i, "text": " ".join(w2)})
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = ppjoin_pairs(docs, tau_milli=500).to_pandas()
+
+    # brute force over all pairs
+    sets = {r["doc_id"]: set(_token_hashes(r["text"]).tolist())
+            for r in rows}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and 1000 * inter >= 500 * union:
+                want.add((a, b))
+    got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+    assert got == want and len(want) >= 10
+    # milli-Jaccard values are the exact floor integers
+    for _, r in out.iterrows():
+        inter = len(sets[r["doc_a"]] & sets[r["doc_b"]])
+        union = len(sets[r["doc_a"]] | sets[r["doc_b"]])
+        assert r["jaccard_milli"] == 1000 * inter // union
+
+
+def test_ppjoin_empty_and_boundary(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import ppjoin_pairs
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "text": pd.Series([], dtype=object)}))
+    assert ppjoin_pairs(empty).count() == 0
+
+    # exactly-at-threshold pair must be included (J == tau)
+    a = "a b c d e f"      # 4 shingles
+    b = "a b c d x y"      # shares 2 of its 4 -> J = 2/6 = 0.333
+    docs = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b},
+         {"doc_id": 3, "text": a}]))
+    out = ppjoin_pairs(docs, tau_milli=333).to_pandas()
+    got = set(zip(out["doc_a"].tolist(), out["doc_b"].tolist()))
+    assert (1, 3) in got          # identical pair, J = 1000
+    assert (1, 2) in got          # floor(1000*2/6) = 333 >= 333
+    out2 = ppjoin_pairs(docs, tau_milli=334).to_pandas()
+    got2 = set(zip(out2["doc_a"].tolist(), out2["doc_b"].tolist()))
+    assert (1, 2) not in got2 and (1, 3) in got2
