@@ -202,6 +202,13 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_poly_geom(sf_dir: str):
+    """Integer vector-geometry measures (shoelace area2, L1 perimeter,
+    envelope) per polygon of the broadcast layer, joined with the
+    distributed PIP page count."""
+    return _gx_mod.poly_geometry(sf_dir)
+
+
 def q_ppjoin_pairs(sf_dir: str):
     """Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
     every pair with shingle Jaccard >= 0.5, recall 1.0 by construction
@@ -2107,6 +2114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_hotspots": q_emerging_hotspots,
         "extract_title": q_extract_title,
         "ppjoin_pairs": q_ppjoin_pairs,
+        "poly_geom": q_poly_geom,
     }
 
 
@@ -5357,4 +5365,23 @@ FROM ov
 JOIN sizes sa ON da = sa.doc_id
 JOIN sizes sb ON db = sb.doc_id
 WHERE 1000 * o >= {_dedup.PPJOIN_TAU_MILLI} * (sa.sz + sb.sz - o)""",
+        # Integer-exact polygon geometry (shoelace area2, L1 perimeter,
+        # envelope over the milli-degree ring coords) + PIP page count.
+        # SUM(BIGINT) is HUGEINT in DuckDB -> cast back to BIGINT.
+        "poly_geom": _WP + "," + _synth.sql_polygon_edges_md() + """,
+cnt AS (SELECT poly_id, COUNT(*) AS n_pages FROM pip GROUP BY poly_id),
+geomt AS (SELECT poly_id,
+                 COUNT(*) AS n_vertices,
+                 CAST(abs(SUM(x1 * y2 - x2 * y1)) AS BIGINT) AS area2_md2,
+                 CAST(SUM(abs(x2 - x1) + abs(y2 - y1)) AS BIGINT)
+                   AS perim_l1_md,
+                 MIN(x1) AS minx_md, MIN(y1) AS miny_md,
+                 MAX(x1) AS maxx_md, MAX(y1) AS maxy_md
+          FROM edges_md GROUP BY poly_id)
+SELECT g.poly_id, p.class_id, g.n_vertices, g.area2_md2, g.perim_l1_md,
+       g.minx_md, g.miny_md, g.maxx_md, g.maxy_md,
+       COALESCE(c.n_pages, 0) AS n_pages
+FROM geomt g
+JOIN polys p USING (poly_id)
+LEFT JOIN cnt c USING (poly_id)""",
     }

@@ -2139,3 +2139,61 @@ def emerging_hotspots(ds):
     out = _hash_partitioned(daily, "hex7", mk_part)
     return arrow_bridge(out, {"hex7": pa.int64(), "n_days": pa.int64(),
                               "s": pa.int64()})
+
+
+# ---------------------------------------------------------------------------
+# poly_geometry — integer vector-geometry measures + page counts
+# ---------------------------------------------------------------------------
+
+def poly_geometry(sf_dir: str):
+    """Per-polygon vector-geometry measures over the broadcast layer,
+    joined with the distributed point-in-polygon page count:
+
+    - ``n_vertices``  ring length;
+    - ``area2_md2``   twice the shoelace area, |sum(x_i*y_{i+1} -
+      x_{i+1}*y_i)|, in squared milli-degrees — pure int64 (ring_md
+      coords are integers), so the value is EXACT and
+      order-independent, unlike a float shoelace sum;
+    - ``perim_l1_md`` L1 (Manhattan) ring perimeter in milli-degrees —
+      the integer-exact stand-in for the Euclidean perimeter (sqrt
+      sums are order-dependent floats; reference analog: polygon
+      area/precision handling in utils/geo_transforms.py:26-30);
+    - ``minx/miny/maxx/maxy_md`` integer envelope (the RTree leaf box);
+    - ``n_pages``     pages whose geocode falls inside the polygon
+      (the engine's broadcast-STRtree ray-cast PIP join, distributed),
+      0 for empty polygons.
+
+    Scale shape: the geometry side is the BROADCAST vector layer — a
+    module constant measured driver-side in one int64 pass (no data
+    rows involved); the page side is the full distributed PIP
+    pipeline pre-aggregated to one row per polygon.  The final attach
+    is a dict probe over <= n_polys rows (bounded by the broadcast
+    layer's size, the same guard as the layer itself).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .stages import geo_pipeline
+
+    counts_ds = geo_pipeline(sf_dir, mode="inner") \
+        .select_columns(["poly_id"]).groupby("poly_id") \
+        .aggregate(Count(alias_name="n_pages"))
+    counts = {int(r["poly_id"]): int(r["n_pages"])
+              for r in counts_ds.take_all()}  # <= n_polys rows
+
+    rows = []
+    for p in synth.POLYGONS:
+        ring = np.asarray(p["ring_md"], dtype=np.int64)
+        x, y = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        rows.append({
+            "poly_id": int(p["poly_id"]),
+            "class_id": int(p["class_id"]),
+            "n_vertices": len(ring),
+            "area2_md2": abs(int((x * y2 - x2 * y).sum())),
+            "perim_l1_md": int((np.abs(x2 - x) + np.abs(y2 - y)).sum()),
+            "minx_md": int(x.min()), "miny_md": int(y.min()),
+            "maxx_md": int(x.max()), "maxy_md": int(y.max()),
+            "n_pages": counts.get(int(p["poly_id"]), 0),
+        })
+    return rd.from_pandas(pd.DataFrame(rows).astype(np.int64))

@@ -371,6 +371,31 @@ edges(poly_id, ex1, ey1, ex2, ey2) AS (VALUES
 )"""
 
 
+def sql_polygon_edges_md() -> str:
+    """Integer (milli-degree) edge VALUES CTE ``edges_md`` — the exact
+    int64 coordinates of ring_md, for oracles that do integer-exact
+    geometry (shoelace area, L1 perimeter) instead of the float /1000
+    coordinates of ``edges``."""
+    edge_rows = []
+    for p in POLYGONS:
+        ring = p["ring_md"]
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            edge_rows.append(f"({p['poly_id']}, {x1}, {y1}, {x2}, {y2})")
+    edges = ",\n    ".join(edge_rows)
+    return f"""
+edges_md AS (
+  SELECT CAST(poly_id AS BIGINT) AS poly_id,
+         CAST(x1 AS BIGINT) AS x1, CAST(y1 AS BIGINT) AS y1,
+         CAST(x2 AS BIGINT) AS x2, CAST(y2 AS BIGINT) AS y2
+  FROM (VALUES
+    {edges}
+  ) v(poly_id, x1, y1, x2, y2)
+)"""
+
+
 SQL_PIP_PAIRS = """
 pip AS (
   SELECT g.url, g.doc_id, g.lat, g.lon, p.poly_id, p.class_id

@@ -1071,3 +1071,26 @@ def test_ks_drift_disjoint_distributions_max_out(ray_session, tmp_path):
         == (2, 2)
     assert (int(out.loc["B", "n_src"]), int(out.loc["B", "d_scaled"])) \
         == (1, 2)
+
+
+def test_poly_geometry_invariants(ray_session, sf_dir):
+    """Integer shoelace/L1 measures agree with an independent float
+    shoelace (scaled), the envelope bounds every vertex, and n_pages
+    sums to the inner PIP join row count."""
+    from geo_inference_ray import synth
+    from geo_inference_ray.geoext import poly_geometry
+    from geo_inference_ray.stages import geo_pipeline
+
+    out = poly_geometry(sf_dir).to_pandas().set_index("poly_id")
+    assert len(out) == len(synth.POLYGONS)
+    for p in synth.POLYGONS:
+        ring = np.asarray(p["ring_md"], dtype=np.float64)
+        x, y = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        row = out.loc[p["poly_id"]]
+        assert row["n_vertices"] == len(ring)
+        assert row["area2_md2"] == round(abs((x * y2 - x2 * y).sum()))
+        assert row["minx_md"] <= x.min() and row["maxx_md"] >= x.max()
+        assert row["area2_md2"] >= 0 and row["perim_l1_md"] > 0
+    n_inner = geo_pipeline(sf_dir, mode="inner").count()
+    assert int(out["n_pages"].sum()) == n_inner
