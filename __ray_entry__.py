@@ -202,6 +202,16 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_dedup_best(sf_dir: str):
+    """Quality-based cluster representative: keep the most-characters
+    member of every near-dup cluster (ties -> min doc_id)."""
+    import pyarrow.parquet as _pq
+
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _dedup.dedup_best(_docs_text(sf_dir), pairs, rows_hint=n)
+
+
 def q_poly_geom(sf_dir: str):
     """Integer vector-geometry measures (shoelace area2, L1 perimeter,
     envelope) per polygon of the broadcast layer, joined with the
@@ -2115,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_title": q_extract_title,
         "ppjoin_pairs": q_ppjoin_pairs,
         "poly_geom": q_poly_geom,
+        "dedup_best": q_dedup_best,
     }
 
 
@@ -5384,4 +5395,27 @@ SELECT g.poly_id, p.class_id, g.n_vertices, g.area2_md2, g.perim_l1_md,
 FROM geomt g
 JOIN polys p USING (poly_id)
 LEFT JOIN cnt c USING (poly_id)""",
+        # Quality-based cluster representative: the recursive-CC chain
+        # + a (n_chars DESC, doc_id ASC) window — mirror of the
+        # engine's packed-max aggregate.
+        "dedup_best": "WITH RECURSIVE "
+        + _minhash_sql_chain().lstrip() + """,
+edges AS (SELECT doc_a AS u, doc_b AS v FROM cand
+          UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, r.l FROM reach r JOIN edges e ON e.u = r.n
+),
+cc AS (SELECT n AS doc_id, MIN(l) AS cluster FROM reach GROUP BY n),
+j AS (SELECT cc.cluster, d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id),
+best AS (SELECT cluster, doc_id AS kept_doc, n_chars AS kept_n_chars,
+                ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY n_chars DESC, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY cluster) AS n_members
+         FROM j)
+SELECT cluster, kept_doc, kept_n_chars, n_members
+FROM best WHERE rn = 1""",
     }

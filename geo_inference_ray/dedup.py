@@ -1400,3 +1400,80 @@ def ppjoin_pairs(docs_ds, tau_milli: int = PPJOIN_TAU_MILLI,
 
     return ver.map_batches(thresh, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Quality-based cluster representative ("keep the best copy")
+# ---------------------------------------------------------------------------
+
+# winner packing: n_chars in the high bits, bit-inverted doc_id in the
+# low 43 (so Max() picks max n_chars, ties -> MIN doc_id).  Bounds are
+# asserted per batch (the chunk_dedup int-overflow guard).
+_BEST_ID_BITS = 43
+_BEST_ID_MASK = (1 << _BEST_ID_BITS) - 1
+
+
+def dedup_best(docs_ds, pairs_ds, *, rows_hint: int | None = None,
+               **cluster_kw):
+    """Near-dup cluster representative by QUALITY: for every cluster of
+    the candidate-pair graph keep the member with the most characters
+    (ties -> min doc_id) — the "keep the best copy" policy real
+    training-data pipelines use instead of min-id (a boilerplate-heavy
+    short copy can carry the min id).
+
+    Composition: :func:`dedup_clusters` (driver/distributed CC switch)
+    labels every doc; a vectorized per-batch character count joins the
+    labels on one int-pair hash join; the winner is a map-side partial
+    MAX over a packed (n_chars << 43 | ~doc_id) key — associative, so
+    hot clusters never need salting — plus a member Count.  Returns
+    (cluster, kept_doc, kept_n_chars, n_members)."""
+    from ray.data.aggregate import Max, Sum
+
+    from .relational import join_partitions_for
+
+    clusters = dedup_clusters(docs_ds, pairs_ds, **cluster_kw)
+
+    def chars(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64())})
+
+    q = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        chars, batch_format="pyarrow", zero_copy_batch=True)
+
+    n = rows_hint if rows_hint is not None else docs_ds.count()
+    j = q.join(clusters, join_type="inner",
+               num_partitions=join_partitions_for(n), on=("doc_id",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        nc = batch["n_chars"].to_numpy()
+        cl = batch["cluster"].to_numpy()
+        if len(ids):
+            assert int(nc.max()) < (1 << 20), "n_chars >= 2^20"
+            assert int(ids.max()) < (1 << _BEST_ID_BITS), "doc_id >= 2^43"
+        packed = (nc << _BEST_ID_BITS) | (_BEST_ID_MASK - ids)
+        u, inv = np.unique(cl, return_inverse=True)
+        best = np.zeros(len(u), dtype=np.int64)
+        np.maximum.at(best, inv, packed)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({"cluster": pa.array(u),
+                         "packed": pa.array(best),
+                         "cnt": pa.array(cnt)})
+
+    agg = j.map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None) \
+        .groupby("cluster").aggregate(
+            Max("packed", alias_name="packed"),
+            Sum("cnt", alias_name="n_members"))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_numpy()
+        return pa.table({
+            "cluster": batch["cluster"],
+            "kept_doc": pa.array(_BEST_ID_MASK - (packed & _BEST_ID_MASK)),
+            "kept_n_chars": pa.array(packed >> _BEST_ID_BITS),
+            "n_members": pc.cast(batch["n_members"], pa.int64())})
+
+    return agg.map_batches(decode, batch_format="pyarrow",
+                           zero_copy_batch=True)

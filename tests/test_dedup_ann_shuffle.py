@@ -913,3 +913,35 @@ def test_ppjoin_empty_and_boundary(ray_session):
     out2 = ppjoin_pairs(docs, tau_milli=334).to_pandas()
     got2 = set(zip(out2["doc_a"].tolist(), out2["doc_b"].tolist()))
     assert (1, 2) not in got2 and (1, 3) in got2
+
+
+def test_dedup_best_picks_longest_then_min_id(ray_session):
+    """Quality representative: most chars wins; equal chars -> min id;
+    singletons keep themselves; member counts are exact."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import dedup_best, minhash_candidates
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    rows = [
+        {"doc_id": 10, "text": base},
+        {"doc_id": 11, "text": base + "extra tail words here"},  # longest
+        {"doc_id": 12, "text": base},
+        {"doc_id": 50, "text": "a lonely unique document " + " ".join(
+            f"z{j}" for j in range(30))},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_candidates(docs)
+    out = dedup_best(docs, pairs, rows_hint=len(rows)).to_pandas() \
+        .set_index("cluster")
+    big = out.loc[10]
+    assert big["kept_doc"] == 11 and big["n_members"] == 3
+    assert big["kept_n_chars"] == len(rows[1]["text"])
+    assert out.loc[50]["kept_doc"] == 50 and out.loc[50]["n_members"] == 1
+    # tie case: same length -> min doc_id
+    rows2 = [{"doc_id": 7, "text": base}, {"doc_id": 3, "text": base}]
+    docs2 = rd.from_pandas(pd.DataFrame(rows2))
+    out2 = dedup_best(docs2, minhash_candidates(docs2),
+                      rows_hint=2).to_pandas()
+    assert out2["kept_doc"].tolist() == [3]
