@@ -202,6 +202,12 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking duplicate-span table: rolling-hash
+    (token 3-gram) boundaries, order-independent chunk identity."""
+    return _textops.cdc_chunks(_docs_text(sf_dir))
+
+
 def q_dedup_best(sf_dir: str):
     """Quality-based cluster representative: keep the most-characters
     member of every near-dup cluster (ties -> min doc_id)."""
@@ -2126,6 +2132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_pairs": q_ppjoin_pairs,
         "poly_geom": q_poly_geom,
         "dedup_best": q_dedup_best,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -5418,4 +5425,38 @@ best AS (SELECT cluster, doc_id AS kept_doc, n_chars AS kept_n_chars,
          FROM j)
 SELECT cluster, kept_doc, kept_n_chars, n_members
 FROM best WHERE rn = 1""",
+        # Content-defined chunking: boundary after token i wherever the
+        # token-3-gram rolling hash (the shingle expression) is 0 mod
+        # div; chunk identity = (sum of token hashes mod M, length).
+        # SUM(BIGINT) is HUGEINT in DuckDB -> cast back after % M.
+        "cdc_chunks": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, ts
+        FROM toks),
+th AS (SELECT doc_id, i,
+              ('0x' || substr(md5(ts[i]), 1, 15))::BIGINT
+                % {_dedup.MERSENNE} AS h
+       FROM tok),
+b AS (SELECT doc_id, i, h,
+             CASE WHEN i >= 3 AND
+               ((LAG(h, 2) OVER w * {_dedup.SH_C1} % {_dedup.MERSENNE}
+                 + LAG(h, 1) OVER w * {_dedup.SH_C2} % {_dedup.MERSENNE}
+                 + h * {_dedup.SH_C3} % {_dedup.MERSENNE})
+                % {_dedup.MERSENNE}) % {_textops.CDC_DIV} = 0
+             THEN 1 ELSE 0 END AS bf
+      FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+c AS (SELECT doc_id, i, h,
+             COALESCE(SUM(bf) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ck
+      FROM b),
+ch AS (SELECT doc_id, ck,
+              CAST(SUM(h) % {_dedup.MERSENNE} AS BIGINT) AS chunk_sum,
+              COUNT(*) AS chunk_len
+       FROM c GROUP BY doc_id, ck)
+SELECT chunk_sum, chunk_len,
+       COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
+FROM ch GROUP BY chunk_sum, chunk_len
+HAVING COUNT(*) >= {_textops.CDC_MIN_OCCUR}""",
     }

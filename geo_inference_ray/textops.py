@@ -3049,3 +3049,106 @@ def heaps_law(ds, n_docs: int | None = None):
     return first.map_batches(grid_partial, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None) \
         .groupby("n_docs").aggregate(Sum("vocab", alias_name="vocab"))
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) duplicate-span table
+# ---------------------------------------------------------------------------
+
+CDC_DIV = 16          # expected chunk length in tokens (boundary rate)
+CDC_MIN_OCCUR = 2     # report chunks seen at least this many times
+
+
+def cdc_chunks(ds, div: int = CDC_DIV, min_occur: int = CDC_MIN_OCCUR):
+    """Content-defined chunking over the token stream — the
+    variable-length counterpart of fixed-window ``chunk_docs``: a chunk
+    boundary falls AFTER token ``i`` wherever the token-3-gram rolling
+    hash (the exact ``_token_hashes`` shingle expression, so the SQL
+    mirror is free) is ``0 mod div``.  Because boundaries depend only
+    on local content, an insertion early in a page shifts at most one
+    chunk — the property that makes CDC the standard primitive for
+    byte-/span-level dedup of crawl snapshots (fixed windows would
+    re-chunk the whole tail).
+
+    Emits the global duplicate-span table: one row per (chunk_sum,
+    chunk_len) content key occurring >= ``min_occur`` times, with the
+    distinct-document count.  Chunk identity is (sum of token hashes
+    mod M, token count) — order-independent by construction, computed
+    identically on both engines.
+
+    Scale shape: chunking is batch-local; per-batch partials pre-group
+    the (key -> occurrences, distinct docs) counts (docs never span
+    batches, so batch-local distinct is globally exact) and ONLY the
+    bounded partial rows hit the one groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    from .dedup import MERSENNE, SH_C1, SH_C2, SH_C3, _hash_tokens
+
+    M = MERSENNE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        sums, lens, docs = [], [], []
+        for d, t in zip(ids.tolist(), texts):
+            th = _hash_tokens(t.split(" "))
+            bf = np.zeros(len(th), dtype=np.int64)
+            if len(th) >= 3:
+                sh = (th[:-2] * SH_C1 % M + th[1:-1] * SH_C2 % M
+                      + th[2:] * SH_C3 % M) % M
+                bf[2:] = sh % div == 0
+            ck = np.zeros(len(th), dtype=np.int64)
+            if len(th) > 1:
+                ck[1:] = np.cumsum(bf)[:-1]  # exclusive prefix sum
+            n_chunks = int(ck[-1]) + 1 if len(th) else 0
+            cs = np.zeros(n_chunks, dtype=np.int64)
+            np.add.at(cs, ck, th)
+            sums.append(cs % M)
+            lens.append(np.bincount(ck, minlength=n_chunks)
+                        .astype(np.int64))
+            docs.append(np.full(n_chunks, d, dtype=np.int64))
+        if not sums:
+            return pa.table({"chunk_sum": pa.array([], pa.int64()),
+                             "chunk_len": pa.array([], pa.int64()),
+                             "occ": pa.array([], pa.int64()),
+                             "docs": pa.array([], pa.int64())})
+        cs = np.concatenate(sums)
+        cl = np.concatenate(lens)
+        dd = np.concatenate(docs)
+        key = np.stack([cs, cl], axis=1)
+        u, inv = np.unique(key, axis=0, return_inverse=True)
+        occ = np.bincount(inv).astype(np.int64)
+        # distinct docs per key: unique (key, doc) rows first
+        kd = np.stack([cs, cl, dd], axis=1)
+        ukd = np.unique(kd, axis=0)
+        ukey = np.stack([ukd[:, 0], ukd[:, 1]], axis=1)
+        # map each unique (key, doc) row back to its key slot
+        order = np.lexsort((u[:, 1], u[:, 0]))
+        su = u[order]
+        pos = np.searchsorted(
+            su[:, 0] * (1 << 32) + su[:, 1],
+            ukey[:, 0] * (1 << 32) + ukey[:, 1])
+        nd = np.zeros(len(u), dtype=np.int64)
+        np.add.at(nd, order[pos], 1)
+        return pa.table({"chunk_sum": pa.array(u[:, 0]),
+                         "chunk_len": pa.array(u[:, 1]),
+                         "occ": pa.array(occ),
+                         "docs": pa.array(nd)})
+
+    partials = ds.select_columns(["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+    agg = partials.groupby(["chunk_sum", "chunk_len"]).aggregate(
+        Sum("occ", alias_name="n_occur"),
+        Sum("docs", alias_name="n_docs"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_occur"], min_occur)
+        t = batch.filter(keep)
+        return pa.table({
+            "chunk_sum": t["chunk_sum"], "chunk_len": t["chunk_len"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_occur": pc.cast(t["n_occur"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

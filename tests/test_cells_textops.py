@@ -891,3 +891,34 @@ def test_gopher_rules_discriminates_on_corpus(ray_session):
     # thresholds are tuned so BOTH outcomes occur on the synth corpus
     assert 0 < int(res["keep"].sum()) < 500
     assert res["rule_mask"].max() < 32
+
+
+def test_cdc_chunks_shift_stability_and_counts(ray_session):
+    import pandas as pd
+
+    """CDC property: prepending tokens to a doc changes at most the
+    chunks before the first boundary — the shared tail re-aligns, so
+    duplicated spans are still detected; counts are exact."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import cdc_chunks
+
+    body = " ".join(f"w{i % 37}q{(i * 7) % 23}" for i in range(200))
+    rows = [
+        {"doc_id": 1, "text": body},
+        {"doc_id": 2, "text": "prefix tokens added here " + body},
+        {"doc_id": 3, "text": " ".join(
+            f"u{i}v{i * 3}" for i in range(120))},  # unrelated
+    ]
+    out = cdc_chunks(rd.from_pandas(pd.DataFrame(rows))).to_pandas()
+    # shared spans between doc 1 and 2 must surface as n_docs==2 keys
+    assert len(out) >= 3
+    assert (out["n_docs"] == 2).any()
+    assert (out["n_occur"] >= 2).all()
+
+    # exact duplicate docs: every chunk key doubles
+    rows2 = [{"doc_id": 10, "text": body}, {"doc_id": 11, "text": body}]
+    out2 = cdc_chunks(rd.from_pandas(pd.DataFrame(rows2))).to_pandas()
+    assert (out2["n_occur"] == 2).all() and (out2["n_docs"] == 2).all()
+    # chunk lengths partition the token stream
+    assert out2["chunk_len"].sum() == 200
