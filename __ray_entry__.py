@@ -202,6 +202,13 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_minhash_est(sf_dir: str):
+    """Sketch calibration: MinHash-estimated vs exact Jaccard per LSH
+    candidate pair."""
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    return _dedup.minhash_estimate(pairs, _docs_text(sf_dir))
+
+
 def q_cdc_chunks(sf_dir: str):
     """Content-defined chunking duplicate-span table: rolling-hash
     (token 3-gram) boundaries, order-independent chunk identity."""
@@ -2133,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_geom": q_poly_geom,
         "dedup_best": q_dedup_best,
         "cdc_chunks": q_cdc_chunks,
+        "minhash_est": q_minhash_est,
     }
 
 
@@ -5459,4 +5467,29 @@ SELECT chunk_sum, chunk_len,
        COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occur
 FROM ch GROUP BY chunk_sum, chunk_len
 HAVING COUNT(*) >= {_textops.CDC_MIN_OCCUR}""",
+        # Sketch calibration: equal-signature-component count / NUM_PERM
+        # (the MinHash Jaccard estimator) next to the exact shingle
+        # Jaccard, per LSH candidate pair.
+        "minhash_est": "WITH " + _minhash_sql_chain() + f""",
+cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM cand p
+          JOIN sh x ON x.doc_id = p.doc_a
+          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b),
+esteq AS (SELECT p.doc_a, p.doc_b,
+                 COUNT(*) FILTER (WHERE sa.sig = sb.sig) AS neq
+          FROM cand p
+          JOIN sigs sa ON sa.doc_id = p.doc_a
+          JOIN sigs sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+          GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       1000 * e.neq // {_dedup.NUM_PERM} AS est_milli,
+       (1000 * COALESCE(i.i, 0))
+         // (ca.n + cb.n - COALESCE(i.i, 0)) AS jaccard_milli
+FROM cand p
+JOIN cnts ca ON ca.doc_id = p.doc_a
+JOIN cnts cb ON cb.doc_id = p.doc_b
+JOIN esteq e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
     }

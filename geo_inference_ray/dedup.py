@@ -1477,3 +1477,118 @@ def dedup_best(docs_ds, pairs_ds, *, rows_hint: int | None = None,
 
     return agg.map_batches(decode, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard per pair
+# ---------------------------------------------------------------------------
+
+def minhash_estimate(pairs_ds, docs_ds, rows_hint: int | None = None):
+    """Sketch calibration table: for every candidate pair, the
+    MinHash-ESTIMATED Jaccard (equal signature components / NUM_PERM)
+    next to the EXACT shingle Jaccard — the measurement a pipeline
+    operator uses to tune bands/rows against a recall/precision
+    target before running at full scale.
+
+    Composition (no new shuffle machinery): the exact side is
+    :func:`jaccard_pairs` verbatim; the estimate side joins the pair
+    rows to the corpus signature table (the same MinHasher actor-pool
+    stage LSH uses) and counts equal components per pair; the two
+    small pair-keyed tables then join on (doc_a, doc_b) via one
+    packed-key hash-partitioned kernel.  Returns
+    (doc_a, doc_b, est_milli, jaccard_milli)."""
+    import pandas as pd
+
+    from .relational import _hash_partitioned, join_partitions_for
+    from .shuffle import arrow_bridge
+
+    pairs = pairs_ds.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_milli": pa.array([], pa.int64()),
+            "jaccard_milli": pa.array([], pa.int64())}))
+
+    exact = jaccard_pairs(pairs, docs_ds)
+
+    from .pools import pool_caps
+
+    sigs = docs_ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=pool_caps(None))
+
+    def sig_bytes(batch: pa.Table) -> pa.Table:
+        s = batch["sig"]
+        flat = s.combine_chunks().flatten() if isinstance(
+            s, pa.ChunkedArray) else s.flatten()
+        arr = flat.to_numpy(zero_copy_only=False).reshape(-1, NUM_PERM)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sigb": pa.array([r.tobytes() for r in arr], pa.binary())})
+
+    sigb = sigs.map_batches(sig_bytes, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([b, b]))})
+
+    pairrows = pairs.map_batches(explode, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    n = rows_hint if rows_hint is not None else 2 * n_pairs
+    j = pairrows.join(sigb, join_type="inner",
+                      num_partitions=join_partitions_for(max(n, 2 * n_pairs)),
+                      on=("doc_id",))
+
+    def est_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        n_ = len(g)
+        new = np.ones(n_, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [n_]]))
+        sb = g["sigb"].to_numpy()
+        oa, ob, oe = [], [], []
+        for st, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz != 2:
+                continue
+            xa = np.frombuffer(sb[st], dtype=np.int64)
+            xb = np.frombuffer(sb[st + 1], dtype=np.int64)
+            oa.append(a[st])
+            ob.append(b[st])
+            oe.append(1000 * int((xa == xb).sum()) // NUM_PERM)
+        return pd.DataFrame({
+            "doc_a": np.array(oa, dtype=np.int64),
+            "doc_b": np.array(ob, dtype=np.int64),
+            "est_milli": np.array(oe, dtype=np.int64)})
+
+    est = arrow_bridge(
+        _hash_partitioned(j, "doc_a", est_part, rows_hint=2 * n_pairs),
+        {"doc_a": pa.int64(), "doc_b": pa.int64(),
+         "est_milli": pa.int64()})
+
+    # final attach: both sides are pair-keyed and pair-table-sized;
+    # one two-column hash join (no packed key: bench-scale shard ids
+    # exceed 2^31, so a (a << 31 | b) pack would overflow)
+    merged = est.join(exact, join_type="inner",
+                      num_partitions=join_partitions_for(n_pairs),
+                      on=("doc_a", "doc_b"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "est_milli": batch["est_milli"],
+            "jaccard_milli": batch["jaccard_milli"]})
+
+    return merged.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

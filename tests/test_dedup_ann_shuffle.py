@@ -945,3 +945,30 @@ def test_dedup_best_picks_longest_then_min_id(ray_session):
     out2 = dedup_best(docs2, minhash_candidates(docs2),
                       rows_hint=2).to_pandas()
     assert out2["kept_doc"].tolist() == [3]
+
+
+def test_minhash_estimate_tracks_exact(ray_session):
+    """Sketch calibration: exact duplicates estimate 1000/1000; near
+    dups estimate within a loose band of the exact Jaccard (the
+    statistical guarantee at NUM_PERM permutations)."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import minhash_candidates, minhash_estimate
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    near = base.replace("sort", "order", 2)
+    rows = [{"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},
+            {"doc_id": 3, "text": near}]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = minhash_estimate(minhash_candidates(docs), docs).to_pandas()
+    ex = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]
+    assert len(ex) == 1
+    assert ex["est_milli"].iloc[0] == 1000
+    assert ex["jaccard_milli"].iloc[0] == 1000
+    nd = out[(out["doc_a"].isin([1, 2])) & (out["doc_b"] == 3)]
+    assert len(nd) >= 1
+    for _, r in nd.iterrows():
+        assert r["jaccard_milli"] < 1000
+        assert abs(r["est_milli"] - r["jaccard_milli"]) <= 300
