@@ -202,6 +202,19 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_novelty_docs(sf_dir: str):
+    """Incremental-crawl novelty: newest-source docs with no verified
+    cross-source near-dup."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _dedup.novelty_docs(docs, pairs, rows_hint=n)
+
+
 def q_minhash_est(sf_dir: str):
     """Sketch calibration: MinHash-estimated vs exact Jaccard per LSH
     candidate pair."""
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best": q_dedup_best,
         "cdc_chunks": q_cdc_chunks,
         "minhash_est": q_minhash_est,
+        "novelty_docs": q_novelty_docs,
     }
 
 
@@ -5492,4 +5506,36 @@ JOIN cnts ca ON ca.doc_id = p.doc_a
 JOIN cnts cb ON cb.doc_id = p.doc_b
 JOIN esteq e ON e.doc_a = p.doc_a AND e.doc_b = p.doc_b
 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
+        # Incremental-crawl novelty: newest-source docs minus those
+        # with a verified (exact Jaccard >= 500) near-dup in an older
+        # source.
+        "novelty_docs": "WITH " + _minhash_sql_chain() + """,
+cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM cand p
+          JOIN sh x ON x.doc_id = p.doc_a
+          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b),
+ver AS (SELECT p.doc_a, p.doc_b
+        FROM cand p
+        JOIN cnts ca ON ca.doc_id = p.doc_a
+        JOIN cnts cb ON cb.doc_id = p.doc_b
+        LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        WHERE 1000 * COALESCE(i.i, 0)
+              >= 500 * (ca.n + cb.n - COALESCE(i.i, 0))),
+mx AS (SELECT MAX(source) AS s FROM documents),
+crossdup AS (
+  SELECT v.doc_a AS doc_id FROM ver v, mx
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+  WHERE da.source = mx.s AND db.source <> da.source
+  UNION
+  SELECT v.doc_b FROM ver v, mx
+  JOIN documents da ON da.doc_id = v.doc_a
+  JOIN documents db ON db.doc_id = v.doc_b
+  WHERE db.source = mx.s AND da.source <> db.source)
+SELECT d.doc_id, d.lang
+FROM documents d, mx
+WHERE d.source = mx.s
+  AND NOT EXISTS (SELECT 1 FROM crossdup c WHERE c.doc_id = d.doc_id)""",
     }

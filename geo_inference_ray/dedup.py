@@ -1592,3 +1592,106 @@ def minhash_estimate(pairs_ds, docs_ds, rows_hint: int | None = None):
 
     return merged.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source novelty (incremental-crawl ingestion decision)
+# ---------------------------------------------------------------------------
+
+def novelty_docs(docs_ds, pairs_ds, tau_milli: int = 500,
+                 rows_hint: int | None = None):
+    """Novelty filter for incremental ingestion: documents of the
+    NEWEST source (max ``source`` value — the deterministic stand-in
+    for "this week's crawl") that have NO verified near-duplicate
+    (exact shingle Jaccard >= tau) in any OLDER source.  This is the
+    decision an incremental pipeline makes before admitting a new
+    crawl slice: near-dups of already-ingested content are dropped,
+    genuinely novel pages pass.
+
+    Scale shape: verification is :func:`jaccard_pairs` (distributed);
+    sources attach to the pair table with ONE hash join of exploded
+    pair rows against the (doc_id, source) projection; the cross-source
+    screen is a hash-partitioned duo kernel; the final subtraction is
+    a ``left_anti`` join of the new-source slice against the (pair-
+    bounded) cross-dup id set.  Returns (doc_id, lang)."""
+    import pandas as pd
+
+    from .relational import _hash_partitioned, join_partitions_for
+    from .shuffle import arrow_bridge
+
+    # distinct source values are a bounded vocabulary (driver-safe)
+    new_source = max(docs_ds.unique("source"))
+
+    ver = jaccard_pairs(pairs_ds, docs_ds)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["jaccard_milli"], tau_milli))
+
+    ver = ver.map_batches(thresh, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_ver = ver.count()
+
+    def newdocs():
+        def pick(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["source"], new_source))
+            return pa.table({"doc_id": t["doc_id"], "lang": t["lang"]})
+
+        return docs_ds.select_columns(
+            ["doc_id", "lang", "source"]).map_batches(
+                pick, batch_format="pyarrow", zero_copy_batch=True)
+
+    if n_ver == 0:
+        return newdocs()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "doc_a": pa.array(np.concatenate([a, a])),
+            "doc_b": pa.array(np.concatenate([b, b]))})
+
+    pairrows = ver.map_batches(explode, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    src = docs_ds.select_columns(["doc_id", "source"])
+    n = rows_hint if rows_hint is not None else docs_ds.count()
+    j = pairrows.join(src, join_type="inner",
+                      num_partitions=join_partitions_for(n),
+                      on=("doc_id",))
+
+    def cross_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_a", "doc_b", "doc_id"]) \
+             .reset_index(drop=True)
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        s = g["source"].to_numpy()
+        n_ = len(g)
+        new = np.ones(n_, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        out = []
+        for st in starts.tolist():
+            if st + 1 >= n_ or a[st] != a[st + 1] or b[st] != b[st + 1]:
+                continue  # a side vanished (shouldn't happen on inner)
+            # rows sorted by doc_id within the duo: map side -> source
+            sa = s[st] if d[st] == a[st] else s[st + 1]
+            sb = s[st + 1] if d[st + 1] == b[st] else s[st]
+            if sa == sb:
+                continue
+            if sa == new_source:
+                out.append(a[st])
+            if sb == new_source:
+                out.append(b[st])
+        return pd.DataFrame(
+            {"doc_id": np.array(out, dtype=np.int64)})
+
+    drops = arrow_bridge(
+        _hash_partitioned(j, "doc_a", cross_part, rows_hint=2 * n_ver),
+        {"doc_id": pa.int64()}).materialize()
+    if drops.count() == 0:
+        return newdocs()
+    return newdocs().join(drops, join_type="left_anti",
+                          num_partitions=join_partitions_for(n),
+                          on=("doc_id",))

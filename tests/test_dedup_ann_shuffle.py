@@ -972,3 +972,30 @@ def test_minhash_estimate_tracks_exact(ray_session):
     for _, r in nd.iterrows():
         assert r["jaccard_milli"] < 1000
         assert abs(r["est_milli"] - r["jaccard_milli"]) <= 300
+
+
+def test_novelty_docs_drops_cross_source_dups(ray_session):
+    """Newest-source docs keep only genuinely novel pages: a near-dup
+    of an older-source page is dropped, a same-source dup is kept, a
+    unique page is kept."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import minhash_candidates, novelty_docs
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    uniq = " ".join(f"n{j}m{j * 5}" for j in range(40))
+    rows = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "a_old"},
+        # near-dup of an old page -> dropped from the new slice
+        {"doc_id": 2, "text": base, "lang": "en", "source": "b_new"},
+        # novel page -> kept
+        {"doc_id": 3, "text": uniq, "lang": "de", "source": "b_new"},
+        # intra-new-source dup pair -> BOTH kept (only cross-source
+        # near-dups are ingestion blockers)
+        {"doc_id": 4, "text": uniq, "lang": "de", "source": "b_new"},
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = novelty_docs(docs, minhash_candidates(docs),
+                       rows_hint=len(rows)).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [3, 4]
