@@ -202,6 +202,12 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_mutual_knn(sf_dir: str):
+    """Mutual-kNN graph: (a, b) kept only when each is in the other's
+    cell-local top-k."""
+    return _knn.mutual_knn(_stages.geo_pipeline(sf_dir))
+
+
 def q_novelty_docs(sf_dir: str):
     """Incremental-crawl novelty: newest-source docs with no verified
     cross-source near-dup."""
@@ -2155,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": q_cdc_chunks,
         "minhash_est": q_minhash_est,
         "novelty_docs": q_novelty_docs,
+        "mutual_knn": q_mutual_knn,
     }
 
 
@@ -5538,4 +5545,23 @@ SELECT d.doc_id, d.lang
 FROM documents d, mx
 WHERE d.source = mx.s
   AND NOT EXISTS (SELECT 1 FROM crossdup c WHERE c.doc_id = d.doc_id)""",
+        # Mutual-kNN graph: the knn_cell chain self-joined on the
+        # reversed pair, normalized to doc_a < doc_b.
+        "mutual_knn": _WH + f""",
+knn AS (
+  SELECT a.doc_id, b.doc_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY (a.lat - b.lat) * (a.lat - b.lat)
+                    + (a.lon - b.lon) * (a.lon - b.lon), b.doc_id
+         ) AS "rank"
+  FROM hex9 a JOIN hex9 b ON a.hex7 = b.hex7 AND a.doc_id != b.doc_id
+),
+topk AS (SELECT doc_id, neighbor_id, "rank" FROM knn
+         WHERE "rank" <= {_knn.K_DEFAULT})
+SELECT x.doc_id AS doc_a, x.neighbor_id AS doc_b,
+       x."rank" AS rank_ab, y."rank" AS rank_ba
+FROM topk x
+JOIN topk y ON y.doc_id = x.neighbor_id AND y.neighbor_id = x.doc_id
+WHERE x.doc_id < x.neighbor_id""",
     }

@@ -390,3 +390,54 @@ def cell_aggregate(ds):
         Min("mnlat", alias_name="min_lat"), Max("mxlat", alias_name="max_lat"),
         Min("mnlon", alias_name="min_lon"), Max("mxlon", alias_name="max_lon"),
     )
+
+
+def mutual_knn(ds, k: int = K_DEFAULT, cap: int = DEFAULT_CAP):
+    """Mutual-kNN graph over the cell-local kNN: the edge (a, b)
+    survives only when b is in a's top-k AND a is in b's top-k — the
+    standard density-robust graph for clustering / outlier screening
+    (one-sided kNN edges from a dense blob into a sparse neighbor are
+    dropped).
+
+    One :func:`knn_in_cells` pass is materialized (the kNN table is
+    k*n rows of three ints — at 10^12 pages spill it to parquet
+    scratch instead, the minhash band-table pattern), self-joined on
+    the reversed (doc_id, neighbor_id) key, then normalized to
+    doc_a < doc_b.  Returns (doc_a, doc_b, rank_ab, rank_ba)."""
+    from .relational import join_partitions_for
+
+    knn = knn_in_cells(ds, k=k, cap=cap).materialize()
+    n = knn.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "rank_ab": pa.array([], pa.int64()),
+            "rank_ba": pa.array([], pa.int64())}))
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["neighbor_id"],
+            "neighbor_id": batch["doc_id"],
+            "rank_ba": batch["rank"]})
+
+    rev = knn.map_batches(swap, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    j = knn.join(rev, join_type="inner",
+                 num_partitions=join_partitions_for(n),
+                 on=("doc_id", "neighbor_id"))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy()
+        b = batch["neighbor_id"].to_numpy()
+        keep = a < b  # each mutual edge appears once per direction
+        return pa.table({
+            "doc_a": pa.array(a[keep]),
+            "doc_b": pa.array(b[keep]),
+            "rank_ab": batch["rank"].filter(pa.array(keep)),
+            "rank_ba": batch["rank_ba"].filter(pa.array(keep))})
+
+    return j.map_batches(norm, batch_format="pyarrow",
+                         zero_copy_batch=True)

@@ -384,3 +384,23 @@ def test_pixel_counts_volume_bailout(ray_session, monkeypatch):
     assert tiling._LAST_COMBINE_PATH == "distributed"
     assert out.equals(ref)
     assert int(out["n"].sum()) == n
+
+
+def test_mutual_knn_is_symmetric_subset(ray_session, sf_dir):
+    """Every mutual edge is a kNN edge in BOTH directions and every
+    symmetric kNN pair is mutual (exact set equality vs the one-sided
+    table)."""
+    from geo_inference_ray.knn import knn_in_cells, mutual_knn
+    from geo_inference_ray.stages import geo_pipeline
+
+    knn = knn_in_cells(geo_pipeline(sf_dir)).to_pandas()
+    mut = mutual_knn(geo_pipeline(sf_dir)).to_pandas()
+    edges = set(zip(knn["doc_id"].tolist(), knn["neighbor_id"].tolist()))
+    want = {(a, b) for (a, b) in edges if (b, a) in edges and a < b}
+    got = set(zip(mut["doc_a"].tolist(), mut["doc_b"].tolist()))
+    assert got == want and len(want) > 0
+    ranks = {(r["doc_id"], r["neighbor_id"]): r["rank"]
+             for _, r in knn.iterrows()}
+    for _, r in mut.iterrows():
+        assert r["rank_ab"] == ranks[(r["doc_a"], r["doc_b"])]
+        assert r["rank_ba"] == ranks[(r["doc_b"], r["doc_a"])]
