@@ -212,3 +212,87 @@ def _parquet_stats(d: str) -> tuple[int, int]:
                 rows += pq.ParquetFile(p).metadata.num_rows
                 nbytes += os.path.getsize(p)
     return rows, nbytes
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: footer-stats manifest + file-pruned reads
+# ---------------------------------------------------------------------------
+#
+# "Prune at the read" infrastructure: per-file min/max of chosen columns
+# (from parquet FOOTER statistics only — no data pages are touched) are
+# written once to zonemap.json next to the files; a range query then
+# opens only the files whose zone intersects the predicate.  On a
+# Z-order / Hilbert-sorted layout (relational.zorder, geoext.hilbert)
+# this turns a spatial range scan from O(all files) into O(overlapping
+# files) — the single biggest read-side lever at 100 TB.
+
+ZONEMAP_NAME = "zonemap.json"
+
+
+def build_zonemap(root: str, columns: list[str]) -> dict:
+    """Scan parquet footers under ``root`` and write ``zonemap.json``
+    mapping each file (relative path) to {column: [min, max]} over its
+    row groups.  Returns the map.  Columns missing statistics raise —
+    a silent None would disable pruning for that file and read as
+    "covered" when it wasn't."""
+    import pyarrow.parquet as pq
+
+    zmap: dict[str, dict] = {}
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            md = pq.ParquetFile(p).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+            ent: dict[str, list] = {}
+            for col in columns:
+                if col not in names:
+                    raise ValueError(f"zonemap: column {col!r} not in "
+                                     f"{p} (has {sorted(names)})")
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(names[col]).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError(
+                            f"zonemap: no min/max stats for {col!r} in "
+                            f"{p} row group {g}")
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                ent[col] = [lo, hi]
+            zmap[os.path.relpath(p, root)] = ent
+    with open(os.path.join(root, ZONEMAP_NAME), "w") as f:
+        json.dump(zmap, f, sort_keys=True)
+    return zmap
+
+
+def read_pruned(root: str, column: str, lo, hi,
+                columns: list[str] | None = None):
+    """Range-pruned Dataset over a zonemapped directory: only files
+    whose [min, max] zone for ``column`` intersects [lo, hi] are
+    opened; the exact row filter still runs on the survivors (zones
+    are a superset screen).  Returns (dataset, n_files_total,
+    n_files_read)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    zpath = os.path.join(root, ZONEMAP_NAME)
+    with open(zpath) as f:
+        zmap = json.load(f)
+    keep = [os.path.join(root, rel) for rel, ent in sorted(zmap.items())
+            if ent[column][0] <= hi and ent[column][1] >= lo]
+    if not keep:
+        # empty selection: an explicit empty table carrying the footer
+        # schema (a fully-filtered read loses its columns downstream)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(
+            os.path.join(root, next(iter(sorted(zmap)))))
+        if columns is not None:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table()), len(zmap), 0
+    expr = (pads.field(column) >= lo) & (pads.field(column) <= hi)
+    ds = rd.read_parquet(keep, columns=columns, filter=expr)
+    return ds, len(zmap), len(keep)

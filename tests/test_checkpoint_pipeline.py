@@ -293,3 +293,41 @@ def test_pipeline_rerun_overwrites_mask_sink(ray_session, sf_dir, tmp_path):
     a = first.sort_values(["oy", "ox"]).reset_index(drop=True)
     b = second.sort_values(["oy", "ox"]).reset_index(drop=True)
     assert a[["oy", "ox", "n_valid"]].equals(b[["oy", "ox", "n_valid"]])
+
+
+def test_zonemap_prunes_files_and_preserves_results(ray_session, tmp_path):
+    """Zone-map range read opens only intersecting files and returns
+    exactly the rows an unpruned filter returns."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.checkpoint import (ZONEMAP_NAME, build_zonemap,
+                                              read_pruned)
+
+    root = str(tmp_path / "zm")
+    os.makedirs(root)
+    # 8 range-partitioned files over key 0..799 (sorted layout)
+    for i in range(8):
+        keys = np.arange(i * 100, (i + 1) * 100, dtype=np.int64)
+        pq.write_table(pa.table({"k": keys, "v": keys * 3}),
+                       os.path.join(root, f"part-{i}.parquet"))
+    zmap = build_zonemap(root, ["k"])
+    assert len(zmap) == 8
+    assert json.load(open(os.path.join(root, ZONEMAP_NAME)))
+
+    ds, total, opened = read_pruned(root, "k", 150, 349)
+    assert total == 8 and opened == 3  # files 1, 2, 3
+    got = ds.to_pandas().sort_values("k")
+    assert got["k"].tolist() == list(range(150, 350))
+    assert (got["v"] == got["k"] * 3).all()
+
+    # no-overlap range: zero files opened, empty result, schema intact
+    ds0, total0, opened0 = read_pruned(root, "k", 5000, 6000)
+    assert total0 == 8 and opened0 == 0
+    assert ds0.count() == 0
+    # Ray's to_pandas drops columns on ANY empty dataset; the Dataset
+    # schema is the contract that must survive
+    assert set(ds0.schema().names) == {"k", "v"}
