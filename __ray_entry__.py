@@ -202,6 +202,14 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_zonemap_range(sf_dir: str):
+    """Zone-map pruned latitude-range scan: banded parquet layout +
+    footer-stats pruning must return exactly the full-scan filter."""
+    from geo_inference_ray.checkpoint import zonemap_range_query
+
+    return zonemap_range_query(sf_dir, 5.0, 48.0)
+
+
 def q_mutual_knn(sf_dir: str):
     """Mutual-kNN graph: (a, b) kept only when each is in the other's
     cell-local top-k."""
@@ -2162,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_est": q_minhash_est,
         "novelty_docs": q_novelty_docs,
         "mutual_knn": q_mutual_knn,
+        "zonemap_range": q_zonemap_range,
     }
 
 
@@ -5564,4 +5573,9 @@ SELECT x.doc_id AS doc_a, x.neighbor_id AS doc_b,
 FROM topk x
 JOIN topk y ON y.doc_id = x.neighbor_id AND y.neighbor_id = x.doc_id
 WHERE x.doc_id < x.neighbor_id""",
+        # Zone-map pruned range scan == full-scan filter (pruning is a
+        # superset screen; the exact predicate runs on survivors).
+        "zonemap_range": _WG + """
+SELECT doc_id, lat, lon FROM geo
+WHERE lat >= 5.0 AND lat <= 48.0""",
     }

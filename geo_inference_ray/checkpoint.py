@@ -296,3 +296,47 @@ def read_pruned(root: str, column: str, lo, hi,
     expr = (pads.field(column) >= lo) & (pads.field(column) <= hi)
     ds = rd.read_parquet(keep, columns=columns, filter=expr)
     return ds, len(zmap), len(keep)
+
+
+def zonemap_range_query(sf_dir: str, lat_lo: float, lat_hi: float):
+    """End-to-end zone-map demo with an exact-SQL contract: the
+    geocoded pages are written ONCE (cached under /tmp per sf) into
+    latitude-banded parquet partitions, a footer-stats zonemap is
+    built, and the range read opens only the intersecting band files —
+    yet must return exactly the rows a full-scan SQL filter returns
+    (pruning is a superset screen; the exact predicate still runs).
+
+    Returns a Dataset of (doc_id, lat, lon) with lat in
+    [lat_lo, lat_hi]."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages import geo_pipeline
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/graft_zonemap/{base}"
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+        def band(batch: pa.Table) -> pa.Table:
+            lat = batch["lat"].to_numpy(zero_copy_only=False)
+            b = np.clip(((lat + 90.0) // 15.0).astype(np.int64), 0, 11)
+            return pa.table({
+                "doc_id": batch["doc_id"], "lat": batch["lat"],
+                "lon": batch["lon"],
+                "band": pa.array([f"{x:02d}" for x in b.tolist()])})
+
+        geo_pipeline(sf_dir, with_cells=False) \
+            .select_columns(["doc_id", "lat", "lon"]) \
+            .map_batches(band, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+            .write_parquet(root, partition_cols=["band"])
+        build_zonemap(root, ["lat"])
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds, _, _ = read_pruned(root, "lat", lat_lo, lat_hi,
+                           columns=["doc_id", "lat", "lon"])
+    return ds
