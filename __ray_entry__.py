@@ -202,6 +202,15 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_span_dedup(sf_dir: str):
+    """CDC duplicated-span removal: every content chunk keeps one
+    canonical occurrence corpus-wide; documents are rewritten."""
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.span_dedup(_docs_text(sf_dir), rows_hint=n)
+
+
 def q_zonemap_range(sf_dir: str):
     """Zone-map pruned latitude-range scan: banded parquet layout +
     footer-stats pruning must return exactly the full-scan filter."""
@@ -2171,6 +2180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty_docs": q_novelty_docs,
         "mutual_knn": q_mutual_knn,
         "zonemap_range": q_zonemap_range,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -5578,4 +5588,44 @@ WHERE x.doc_id < x.neighbor_id""",
         "zonemap_range": _WG + """
 SELECT doc_id, lat, lon FROM geo
 WHERE lat >= 5.0 AND lat <= 48.0""",
+        # CDC span removal: the cdc_chunks chain extended with the
+        # token strings, a min-(doc_id, ck) winner per content key,
+        # and a string_agg rewrite of the kept tokens.
+        "span_dedup": f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+              FROM documents),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, ts
+        FROM toks),
+th AS (SELECT doc_id, i, ts[i] AS tk,
+              ('0x' || substr(md5(ts[i]), 1, 15))::BIGINT
+                % {_dedup.MERSENNE} AS h
+       FROM tok),
+b AS (SELECT doc_id, i, tk, h,
+             CASE WHEN i >= 3 AND
+               ((LAG(h, 2) OVER w * {_dedup.SH_C1} % {_dedup.MERSENNE}
+                 + LAG(h, 1) OVER w * {_dedup.SH_C2} % {_dedup.MERSENNE}
+                 + h * {_dedup.SH_C3} % {_dedup.MERSENNE})
+                % {_dedup.MERSENNE}) % {_textops.CDC_DIV} = 0
+             THEN 1 ELSE 0 END AS bf
+      FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+c AS (SELECT doc_id, i, tk, h,
+             COALESCE(SUM(bf) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS ck
+      FROM b),
+ch AS (SELECT doc_id, ck,
+              CAST(SUM(h) % {_dedup.MERSENNE} AS BIGINT) AS csum,
+              COUNT(*) AS clen
+       FROM c GROUP BY doc_id, ck),
+win AS (SELECT csum, clen, MIN(doc_id * 1048576 + ck) AS w
+        FROM ch GROUP BY csum, clen),
+keep AS (SELECT ch.doc_id, ch.ck
+         FROM ch JOIN win ON win.csum = ch.csum AND win.clen = ch.clen
+         WHERE ch.doc_id * 1048576 + ch.ck = win.w),
+agg AS (SELECT c.doc_id,
+               string_agg(c.tk, ' ' ORDER BY c.i) AS text_clean
+        FROM c JOIN keep k ON k.doc_id = c.doc_id AND k.ck = c.ck
+        GROUP BY c.doc_id)
+SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
     }

@@ -3082,7 +3082,7 @@ def cdc_chunks(ds, div: int = CDC_DIV, min_occur: int = CDC_MIN_OCCUR):
     bounded partial rows hit the one groupby shuffle."""
     from ray.data.aggregate import Sum
 
-    from .dedup import MERSENNE, SH_C1, SH_C2, SH_C3, _hash_tokens
+    from .dedup import MERSENNE, _hash_tokens
 
     M = MERSENNE
 
@@ -3092,14 +3092,7 @@ def cdc_chunks(ds, div: int = CDC_DIV, min_occur: int = CDC_MIN_OCCUR):
         sums, lens, docs = [], [], []
         for d, t in zip(ids.tolist(), texts):
             th = _hash_tokens(t.split(" "))
-            bf = np.zeros(len(th), dtype=np.int64)
-            if len(th) >= 3:
-                sh = (th[:-2] * SH_C1 % M + th[1:-1] * SH_C2 % M
-                      + th[2:] * SH_C3 % M) % M
-                bf[2:] = sh % div == 0
-            ck = np.zeros(len(th), dtype=np.int64)
-            if len(th) > 1:
-                ck[1:] = np.cumsum(bf)[:-1]  # exclusive prefix sum
+            ck = _cdc_chunk_ids(th, div)
             n_chunks = int(ck[-1]) + 1 if len(th) else 0
             cs = np.zeros(n_chunks, dtype=np.int64)
             np.add.at(cs, ck, th)
@@ -3152,3 +3145,162 @@ def cdc_chunks(ds, div: int = CDC_DIV, min_occur: int = CDC_MIN_OCCUR):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def _cdc_chunk_ids(th: np.ndarray, div: int) -> np.ndarray:
+    """Chunk id per token position for CDC boundaries (boundary AFTER
+    token i where the 3-gram rolling hash is 0 mod div) — the single
+    implementation both :func:`cdc_chunks` and :func:`span_dedup` use,
+    so their chunkings agree by construction."""
+    from .dedup import MERSENNE, SH_C1, SH_C2, SH_C3
+
+    M = MERSENNE
+    bf = np.zeros(len(th), dtype=np.int64)
+    if len(th) >= 3:
+        sh = (th[:-2] * SH_C1 % M + th[1:-1] * SH_C2 % M
+              + th[2:] * SH_C3 % M) % M
+        bf[2:] = sh % div == 0
+    ck = np.zeros(len(th), dtype=np.int64)
+    if len(th) > 1:
+        ck[1:] = np.cumsum(bf)[:-1]  # exclusive prefix sum
+    return ck
+
+
+_SPAN_CK_BITS = 20  # chunks per doc bound (chunk_dedup packing)
+
+
+def span_dedup(ds, div: int = CDC_DIV, rows_hint: int | None = None):
+    """Duplicated-span REMOVAL — the text-rewrite end product of CDC
+    chunking (cf. chunk_dedup's fixed windows): every content-defined
+    chunk keeps exactly ONE canonical occurrence corpus-wide (min
+    (doc_id, chunk_index)); all other occurrences are cut out of their
+    documents.  This is the boilerplate-stripping step a crawl
+    pipeline runs between exact dedup and quality filtering: repeated
+    navigation/footer spans vanish while unique prose survives.
+
+    Stages (all shuffles carry short ints; text crosses the wire only
+    in the final rewrite join):
+    1. chunk instances (doc_id, ck, csum, clen, wkey=doc_id<<20|ck)
+       via the shared :func:`_cdc_chunk_ids` chunking;
+    2. winner per content key: groupby (csum, clen) -> Min(wkey);
+    3. kept instances: instances x winners hash join, wkey == winner;
+    4. per-doc kept-chunk set: hash-partitioned pack to sorted int64
+       bytes (one row per doc);
+    5. rewrite: docs x kept-set join; the kernel re-derives the
+       deterministic chunking and keeps the tokens of kept chunks.
+       Docs that keep NOTHING (pure boilerplate) come back with
+       text_clean = '' via a left_anti union, so the output has
+       exactly one row per input doc.
+
+    Returns (doc_id, text_clean)."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .dedup import MERSENNE, _hash_tokens
+    from .relational import _hash_partitioned, join_partitions_for
+    from .shuffle import arrow_bridge
+
+    M = MERSENNE
+    docs = ds.select_columns(["doc_id", "text"])
+    n = rows_hint if rows_hint is not None else docs.count()
+
+    def inst(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        od, ock, osum, olen = [], [], [], []
+        for d, t in zip(ids.tolist(), texts):
+            th = _hash_tokens(t.split(" "))
+            ck = _cdc_chunk_ids(th, div)
+            n_chunks = int(ck[-1]) + 1 if len(th) else 0
+            assert n_chunks < (1 << _SPAN_CK_BITS), "chunks >= 2^20"
+            assert d < (1 << 43), "doc_id >= 2^43"
+            cs = np.zeros(n_chunks, dtype=np.int64)
+            np.add.at(cs, ck, th)
+            od.append(np.full(n_chunks, d, dtype=np.int64))
+            ock.append(np.arange(n_chunks, dtype=np.int64))
+            osum.append(cs % M)
+            olen.append(np.bincount(ck, minlength=n_chunks)
+                        .astype(np.int64))
+        if not od:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "ck": pa.array([], pa.int64()),
+                             "csum": pa.array([], pa.int64()),
+                             "clen": pa.array([], pa.int64()),
+                             "wkey": pa.array([], pa.int64())})
+        d = np.concatenate(od)
+        c = np.concatenate(ock)
+        return pa.table({
+            "doc_id": pa.array(d), "ck": pa.array(c),
+            "csum": pa.array(np.concatenate(osum)),
+            "clen": pa.array(np.concatenate(olen)),
+            "wkey": pa.array((d << _SPAN_CK_BITS) | c)})
+
+    def instances():
+        return docs.map_batches(inst, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    winners = instances().groupby(["csum", "clen"]).aggregate(
+        Min("wkey", alias_name="w"))
+
+    jp = join_partitions_for(n)
+    j = instances().join(winners, join_type="inner",
+                         num_partitions=jp, on=("csum", "clen"))
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["wkey"], batch["w"]))
+        return pa.table({"doc_id": t["doc_id"], "ck": t["ck"]})
+
+    kept = j.map_batches(keep_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pack_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "ck"]).reset_index(drop=True)
+        d = g["doc_id"].to_numpy()
+        c = g["ck"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(g))
+        return pd.DataFrame({
+            "doc_id": d[starts],
+            "ckb": [c[s:e].tobytes() for s, e in
+                    zip(starts.tolist(), ends.tolist())]})
+
+    ckb = arrow_bridge(
+        _hash_partitioned(kept, "doc_id", pack_part, rows_hint=n),
+        {"doc_id": pa.int64(), "ckb": pa.binary()}).materialize()
+
+    jd = docs.join(ckb, join_type="inner", num_partitions=jp,
+                   on=("doc_id",))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        ckbs = batch["ckb"].to_pylist()
+        out = []
+        for t, cb in zip(texts, ckbs):
+            toks = t.split(" ")
+            th = _hash_tokens(toks)
+            ck = _cdc_chunk_ids(th, div)
+            keep = np.isin(ck, np.frombuffer(cb, dtype=np.int64))
+            out.append(" ".join(tk for tk, k in
+                                zip(toks, keep.tolist()) if k))
+        return pa.table({"doc_id": pa.array(ids),
+                         "text_clean": pa.array(out, pa.string())})
+
+    rewritten = jd.map_batches(rewrite, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    # docs that kept nothing: one empty row each (left_anti union)
+    import ray.data as rd
+
+    lost = docs.select_columns(["doc_id"]).join(
+        ckb, join_type="left_anti", num_partitions=jp, on=("doc_id",))
+
+    def blank(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_clean": pa.array([""] * len(batch), pa.string())})
+
+    return rewritten.union(lost.map_batches(
+        blank, batch_format="pyarrow", zero_copy_batch=True))

@@ -922,3 +922,34 @@ def test_cdc_chunks_shift_stability_and_counts(ray_session):
     assert (out2["n_occur"] == 2).all() and (out2["n_docs"] == 2).all()
     # chunk lengths partition the token stream
     assert out2["chunk_len"].sum() == 200
+
+
+def test_span_dedup_strips_repeated_spans(ray_session):
+    """Duplicated spans keep one canonical occurrence; unique prose
+    survives byte-identically; a pure-duplicate doc comes back empty;
+    output has one row per input doc."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_inference_ray.textops import span_dedup
+
+    boiler = " ".join(f"nav{i}menu{i * 3}" for i in range(150))
+    uniq1 = " ".join(f"alpha{i}beta{i * 3}" for i in range(50))
+    uniq2 = " ".join(f"gamma{i}delta{i * 5}" for i in range(50))
+    rows = [
+        {"doc_id": 1, "text": boiler + " " + uniq1},
+        {"doc_id": 2, "text": boiler + " " + uniq2},
+        {"doc_id": 3, "text": boiler},
+    ]
+    out = span_dedup(rd.from_pandas(pd.DataFrame(rows))).to_pandas() \
+        .set_index("doc_id")["text_clean"]
+    assert len(out) == 3
+    # doc 1 is the canonical owner of the shared prefix -> keeps it all
+    assert out.loc[1] == rows[0]["text"]
+    # doc 2 loses (most of) the boilerplate but keeps its unique tail
+    assert uniq2.split(" ")[-1] in out.loc[2]
+    assert len(out.loc[2]) < len(rows[1]["text"])
+    for tok in uniq2.split(" "):
+        assert tok in out.loc[2]
+    # doc 3 is pure boilerplate owned by doc 1 -> near-empty remainder
+    assert len(out.loc[3]) < len(boiler)
