@@ -202,6 +202,14 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric shingle containment per LSH candidate pair — the
+    quote/inclusion signal (short doc embedded in a long one) that
+    symmetric Jaccard misses."""
+    pairs = _dedup.minhash_candidates(_docs_text(sf_dir))
+    return _dedup.containment_pairs(pairs, _docs_text(sf_dir))
+
+
 def q_span_dedup(sf_dir: str):
     """CDC duplicated-span removal: every content chunk keeps one
     canonical occurrence corpus-wide; documents are rewritten."""
@@ -2181,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_knn": q_mutual_knn,
         "zonemap_range": q_zonemap_range,
         "span_dedup": q_span_dedup,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -5628,4 +5637,20 @@ agg AS (SELECT c.doc_id,
         GROUP BY c.doc_id)
 SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""",
+        # Asymmetric containment mirror: same shingle/candidate chain as
+        # minhash_verified, floor-divided by EACH side's shingle count.
+        "containment_pairs": "WITH " + _minhash_sql_chain() + """,
+cnts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+          FROM cand p
+          JOIN sh x ON x.doc_id = p.doc_a
+          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+          GROUP BY p.doc_a, p.doc_b)
+SELECT p.doc_a, p.doc_b,
+       (1000 * COALESCE(i.i, 0)) // ca.n AS contain_a_milli,
+       (1000 * COALESCE(i.i, 0)) // cb.n AS contain_b_milli
+FROM cand p
+JOIN cnts ca ON ca.doc_id = p.doc_a
+JOIN cnts cb ON cb.doc_id = p.doc_b
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
     }

@@ -448,17 +448,39 @@ def minhash_candidates(ds, max_actors: int | None = None,
 _CAND_MEMO: dict = {}
 
 
-def _empty_verified():
+def _empty_verified(containment: bool = False):
     import ray.data as rd
 
-    return rd.from_arrow(pa.table({
-        "doc_a": pa.array([], pa.int64()),
-        "doc_b": pa.array([], pa.int64()),
-        "jaccard_milli": pa.array([], pa.int64())}))
+    cols = {"doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64())}
+    if containment:
+        cols["contain_a_milli"] = pa.array([], pa.int64())
+        cols["contain_b_milli"] = pa.array([], pa.int64())
+    else:
+        cols["jaccard_milli"] = pa.array([], pa.int64())
+    return rd.from_arrow(pa.table(cols))
+
+
+def containment_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
+                      cand_driver_limit: int = 5_000_000):
+    """Asymmetric shingle CONTAINMENT per candidate pair — the
+    quote/inclusion detector Jaccard misses: a short page embedded
+    verbatim inside a long one has tiny Jaccard but containment_a
+    near 1000.  Same fully-distributed machinery as
+    :func:`jaccard_pairs` (one hash join, partitioned intersect
+    kernel); only the final arithmetic differs:
+    ``contain_x_milli = 1000 * |A ∩ B| // |X|`` for each side.
+
+    Returns (doc_a, doc_b, contain_a_milli, contain_b_milli)."""
+    return jaccard_pairs(pairs_ds, docs_ds,
+                         num_partitions=num_partitions,
+                         cand_driver_limit=cand_driver_limit,
+                         containment=True)
 
 
 def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
-                  cand_driver_limit: int = 5_000_000):
+                  cand_driver_limit: int = 5_000_000,
+                  containment: bool = False):
     """Verify candidate pairs with exact token-shingle Jaccard — fully
     distributed.
 
@@ -480,7 +502,7 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
     pairs = pairs_ds.materialize()  # candidate pairs only (small side)
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return _empty_verified()
+        return _empty_verified(containment)
     # scale the join fan-out to the candidate volume: Ray 2.49's hash
     # join emits schema-less empty partitions (which crash downstream),
     # so never create more partitions than ~10k pair-rows can fill
@@ -594,7 +616,7 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [n]]))
         sh = g["sh"].to_numpy()
-        oa, ob, oj = [], [], []
+        oa, ob, oj, oca, ocb = [], [], [], [], []
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz != 2:  # a side vanished (shouldn't happen on inner)
                 continue
@@ -604,18 +626,31 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
             # pure integer arithmetic (floor), // in the oracle too
             oa.append(a[st])
             ob.append(b[st])
-            oj.append(1000 * inter
-                      // max(1, xa.size + xb.size - inter))
-        return pd.DataFrame({
-            "doc_a": np.array(oa, dtype=np.int64),
-            "doc_b": np.array(ob, dtype=np.int64),
-            "jaccard_milli": np.array(oj, dtype=np.int64)})
+            if containment:
+                oca.append(1000 * inter // max(1, xa.size))
+                ocb.append(1000 * inter // max(1, xb.size))
+            else:
+                oj.append(1000 * inter
+                          // max(1, xa.size + xb.size - inter))
+        out = {"doc_a": np.array(oa, dtype=np.int64),
+               "doc_b": np.array(ob, dtype=np.int64)}
+        if containment:
+            out["contain_a_milli"] = np.array(oca, dtype=np.int64)
+            out["contain_b_milli"] = np.array(ocb, dtype=np.int64)
+        else:
+            out["jaccard_milli"] = np.array(oj, dtype=np.int64)
+        return pd.DataFrame(out)
 
+    schema = {"doc_a": pa.int64(), "doc_b": pa.int64()}
+    if containment:
+        schema["contain_a_milli"] = pa.int64()
+        schema["contain_b_milli"] = pa.int64()
+    else:
+        schema["jaccard_milli"] = pa.int64()
     return arrow_bridge(
         _hash_partitioned(j, "doc_a", verify_part,
                           rows_hint=2 * n_pairs),
-        {"doc_a": pa.int64(), "doc_b": pa.int64(),
-         "jaccard_milli": pa.int64()})
+        schema)
 
 
 # ---------------------------------------------------------------------------

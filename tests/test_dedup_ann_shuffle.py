@@ -120,6 +120,54 @@ def test_jaccard_verify_distributed(ray_session):
     assert (nd["jaccard_milli"] > 500).all()
 
 
+def test_containment_detects_inclusion(ray_session):
+    """A short doc embedded verbatim in a long one: containment on the
+    short side is 1000 even though Jaccard is well below 1000."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import (containment_pairs, jaccard_pairs,
+                                         minhash_candidates)
+
+    # long doc = short doc + a 15% tail: similar enough for LSH to emit
+    # the candidate, asymmetric enough that containment != jaccard
+    short = " ".join(f"tok{j}" for j in range(80))
+    long_ = short + " " + " ".join(f"extra{j}" for j in range(12))
+    rows = [{"doc_id": i,
+             "text": " ".join(f"u{i}v{j}" for j in range(40))}
+            for i in range(10)]
+    rows += [{"doc_id": 100, "text": short},
+             {"doc_id": 101, "text": long_}]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_candidates(docs)
+    out = containment_pairs(pairs, docs).to_pandas()
+    hit = out[(out["doc_a"] == 100) & (out["doc_b"] == 101)]
+    assert len(hit) == 1
+    assert hit["contain_a_milli"].iloc[0] == 1000  # short fully inside
+    assert hit["contain_b_milli"].iloc[0] < 1000
+    jac = jaccard_pairs(pairs, docs).to_pandas()
+    jhit = jac[(jac["doc_a"] == 100) & (jac["doc_b"] == 101)]
+    # jaccard is dragged below containment_a by the asymmetric tail
+    assert jhit["jaccard_milli"].iloc[0] < 1000
+
+
+def test_containment_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import containment_pairs
+
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1], "text": ["lone document"]}))
+    empty = rd.from_pandas(pd.DataFrame(
+        {"doc_a": pd.Series([], dtype="int64"),
+         "doc_b": pd.Series([], dtype="int64")}))
+    out = containment_pairs(empty, docs)
+    assert out.count() == 0
+    # (to_pandas on a zero-row Dataset drops columns — assert on the
+    # Dataset schema instead)
+    assert out.schema().names == ["doc_a", "doc_b",
+                                  "contain_a_milli", "contain_b_milli"]
+
+
 def test_ann_topk_matches_bruteforce(ray_session, sf_dir):
     from geo_inference_ray.ann import N_QUERIES_DEFAULT, ann_topk
 
