@@ -202,6 +202,17 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_kmv_distinct(sf_dir: str):
+    """Per-source bottom-k (KMV) distinct-shingle sketch with the
+    (k-1)*M // h_k estimator — the mergeable set-sketch complement to
+    the HLL register family."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    return _dedup.kmv_distinct(docs)
+
+
 def q_containment_pairs(sf_dir: str):
     """Asymmetric shingle containment per LSH candidate pair — the
     quote/inclusion signal (short doc embedded in a long one) that
@@ -2190,6 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_range": q_zonemap_range,
         "span_dedup": q_span_dedup,
         "containment_pairs": q_containment_pairs,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -5653,4 +5665,22 @@ FROM cand p
 JOIN cnts ca ON ca.doc_id = p.doc_a
 JOIN cnts cb ON cb.doc_id = p.doc_b
 LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b""",
+        # KMV mirror: k-th smallest distinct shingle hash per source
+        # (row_number over the shared sh chain), (k-1)*M // h_k.
+        "kmv_distinct": "WITH " + _minhash_sql_chain() + f""",
+ssh AS (SELECT DISTINCT d.source, s.sh
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+rk AS (SELECT source, sh,
+              row_number() OVER (PARTITION BY source ORDER BY sh) AS rn
+       FROM ssh),
+cnt AS (SELECT source, COUNT(*) AS n FROM ssh GROUP BY source)
+SELECT c.source,
+       COALESCE(k.sh, -1) AS kth_hash,
+       CASE WHEN c.n >= {_dedup.KMV_K}
+            THEN CAST({(_dedup.KMV_K - 1)} AS BIGINT)
+                 * {_dedup.MERSENNE} // k.sh
+            ELSE c.n END AS est_distinct
+FROM cnt c
+LEFT JOIN (SELECT source, sh FROM rk WHERE rn = {_dedup.KMV_K}) k
+  ON k.source = c.source""",
     }

@@ -1277,6 +1277,77 @@ def hll_by_source(ds):
             Max("rho", alias_name="rho"))
 
 
+KMV_K = 128                  # bottom-k sketch width
+
+
+def kmv_distinct(ds, k: int = KMV_K):
+    """Per-source KMV (k-minimum-values / bottom-k) distinct-shingle
+    sketch (Bar-Yossef et al. RANDOM'02 — public algorithm): keep the
+    k smallest distinct 31-bit shingle hashes per source; the k-th
+    smallest value estimates distinct count as ``(k-1) * M // h_k``
+    (hashes uniform on [0, M)).  The mergeable complement to the
+    HLL registers: a bottom-k sketch also supports set
+    intersection/union estimates across shards, which registers do
+    not.
+
+    Scale shape: each batch emits at most ``sources x k`` partial rows
+    (its per-source bottom-k of DISTINCT hashes — a superset-free
+    cover of the global bottom-k, since any of the k global minima is
+    a batch-local minimum in the batch that holds it); the final
+    combine is a per-source unique + select, grouped on the (low
+    cardinality) source key.  The token stream itself never shuffles.
+
+    Returns (source, kth_hash, est_distinct); ``kth_hash`` is -1 and
+    the estimate exact when a source holds fewer than k distinct
+    shingles (the union of partials is then the complete set)."""
+    import pandas as pd
+
+    M = MERSENNE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        src = batch["source"].to_pylist()
+        codes, uniq = pd.factorize(np.asarray(src, dtype=object),
+                                   sort=False)
+        out_s, out_h = [], []
+        for si, s in enumerate(uniq):
+            hs = [_token_hashes(t) for t, c in zip(texts, codes.tolist())
+                  if c == si]
+            h = np.unique(np.concatenate(hs))[:k]  # unique is sorted
+            out_s.append(np.full(len(h), s, dtype=object))
+            out_h.append(h)
+        if not out_s:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "h": pa.array([], pa.int64())})
+        return pa.table({
+            "source": pa.array(np.concatenate(out_s), pa.string()),
+            "h": pa.array(np.concatenate(out_h))})
+
+    parts = ds.select_columns(["source", "text"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(g["h"].to_numpy())
+        if len(h) >= k:
+            kth = int(h[k - 1])
+            est = (k - 1) * M // kth
+        else:
+            kth = -1
+            est = len(h)
+        return pd.DataFrame({"source": [g["source"].iloc[0]],
+                             "kth_hash": np.array([kth], dtype=np.int64),
+                             "est_distinct": np.array([est],
+                                                      dtype=np.int64)})
+
+    from .shuffle import arrow_bridge
+
+    return arrow_bridge(
+        parts.groupby("source").map_groups(combine,
+                                           batch_format="pandas"),
+        {"source": pa.string(), "kth_hash": pa.int64(),
+         "est_distinct": pa.int64()})
+
+
 # ---------------------------------------------------------------------------
 # Exact set-similarity self-join (AllPairs / PPJoin prefix filtering)
 # ---------------------------------------------------------------------------

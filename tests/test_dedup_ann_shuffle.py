@@ -637,6 +637,58 @@ def test_bloom_probe_no_false_negatives(ray_session):
     assert out.loc[3, "maybe_seen"] == 0   # 160/65536 bits set -> fp ~1e-10
 
 
+def test_kmv_sketch_exact_and_estimate(ray_session, sf_dir):
+    """kth_hash equals a driver-side recompute of the k-th smallest
+    distinct shingle hash per source; the KMV estimate lands within
+    ~25% of the true distinct count at k=128 (stderr ~ 1/sqrt(k))."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.dedup import (KMV_K, MERSENNE, _token_hashes,
+                                         kmv_distinct)
+
+    out = kmv_distinct(
+        __import__("ray").data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "source", "text"])
+    ).to_pandas().set_index("source")
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["source", "text"])
+    per_src: dict = {}
+    for s, txt in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        per_src.setdefault(s, set()).update(
+            _token_hashes(txt).tolist())
+    assert set(out.index) == set(per_src)
+    for s, hs in per_src.items():
+        h = sorted(hs)
+        true_n = len(h)
+        if true_n >= KMV_K:
+            kth = h[KMV_K - 1]
+            assert out.loc[s, "kth_hash"] == kth
+            est = (KMV_K - 1) * MERSENNE // kth
+            assert out.loc[s, "est_distinct"] == est
+            assert abs(est - true_n) <= 0.25 * true_n + 10
+        else:
+            assert out.loc[s, "kth_hash"] == -1
+            assert out.loc[s, "est_distinct"] == true_n
+
+
+def test_kmv_small_source_exact_path(ray_session):
+    """A source with fewer than k distinct shingles reports the exact
+    count with kth_hash = -1."""
+    import ray.data as rd
+
+    from geo_inference_ray.dedup import _token_hashes, kmv_distinct
+
+    txt = "tiny vocabulary only a few words here"
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "source": ["s", "s"], "text": [txt, txt]}))
+    out = kmv_distinct(docs).to_pandas()
+    assert len(out) == 1
+    assert out["kth_hash"].iloc[0] == -1
+    assert out["est_distinct"].iloc[0] == len(set(
+        _token_hashes(txt).tolist()))
+
+
 def test_hll_registers_match_reference(ray_session, sf_dir):
     """Registers equal a driver-side recompute over the exact distinct
     token set, and the standard HLL estimate lands near the true
