@@ -202,6 +202,16 @@ def q_minhash_verified(sf_dir: str):
     return _dedup.jaccard_pairs(pairs, _docs_text(sf_dir))
 
 
+def q_boiler_score(sf_dir: str):
+    """Per-doc boilerplate fraction vs the corpus-wide hot-shingle set
+    (df >= BOILER_MIN_DF) — the template/chrome signal for quality
+    filtering."""
+    import pyarrow.parquet as _pq
+
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return _textops.boiler_score(_docs_text(sf_dir), rows_hint=n)
+
+
 def q_kmv_distinct(sf_dir: str):
     """Per-source bottom-k (KMV) distinct-shingle sketch with the
     (k-1)*M // h_k estimator — the mergeable set-sketch complement to
@@ -2202,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q_span_dedup,
         "containment_pairs": q_containment_pairs,
         "kmv_distinct": q_kmv_distinct,
+        "boiler_score": q_boiler_score,
     }
 
 
@@ -5683,4 +5694,15 @@ SELECT c.source,
 FROM cnt c
 LEFT JOIN (SELECT source, sh FROM rk WHERE rn = {_dedup.KMV_K}) k
   ON k.source = c.source""",
+        # Boilerplate mirror: corpus-wide shingle df over the shared sh
+        # chain; hot set = df >= BOILER_MIN_DF; per-doc floor fraction.
+        "boiler_score": "WITH " + _minhash_sql_chain() + f""",
+dfb AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+hot AS (SELECT sh FROM dfb WHERE df >= {_textops.BOILER_MIN_DF}),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+bl AS (SELECT s.doc_id, COUNT(*) AS nb
+       FROM sh s JOIN hot h ON h.sh = s.sh GROUP BY s.doc_id)
+SELECT t.doc_id, t.n_sh, COALESCE(b.nb, 0) AS n_boiler,
+       1000 * COALESCE(b.nb, 0) // t.n_sh AS boiler_milli
+FROM tot t LEFT JOIN bl b ON b.doc_id = t.doc_id""",
     }

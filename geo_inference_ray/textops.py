@@ -3304,3 +3304,152 @@ def span_dedup(ds, div: int = CDC_DIV, rows_hint: int | None = None):
 
     return rewritten.union(lost.map_batches(
         blank, batch_format="pyarrow", zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide boilerplate scoring
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DF = 6              # shingle is boilerplate when df >= this
+BOILER_BROADCAST_CAP = 5_000_000   # hot-set ids; dedup_apply's bound
+
+
+def boiler_score(ds, min_df: int = BOILER_MIN_DF,
+                 broadcast_cap: int = BOILER_BROADCAST_CAP,
+                 rows_hint: int | None = None):
+    """Per-document BOILERPLATE fraction against the corpus-wide
+    hot-shingle set — the template/navigation-chrome signal a crawl
+    pipeline feeds its quality filter (CCNet-style: content repeated
+    across many pages is chrome, not prose).
+
+    A shingle is boilerplate when its document frequency (count of
+    DISTINCT docs containing it) >= ``min_df``.  Output per doc:
+    ``n_sh`` distinct shingles, ``n_boiler`` of them boilerplate, and
+    ``boiler_milli = 1000 * n_boiler // n_sh``.
+
+    Scale shape:
+    - pass A builds the df table with per-batch partials (each doc's
+      shingles are already distinct), one groupby(sh) Sum — the only
+      all-to-all, on 8-byte keys;
+    - the hot SET (df >= min_df) is tiny by construction (real
+      boilerplate is a vocabulary-sized head, not the corpus) — under
+      ``broadcast_cap`` it is collected once and broadcast via
+      ray.put, and pass B re-derives each doc's shingles batch-locally
+      and probes the sorted array (np.isin) — zero further shuffles;
+    - above the cap the probe becomes a distributed semi-join of the
+      exploded (doc_id, sh) rows against the hot df table plus a
+      per-doc count groupby, same outputs.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import _token_hashes
+
+    docs = ds.select_columns(["doc_id", "text"])
+
+    def sh_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        if not texts:
+            return pa.table({"sh": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        hs = np.concatenate([_token_hashes(t) for t in texts])
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table({"sh": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    df = docs.map_batches(sh_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("sh").aggregate(Sum("c", alias_name="df"))
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["df"],
+                                          pa.scalar(int(min_df))))
+        return t.select(["sh"])
+
+    hot_ds = df.map_batches(keep_hot, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # volume probe: count the hot set before deciding the path
+    n_hot = hot_ds.count()
+
+    if n_hot <= broadcast_cap:
+        parts = [b["sh"].to_numpy() for b in
+                 hot_ds.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow")]
+        hot = (np.sort(np.concatenate(parts)) if parts
+               else np.array([], dtype=np.int64))
+        hot_ref = ray.put(hot)
+
+        def score(batch: pa.Table) -> pa.Table:
+            hs = ray.get(hot_ref)
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            n_sh = np.empty(len(ids), dtype=np.int64)
+            n_b = np.empty(len(ids), dtype=np.int64)
+            for i, t in enumerate(texts):
+                sh = _token_hashes(t)
+                n_sh[i] = len(sh)
+                n_b[i] = int(np.isin(sh, hs, assume_unique=True).sum())
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "n_sh": pa.array(n_sh),
+                "n_boiler": pa.array(n_b),
+                "boiler_milli": pa.array(
+                    1000 * n_b // np.maximum(n_sh, 1))})
+
+        return docs.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # distributed fallback: explode (doc_id, sh), semi-join the hot df
+    # table, per-doc counts via groupby Sum on both legs
+    from .relational import join_partitions_for
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        od, osh = [], []
+        for d, t in zip(ids.tolist(), texts):
+            sh = _token_hashes(t)
+            od.append(np.full(len(sh), d, dtype=np.int64))
+            osh.append(sh)
+        if not od:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(od)),
+                         "sh": pa.array(np.concatenate(osh))})
+
+    n = rows_hint if rows_hint is not None else docs.count()
+    rows = docs.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["doc_id"].to_numpy(), return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "t": pa.array(c.astype(np.int64))})
+
+    totals = rows.map_batches(tot_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(Sum("t", alias_name="n_sh"))
+
+    jp = join_partitions_for(max(n, n_hot))
+    hits = rows.join(hot_ds, join_type="inner", num_partitions=jp,
+                     on=("sh",))
+    bcounts = hits.map_batches(tot_partial, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("t", alias_name="n_boiler"))
+
+    j = totals.join(bcounts, join_type="left_outer",
+                    num_partitions=join_partitions_for(n),
+                    on=("doc_id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n_sh = batch["n_sh"].to_numpy()
+        nb = batch["n_boiler"].to_numpy(zero_copy_only=False)
+        nb = np.where(np.isnan(nb.astype(np.float64)), 0, nb) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_sh": pa.array(n_sh),
+            "n_boiler": pa.array(nb),
+            "boiler_milli": pa.array(1000 * nb // np.maximum(n_sh, 1))})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -953,3 +953,48 @@ def test_span_dedup_strips_repeated_spans(ray_session):
         assert tok in out.loc[2]
     # doc 3 is pure boilerplate owned by doc 1 -> near-empty remainder
     assert len(out.loc[3]) < len(boiler)
+
+
+def test_boiler_score_planted_template(ray_session):
+    """Docs sharing a planted footer score high boiler_milli; unique
+    prose scores 0; broadcast and join-fallback paths agree exactly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_inference_ray.textops import boiler_score
+
+    footer = "copyright acme corp all rights reserved contact us"
+    rows = [{"doc_id": i,
+             "text": " ".join(f"p{i}w{j}" for j in range(30))
+             + " " + footer} for i in range(8)]
+    rows += [{"doc_id": 100 + i,
+              "text": " ".join(f"u{i}q{j}" for j in range(40))}
+             for i in range(4)]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    out = boiler_score(docs, min_df=6).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # footer shingles appear in 8 docs (>= min_df): templated docs > 0
+    assert (out.loc[:7, "n_boiler"] > 0).all()
+    assert (out.loc[:7, "boiler_milli"] > 0).all()
+    # unique docs: zero boilerplate
+    assert (out.loc[100:, "n_boiler"] == 0).all()
+    # join fallback (cap 0 forces it) is bit-identical
+    out2 = boiler_score(docs, min_df=6, broadcast_cap=0).to_pandas() \
+        .set_index("doc_id").sort_index()
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_boiler_score_no_hot_set(ray_session):
+    """All-unique corpus: hot set is empty, every doc scores 0."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_inference_ray.textops import boiler_score
+
+    docs = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": i, "text": " ".join(f"x{i}y{j}" for j in range(20))}
+         for i in range(5)]))
+    out = boiler_score(docs).to_pandas()
+    assert (out["n_boiler"] == 0).all()
+    assert (out["boiler_milli"] == 0).all()
+    assert len(out) == 5
