@@ -862,6 +862,14 @@ def q_pagerank(sf_dir: str):
     return _graph.pagerank(sf_dir)
 
 
+def q_hits(sf_dir: str):
+    """Fixed-iteration integer HITS hubs/authorities over the directed
+    part -> supplier graph (max-normalized int64 sweeps; graph.py)."""
+    from geo_inference_ray import graph as _graph
+
+    return _graph.hits(sf_dir)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention triangle over the events stream."""
     from geo_inference_ray import relational as _rel
@@ -2213,6 +2221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "kmv_distinct": q_kmv_distinct,
         "boiler_score": q_boiler_score,
+        "hits_scores": q_hits,
     }
 
 
@@ -5705,4 +5714,5 @@ bl AS (SELECT s.doc_id, COUNT(*) AS nb
 SELECT t.doc_id, t.n_sh, COALESCE(b.nb, 0) AS n_boiler,
        1000 * COALESCE(b.nb, 0) // t.n_sh AS boiler_milli
 FROM tot t LEFT JOIN bl b ON b.doc_id = t.doc_id""",
+        "hits_scores": _graph.hits_oracle_sql(),
     }

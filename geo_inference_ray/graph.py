@@ -44,11 +44,15 @@ PR_BASE = 150_000          # (1 - damping) * PR_SCALE
 PR_BROADCAST_CAP = 5_000_000   # nodes; same bound as dedup_apply's drop set
 
 
-def _edge_spill(sf_dir: str, work_dir: str | None):
-    """Distinct directed edge table (src, dst) of the part<->supplier
-    graph, spilled to parquet scratch (consumed once per iteration;
-    disk-backed, not plasma-pinned).  Returns (path, n_edges) with the
-    count taken from the spill footers — no data read."""
+def _edge_spill(sf_dir: str, work_dir: str | None,
+                directed: bool = False):
+    """Distinct edge table (src, dst) of the part<->supplier graph,
+    spilled to parquet scratch (consumed once per iteration;
+    disk-backed, not plasma-pinned).  Both directions by default
+    (PageRank needs outdeg >= 1 everywhere); ``directed=True`` keeps
+    only part -> supplier (the HITS hub -> authority orientation).
+    Returns (path, n_edges) with the count taken from the spill
+    footers — no data read."""
     import glob
     import os
 
@@ -63,8 +67,11 @@ def _edge_spill(sf_dir: str, work_dir: str | None):
     def edge_partial(batch: pa.Table) -> pa.Table:
         p = batch["l_partkey"].to_numpy().astype(np.int64) * 2
         s = batch["l_suppkey"].to_numpy().astype(np.int64) * 2 + 1
-        t = pa.table({"src": pa.array(np.concatenate([p, s])),
-                      "dst": pa.array(np.concatenate([s, p]))})
+        if directed:
+            t = pa.table({"src": pa.array(p), "dst": pa.array(s)})
+        else:
+            t = pa.table({"src": pa.array(np.concatenate([p, s])),
+                          "dst": pa.array(np.concatenate([s, p]))})
         # per-batch pre-dedup: the global distinct shuffle then carries
         # (batches x local-distinct) rows, not 2x lineitem rows
         return t.group_by(["src", "dst"]).aggregate(
@@ -74,7 +81,8 @@ def _edge_spill(sf_dir: str, work_dir: str | None):
                               zero_copy_batch=True, batch_size=None) \
         .groupby(["src", "dst"]).count() \
         .select_columns(["src", "dst"])
-    spill = spill_dir("pagerank_edges", work_dir)
+    spill = spill_dir("hits_edges" if directed else "pagerank_edges",
+                      work_dir)
     distinct.write_parquet(spill)
     n_edges = sum(pq.read_metadata(f).num_rows for f in
                   glob.glob(os.path.join(spill, "*.parquet")))
@@ -245,6 +253,212 @@ r{t} AS (SELECT node,
                      AS BIGINT) AS rank_ppm
          FROM i{t})""")
     sql.append(f"\nSELECT node, rank_ppm FROM r{iters}")
+    return "".join(sql)
+
+
+HITS_SCALE = 1_000_000     # score unit after each max-normalization
+HITS_ITERS = 2             # fixed iteration count (exact-oracle contract)
+
+
+def hits(sf_dir: str, *, iters: int = HITS_ITERS,
+         broadcast_cap: int = PR_BROADCAST_CAP,
+         work_dir: str | None = None):
+    """Fixed-iteration integer HITS (Kleinberg '99 — public algorithm)
+    over the DIRECTED part -> supplier graph: parts are hubs,
+    suppliers are authorities.
+
+    Integer-exact normalization replaces the usual L2 norm: after each
+    sweep the vector is rescaled to ``x * HITS_SCALE // max(x)`` (all
+    int64 floor arithmetic), so a DuckDB CTE chain reproduces every
+    score bit-for-bit.  Per iteration: ``auth[v] = sum of hub[u] over
+    edges (u, v)`` then rescale; ``hub[u] = sum of auth[v]`` then
+    rescale.  Sums stay below 2^63 while max-degree * HITS_SCALE^2
+    < 2^63 (degree < ~9.2e6; asserted on the broadcast path, where
+    degrees are in hand).
+
+    Scale shape mirrors :func:`pagerank`: the distinct directed edge
+    table is spilled once and re-read per sweep; under
+    ``broadcast_cap`` nodes the score vector is broadcast (ray.put +
+    searchsorted probe, shuffles carry per-batch partial sums only);
+    above it each sweep is one hash join sized by the edge count plus
+    a scalar Max aggregate.
+
+    Returns (node, is_hub, score)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .pools import pool_caps
+    from .relational import join_partitions_for
+
+    spill, n_edges = _edge_spill(sf_dir, work_dir, directed=True)
+
+    def edges():
+        return rd.read_parquet(spill, columns=["src", "dst"])
+
+    def sum_partial(key: str):
+        def part(batch: pa.Table) -> pa.Table:
+            d = batch[key].to_numpy()
+            con = batch["contrib"].to_numpy()
+            u, inv = np.unique(d, return_inverse=True)
+            s = np.zeros(len(u), dtype=np.int64)
+            np.add.at(s, inv, con)
+            return pa.table({"node": pa.array(u.astype(np.int64)),
+                             "s": pa.array(s)})
+        return part
+
+    # node inventories (hub side = distinct src, auth side = distinct
+    # dst) via the shared per-batch-partial degree pattern
+    def side_nodes(key: str):
+        def part(batch: pa.Table) -> pa.Table:
+            u = np.unique(batch[key].to_numpy())
+            return pa.table({"node": pa.array(u.astype(np.int64)),
+                             "d": pa.array(np.ones(len(u), np.int64))})
+        return edges().map_batches(part, batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=None) \
+            .groupby("node").aggregate(Sum("d", alias_name="deg"))
+
+    hub_nodes = side_nodes("src")
+
+    hubs, degs, n_hub = [], [], 0
+    for b in hub_nodes.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+        hubs.append(b["node"].to_numpy())
+        degs.append(b["deg"].to_numpy())
+        n_hub += len(hubs[-1])
+        if n_hub > broadcast_cap:
+            break
+
+    if 0 < n_hub <= broadcast_cap:
+        # ---- broadcast path -----------------------------------------
+        hub_arr = np.concatenate(hubs)
+        order = np.argsort(hub_arr)
+        hub_arr = hub_arr[order]
+        assert int(np.concatenate(degs).max()) < (1 << 63) \
+            // (HITS_SCALE * HITS_SCALE), "degree overflows int64 HITS"
+        hub = np.full(n_hub, HITS_SCALE, dtype=np.int64)
+        auth_arr = auth = None
+
+        def sweep(src_key, dst_key, nodes, scores):
+            """One half-iteration: push ``scores`` (indexed by sorted
+            ``nodes`` = the src side) across edges, return the dst
+            side's (sorted nodes, rescaled scores)."""
+            cref = ray.put((nodes, scores))
+
+            class Push:
+                def __init__(self):
+                    self.nodes, self.scores = ray.get(cref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    src = batch[src_key].to_numpy()
+                    idx = np.searchsorted(self.nodes, src)
+                    b = batch.append_column(
+                        "contrib", pa.array(self.scores[idx]))
+                    return sum_partial(dst_key)(b)
+
+            agg = edges().map_batches(Push, batch_format="pyarrow",
+                                      concurrency=pool_caps(None)) \
+                .groupby("node").aggregate(Sum("s", alias_name="s"))
+            nl, sl = [], []
+            for b in agg.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+                nl.append(b["node"].to_numpy())
+                sl.append(b["s"].to_numpy())
+            nn = np.concatenate(nl)
+            ss = np.concatenate(sl)
+            o = np.argsort(nn)
+            nn, ss = nn[o], ss[o]
+            return nn, ss * HITS_SCALE // max(1, int(ss.max()))
+
+        for _ in range(iters):
+            auth_arr, auth = sweep("src", "dst", hub_arr, hub)
+            hub_arr2, hub = sweep("dst", "src", auth_arr, auth)
+            assert len(hub_arr2) == n_hub
+            hub_arr = hub_arr2
+        return rd.from_arrow(pa.table({
+            "node": pa.array(np.concatenate([hub_arr, auth_arr])),
+            "is_hub": pa.array(np.concatenate(
+                [np.ones(len(hub_arr), np.int64),
+                 np.zeros(len(auth_arr), np.int64)])),
+            "score": pa.array(np.concatenate([hub, auth]))}))
+
+    # ---- distributed path: per sweep one hash join + scalar Max ------
+    np_edges = join_partitions_for(n_edges)
+    state = hub_nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "s": pa.array(np.full(len(b), HITS_SCALE,
+                                                  dtype=np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def sweep_ds(state_ds, src_key, dst_key):
+        joined = edges().join(
+            state_ds.map_batches(
+                lambda b: pa.table({"jnode": b["node"],
+                                    "contrib": b["s"]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner", num_partitions=np_edges,
+            on=(src_key,), right_on=("jnode",))
+        agg = joined.map_batches(sum_partial(dst_key),
+                                 batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("s", alias_name="s")) \
+            .materialize()
+        mx = max(1, int(agg.aggregate(Max("s"))["max(s)"]))
+
+        def rescale(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "s": pa.array(batch["s"].to_numpy()
+                              * HITS_SCALE // mx)})
+
+        return agg.map_batches(rescale, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    auth_state = None
+    for _ in range(iters):
+        auth_state = sweep_ds(state, "src", "dst")
+        state = sweep_ds(auth_state, "dst", "src")
+
+    def tag(is_hub: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": batch["node"],
+                "is_hub": pa.array(np.full(len(batch), is_hub,
+                                           dtype=np.int64)),
+                "score": batch["s"]})
+        return f
+
+    return state.map_batches(tag(1), batch_format="pyarrow") \
+        .union(auth_state.map_batches(tag(0), batch_format="pyarrow"))
+
+
+def hits_oracle_sql(iters: int = HITS_ITERS) -> str:
+    """DuckDB CTE chain mirroring ``hits`` bit-for-bit (integer floor
+    arithmetic, max-normalization per half-sweep)."""
+    sql = [f"""
+WITH e AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem),
+h0 AS (SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS s
+       FROM e)"""]
+    for t in range(1, iters + 1):
+        sql.append(f""",
+a{t}r AS (SELECT e.dst AS node, CAST(SUM(h.s) AS BIGINT) AS s
+          FROM e JOIN h{t - 1} h ON h.node = e.src GROUP BY e.dst),
+a{t} AS (SELECT node, CAST(s * {HITS_SCALE}
+                // GREATEST(1, (SELECT MAX(s) FROM a{t}r)) AS BIGINT)
+                AS s
+         FROM a{t}r),
+h{t}r AS (SELECT e.src AS node, CAST(SUM(a.s) AS BIGINT) AS s
+          FROM e JOIN a{t} a ON a.node = e.dst GROUP BY e.src),
+h{t} AS (SELECT node, CAST(s * {HITS_SCALE}
+                // GREATEST(1, (SELECT MAX(s) FROM h{t}r)) AS BIGINT)
+                AS s
+         FROM h{t}r)""")
+    sql.append(f"""
+SELECT node, CAST(1 AS BIGINT) AS is_hub, s AS score FROM h{iters}
+UNION ALL
+SELECT node, CAST(0 AS BIGINT) AS is_hub, s AS score FROM a{iters}""")
     return "".join(sql)
 
 

@@ -180,3 +180,41 @@ def test_quantiles_by_lang_empty(ray_session):
     # assert on the Dataset schema: Ray 2.49's to_pandas() drops the
     # columns of a 0-row dataset
     assert set(out.schema().names) == {"lang", "p50", "p90", "p99"}
+
+
+def test_hits_matches_oracle_both_paths(ray_session, sf_dir, duck):
+    """Broadcast and distributed-join HITS paths produce the identical
+    integer score table, and both match the DuckDB CTE chain."""
+    from geo_inference_ray.graph import hits, hits_oracle_sql
+
+    exp = duck.execute(hits_oracle_sql()).df() \
+        .sort_values(["is_hub", "node"]).reset_index(drop=True)
+    got_b = _pdf(hits(sf_dir)).sort_values(["is_hub", "node"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_b.astype("int64"),
+                                  exp.astype("int64"))
+    got_d = _pdf(hits(sf_dir, broadcast_cap=0)) \
+        .sort_values(["is_hub", "node"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_d.astype("int64"),
+                                  exp.astype("int64"))
+
+
+def test_hits_invariants(ray_session, sf_dir):
+    """Hubs are exactly the parts, authorities exactly the suppliers;
+    each side's max score is HITS_SCALE (max-normalization); all
+    scores positive (every node has at least one edge)."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.graph import HITS_SCALE, hits
+
+    got = _pdf(hits(sf_dir))
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"])
+    parts = set(np.unique(li["l_partkey"].to_numpy()) * 2)
+    supps = set(np.unique(li["l_suppkey"].to_numpy()) * 2 + 1)
+    assert set(got.loc[got["is_hub"] == 1, "node"]) == parts
+    assert set(got.loc[got["is_hub"] == 0, "node"]) == supps
+    for side in (0, 1):
+        s = got.loc[got["is_hub"] == side, "score"]
+        assert s.max() == HITS_SCALE
+        assert (s > 0).all()
