@@ -870,6 +870,14 @@ def q_hits(sf_dir: str):
     return _graph.hits(sf_dir)
 
 
+def q_kcore(sf_dir: str):
+    """Median-k core of the part<->supplier graph via bounded parallel
+    peeling (graph.py; adaptive k from the degree histogram)."""
+    from geo_inference_ray import graph as _graph
+
+    return _graph.kcore(sf_dir)
+
+
 def q_retention(sf_dir: str):
     """Cohort retention triangle over the events stream."""
     from geo_inference_ray import relational as _rel
@@ -2222,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q_kmv_distinct,
         "boiler_score": q_boiler_score,
         "hits_scores": q_hits,
+        "kcore_nodes": q_kcore,
     }
 
 
@@ -5715,4 +5724,5 @@ SELECT t.doc_id, t.n_sh, COALESCE(b.nb, 0) AS n_boiler,
        1000 * COALESCE(b.nb, 0) // t.n_sh AS boiler_milli
 FROM tot t LEFT JOIN bl b ON b.doc_id = t.doc_id""",
         "hits_scores": _graph.hits_oracle_sql(),
+        "kcore_nodes": _graph.kcore_oracle_sql(),
     }

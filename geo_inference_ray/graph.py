@@ -462,6 +462,224 @@ SELECT node, CAST(0 AS BIGINT) AS is_hub, s AS score FROM a{iters}""")
     return "".join(sql)
 
 
+KCORE_MAX_ROUNDS = 8       # peel-round bound (exact-oracle contract)
+
+
+def _median_from_hist(vals: np.ndarray, counts: np.ndarray) -> int:
+    """Exact lower median from a (value, count) histogram — the
+    element at sorted index (n-1)//2, matching DuckDB
+    quantile_disc(x, 0.5)."""
+    o = np.argsort(vals)
+    vals, counts = vals[o], counts[o]
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    return int(vals[np.searchsorted(cum, (n - 1) // 2 + 1)])
+
+
+def kcore(sf_dir: str, *, k: int | None = None,
+          max_rounds: int = KCORE_MAX_ROUNDS,
+          broadcast_cap: int = PR_BROADCAST_CAP,
+          work_dir: str | None = None):
+    """k-core of the undirected part<->supplier graph by parallel
+    peeling (Matula & Beck '83 degeneracy peeling, simultaneous-removal
+    variant): each round drops EVERY node whose degree within the
+    current subgraph is < k, until a fixpoint.  ``k`` defaults to the
+    exact lower MEDIAN of the initial degree distribution, computed
+    scale-safely from the (degree value, node count) histogram — the
+    histogram is distinct-degree-sized, never node-sized, so the
+    driver fold is bounded even at 10^12 edges.
+
+    Rounds are bounded by ``max_rounds`` (asserted at convergence —
+    the SQL oracle unrolls exactly this many rounds, so an input that
+    needs more must raise, not silently diverge from the mirror).
+
+    Scale shape mirrors :func:`pagerank`: spilled distinct edge table
+    re-read per round; alive set under ``broadcast_cap`` is a sorted
+    broadcast array probed per batch (shuffles carry per-batch partial
+    degree sums only); above it each round is two hash semi-joins
+    sized by the edge count.
+
+    Returns (node, core_deg): the surviving nodes with their degree
+    inside the core."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .pools import pool_caps
+    from .relational import join_partitions_for
+
+    spill, n_edges = _edge_spill(sf_dir, work_dir)
+
+    def edges():
+        return rd.read_parquet(spill, columns=["src", "dst"])
+
+    deg = _degrees(edges()).materialize()
+
+    if k is None:
+        # (degree value -> node count) histogram: tiny by construction
+        def hist_partial(batch: pa.Table) -> pa.Table:
+            u, c = np.unique(batch["outdeg"].to_numpy(),
+                             return_counts=True)
+            return pa.table({"v": pa.array(u.astype(np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        hist = deg.map_batches(hist_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+            .groupby("v").aggregate(Sum("c", alias_name="c"))
+        vs, cs = [], []
+        for b in hist.iter_batches(batch_size=65536,
+                                   batch_format="pyarrow"):
+            vs.append(b["v"].to_numpy())
+            cs.append(b["c"].to_numpy())
+        k = _median_from_hist(np.concatenate(vs), np.concatenate(cs))
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "core_deg": pa.array([], pa.int64())})
+
+    # ---- broadcast path ----------------------------------------------
+    nodes_list, n_nodes = [], 0
+    for b in deg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        nodes_list.append(b["node"].to_numpy())
+        n_nodes += len(nodes_list[-1])
+        if n_nodes > broadcast_cap:
+            break
+
+    if n_nodes <= broadcast_cap:
+        alive = np.sort(np.concatenate(nodes_list)) if nodes_list \
+            else np.array([], dtype=np.int64)
+
+        def alive_degrees(alive_arr: np.ndarray):
+            aref = ray.put(alive_arr)
+
+            class DegAlive:
+                def __init__(self):
+                    self.alive = ray.get(aref)
+
+                def __call__(self, batch: pa.Table) -> pa.Table:
+                    s = batch["src"].to_numpy()
+                    d = batch["dst"].to_numpy()
+                    keep = np.isin(s, self.alive) & \
+                        np.isin(d, self.alive)
+                    u, c = np.unique(s[keep], return_counts=True)
+                    return pa.table({
+                        "node": pa.array(u.astype(np.int64)),
+                        "c": pa.array(c.astype(np.int64))})
+
+            agg = edges().map_batches(DegAlive, batch_format="pyarrow",
+                                      concurrency=pool_caps(None)) \
+                .groupby("node").aggregate(Sum("c", alias_name="c"))
+            nl, cl = [], []
+            for b in agg.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+                nl.append(b["node"].to_numpy())
+                cl.append(b["c"].to_numpy())
+            if not nl:
+                return (np.array([], dtype=np.int64),
+                        np.array([], dtype=np.int64))
+            nn = np.concatenate(nl)
+            cc = np.concatenate(cl)
+            o = np.argsort(nn)
+            return nn[o], cc[o]
+
+        for rnd in range(max_rounds + 1):
+            if len(alive) == 0:
+                return rd.from_arrow(empty)
+            nn, cc = alive_degrees(alive)
+            keepm = cc >= k
+            # isolated alive nodes (all edges gone) have no degree row
+            new_alive = nn[keepm]
+            if len(new_alive) == len(alive) and \
+                    np.array_equal(new_alive, alive):
+                return rd.from_arrow(pa.table({
+                    "node": pa.array(nn[keepm]),
+                    "core_deg": pa.array(cc[keepm])}))
+            alive = new_alive
+        raise AssertionError(
+            f"k-core did not converge in {max_rounds} rounds "
+            "(oracle contract)")
+
+    # ---- distributed path: two semi-joins per round -------------------
+    np_edges = join_partitions_for(n_edges)
+    alive_ds = deg.select_columns(["node"]).materialize()
+    prev_n = alive_ds.count()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["src"].to_numpy(), return_counts=True)
+        return pa.table({"node": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    for rnd in range(max_rounds + 1):
+        if prev_n == 0:
+            return rd.from_arrow(empty)
+        dsub = edges().join(
+            alive_ds.map_batches(
+                lambda b: pa.table({"anode": b["node"]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner", num_partitions=np_edges,
+            on=("src",), right_on=("anode",)) \
+            .join(alive_ds.map_batches(
+                lambda b: pa.table({"bnode": b["node"]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+                join_type="inner", num_partitions=np_edges,
+                on=("dst",), right_on=("bnode",)) \
+            .map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("c", alias_name="c")) \
+            .materialize()
+
+        def keep_core(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.greater_equal(batch["c"],
+                                              pa.scalar(int(k))))
+            return t
+
+        core = dsub.map_batches(keep_core, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+        n_now = core.count()
+        if n_now == prev_n:
+            return core.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "core_deg": b["c"]}),
+                batch_format="pyarrow", zero_copy_batch=True)
+        prev_n = n_now
+        alive_ds = core.select_columns(["node"]).materialize()
+    raise AssertionError(
+        f"k-core did not converge in {max_rounds} rounds "
+        "(oracle contract)")
+
+
+def kcore_oracle_sql(max_rounds: int = KCORE_MAX_ROUNDS) -> str:
+    """DuckDB chained-CTE mirror of ``kcore`` (adaptive median k,
+    ``max_rounds`` unrolled peel rounds, final in-core degrees).
+    Exact by construction when the engine converges within the same
+    round bound (it asserts that)."""
+    sql = ["""
+WITH e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM lineitem),
+edges AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst, src FROM e0),
+d0 AS (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
+kv AS (SELECT quantile_disc(c, 0.5) AS k FROM d0),
+a0 AS (SELECT node FROM d0)"""]
+    for t in range(1, max_rounds + 1):
+        sql.append(f""",
+d{t} AS (SELECT e.src AS node, COUNT(*) AS c
+         FROM edges e
+         JOIN a{t - 1} x ON x.node = e.src
+         JOIN a{t - 1} y ON y.node = e.dst
+         GROUP BY e.src),
+a{t} AS (SELECT node FROM d{t} WHERE c >= (SELECT k FROM kv))""")
+    R = max_rounds
+    sql.append(f""",
+df AS (SELECT e.src AS node, COUNT(*) AS c
+       FROM edges e
+       JOIN a{R} x ON x.node = e.src
+       JOIN a{R} y ON y.node = e.dst
+       GROUP BY e.src)
+SELECT node, c AS core_deg FROM df
+WHERE c >= (SELECT k FROM kv)""")
+    return "".join(sql)
+
+
 TRI_MAX_PART_DEG = 4096    # per-part supplier-count cap (pair blowup)
 TRI_MAX_FWD_DEG = 65_536   # per-node forward-degree cap (wedge blowup)
 TRI_NODE_BITS = 31         # suppkeys must fit in 31 bits for packing
