@@ -76,6 +76,16 @@ MINHASH_A, MINHASH_B = _rng_coeffs()
 # driver-side combine before bailing to the distributed groupby
 # (~256 MB of int64 pairs at the bound; the pixel_counts pattern).
 BUCKET_COUNT_DRIVER_LIMIT = 16_000_000
+# Max hot (>=2-member) band-bucket gids collected to a driver array for
+# the broadcast filter; above this the filter becomes a distributed
+# inner join (the jaccard_pairs cand_driver_limit shape).  A
+# boilerplate-heavy crawl can make the hot set O(corpus).
+HOT_GID_DRIVER_LIMIT = 16_000_000
+# Within-bucket all-pairs cap: a band bucket over this many members is
+# truncated to the cap smallest doc_ids before pair generation (the
+# SIM_BUCKET_CAP recall-guard pattern; C(n,2) on a degenerate
+# mega-bucket of identical boilerplate pages is quadratic in n).
+MINHASH_BUCKET_CAP = 4096
 
 _TOKEN_CACHE: dict[str, int] = {}
 # Hard cap on the per-worker token->hash memo: web-scale corpora have
@@ -287,17 +297,33 @@ def band_rows(batch: pa.Table) -> pa.Table:
 
 
 def minhash_candidates(ds, max_actors: int | None = None,
-                       work_dir: str | None = None):
+                       work_dir: str | None = None,
+                       bucket_cap: int = MINHASH_BUCKET_CAP,
+                       hot_driver_limit: int = HOT_GID_DRIVER_LIMIT,
+                       count_driver_limit: int | None = None):
     """documents -> candidate near-dup pairs (doc_a < doc_b) via LSH.
 
     Pipeline: MinHash sigs (actor pool, cap scales with session CPUs via
     pools.pool_caps) -> band explode -> bucket-size pre-pass (vectorized
     Count aggregate; almost every bucket is a singleton, and per-group
     Python over 80K singleton buckets was the whole runtime) ->
-    broadcast the >=2 bucket set -> pairs within the surviving buckets
-    -> distinct pairs.  The pre-pass also yields exact row bounds for
-    the downstream hash-partitioned kernels (hot-bucket rows; per-bucket
-    C(n,2) pair bound) so partition counts scale with the data.
+    hot-bucket filter (broadcast set below ``hot_driver_limit`` ids,
+    distributed inner join above — a boilerplate-heavy crawl puts
+    O(corpus) gids in the hot set, which must never concatenate on the
+    driver) -> pairs within the surviving buckets -> distinct pairs.
+    The pre-pass also yields exact row bounds for the downstream
+    hash-partitioned kernels (hot-bucket rows; per-bucket C(n,2) pair
+    bound) so partition counts scale with the data.
+
+    ``bucket_cap`` bounds the within-bucket all-pairs blowup: a run
+    over the cap is truncated to its ``bucket_cap`` smallest doc_ids
+    (the SIM_BUCKET_CAP recall-guard pattern — deterministic, and a
+    degenerate mega-bucket of identical boilerplate pages stays
+    O(cap^2) instead of C(n,2)).  Docs dropped from one band's bucket
+    still pair through their other NUM_BANDS-1 bands, and true
+    near-dup CLUSTERS still connect transitively through the capped
+    prefix, so apply/cluster results are unaffected for any corpus
+    whose per-band buckets fit the cap — the sf oracles run uncapped.
     """
     import pandas as pd
     import ray
@@ -331,6 +357,8 @@ def minhash_candidates(ds, max_actors: int | None = None,
         return pa.table({"gid": pa.array(u),
                          "c": pa.array(c.astype(np.int64))})
 
+    count_limit = (BUCKET_COUNT_DRIVER_LIMIT if count_driver_limit is None
+                   else count_driver_limit)
     part = bands.map_batches(count_partial, batch_format="pyarrow",
                              zero_copy_batch=True, batch_size=None)
     ks, cs, total, overflow = [], [], 0, False
@@ -338,9 +366,10 @@ def minhash_candidates(ds, max_actors: int | None = None,
         ks.append(b["gid"].to_numpy())
         cs.append(b["c"].to_numpy())
         total += len(ks[-1])
-        if total > BUCKET_COUNT_DRIVER_LIMIT:
+        if total > count_limit:
             overflow = True
             break
+    hot_ds = None  # set on the distributed (join) path only
     if not overflow:
         if ks:
             k = np.concatenate(ks)
@@ -359,47 +388,82 @@ def minhash_candidates(ds, max_actors: int | None = None,
         del ks, cs  # release the buffered partials before re-exec
         from ray.data.aggregate import Sum
 
+        # spill the >=2-count bucket set to parquet scratch: it is
+        # consumed twice (scalar bounds stream + broadcast-or-join
+        # side) and re-running the distributed groupby for each read
+        # would double the shuffle
         counts = part.groupby("gid").aggregate(Sum("c", alias_name="n"))
-        hot_parts = []
+
+        def keep_hot(b: pa.Table) -> pa.Table:
+            m = pc.greater_equal(b["n"], 2)
+            return b.filter(m)
+
+        hot_spill = spill_dir("minhash_hot", work_dir)
+        counts.map_batches(keep_hot, batch_format="pyarrow",
+                           zero_copy_batch=True).write_parquet(hot_spill)
+        hot_tbl = rd.read_parquet(hot_spill)
+        hot_parts: list | None = []
+        n_hot = 0
         hot_rows = 0
         pair_bound = 0
-        for b in counts.iter_batches(batch_size=65536,
-                                     batch_format="pyarrow"):
+        for b in hot_tbl.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
             n = b["n"].to_numpy()
-            hm = n >= 2
-            hot_parts.append(b["gid"].to_numpy()[hm])
-            nh = n[hm]
-            hot_rows += int(nh.sum())
-            pair_bound += int((nh * (nh - 1) // 2).sum())
-        hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
-               else np.array([], dtype=np.int64))
-    if not len(hot):
+            n_hot += len(n)
+            hot_rows += int(n.sum())
+            pair_bound += int((n * (n - 1) // 2).sum())
+            if hot_parts is not None:
+                hot_parts.append(b["gid"].to_numpy())
+                if n_hot > hot_driver_limit:
+                    # too many hot gids for a driver array — drop the
+                    # buffer, keep streaming the scalar bounds, and
+                    # route the filter through a distributed join
+                    hot_parts = None
+        if hot_parts is not None:
+            hot = (np.sort(np.concatenate(hot_parts)) if hot_parts
+                   else np.array([], dtype=np.int64))
+        else:
+            hot = None
+            hot_ds = hot_tbl.select_columns(["gid"])
+    if hot_ds is None and not len(hot):
         import ray.data as rd
         return rd.from_items([]).map_batches(
             lambda b: pa.table({"doc_a": pa.array([], pa.int64()),
                                 "doc_b": pa.array([], pa.int64())}),
             batch_format="pyarrow")
-    hot_ref = ray.put(hot)
 
-    class FilterHot:
-        def __init__(self):
-            self.hot = ray.get(hot_ref)  # sorted int64 gid array
+    from .relational import partitions_for
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = np.isin(batch["gid"].to_numpy(), self.hot,
-                           assume_unique=False)
-            return batch.filter(pa.array(keep))
+    if hot_ds is not None:
+        # distributed hot filter: inner-join the band table to the hot
+        # gid set (the jaccard_pairs cand_driver_limit shape) — no
+        # driver-side id array at any duplicate rate
+        survivors = bands.join(
+            hot_ds, join_type="inner",
+            num_partitions=partitions_for(hot_rows), on=("gid",))
+    else:
+        hot_ref = ray.put(hot)
 
-    survivors = bands.map_batches(FilterHot, batch_format="pyarrow",
-                                  zero_copy_batch=True,
-                                  concurrency=pool_caps(max_actors))
+        class FilterHot:
+            def __init__(self):
+                self.hot = ray.get(hot_ref)  # sorted int64 gid array
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                keep = np.isin(batch["gid"].to_numpy(), self.hot,
+                               assume_unique=False)
+                return batch.filter(pa.array(keep))
+
+        survivors = bands.map_batches(FilterHot, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      concurrency=pool_caps(max_actors))
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         """ONE kernel for every bucket in the partition: sort by
         (gid, doc_id), find group runs, emit within-group all-pairs.
         The per-group work is a 2-line numpy slice — the per-group
         pandas-call trap only bites when each group is a map_groups
-        invocation."""
+        invocation.  Runs over ``bucket_cap`` truncate to the cap
+        smallest doc_ids (see the function docstring)."""
         g = g.sort_values(["gid", "doc_id"], kind="stable") \
             .reset_index(drop=True)
         gi = g["gid"].to_numpy()
@@ -409,13 +473,22 @@ def minhash_candidates(ds, max_actors: int | None = None,
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [len(g)]]))
         out_a, out_b = [], []
+        n_truncated = 0
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz < 2:
                 continue
+            if sz > bucket_cap:
+                n_truncated += 1
+                sz = bucket_cap
             d = ids[st:st + sz]  # already sorted within the run
             ia, ib = np.triu_indices(sz, k=1)
             out_a.append(d[ia])
             out_b.append(d[ib])
+        if n_truncated:
+            print(f"minhash_candidates: truncated {n_truncated} band "
+                  f"bucket(s) over {bucket_cap} members to the cap "
+                  "smallest doc_ids (recall guard; see "
+                  "MINHASH_BUCKET_CAP)")
         if not out_a:
             return pd.DataFrame({
                 "doc_a": pd.Series([], dtype=np.int64),
@@ -606,10 +679,20 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
         pair share doc_a, so partitioning on doc_a keeps them
         together).  A map_groups per pair costs one pandas call per
         candidate — 33 s for 34 K pairs; this kernel is a numpy loop
-        over consecutive pair duos."""
-        g = g.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        over consecutive pair duos.
+
+        The doc_id tiebreak in the sort is load-bearing for
+        containment=True: a duo's two rows share (doc_a, doc_b), so
+        without it their order is join-output order and
+        contain_a/contain_b could swap nondeterministically.  The
+        explicit doc_id check below keeps the assignment correct even
+        for caller-supplied pairs without the doc_a < doc_b
+        invariant."""
+        g = g.sort_values(["doc_a", "doc_b", "doc_id"],
+                          kind="stable").reset_index(drop=True)
         a = g["doc_a"].to_numpy()
         b = g["doc_b"].to_numpy()
+        did = g["doc_id"].to_numpy()
         n = len(g)
         new = np.ones(n, dtype=bool)
         new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
@@ -620,8 +703,9 @@ def jaccard_pairs(pairs_ds, docs_ds, num_partitions: int = 8,
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz != 2:  # a side vanished (shouldn't happen on inner)
                 continue
-            xa = np.frombuffer(sh[st], dtype=np.int64)
-            xb = np.frombuffer(sh[st + 1], dtype=np.int64)
+            ia, ib = (st, st + 1) if did[st] == a[st] else (st + 1, st)
+            xa = np.frombuffer(sh[ia], dtype=np.int64)
+            xb = np.frombuffer(sh[ib], dtype=np.int64)
             inter = np.intersect1d(xa, xb, assume_unique=True).size
             # pure integer arithmetic (floor), // in the oracle too
             oa.append(a[st])

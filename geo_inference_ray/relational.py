@@ -1330,6 +1330,11 @@ def asof_prior_anchor(sf_dir: str, anchor_type: str = "purchase"):
     Tie rule (shared with the SQL mirror): among equal anchor
     timestamps the max event_id wins — the right frame is sorted by
     (ts, event_id) and merge_asof takes the last matching row.
+
+    No-anchor rows are sentinel-filled (anchor_event_id=-1,
+    anchor_ts=epoch 0) so the output carries plain non-null
+    int64/timestamp columns: nullable Int64/NaT hash differently
+    across pandas/duckdb representations even when values agree.
     """
     import ray.data as rd
 
@@ -1347,7 +1352,9 @@ def asof_prior_anchor(sf_dir: str, anchor_type: str = "purchase"):
                           direction="backward",
                           allow_exact_matches=False,
                           suffixes=("", "_anchor"))
-        m["anchor_event_id"] = m["event_id_anchor"].astype("Int64")
+        m["anchor_event_id"] = (
+            m["event_id_anchor"].fillna(-1).astype("int64"))
+        m["anchor_ts"] = m["anchor_ts"].fillna(pd.Timestamp(0))
         return m[["event_id", "user_id", "ts", "event_type",
                   "anchor_event_id", "anchor_ts"]]
 
@@ -2156,8 +2163,8 @@ def order_gap(sf_dir: str):
     event_id)) distributed as one user-hash shuffle + a vectorized
     diff kernel.  Ties in ts leave the gap MULTISET unchanged, so the
     aggregates are deterministic under any stable tie order.  Users
-    with a single event get n_gaps=0 and NULL max/min (SQL MAX/MIN
-    over an empty window)."""
+    with a single event get n_gaps=0 and sentinel -1 max/min (SQL
+    MAX/MIN over an empty window, COALESCEd in the mirror)."""
     import ray.data as rd
 
     path = f"{sf_dir}/events.parquet"
@@ -2181,8 +2188,10 @@ def order_gap(sf_dir: str):
         out = total.merge(gp, on="user_id", how="left")
         out["n_gaps"] = out["n_gaps"].fillna(0).astype(np.int64)
         out["sum_gap_us"] = out["sum_gap_us"].fillna(0).astype(np.int64)
-        out["max_gap_us"] = out["max_gap_us"].astype("Int64")
-        out["min_gap_us"] = out["min_gap_us"].astype("Int64")
+        # sentinel -1 for single-event users (empty LAG window): plain
+        # int64 on both sides — nullable Int64 hash-diverges vs duckdb
+        out["max_gap_us"] = out["max_gap_us"].fillna(-1).astype(np.int64)
+        out["min_gap_us"] = out["min_gap_us"].fillna(-1).astype(np.int64)
         n = out["n_gaps"].to_numpy().astype(np.float64)
         s = out["sum_gap_us"].to_numpy().astype(np.float64)
         out["avg_gap_us"] = np.where(n > 0, s / np.where(n > 0, n, 1.0),

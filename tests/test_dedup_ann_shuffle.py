@@ -848,6 +848,60 @@ def test_minhash_bucket_count_bailout(ray_session, monkeypatch):
     assert ((out["doc_a"] == 100) & (out["doc_b"] == 101)).any()
 
 
+def test_minhash_hot_gid_join_fallback(ray_session):
+    """Above hot_driver_limit the >=2-member bucket set must NOT
+    concatenate on the driver: the filter routes through the
+    distributed inner join and yields the identical pair set.
+    count_driver_limit=0 forces the distributed-groupby pre-pass
+    (the join fallback lives on that branch)."""
+    import ray.data as rd
+
+    from geo_inference_ray import dedup as dd
+
+    base = ("data processing engines shuffle sort join aggregate "
+            "stream batch " * 4)
+    rows = [{"doc_id": i,
+             "text": f"document {i} " + " ".join(
+                 f"w{i}x{j}" for j in range(40))} for i in range(25)]
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base},
+             {"doc_id": 102, "text": base + " extra tail words"}]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    ref = dd.minhash_candidates(docs).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out = dd.minhash_candidates(docs, count_driver_limit=0,
+                                hot_driver_limit=0).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert out.equals(ref)
+    assert ((out["doc_a"] == 100) & (out["doc_b"] == 101)).any()
+
+
+def test_minhash_mega_bucket_capped(ray_session):
+    """Adversarial boilerplate corpus: N identical docs put every doc
+    in one band bucket per band.  With bucket_cap=8 the pair volume is
+    bounded by C(8,2) (not C(N,2)) and the capped prefix stays
+    transitively connected, so near-dup clustering still recovers ONE
+    cluster over all N docs."""
+    import ray.data as rd
+
+    from geo_inference_ray import dedup as dd
+
+    boiler = "page not found error the requested url was not on server "
+    n = 40
+    docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "text": [boiler * 6] * n}))
+    cap = 8
+    pairs = dd.minhash_candidates(docs, bucket_cap=cap).to_pandas()
+    # bounded volume: identical docs -> every band forms ONE bucket ->
+    # the distinct pair set is exactly the capped prefix's C(cap,2)
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert pairs["doc_b"].max() < cap
+    # uncapped: the full C(n,2) (sanity that the cap did something)
+    full = dd.minhash_candidates(docs).to_pandas()
+    assert len(full) == n * (n - 1) // 2
+
+
 def test_key_counts_bailout_equivalence(ray_session, monkeypatch):
     """key_counts' driver combine and its distributed bail-out path
     return the identical dict."""
