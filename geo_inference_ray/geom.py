@@ -173,14 +173,21 @@ def point_in_polygon(px: np.ndarray, py: np.ndarray,
     The crossing predicate matches synth.SQL_PIP_PAIRS term-for-term:
         ((y1 > py) != (y2 > py)) AND (px < (x2-x1)*(py-y1)/(y2-y1) + x1)
     so DuckDB and numpy agree bitwise even for points near edges.
-    Horizontal edges contribute nothing (first clause false); the division
-    by zero they'd cause is masked out.
+    Horizontal edges contribute nothing (first clause false); their zero
+    denominator is replaced by 1.0 BEFORE the divide (a straddling edge
+    always has y1 != y2, so the substitution only touches lanes the
+    ``straddle &`` mask drops — xint is bit-identical where it matters).
     """
     px = px[:, None]
     py = py[:, None]
     straddle = (y1[None, :] > py) != (y2[None, :] > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / (y2 - y1)[None, :] \
+    denom = y2 - y1
+    denom = np.where(denom == 0.0, 1.0, denom)
+    # over=: a near-horizontal edge (tiny nonzero denom) can overflow to
+    # inf in lanes where |py-y1| >> |denom| — those lanes are exactly the
+    # non-straddling ones, masked below.
+    with np.errstate(over="ignore"):
+        xint = (x2 - x1)[None, :] * (py - y1[None, :]) / denom[None, :] \
             + x1[None, :]
         cross = straddle & (px < xint)
     return (cross.sum(axis=1) % 2).astype(bool)

@@ -273,8 +273,10 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
     score bit-for-bit.  Per iteration: ``auth[v] = sum of hub[u] over
     edges (u, v)`` then rescale; ``hub[u] = sum of auth[v]`` then
     rescale.  Sums stay below 2^63 while max-degree * HITS_SCALE^2
-    < 2^63 (degree < ~9.2e6; asserted on the broadcast path, where
-    degrees are in hand).
+    < 2^63 (degree < ~9.2e6).  The binding bound is whichever side's
+    degree is largest, so BOTH paths assert per-sweep on the max
+    aggregated sum before the rescale multiply — that covers hub
+    out-degree and authority in-degree alike.
 
     Scale shape mirrors :func:`pagerank`: the distinct directed edge
     table is spilled once and re-read per sweep; under
@@ -292,6 +294,15 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
     from .relational import join_partitions_for
 
     spill, n_edges = _edge_spill(sf_dir, work_dir, directed=True)
+
+    if n_edges == 0:
+        # empty edge table: no hubs, no authorities (kcore's
+        # explicit-empty contract — the empty spill has no readable
+        # schema and the distributed Max would raise)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "is_hub": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
 
     def edges():
         return rd.read_parquet(spill, columns=["src", "dst"])
@@ -321,22 +332,28 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
 
     hub_nodes = side_nodes("src")
 
-    hubs, degs, n_hub = [], [], 0
+    hubs, n_hub = [], 0
     for b in hub_nodes.iter_batches(batch_size=65536,
                                     batch_format="pyarrow"):
         hubs.append(b["node"].to_numpy())
-        degs.append(b["deg"].to_numpy())
         n_hub += len(hubs[-1])
         if n_hub > broadcast_cap:
             break
 
-    if 0 < n_hub <= broadcast_cap:
+    if n_hub == 0:
+        # empty edge table: no hubs, no authorities (kcore-style
+        # explicit empty contract — the distributed Max below would
+        # raise on an empty aggregate)
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "is_hub": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+
+    if n_hub <= broadcast_cap:
         # ---- broadcast path -----------------------------------------
         hub_arr = np.concatenate(hubs)
         order = np.argsort(hub_arr)
         hub_arr = hub_arr[order]
-        assert int(np.concatenate(degs).max()) < (1 << 63) \
-            // (HITS_SCALE * HITS_SCALE), "degree overflows int64 HITS"
         hub = np.full(n_hub, HITS_SCALE, dtype=np.int64)
         auth_arr = auth = None
 
@@ -369,7 +386,10 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
             ss = np.concatenate(sl)
             o = np.argsort(nn)
             nn, ss = nn[o], ss[o]
-            return nn, ss * HITS_SCALE // max(1, int(ss.max()))
+            mx = max(1, int(ss.max()))
+            assert mx < (1 << 63) // HITS_SCALE, \
+                "per-sweep sum overflows int64 HITS rescale"
+            return nn, ss * HITS_SCALE // mx
 
         for _ in range(iters):
             auth_arr, auth = sweep("src", "dst", hub_arr, hub)
@@ -404,6 +424,8 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
             .groupby("node").aggregate(Sum("s", alias_name="s")) \
             .materialize()
         mx = max(1, int(agg.aggregate(Max("s"))["max(s)"]))
+        assert mx < (1 << 63) // HITS_SCALE, \
+            "per-sweep sum overflows int64 HITS rescale"
 
         def rescale(batch: pa.Table) -> pa.Table:
             return pa.table({

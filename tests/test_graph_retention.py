@@ -199,6 +199,25 @@ def test_hits_matches_oracle_both_paths(ray_session, sf_dir, duck):
                                   exp.astype("int64"))
 
 
+def test_hits_empty_edges(ray_session, tmp_path):
+    """Empty lineitem -> HITS returns a typed empty (node, is_hub,
+    score) table on BOTH paths instead of raising on the empty Max
+    aggregate (kcore's explicit-empty contract)."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.graph import hits
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([], pa.int64()),
+        "l_suppkey": pa.array([], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    for cap in (None, 0):
+        kw = {} if cap is None else {"broadcast_cap": cap}
+        out = hits(str(tmp_path), work_dir=str(tmp_path / "wk"), **kw)
+        assert out.count() == 0
+        assert set(out.schema().names) == {"node", "is_hub", "score"}
+
+
 def test_hits_invariants(ray_session, sf_dir):
     """Hubs are exactly the parts, authorities exactly the suppliers;
     each side's max score is HITS_SCALE (max-normalization); all
