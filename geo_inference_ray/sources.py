@@ -195,12 +195,22 @@ class RasterSource(PagesSource):
         try:
             import rasterio  # noqa: F401
         except ImportError as exc:
-            raise NotImplementedError(
-                "raster ingestion requires rasterio/rioxarray (not in "
-                "this environment); see SURVEY.md §2.1 — plug a reader "
-                "in by registering a PagesSource producing the pages "
-                "schema (tests/test_sources_tta.py exercises the seam "
-                "contract with a fake source)") from exc
+            # rasterio-less fallback: the from-scratch baseline reader
+            # handles uncompressed strip-based single-band GeoTIFFs
+            # end-to-end; anything fancier surfaces the documented
+            # divergence
+            try:
+                return TiffSource(self.tile).dataset(
+                    path, include_html=include_html)
+            except ValueError as verr:
+                raise NotImplementedError(
+                    "raster ingestion beyond uncompressed strip-based "
+                    "single-band GeoTIFF requires rasterio/rioxarray "
+                    f"(not in this environment): {verr}; see SURVEY.md "
+                    "§2.1 — plug a reader in by registering a "
+                    "PagesSource producing the pages schema "
+                    "(tests/test_sources_tta.py exercises the seam "
+                    "contract)") from exc
         import pyarrow as _pa
         import rasterio
         import ray.data as rd
@@ -247,6 +257,184 @@ class RasterSource(PagesSource):
                     payloads, include_html=read_payload)
 
         # small batches: each row carries up to tile^2 pixel bytes
+        return grid.map_batches(ReadWindows, batch_format="pyarrow",
+                                concurrency=(1, 4),
+                                batch_size=max(1, 2 ** 22 // tile ** 2))
+
+
+# TIFF tag ids used by the minimal reader (TIFF 6.0 + GeoTIFF specs)
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8}
+
+
+def _tiff_meta(path: str):
+    """Parse a baseline strip-based TIFF/GeoTIFF header + first IFD —
+    header bytes only, no pixel data read (the TIFF 6.0 and GeoTIFF
+    specs are public; mirrors the _zarr_meta from-scratch pattern).
+
+    Returns (width, height, numpy dtype string, GDAL-order affine
+    transform, rows_per_strip, strip_offsets, strip_byte_counts).
+    Raises ValueError on layouts outside the supported envelope
+    (tiled, compressed, multi-sample) so RasterSource can surface the
+    rasterio divergence instead of misreading bytes."""
+    import struct
+
+    with open(path, "rb") as f:
+        head = f.read(8)
+        if head[:2] == b"II":
+            e = "<"
+        elif head[:2] == b"MM":
+            e = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF (no II/MM byte mark)")
+        magic, ifd_off = struct.unpack(e + "HI", head[2:8])
+        if magic != 42:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        f.seek(ifd_off)
+        n_entries = struct.unpack(e + "H", f.read(2))[0]
+        raw = f.read(n_entries * 12)
+        tags: dict[int, tuple] = {}
+        pending: list[tuple[int, int, int, int]] = []
+        for i in range(n_entries):
+            tag, typ, cnt = struct.unpack(e + "HHI",
+                                          raw[i * 12:i * 12 + 8])
+            if typ not in _TIFF_TYPE_SIZE:
+                continue
+            nbytes = _TIFF_TYPE_SIZE[typ] * cnt
+            if nbytes <= 4:
+                tags[tag] = _tiff_values(e, typ, cnt,
+                                         raw[i * 12 + 8:i * 12 + 12])
+            else:
+                off = struct.unpack(e + "I", raw[i * 12 + 8:i * 12 + 12])[0]
+                pending.append((tag, typ, cnt, off))
+        for tag, typ, cnt, off in pending:
+            f.seek(off)
+            tags[tag] = _tiff_values(e, typ, cnt,
+                                     f.read(_TIFF_TYPE_SIZE[typ] * cnt))
+
+    def one(tag: int, default=None):
+        v = tags.get(tag)
+        if v is None:
+            return default
+        return v[0]
+
+    if 322 in tags or 324 in tags:
+        raise ValueError(f"{path}: tiled TIFF not supported "
+                         "(strip-based baseline reader)")
+    comp = one(259, 1)
+    if comp != 1:
+        raise ValueError(f"{path}: compression {comp} not supported "
+                         "(uncompressed baseline reader)")
+    spp = one(277, 1)
+    if spp != 1:
+        raise ValueError(f"{path}: {spp} samples/pixel not supported "
+                         "(single-band baseline reader)")
+    width, height = one(256), one(257)
+    if width is None or height is None or 273 not in tags:
+        raise ValueError(f"{path}: missing width/height/strip offsets")
+    bits = one(258, 1)
+    fmt = one(339, 1)  # 1=uint 2=int 3=float
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None or bits % 8 or bits // 8 not in (1, 2, 4, 8):
+        raise ValueError(f"{path}: sample format {fmt}/{bits}b "
+                         "not supported")
+    dtype = f"{e}{kind}{bits // 8}"
+    rps = one(278, height)
+    offsets = tuple(int(v) for v in tags[273])
+    counts = tuple(int(v) for v in tags.get(
+        279, (rps * width * (bits // 8),) * len(offsets)))
+
+    # GeoTIFF georeferencing: full ModelTransformation wins, else
+    # PixelScale + Tiepoint, else the Zarr default (unit pixels, y-down)
+    if 34264 in tags:
+        m = tags[34264]
+        transform = (m[0], m[1], m[3], m[4], m[5], m[7])
+    elif 33550 in tags and 33922 in tags:
+        sx, sy = tags[33550][0], tags[33550][1]
+        i0, j0, _, x0, y0, _ = tags[33922][:6]
+        transform = (sx, 0.0, x0 - i0 * sx, 0.0, -sy, y0 + j0 * sy)
+    else:
+        transform = (1.0, 0.0, 0.0, 0.0, -1.0, 0.0)
+    return width, height, dtype, transform, int(rps), offsets, counts
+
+
+def _tiff_values(e: str, typ: int, cnt: int, buf: bytes) -> tuple:
+    import struct
+
+    code = {1: "B", 2: "s", 3: "H", 4: "I", 11: "f", 12: "d"}[typ]
+    if typ == 2:
+        return (buf[:cnt],)
+    return struct.unpack(f"{e}{cnt}{code}",
+                         buf[:_TIFF_TYPE_SIZE[typ] * cnt])
+
+
+class TiffSource(PagesSource):
+    """From-scratch baseline GeoTIFF ingestion (uncompressed,
+    strip-based, single-band — the TIFF 6.0/GeoTIFF public layouts),
+    closing the reference's front door (GeoTIFF via rasterio,
+    geo_inference/geo_inference.py:254-260) without rasterio in the
+    container.  Same shape as ZarrSource: the driver parses the header
+    IFD only; per-window strip reads (seek + sequential row reads)
+    happen inside map_batches tasks; pixels ride the ``payload``
+    binary column.  RasterSource falls back here when rasterio is
+    absent, so ``get_source("raster")`` handles a real .tif
+    end-to-end."""
+
+    name = "tiff"
+
+    def __init__(self, tile: int = 512):
+        self.tile = tile
+
+    def dataset(self, path: str, include_html: bool = True):
+        import numpy as np
+        import pyarrow as _pa
+        import ray.data as rd
+
+        width, height, dtype, transform, rps, offsets, _counts = \
+            _tiff_meta(path)
+        idx, ro, co, wh, ww, lat, lon = raster_window_grid(
+            width, height, transform, self.tile)
+        grid = rd.from_arrow(_pa.table({
+            "idx": _pa.array(idx), "row_off": _pa.array(ro),
+            "col_off": _pa.array(co), "win_h": _pa.array(wh),
+            "win_w": _pa.array(ww), "lat": _pa.array(lat),
+            "lon": _pa.array(lon)}))
+        read_payload = include_html
+        itemsize = np.dtype(dtype).itemsize
+        tile = self.tile
+
+        class ReadWindows:
+            """File handle opened once per actor; each window reads its
+            rows strip-by-strip (offset = strip base + row-in-strip *
+            width + col, all uncompressed-baseline arithmetic)."""
+
+            def __init__(self):
+                self.f = open(path, "rb")
+
+            def __call__(self, batch: "_pa.Table") -> "_pa.Table":
+                payloads = None
+                if read_payload:
+                    payloads = []
+                    for r0, c0, hh, www in zip(
+                            batch["row_off"].to_pylist(),
+                            batch["col_off"].to_pylist(),
+                            batch["win_h"].to_pylist(),
+                            batch["win_w"].to_pylist()):
+                        rows = []
+                        for r in range(r0, r0 + hh):
+                            base = offsets[r // rps]
+                            self.f.seek(base + ((r % rps) * width + c0)
+                                        * itemsize)
+                            rows.append(self.f.read(www * itemsize))
+                        payloads.append(b"".join(rows))
+                return window_pages_table(
+                    path, batch["idx"].to_numpy(),
+                    batch["row_off"].to_numpy(),
+                    batch["col_off"].to_numpy(),
+                    batch["win_h"].to_numpy(),
+                    batch["win_w"].to_numpy(),
+                    batch["lat"].to_numpy(), batch["lon"].to_numpy(),
+                    payloads, include_html=read_payload)
+
         return grid.map_batches(ReadWindows, batch_format="pyarrow",
                                 concurrency=(1, 4),
                                 batch_size=max(1, 2 ** 22 // tile ** 2))
@@ -425,6 +613,7 @@ def get_source(name: str = "parquet-documents") -> PagesSource:
 
 register_source(ParquetDocumentsSource())
 register_source(RasterSource())
+register_source(TiffSource())
 register_source(ZarrSource())
 register_source(StacCatalogSource())
 

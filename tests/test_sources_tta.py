@@ -94,12 +94,37 @@ def test_source_seam_default_matches_pages(ray_session, sf_dir):
     assert a.equals(b)
 
 
-def test_raster_source_raises_documented():
+def test_raster_source_raises_documented(tmp_path):
+    """Outside the baseline-TIFF fallback's envelope (a compressed
+    TIFF here), the raster source raises the documented rasterio
+    divergence; a missing path stays an honest FileNotFoundError."""
+    import numpy as np
     import pytest as _pytest
 
     from geo_inference_ray.sources import get_source
 
-    with _pytest.raises(NotImplementedError):
+    try:
+        import rasterio  # noqa: F401
+        _pytest.skip("rasterio available: guard branch not reachable")
+    except ImportError:
+        pass
+    # compression tag != 1 -> ValueError -> NotImplementedError
+    p = tmp_path / "lzw.tif"
+    from tests.test_sources_tta import _write_tiff
+    _write_tiff(str(p), np.zeros((4, 4), np.uint8), 4)
+    raw = bytearray(p.read_bytes())
+    # patch the compression tag value (tag 259, first IFD) to 5 (LZW)
+    import struct
+    ifd_off = struct.unpack("<I", raw[4:8])[0]
+    n = struct.unpack("<H", raw[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", raw[base:base + 2])[0] == 259:
+            raw[base + 8:base + 12] = struct.pack("<I", 5)
+    p.write_bytes(bytes(raw))
+    with _pytest.raises(NotImplementedError, match="rasterio"):
+        get_source("raster").dataset(str(p))
+    with _pytest.raises(FileNotFoundError):
         get_source("raster").dataset("/nope")
 
 
@@ -241,9 +266,10 @@ def test_raster_seam_contract_full_pipeline(ray_session):
     assert int(pix["n"].sum()) == n_win
 
 
-def test_raster_source_import_guard():
-    """Without rasterio the raster source must fail fast at dataset
-    construction with the documented message."""
+def test_raster_source_import_guard(tmp_path):
+    """Without rasterio, a raster outside the from-scratch baseline
+    reader's envelope (here: not a TIFF at all) must fail fast at
+    dataset construction with the documented divergence message."""
     import pytest
 
     from geo_inference_ray.sources import get_source
@@ -253,8 +279,136 @@ def test_raster_source_import_guard():
         pytest.skip("rasterio available: guard branch not reachable")
     except ImportError:
         pass
+    bogus = tmp_path / "not_a.tif"
+    bogus.write_bytes(b"GIF89a not a tiff at all")
     with pytest.raises(NotImplementedError, match="rasterio"):
-        get_source("raster").dataset("/nonexistent.tif")
+        get_source("raster").dataset(str(bogus))
+
+
+def _write_tiff(path, arr, rows_per_strip, endian="<",
+                scale_tiepoint=None):
+    """Hand-write a baseline strip-based single-band GeoTIFF from the
+    public TIFF 6.0 + GeoTIFF specs (header, one IFD, uncompressed
+    strips, PixelScale/Tiepoint tags) — no tiff library in the
+    container, which is exactly what TiffSource's reader is for."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape
+    arr = arr.astype(arr.dtype.newbyteorder(endian))
+    item = arr.dtype.itemsize
+    kind = {"u": 1, "i": 2, "f": 3}[arr.dtype.kind]
+    strips = [arr[r:r + rows_per_strip].tobytes()
+              for r in range(0, h, rows_per_strip)]
+    data = b"".join(strips)
+    offs, pos = [], 8
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    ifd_off = pos
+
+    entries = [
+        (256, 3, 1, (w,)), (257, 3, 1, (h,)), (258, 3, 1, (item * 8,)),
+        (259, 3, 1, (1,)), (262, 3, 1, (1,)),
+        (273, 4, len(offs), tuple(offs)), (277, 3, 1, (1,)),
+        (278, 3, 1, (rows_per_strip,)),
+        (279, 4, len(strips), tuple(len(s) for s in strips)),
+        (339, 3, 1, (kind,)),
+    ]
+    if scale_tiepoint is not None:
+        (sx, sy), (i0, j0, x0, y0) = scale_tiepoint
+        entries.append((33550, 12, 3, (sx, sy, 0.0)))
+        entries.append((33922, 12, 6, (i0, j0, 0.0, x0, y0, 0.0)))
+    entries.sort()
+
+    tsz = {3: 2, 4: 4, 12: 8}
+    code = {3: "H", 4: "I", 12: "d"}
+    extra = b""
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    packed = b""
+    for tag, typ, cnt, vals in entries:
+        vb = struct.pack(f"{endian}{cnt}{code[typ]}", *vals)
+        if len(vb) <= 4:
+            val = vb.ljust(4, b"\x00")
+        else:
+            val = struct.pack(endian + "I", extra_base + len(extra))
+            extra += vb
+        packed += struct.pack(endian + "HHI", tag, typ, cnt) + val
+    ifd = (struct.pack(endian + "H", len(entries)) + packed
+           + struct.pack(endian + "I", 0))
+    with open(path, "wb") as f:
+        f.write((b"II" if endian == "<" else b"MM")
+                + struct.pack(endian + "HI", 42, ifd_off))
+        f.write(data)
+        f.write(ifd)
+        f.write(extra)
+
+
+@pytest.mark.parametrize("endian,dtype", [("<", "u1"), (">", "u2"),
+                                          ("<", "f4")])
+def test_tiff_source_reads_strips(ray_session, tmp_path, endian, dtype):
+    """The from-scratch baseline TIFF reader: window payload bytes
+    round-trip exactly against the written array (strip boundaries
+    crossing window boundaries), centroids follow the
+    PixelScale/Tiepoint affine, both byte orders."""
+    import numpy as np
+
+    from geo_inference_ray.sources import TiffSource, _tiff_meta
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 200, (50, 70)).astype(dtype)
+    path = str(tmp_path / "a.tif")
+    # 7-row strips deliberately misaligned with the 32-px window tile
+    _write_tiff(path, arr, 7, endian,
+                scale_tiepoint=((0.5, 0.5), (0, 0, -20.0, 10.0)))
+
+    w, h, dt, transform, rps, offs, counts = _tiff_meta(path)
+    assert (w, h, rps) == (70, 50, 7)
+    assert transform == (0.5, 0.0, -20.0, 0.0, -0.5, 10.0)
+
+    df = TiffSource(tile=32).dataset(path).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 2 * 3  # ceil(50/32) x ceil(70/32)
+    k = 0
+    for r in (0, 32):
+        hh = min(32, 50 - r)
+        for c in (0, 32, 64):
+            ww = min(32, 70 - c)
+            got = np.frombuffer(df["payload"].iloc[k],
+                                dtype=dt).reshape(hh, ww)
+            assert (got == arr[r:r + hh, c:c + ww]).all()
+            k += 1
+    assert df["text"].iloc[0].startswith(
+        f"geo:{10.0 - 0.5 * 16:.6f},{-20.0 + 0.5 * 16:.6f}")
+
+
+def test_real_tiff_through_geo_pipeline(ray_session, tmp_path):
+    """S1 closure: a REAL .tif (written bytes on disk, parsed by the
+    from-scratch header reader via the rasterio-less RasterSource
+    fallback) flows through the FULL geo_pipeline — geocoded from its
+    geo tokens, one row per window, payloads intact via TiffSource."""
+    import numpy as np
+
+    from geo_inference_ray import stages
+    from geo_inference_ray.sources import get_source
+
+    arr = (np.arange(120 * 90, dtype=np.uint8) % 251).reshape(120, 90)
+    path = str(tmp_path / "scene.tif")
+    _write_tiff(path, arr, 16, "<",
+                scale_tiepoint=((0.01, 0.01), (0, 0, -10.0, 5.0)))
+
+    # the "raster" source (reference front door) must fall back to the
+    # baseline reader without rasterio and land one row per 64px window
+    src = type(get_source("raster"))(tile=64)
+    pages = src.dataset(path)
+    geo = stages.transform_pages(pages).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(geo) == 2 * 2  # ceil(120/64) x ceil(90/64)
+    assert (geo["cluster"] == -1).all()  # geo tokens honored
+    # first window centroid (32, 32) through the affine
+    assert abs(geo["lat"].iloc[0] - (5.0 - 0.01 * 32)) < 5e-7
+    assert abs(geo["lon"].iloc[0] - (-10.0 + 0.01 * 32)) < 5e-7
 
 
 def _write_zarr_v2(root, arr, chunks, compressor=None, transform=None):
