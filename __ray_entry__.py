@@ -1395,6 +1395,28 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_semdedup_keep(sf_dir: str):
+    """SemDeDup cluster-scoped semantic prune: k-means clusters (the
+    kmeans assignment), then drop vectors with quantized cosine >=
+    0.95 to a lower-id cluster member (ann.semdedup_keep)."""
+    from geo_inference_ray import ann as _ann
+
+    return _ann.semdedup_keep(sf_dir)
+
+
+def q_ngram_repetition(sf_dir: str):
+    """Gopher repetition signals: per-doc permille of characters in
+    the top word 2-gram and in duplicated word 3-grams (integer floor
+    arithmetic, zero shuffle — textops.ngram_repetition)."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _t.ngram_repetition(ds)
+
+
 def q_q11_important_parts(sf_dir: str):
     """TPC-H Q11 analog: parts above a fixed permille share of one
     nation's supply revenue (HAVING vs global scalar)."""
@@ -2202,6 +2224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_flows": q_od_flows,
         "radius_gyration": q_radius_gyration,
         "gopher_rules": q_gopher_rules,
+        "ngram_repetition": q_ngram_repetition,
+        "semdedup_keep": q_semdedup_keep,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -2260,6 +2284,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sorted(set(_R5_WINDOW) - set(all_q))
     tail = {k: v for k, v in all_q.items() if k not in set(_R5_WINDOW)}
     return {**{k: all_q[k] for k in _R5_WINDOW}, **tail}
+
+
+def _kmeans_assign_cte() -> str:
+    """Shared 2-iteration integer-exact Lloyd CTE chain (the kmeans /
+    silhouette mirror prefix) ending in ``asg(vec_id, cid)`` — the
+    final assignment consumed by cluster-scoped mirrors
+    (semdedup_keep)."""
+    from geo_inference_ray import ann as _ann
+
+    return f"""
+WITH elems AS (
+  SELECT vec_id, g.i AS dim,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
+              AS BIGINT) AS qx
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {_ann.KMEANS_K})),
+c0 AS (SELECT s.cid, e.dim, e.qx AS qc
+       FROM seeds s JOIN elems e USING (vec_id)),
+d1 AS (SELECT e.vec_id, c.cid,
+              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+       FROM elems e JOIN c0 c ON c.dim = e.dim
+       GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a.cid, e.dim,
+              CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
+       FROM a1 a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
+c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
+       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+d2 AS (SELECT e.vec_id, c.cid,
+              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
+       FROM elems e JOIN c1 c ON c.dim = e.dim
+       GROUP BY e.vec_id, c.cid),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d2) WHERE rn = 1)"""
 
 
 def _hilbert_sql_steps() -> str:
@@ -3486,6 +3554,33 @@ SELECT query_id, neighbor_id, "rank", score FROM (
                             ORDER BY score DESC, neighbor_id) AS "rank"
   FROM dots)
 WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
+        # SemDeDup: kmeans assignment (shared CTE) + same-cluster
+        # pair prune on the integer predicate 1e6*dot^2 >= t^2*na*nb
+        # over floor(x*128) components — no float division either side
+        "semdedup_keep": _kmeans_assign_cte() + f""",
+sq AS (SELECT vec_id, g.i AS dim,
+              CAST(floor(CAST(embedding[g.i] AS DOUBLE)
+                         * {_ann.SEM_SCALE}.0) AS BIGINT) AS qs
+       FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+nn AS (SELECT vec_id, CAST(SUM(qs * qs) AS BIGINT) AS n2
+       FROM sq GROUP BY 1),
+cp AS (SELECT ax.vec_id AS va, ay.vec_id AS vb
+       FROM asg ax JOIN asg ay
+         ON ay.cid = ax.cid AND ax.vec_id < ay.vec_id),
+pr AS (SELECT cp.va, cp.vb, CAST(SUM(x.qs * y.qs) AS BIGINT) AS dot
+       FROM cp JOIN sq x ON x.vec_id = cp.va
+               JOIN sq y ON y.vec_id = cp.vb AND y.dim = x.dim
+       GROUP BY 1, 2),
+drops AS (SELECT DISTINCT p.vb AS vec_id
+          FROM pr p JOIN nn na ON na.vec_id = p.va
+                    JOIN nn nb ON nb.vec_id = p.vb
+          WHERE p.dot > 0
+            AND 1000000 * p.dot * p.dot
+                >= {_ann.SEM_T_MILLI ** 2} * na.n2 * nb.n2)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS keep
+FROM asg a LEFT JOIN drops d USING (vec_id)""",
         # Integer-exact Lloyd's k-means (2 iterations, fixed-point
         # 2^20 quantization): every distance is an exact int; the
         # centroid mean is the same IEEE double floor-division both
@@ -4835,6 +4930,36 @@ m AS (
 SELECT doc_id, CAST(rule_mask AS BIGINT) AS rule_mask,
        CAST(CASE WHEN rule_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m""",
+        # Gopher repetition: rendered k-gram length = token chars +
+        # (k-1) spaces = length(gram); integer floor permille both
+        # sides; top-gram tie breaks (tf DESC, gram) byte order
+        "ngram_repetition": """
+WITH toks AS (SELECT doc_id, length(text) AS n_chars,
+                     string_split(text, ' ') AS t FROM documents),
+p2 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, len(t) - 1)) AS i
+             FROM toks)),
+c2 AS (SELECT doc_id, gram, COUNT(*) AS tf FROM p2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, tf * length(gram) AS cov,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tf DESC, gram) AS rn
+       FROM c2),
+p3 AS (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+       FROM (SELECT doc_id, t,
+                    unnest(generate_series(1, len(t) - 2)) AS i
+             FROM toks)),
+c3 AS (SELECT doc_id, gram, COUNT(*) AS tf FROM p3 GROUP BY 1, 2),
+d3 AS (SELECT doc_id, SUM(tf * length(gram)) AS cov
+       FROM c3 WHERE tf >= 2 GROUP BY 1)
+SELECT k.doc_id,
+       CAST(COALESCE(1000 * tp.cov // k.n_chars, 0) AS BIGINT)
+         AS top2_milli,
+       CAST(COALESCE(1000 * d.cov // k.n_chars, 0) AS BIGINT)
+         AS dup3_milli
+FROM toks k
+LEFT JOIN (SELECT doc_id, cov FROM t2 WHERE rn = 1) tp USING (doc_id)
+LEFT JOIN d3 d USING (doc_id)""",
         # geohash = Morton interleave (lon at even bits) read out 5
         # bits/char; same magic-mask ladder as zorder
         "geohash": _WG + f""",

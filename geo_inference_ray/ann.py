@@ -573,6 +573,83 @@ def _lloyd_cents(sf_dir: str, k: int, iters: int):
     return ds, cents
 
 
+SEM_SCALE = 128          # int8-range cosine quantization: floor(x*128)
+# Drop threshold (quantized cosine >= t/1000).  Real web corpora use
+# ~0.95 (the SemDeDup paper's operating point); the synthetic test
+# embeddings are near-orthogonal (max pairwise cosine ~0.51), so the
+# oracle default sits where BOTH outcomes occur — pass t_milli to tune.
+SEM_T_MILLI = 380
+
+
+def semdedup_keep(sf_dir: str, k: int = KMEANS_K,
+                  iters: int = KMEANS_ITERS,
+                  t_milli: int = SEM_T_MILLI):
+    """SemDeDup (Abbas et al. '23, public): k-means-cluster the
+    embedding column (integer-exact Lloyd, centroids shared with
+    :func:`kmeans_assign`), then within each cluster drop every vector
+    whose quantized cosine similarity to a LOWER-vec_id cluster member
+    reaches ``t_milli``/1000 — the cluster-scoped semantic near-dup
+    prune of a training-data pipeline.
+
+    Determinism contract (shared with the SQL mirror): similarity is
+    tested on ``qs = floor(double(x) * 128)`` components as the pure
+    integer predicate ``dot > 0 AND 1e6 * dot^2 >= t^2 * |a|^2 *
+    |b|^2`` — no float division, no sqrt; with unit-normalized inputs
+    every term stays below 2^62 (asserted).  Keep rule: a vector
+    survives iff NO smaller-id same-cluster vector is that similar
+    (drop-against-all-earlier, not greedy-against-kept — SQL
+    EXISTS-expressible and order-independent).
+
+    Scale shape: centroid loop is ``iters`` broadcast passes (see
+    kmeans_assign); the prune shuffles each vector ONCE on its cluster
+    id and runs one vectorized int-matmul kernel per cluster.
+    Within-cluster work is O(|c|^2) — the published algorithm's shape;
+    at corpus scale ``k`` must grow with n so clusters stay bounded
+    (SemDeDup uses n/1000-ish), which this parameterizes but the
+    oracle pins at KMEANS_K.
+
+    Returns (vec_id, cluster, keep)."""
+    import pandas as pd
+    import ray
+
+    ds, cents = _lloyd_cents(sf_dir, k, iters)
+    cref = ray.put(cents)
+
+    def assign_q(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        Q = _quantize(batch["embedding"])
+        lab, _ = _assign_int(Q, C)
+        M = np.stack(batch["embedding"].to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        qs = np.floor(M * SEM_SCALE).astype(np.int64)
+        return pa.table({"vec_id": batch["vec_id"],
+                         "cluster": pa.array(lab.astype(np.int64)),
+                         "qs": pa.array(list(qs))})
+
+    keyed = ds.map_batches(assign_q, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    t2 = int(t_milli) * int(t_milli)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        Q = np.stack(g["qs"].to_numpy())
+        n2 = (Q * Q).sum(axis=1)
+        S = Q @ Q.T
+        # int64 headroom: 1e6 * S^2 and t^2 * n2*n2 both < 2^63
+        assert int(np.abs(S).max(initial=0)) < 1 << 28
+        assert int(n2.max(initial=0)) < 1 << 21
+        cond = (S > 0) & (1_000_000 * S * S >= t2 * np.outer(n2, n2))
+        drop = np.triu(cond, k=1).any(axis=0)  # [a, b] with a < b
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "keep": (~drop).astype(np.int64)})
+
+    return keyed.groupby("cluster").map_groups(prune,
+                                               batch_format="pandas")
+
+
 def silhouette(sf_dir: str, k: int = KMEANS_K,
                iters: int = KMEANS_ITERS):
     """Per-cluster simplified (centroid) silhouette of the kmeans

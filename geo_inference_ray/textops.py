@@ -2880,6 +2880,86 @@ def gopher_rules(ds):
                           zero_copy_batch=True)
 
 
+def ngram_repetition(ds):
+    """Gopher-style n-gram repetition signals (Rae et al. '21 §A1.1,
+    public spec) per document, integer-exact:
+
+    - ``top2_milli``: permille of the document's characters covered by
+      occurrences of its most frequent word 2-gram (count x gram char
+      length, gram length counted as rendered: token chars + 1 space).
+      Ties break to the lexicographically smallest gram (ORDER BY tf
+      DESC, gram — shared with the SQL mirror).
+    - ``dup3_milli``: permille of characters covered by word 3-grams
+      occurring at least twice (sum of count x gram length over the
+      duplicated grams).
+
+    Both are ``1000 * covered_chars // n_chars`` (floor), so hashes are
+    exact.  Scale shape: ZERO shuffle — n-grams never leave the batch
+    (rows are whole documents); one Arrow split + join_element_wise +
+    batch-local group_by per n, then numpy scatter reductions.
+    Documents shorter than n tokens emit 0."""
+    def screen(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy()
+        toks = pc.split_pattern(text, " ")
+        parent = pc.list_parent_indices(toks).to_numpy()
+        flat = pc.list_flatten(toks)
+
+        def gram_stats(k: int):
+            """Per-document k-gram table: (doc index, count, rendered
+            char length) arrays over distinct k-grams."""
+            empty = np.array([], np.int64)
+            if len(parent) < k:
+                return empty, empty, empty
+            m = len(parent) - (k - 1)
+            same = np.ones(m, dtype=bool)
+            for j in range(1, k):
+                same &= parent[j:m + j] == parent[:m]
+            idx = np.flatnonzero(same)
+            if not len(idx):
+                return empty, empty, empty
+            # last arg of binary_join_element_wise is the SEPARATOR
+            pieces = [flat.take(pa.array(idx + j)) for j in range(k)]
+            grams = pc.binary_join_element_wise(*pieces, " ")
+            t = pa.table({"i": pa.array(parent[idx]), "g": grams}) \
+                .group_by(["i", "g"]).aggregate([([], "count_all")]) \
+                .sort_by([("i", "ascending"),
+                          ("count_all", "descending"),
+                          ("g", "ascending")])
+            return (t["i"].to_numpy(),
+                    t["count_all"].to_numpy().astype(np.int64),
+                    pc.cast(pc.utf8_length(t["g"]),
+                            pa.int64()).to_numpy())
+
+        # top 2-gram coverage: first row per doc after the
+        # (count desc, gram asc) sort — mirror: ORDER BY tf DESC, gram
+        top2 = np.zeros(n, np.int64)
+        g2i, g2c, g2l = gram_stats(2)
+        if len(g2i):
+            first = np.ones(len(g2i), dtype=bool)
+            first[1:] = g2i[1:] != g2i[:-1]
+            top2[g2i[first]] = (g2c * g2l)[first]
+        # duplicated 3-gram coverage: count >= 2 grams, count x length
+        dup3 = np.zeros(n, np.int64)
+        g3i, g3c, g3l = gram_stats(3)
+        if len(g3i):
+            d = g3c >= 2
+            np.add.at(dup3, g3i[d], (g3c * g3l)[d])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "top2_milli": pa.array(
+                             np.where(n_chars > 0,
+                                      1000 * top2 // np.maximum(
+                                          n_chars, 1), 0)),
+                         "dup3_milli": pa.array(
+                             np.where(n_chars > 0,
+                                      1000 * dup3 // np.maximum(
+                                          n_chars, 1), 0))})
+
+    return ds.map_batches(screen, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def benford(ds):
     """Benford's-law first-digit profile per source — the classic
     forensic screen for fabricated numeric columns (here the document

@@ -232,9 +232,10 @@ def test_surprisal_preagg_rows_are_distinct_pairs(ray_session):
 
 
 def test_asof_prior_anchor_semantics(ray_session, sf_dir):
-    """Backward as-of join: strictly-prior anchors only, per-user, null
-    when the event precedes every purchase; pinned against a pandas
-    reference built independently of merge_asof."""
+    """Backward as-of join: strictly-prior anchors only, per-user,
+    sentinel -1 when the event precedes every purchase (plain int64
+    output contract — see asof_prior_anchor's docstring); pinned
+    against a pandas reference built independently of merge_asof."""
     import pandas as pd
 
     from geo_inference_ray.relational import asof_prior_anchor
@@ -260,9 +261,10 @@ def test_asof_prior_anchor_semantics(ray_session, sf_dir):
                 want = int(last["event_id"])
         have = gm.loc[r.event_id, "anchor_event_id"]
         if want is None:
-            assert pd.isna(have)
+            assert int(have) == -1
         else:
             assert int(have) == want
+    assert got["anchor_event_id"].dtype == "int64"  # no nullable Int64
 
 
 def test_anchor_window_follow_counts(ray_session, sf_dir):
@@ -877,6 +879,55 @@ def test_gopher_rules_bitmask_reference(ray_session):
     # + ttr 1/30 (bit 16); 30 tokens of 2 chars = 89 chars, not long
     assert res.loc[5, "rule_mask"] == 4 | 8 | 16
     assert (res.loc[res["rule_mask"] != 0, "keep"] == 0).all()
+
+
+def test_ngram_repetition_naive_reference(ray_session):
+    """Randomized docs vs a per-doc Counter reference: permille of
+    chars in the top 2-gram and in duplicated 3-grams, floor exact."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from geo_inference_ray.textops import ngram_repetition
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "of", "a"]
+    docs = {}
+    for did in range(40):
+        n = int(rng.integers(1, 60))
+        docs[did] = " ".join(rng.choice(vocab, n))
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    got = ngram_repetition(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+
+    for did, text in docs.items():
+        toks = text.split(" ")
+        nc = len(text)
+        g2 = Counter(" ".join(toks[i:i + 2])
+                     for i in range(len(toks) - 1))
+        top2 = 0
+        if g2:
+            g, c = sorted(g2.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            top2 = c * len(g)
+        g3 = Counter(" ".join(toks[i:i + 3])
+                     for i in range(len(toks) - 2))
+        dup3 = sum(c * len(g) for g, c in g3.items() if c >= 2)
+        assert got.loc[did, "top2_milli"] == 1000 * top2 // nc, did
+        assert got.loc[did, "dup3_milli"] == 1000 * dup3 // nc, did
+    # boilerplate doc saturates, distinct doc is 0
+    rep = " ".join(["page not found error"] * 10)
+    uniq = " ".join(f"u{i:04d}" for i in range(30))
+    t2 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                   "text": pa.array([rep, uniq])})
+    r2 = ngram_repetition(rd.from_arrow(t2)).to_pandas() \
+        .set_index("doc_id")
+    assert r2.loc[1, "dup3_milli"] > 900
+    # a fully distinct doc has zero duplicated 3-grams; its top 2-gram
+    # still covers one occurrence's chars ("u0000 u0001" = 11 of 179)
+    assert r2.loc[2, "dup3_milli"] == 0
+    assert r2.loc[2, "top2_milli"] == 1000 * 11 // len(uniq)
 
 
 def test_gopher_rules_discriminates_on_corpus(ray_session):

@@ -581,6 +581,39 @@ def test_kmeans_assign_invariants(ray_session, sf_dir):
     assert (out["dist"].to_numpy() == d2).all()
 
 
+def test_semdedup_keep_naive_reference(ray_session, sf_dir):
+    """Cluster-scoped semantic prune vs a driver-side brute-force
+    reference: keep=0 iff SOME lower-id vector in the same kmeans
+    cluster passes the integer quantized-cosine predicate; clusters
+    match kmeans_assign; both outcomes occur at the oracle threshold."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.ann import (SEM_SCALE, SEM_T_MILLI,
+                                       kmeans_assign, semdedup_keep)
+
+    out = semdedup_keep(sf_dir).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    ka = kmeans_assign(sf_dir).to_pandas().sort_values("vec_id") \
+        .reset_index(drop=True)
+    assert (out["cluster"].to_numpy() == ka["cluster"].to_numpy()).all()
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    QS = np.floor(np.stack(df["embedding"].to_numpy())
+                  .astype(np.float64) * SEM_SCALE).astype(np.int64)
+    n2 = (QS * QS).sum(axis=1)
+    lab = out["cluster"].to_numpy()
+    t2 = SEM_T_MILLI * SEM_T_MILLI
+    S = QS @ QS.T
+    cond = (S > 0) & (1_000_000 * S * S >= t2 * np.outer(n2, n2)) \
+        & (lab[:, None] == lab[None, :])
+    drop = np.triu(cond, k=1).any(axis=0)
+    assert (out["keep"].to_numpy() == (~drop).astype(np.int64)).all()
+    assert 0 < int(out["keep"].sum()) < len(out)
+
+
 def test_simhash_pairs_hamming_semantics(ray_session):
     """Identical docs pair at hamming 0; near-identical docs pair with
     small hamming; unrelated docs with distant hashes don't pair."""

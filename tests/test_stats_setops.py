@@ -160,7 +160,7 @@ def test_order_gap_single_event_user_nulls(ray_session, tmp_path):
         (1, 100, 1, "click", 0.0),
         (2, 400, 1, "click", 0.0),     # gap 300
         (3, 250, 1, "click", 0.0),     # gap 150 then 150
-        (4, 999, 2, "click", 0.0),     # single event -> NULL max/min
+        (4, 999, 2, "click", 0.0),     # single event -> sentinel -1
     ]
     out = order_gap(_write_events(tmp_path, rows)) \
         .to_pandas().set_index("user_id")
@@ -169,7 +169,10 @@ def test_order_gap_single_event_user_nulls(ray_session, tmp_path):
     assert out.loc[1, "max_gap_us"] == 150
     assert out.loc[1, "avg_gap_us"] == 150.0
     assert out.loc[2, "n_gaps"] == 0
-    assert pd.isna(out.loc[2, "max_gap_us"])
+    # empty LAG window -> sentinel -1 as plain int64 (the mirror
+    # COALESCEs the same; nullable Int64 hash-diverges vs duckdb)
+    assert out.loc[2, "max_gap_us"] == -1
+    assert out.loc[2, "min_gap_us"] == -1
     assert out.loc[2, "avg_gap_us"] == 0.0
 
 
