@@ -1395,6 +1395,14 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_graph_components(sf_dir: str):
+    """Connected components of the sparsified part<->supplier graph
+    (star contraction; node labeled with its component's min id)."""
+    from geo_inference_ray import graph as _g
+
+    return _g.graph_components(sf_dir)
+
+
 def q_semdedup_keep(sf_dir: str):
     """SemDeDup cluster-scoped semantic prune: k-means clusters (the
     kmeans assignment), then drop vectors with quantized cosine >=
@@ -2226,6 +2234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q_gopher_rules,
         "ngram_repetition": q_ngram_repetition,
         "semdedup_keep": q_semdedup_keep,
+        "graph_components": q_graph_components,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -4933,6 +4942,23 @@ FROM m""",
         # Gopher repetition: rendered k-gram length = token chars +
         # (k-1) spaces = length(gram); integer floor permille both
         # sides; top-gram tie breaks (tf DESC, gram) byte order
+        # CC of the sparsified part<->supplier graph: the mirror is a
+        # recursive-CTE transitive closure (viable on the small
+        # congruence-sparsified graph); the engine runs O(E)-per-round
+        # star contraction — same fixpoint by definition
+        "graph_components": f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+  FROM lineitem
+  WHERE l_quantity < {_graph.CC_QTY_MAX}
+    AND l_partkey % {_graph.CC_MOD} = l_suppkey % {_graph.CC_MOD}),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(src, dst) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN e ON e.a = w.dst)
+SELECT src AS node, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS comp
+FROM walk GROUP BY src""",
         "ngram_repetition": """
 WITH toks AS (SELECT doc_id, length(text) AS n_chars,
                      string_split(text, ' ') AS t FROM documents),

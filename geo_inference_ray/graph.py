@@ -907,3 +907,79 @@ def triangles(sf_dir: str):
         Sum("c", alias_name="n_triangles")) \
         .map_batches(rename, batch_format="pyarrow",
                      zero_copy_batch=True)
+
+
+# graph_components: congruence-class sparsification keeps the test
+# graph multi-component (the full part<->supplier graph is one giant
+# component at every sf); both predicates are integer/float-exact in
+# the SQL mirror
+CC_QTY_MAX = 2.0
+CC_MOD = 7
+
+
+def graph_components(sf_dir: str, *, qty_max: float = CC_QTY_MAX,
+                     mod: int = CC_MOD):
+    """Connected components of the sparsified part<->supplier graph
+    (edges where ``l_quantity < qty_max`` and part/supplier agree mod
+    ``mod``): every node with at least one edge labeled with its
+    component's minimum node id.
+
+    Engine shape: per-batch pre-deduped edge emit -> distinct pair
+    groupby -> :func:`dedup.distributed_components` (alternating
+    star-contraction rounds, asserted fixpoint) -> one (node, label)
+    union + Min aggregate (a root labels itself).  The SQL mirror is a
+    recursive-CTE transitive closure — O(component^2) rows, viable
+    because the sparsified test graph is small; the engine path is the
+    scale shape (star contraction is O(E) per round).
+
+    Returns (node, comp)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .dedup import distributed_components
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_quantity"])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy().astype(np.int64)
+        s = batch["l_suppkey"].to_numpy().astype(np.int64)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (q < qty_max) & (p % mod == s % mod)
+        # doc_a < doc_b invariant: part ids are even, supplier ids odd
+        a = np.minimum(p[m] * 2, s[m] * 2 + 1)
+        b = np.maximum(p[m] * 2, s[m] * 2 + 1)
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)}) \
+            .group_by(["doc_a", "doc_b"]).aggregate(
+                [([], "count_all")]).select(["doc_a", "doc_b"])
+
+    pairs = li.map_batches(edge_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby(["doc_a", "doc_b"]).count() \
+        .select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "comp": pa.array([], pa.int64())}))
+
+    labels = distributed_components(pairs, n_pairs)
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([batch["doc_a"].to_numpy(),
+                                      batch["doc_b"].to_numpy()]))
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "cluster": pa.array(u.astype(np.int64))})
+
+    nodes = pairs.map_batches(self_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"],
+                         "comp": batch["min(cluster)"]})
+
+    return labels.union(nodes).groupby("doc_id") \
+        .aggregate(Min("cluster")) \
+        .map_batches(rename, batch_format="pyarrow",
+                     zero_copy_batch=True)

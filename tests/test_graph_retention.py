@@ -199,6 +199,42 @@ def test_hits_matches_oracle_both_paths(ray_session, sf_dir, duck):
                                   exp.astype("int64"))
 
 
+def test_graph_components_naive_reference(ray_session, sf_dir):
+    """Star-contraction CC vs a driver union-find over the same
+    sparsified edge set: identical (node, min-id component) labels,
+    and the sparsification yields MULTIPLE components (the full graph
+    is one giant component, which would verify nothing)."""
+    import pyarrow.parquet as pq
+
+    from geo_inference_ray.graph import CC_MOD, CC_QTY_MAX, \
+        graph_components
+
+    got = _pdf(graph_components(sf_dir)).sort_values("node") \
+        .reset_index(drop=True)
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey", "l_quantity"])
+    p = li["l_partkey"].to_numpy().astype(np.int64)
+    s = li["l_suppkey"].to_numpy().astype(np.int64)
+    q = li["l_quantity"].to_numpy(zero_copy_only=False)
+    m = (q < CC_QTY_MAX) & (p % CC_MOD == s % CC_MOD)
+    a, b = p[m] * 2, s[m] * 2 + 1
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {n: find(n) for n in parent}
+    assert dict(zip(got["node"], got["comp"])) == want
+    assert got["comp"].nunique() > 1
+
+
 def test_hits_empty_edges(ray_session, tmp_path):
     """Empty lineitem -> HITS returns a typed empty (node, is_hub,
     score) table on BOTH paths instead of raising on the empty Max
