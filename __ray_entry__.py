@@ -1395,6 +1395,18 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights: add-1-smoothed unigram log-likelihood
+    ratio (target lang='en' vs raw corpus), integer milli-nat sums."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return _t.dsir_weights(ds)
+
+
 def q_graph_components(sf_dir: str):
     """Connected components of the sparsified part<->supplier graph
     (star contraction; node labeled with its component's min id)."""
@@ -2235,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": q_ngram_repetition,
         "semdedup_keep": q_semdedup_keep,
         "graph_components": q_graph_components,
+        "dsir_weights": q_dsir_weights,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -4942,6 +4955,31 @@ FROM m""",
         # Gopher repetition: rendered k-gram length = token chars +
         # (k-1) spaces = length(gram); integer floor permille both
         # sides; top-gram tie breaks (tf DESC, gram) byte order
+        # DSIR: same floor(1000*ln(arg)) milli-nat quantization as the
+        # kl_by_source mirror; identical IEEE expression order for arg
+        "dsir_weights": f"""
+WITH tok AS (SELECT doc_id, lang,
+                    unnest(string_split(text, ' ')) AS t
+             FROM documents),
+cnt AS (SELECT t,
+               SUM(CASE WHEN lang = '{_textops.DSIR_TARGET_LANG}'
+                        THEN 1 ELSE 0 END) AS c_tgt,
+               COUNT(*) AS c_raw
+        FROM tok GROUP BY t),
+tot AS (SELECT CAST(SUM(c_tgt) AS BIGINT) AS n_tgt,
+               CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+               COUNT(*) AS v
+        FROM cnt),
+term AS (SELECT t,
+                CAST(floor(1000.0 * ln(
+                  ((CAST(c_tgt AS DOUBLE) + 1.0)
+                   * CAST(n_raw + v AS DOUBLE))
+                  / ((CAST(c_raw AS DOUBLE) + 1.0)
+                     * CAST(n_tgt + v AS DOUBLE)))) AS BIGINT) AS w
+         FROM cnt, tot)
+SELECT tok.doc_id, CAST(SUM(term.w) AS BIGINT) AS w_milli,
+       COUNT(*) AS n_tokens
+FROM tok JOIN term USING (t) GROUP BY tok.doc_id""",
         # CC of the sparsified part<->supplier graph: the mirror is a
         # recursive-CTE transitive closure (viable on the small
         # congruence-sparsified graph); the engine runs O(E)-per-round

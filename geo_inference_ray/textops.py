@@ -2693,6 +2693,97 @@ def kl_by_source(ds):
             Sum("tf", alias_name="n_tokens"))
 
 
+DSIR_TARGET_LANG = "en"   # target-corpus selector for the oracle
+
+
+def dsir_weights(ds, target_lang: str = DSIR_TARGET_LANG):
+    """DSIR-style importance weights (Xie et al. '23, public): score
+    each document by the add-1-smoothed log-likelihood ratio of its
+    unigrams under the TARGET corpus (``lang == target_lang``) vs the
+    RAW corpus (all documents) — the data-selection signal for
+    importance resampling toward a target distribution.
+
+    Integer contract (shared with the SQL mirror): per-token term is
+    ``floor(1000 * ln(((c_tgt+1)*(N_raw+V)) / ((c_raw+1)*(N_tgt+V))))``
+    (same IEEE expression order both sides; the floor-quantized
+    milli-nat scheme proven hash-stable by kl_by_source); per-document
+    weight is the int64 sum of terms over token OCCURRENCES.
+
+    Shape: one tokenize pass -> vocab-bounded (token, c_tgt, c_raw)
+    aggregate; the scalar totals (N_tgt, N_raw, V) fold from that
+    table; the term table joins back to a second tokenize pass on the
+    token hash — both passes stream, nothing doc-sized reaches the
+    driver.  The term table is vocab-bounded, so the join side stays
+    small at any corpus size (hot-token skew is absorbed by the join's
+    hash exchange, not a broadcast).
+
+    Returns (doc_id, w_milli, n_tokens)."""
+    from ray.data.aggregate import Sum
+
+    from .relational import join_partitions_for
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        idx = pc.list_parent_indices(toks)
+        is_t = pc.equal(batch["lang"], target_lang)
+        return pa.table({
+            "doc_id": batch["doc_id"].take(idx),
+            "tok": pc.list_flatten(toks),
+            "tgt": pc.cast(is_t, pa.int64()).take(idx)})
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("tok").aggregate([("tgt", "sum"),
+                                             ([], "count_all")])
+        return pa.table({"tok": g["tok"], "ct": g["tgt_sum"],
+                         "ca": pc.cast(g["count_all"], pa.int64())})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    cnt = toks.map_batches(cnt_partial, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .groupby("tok").aggregate(Sum("ct", alias_name="c_tgt"),
+                                  Sum("ca", alias_name="c_raw")) \
+        .materialize()
+
+    # scalar totals: three ints folded from vocab-bounded partials
+    n_tgt = n_raw = v = 0
+    for b in cnt.iter_batches(batch_size=65536,
+                              batch_format="pyarrow"):
+        n_tgt += int(pc.sum(b["c_tgt"]).as_py() or 0)
+        n_raw += int(pc.sum(b["c_raw"]).as_py() or 0)
+        v += b.num_rows
+
+    def term(batch: pa.Table) -> pa.Table:
+        ct = batch["c_tgt"].to_numpy().astype(np.float64)
+        ca = batch["c_raw"].to_numpy().astype(np.float64)
+        arg = ((ct + 1.0) * float(n_raw + v)) \
+            / ((ca + 1.0) * float(n_tgt + v))
+        w = np.floor(1000.0 * np.log(arg)).astype(np.int64)
+        return pa.table({"tok": batch["tok"], "w": pa.array(w)})
+
+    terms = cnt.map_batches(term, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = toks.select_columns(["doc_id", "tok"]).join(
+        terms, join_type="inner",
+        num_partitions=join_partitions_for(cnt.count()), on=("tok",))
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        w = batch["w"].to_numpy()
+        u, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        n = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, w)
+        np.add.at(n, inv, 1)
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "ws": pa.array(s), "nt": pa.array(n)})
+
+    return j.map_batches(doc_partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("doc_id").aggregate(Sum("ws", alias_name="w_milli"),
+                                     Sum("nt", alias_name="n_tokens"))
+
+
 KEEP_BROADCAST_IDS = 5_000_000   # winner-id broadcast bound (rows)
 
 

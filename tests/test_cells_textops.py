@@ -930,6 +930,53 @@ def test_ngram_repetition_naive_reference(ray_session):
     assert r2.loc[2, "top2_milli"] == 1000 * 11 // len(uniq)
 
 
+def test_dsir_weights_semantics(ray_session):
+    """A document made of target-corpus-only vocabulary outscores one
+    made of raw-only vocabulary; weights equal a driver-side recompute
+    of the add-1 milli-nat contract."""
+    import math
+
+    import ray.data as rd
+
+    from geo_inference_ray.textops import dsir_weights
+
+    rows = [
+        (1, "en", "alpha alpha beta"),
+        (2, "en", "alpha beta beta"),
+        (3, "fr", "gamma delta gamma"),
+        (4, "fr", "delta gamma alpha"),
+        (5, "fr", "alpha alpha alpha"),   # raw-lang doc, target vocab
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "lang": pa.array([r[1] for r in rows]),
+                  "text": pa.array([r[2] for r in rows])})
+    got = dsir_weights(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+
+    toks = [r[2].split(" ") for r in rows]
+    c_tgt, c_raw = {}, {}
+    for r, tk in zip(rows, toks):
+        for w in tk:
+            c_raw[w] = c_raw.get(w, 0) + 1
+            if r[1] == "en":
+                c_tgt[w] = c_tgt.get(w, 0) + 1
+    n_tgt = sum(c_tgt.values())
+    n_raw = sum(c_raw.values())
+    v = len(c_raw)
+
+    def term(w):
+        arg = ((c_tgt.get(w, 0) + 1.0) * float(n_raw + v)) \
+            / ((c_raw[w] + 1.0) * float(n_tgt + v))
+        return math.floor(1000.0 * math.log(arg))
+
+    for r, tk in zip(rows, toks):
+        assert got.loc[r[0], "w_milli"] == sum(term(w) for w in tk)
+        assert got.loc[r[0], "n_tokens"] == len(tk)
+    # target-vocab doc scores above the raw-vocab docs even though its
+    # own lang is raw — DSIR scores content, not the label
+    assert got.loc[5, "w_milli"] > got.loc[3, "w_milli"]
+
+
 def test_gopher_rules_discriminates_on_corpus(ray_session):
     import ray.data as rd
 
