@@ -3279,8 +3279,8 @@ WITH w AS (SELECT epoch_us(ts) // {_rel_mod.WEEK_US} AS week,
                   COUNT(*) AS n
            FROM events GROUP BY 1),
 l AS (SELECT week, n, LAG(n) OVER (ORDER BY week) AS pn FROM w)
-SELECT week, n, n - pn AS delta,
-       (n - pn) * 1000 // pn AS pct_milli
+SELECT week, n, COALESCE(n - pn, 0) AS delta,
+       COALESCE((n - pn) * 1000 // pn, 0) AS pct_milli
 FROM l""",
         # TPC-H Q5 analog: local-supply revenue by nation, revenue
         # cents rounded per LINE (engine expression order).
@@ -4531,8 +4531,12 @@ SELECT lang, CAST(tile AS BIGINT) AS tile, COUNT(*) AS cnt,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM t GROUP BY 1, 2""",
         # CUBE(lang, source) with NULL markers for rolled dimensions.
+        # '(all)' sentinel for rolled-up dims (values are non-null and
+        # never '(all)'): NULL markers hash-diverge across duckdb
+        # versions driver-side
         "cube_counts": """
-SELECT lang, source, COUNT(*) AS cnt,
+SELECT COALESCE(lang, '(all)') AS lang,
+       COALESCE(source, '(all)') AS source, COUNT(*) AS cnt,
        CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY CUBE(lang, source)""",
         # Per-dimension embedding moments; DuckDB zips the parallel

@@ -202,8 +202,10 @@ def ntile_buckets(sf_dir: str):
 def cube_counts(sf_dir: str):
     """All four grouping sets of CUBE(lang, source) over documents:
     (lang, source), (lang), (source), () — counts and n_chars sums,
-    with NULL markers for rolled-up dimensions (the DuckDB CUBE
-    output shape).
+    with the sentinel string '(all)' marking rolled-up dimensions
+    (COALESCEd identically in the mirror; NULL markers render
+    differently across duckdb versions and hash-diverge driver-side).
+    Real lang/source values are non-null and never '(all)'.
 
     Scale shape: ONE corpus pass builds the (lang, source) base
     aggregate via per-batch partials + a tiny groupby; the other three
@@ -232,11 +234,12 @@ def cube_counts(sf_dir: str):
     def with_nulls(lang_col: bool, source_col: bool):
         def fix(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
+            allv = pa.array(["(all)"] * n, pa.string())
             return pa.table({
                 "lang": (pc.cast(batch["lang"], pa.string())
-                         if lang_col else pa.nulls(n, pa.string())),
+                         if lang_col else allv),
                 "source": (pc.cast(batch["source"], pa.string())
-                           if source_col else pa.nulls(n, pa.string())),
+                           if source_col else allv),
                 "cnt": pc.cast(batch["cnt"], pa.int64()),
                 "chars": pc.cast(batch["chars"], pa.int64())})
         return fix
@@ -251,8 +254,8 @@ def cube_counts(sf_dir: str):
                          Sum("chars", alias_name="chars"))
     import ray.data as _rd
     total_row = _rd.from_arrow(pa.table({
-        "lang": pa.nulls(1, pa.string()),
-        "source": pa.nulls(1, pa.string()),
+        "lang": pa.array(["(all)"], pa.string()),
+        "source": pa.array(["(all)"], pa.string()),
         "cnt": pa.array([int(tot["cnt"])], pa.int64()),
         "chars": pa.array([int(tot["chars"])], pa.int64())}))
     fine = base.map_batches(with_nulls(True, True), batch_format="pyarrow")

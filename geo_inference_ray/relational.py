@@ -998,8 +998,10 @@ def weekly_growth(sf_dir: str):
     difference and integer milli-percent change, folded on the driver
     under a loud WEEKLY_MAX_WEEKS bound — the time axis is
     calendar-bounded (a century is ~5,200 weeks), unlike user/doc
-    keys.  Weeks with no preceding week emit NULL delta/pct (SQL LAG
-    semantics)."""
+    keys.  The first observed week (empty LAG window) emits sentinel
+    0 delta/pct as plain int64 — COALESCEd the same in the mirror;
+    nullable Int64 renders differently across duckdb versions and
+    hash-diverges driver-side (the asof_prior_anchor lesson)."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -1036,10 +1038,8 @@ def weekly_growth(sf_dir: str):
     w, c = w[order], c[order]
     # LAG over the ORDERED week axis: gaps in the calendar still use
     # the previous OBSERVED week (SQL LAG over ORDER BY week)
-    delta = np.empty(len(w), dtype=np.float64)
-    pct = np.empty(len(w), dtype=np.float64)
-    delta[0] = np.nan
-    pct[0] = np.nan
+    delta = np.zeros(len(w), dtype=np.int64)
+    pct = np.zeros(len(w), dtype=np.int64)
     if len(w) > 1:
         d = c[1:] - c[:-1]
         delta[1:] = d
@@ -1050,12 +1050,8 @@ def weekly_growth(sf_dir: str):
     t = pa.table({
         "week": pa.array(w),
         "n": pa.array(c),
-        "delta": pa.array(
-            [None if np.isnan(x) else int(x) for x in delta],
-            pa.int64()),
-        "pct_milli": pa.array(
-            [None if np.isnan(x) else int(x) for x in pct],
-            pa.int64())})
+        "delta": pa.array(delta),
+        "pct_milli": pa.array(pct)})
     return rd.from_arrow(t)
 
 

@@ -283,8 +283,8 @@ def test_winsorize_stats_matches_bruteforce(ray_session, sf_dir):
 
 
 def test_weekly_growth_lag_and_truncation(ray_session, tmp_path):
-    """First week NULL delta; negative pct truncates toward zero
-    (DuckDB // semantics)."""
+    """First week sentinel-0 delta/pct (plain int64); negative pct
+    truncates toward zero (DuckDB // semantics)."""
     from geo_inference_ray.relational import WEEK_US, weekly_growth
 
     rows = []
@@ -298,7 +298,8 @@ def test_weekly_growth_lag_and_truncation(ray_session, tmp_path):
         .reset_index(drop=True)
     assert list(out["week"]) == [0, 1, 3]
     assert list(out["n"]) == [7, 3, 9]
-    assert pd.isna(out.loc[0, "delta"])
+    assert out.loc[0, "delta"] == 0 and out.loc[0, "pct_milli"] == 0
+    assert out["delta"].dtype == "int64"
     assert out.loc[1, "delta"] == -4
     # -4000/7 = -571.43: truncation gives -571 (floor would be -572)
     assert out.loc[1, "pct_milli"] == -571
