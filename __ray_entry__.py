@@ -1417,8 +1417,10 @@ def q_graph_components(sf_dir: str):
 
 def q_semdedup_keep(sf_dir: str):
     """SemDeDup cluster-scoped semantic prune: k-means clusters (the
-    kmeans assignment), then drop vectors with quantized cosine >=
-    0.95 to a lower-id cluster member (ann.semdedup_keep)."""
+    kmeans assignment), then drop vectors whose quantized cosine to a
+    lower-id cluster member reaches SEM_T_MILLI/1000 (0.38 — sited
+    where both outcomes occur on the near-orthogonal synthetic
+    embeddings; real corpora run ~0.95) — ann.semdedup_keep."""
     from geo_inference_ray import ann as _ann
 
     return _ann.semdedup_keep(sf_dir)
@@ -2308,11 +2310,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {**{k: all_q[k] for k in _R5_WINDOW}, **tail}
 
 
-def _kmeans_assign_cte() -> str:
-    """Shared 2-iteration integer-exact Lloyd CTE chain (the kmeans /
-    silhouette mirror prefix) ending in ``asg(vec_id, cid)`` — the
-    final assignment consumed by cluster-scoped mirrors
-    (semdedup_keep)."""
+def _kmeans_d2_cte() -> str:
+    """Shared 2-iteration integer-exact Lloyd CTE chain ending at
+    ``d2(vec_id, cid, dist)`` — the single source of truth for the
+    kmeans / silhouette / semdedup_keep mirror prefixes (a desynced
+    copy would silently fork an oracle)."""
     from geo_inference_ray import ann as _ann
 
     return f"""
@@ -2344,12 +2346,7 @@ c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
 d2 AS (SELECT e.vec_id, c.cid,
               SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
        FROM elems e JOIN c1 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid),
-asg AS (SELECT vec_id, cid FROM (
-          SELECT vec_id, cid,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id
-                                    ORDER BY dist, cid) AS rn
-          FROM d2) WHERE rn = 1)"""
+       GROUP BY e.vec_id, c.cid)"""
 
 
 def _hilbert_sql_steps() -> str:
@@ -3579,7 +3576,12 @@ WHERE "rank" <= {_ann.TOPK_DEFAULT}""",
         # SemDeDup: kmeans assignment (shared CTE) + same-cluster
         # pair prune on the integer predicate 1e6*dot^2 >= t^2*na*nb
         # over floor(x*128) components — no float division either side
-        "semdedup_keep": _kmeans_assign_cte() + f""",
+        "semdedup_keep": _kmeans_d2_cte() + f""",
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d2) WHERE rn = 1),
 sq AS (SELECT vec_id, g.i AS dim,
               CAST(floor(CAST(embedding[g.i] AS DOUBLE)
                          * {_ann.SEM_SCALE}.0) AS BIGINT) AS qs
@@ -3607,36 +3609,7 @@ FROM asg a LEFT JOIN drops d USING (vec_id)""",
         # 2^20 quantization): every distance is an exact int; the
         # centroid mean is the same IEEE double floor-division both
         # sides.  SUM(BIGINT) -> HUGEINT, hence the outer casts.
-        "kmeans": f"""
-WITH elems AS (
-  SELECT vec_id, g.i AS dim,
-         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
-              AS BIGINT) AS qx
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
-seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-          FROM (SELECT vec_id FROM embeddings
-                ORDER BY vec_id LIMIT {_ann.KMEANS_K})),
-c0 AS (SELECT s.cid, e.dim, e.qx AS qc
-       FROM seeds s JOIN elems e USING (vec_id)),
-d1 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c0 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid),
-a1 AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY dist, cid) AS rn
-         FROM d1) WHERE rn = 1),
-m1 AS (SELECT a.cid, e.dim,
-              CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
-       FROM a1 a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
-c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
-       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
-d2 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c1 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid)
+        "kmeans": _kmeans_d2_cte() + """
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(dist AS BIGINT) AS dist
 FROM (SELECT vec_id, cid, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -5575,36 +5548,7 @@ FROM w GROUP BY event_type""",
         # Simplified silhouette over the SAME 2-iteration Lloyd chain
         # as the kmeans oracle; b2 = second-smallest centroid distance
         # (rn=2 in (dist, cid) order), s_milli integer floor division.
-        "silhouette": f"""
-WITH elems AS (
-  SELECT vec_id, g.i AS dim,
-         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_ann.KMEANS_SCALE}.0)
-              AS BIGINT) AS qx
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
-seeds AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-          FROM (SELECT vec_id FROM embeddings
-                ORDER BY vec_id LIMIT {_ann.KMEANS_K})),
-c0 AS (SELECT s.cid, e.dim, e.qx AS qc
-       FROM seeds s JOIN elems e USING (vec_id)),
-d1 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c0 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid),
-a1 AS (SELECT vec_id, cid FROM (
-         SELECT vec_id, cid,
-                ROW_NUMBER() OVER (PARTITION BY vec_id
-                                   ORDER BY dist, cid) AS rn
-         FROM d1) WHERE rn = 1),
-m1 AS (SELECT a.cid, e.dim,
-              CAST(floor(CAST(SUM(e.qx) AS DOUBLE)
-                         / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS qc
-       FROM a1 a JOIN elems e USING (vec_id) GROUP BY a.cid, e.dim),
-c1 AS (SELECT c0.cid, c0.dim, COALESCE(m1.qc, c0.qc) AS qc
-       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
-d2 AS (SELECT e.vec_id, c.cid,
-              SUM((e.qx - c.qc) * (e.qx - c.qc)) AS dist
-       FROM elems e JOIN c1 c ON c.dim = e.dim
-       GROUP BY e.vec_id, c.cid),
+        "silhouette": _kmeans_d2_cte() + """,
 r AS (SELECT vec_id, cid, dist,
              ROW_NUMBER() OVER (PARTITION BY vec_id
                                 ORDER BY dist, cid) AS rn

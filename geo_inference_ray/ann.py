@@ -636,8 +636,9 @@ def semdedup_keep(sf_dir: str, k: int = KMEANS_K,
         Q = np.stack(g["qs"].to_numpy())
         n2 = (Q * Q).sum(axis=1)
         S = Q @ Q.T
-        # int64 headroom: 1e6 * S^2 and t^2 * n2*n2 both < 2^63
-        assert int(np.abs(S).max(initial=0)) < 1 << 28
+        # int64 headroom: |S| <= max(n2) by Cauchy-Schwarz, so
+        # n2 < 2^21 bounds BOTH 1e6*S^2 (< 1e6*2^42 < 2^62) and
+        # t^2 * n2*n2 (< 2^20 * 2^42 = 2^62)
         assert int(n2.max(initial=0)) < 1 << 21
         cond = (S > 0) & (1_000_000 * S * S >= t2 * np.outer(n2, n2))
         drop = np.triu(cond, k=1).any(axis=0)  # [a, b] with a < b

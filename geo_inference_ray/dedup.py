@@ -315,15 +315,17 @@ def minhash_candidates(ds, max_actors: int | None = None,
     hash-partitioned kernels (hot-bucket rows; per-bucket C(n,2) pair
     bound) so partition counts scale with the data.
 
-    ``bucket_cap`` bounds the within-bucket all-pairs blowup: a run
-    over the cap is truncated to its ``bucket_cap`` smallest doc_ids
-    (the SIM_BUCKET_CAP recall-guard pattern — deterministic, and a
-    degenerate mega-bucket of identical boilerplate pages stays
-    O(cap^2) instead of C(n,2)).  Docs dropped from one band's bucket
-    still pair through their other NUM_BANDS-1 bands, and true
-    near-dup CLUSTERS still connect transitively through the capped
-    prefix, so apply/cluster results are unaffected for any corpus
-    whose per-band buckets fit the cap — the sf oracles run uncapped.
+    ``bucket_cap`` bounds the within-bucket all-pairs blowup: a bucket
+    over the cap emits all-pairs over its ``bucket_cap`` smallest
+    doc_ids PLUS one star edge (min_id, member) for every member
+    beyond the prefix — C(cap,2) + (n - cap) pairs instead of C(n,2),
+    deterministic, and the star edges keep the WHOLE bucket
+    transitively connected, so a mega-bucket of identical boilerplate
+    pages still clusters as ONE near-dup group after verify + CC
+    (identical docs pass any Jaccard threshold; for merely-similar
+    docs beyond the prefix the star edge is the single candidate
+    tested, a recall trade-off logged at runtime).  The sf oracles run
+    uncapped — per-band buckets there are far below the cap.
     """
     import pandas as pd
     import ray
@@ -432,15 +434,17 @@ def minhash_candidates(ds, max_actors: int | None = None,
                                 "doc_b": pa.array([], pa.int64())}),
             batch_format="pyarrow")
 
-    from .relational import partitions_for
+    from .relational import join_partitions_for
 
     if hot_ds is not None:
         # distributed hot filter: inner-join the band table to the hot
         # gid set (the jaccard_pairs cand_driver_limit shape) — no
-        # driver-side id array at any duplicate rate
+        # driver-side id array at any duplicate rate.
+        # join_partitions_for, NOT partitions_for: Ray 2.49 hash joins
+        # emit schema-less empty partitions when over-partitioned
         survivors = bands.join(
             hot_ds, join_type="inner",
-            num_partitions=partitions_for(hot_rows), on=("gid",))
+            num_partitions=join_partitions_for(hot_rows), on=("gid",))
     else:
         hot_ref = ray.put(hot)
 
@@ -462,8 +466,9 @@ def minhash_candidates(ds, max_actors: int | None = None,
         (gid, doc_id), find group runs, emit within-group all-pairs.
         The per-group work is a 2-line numpy slice — the per-group
         pandas-call trap only bites when each group is a map_groups
-        invocation.  Runs over ``bucket_cap`` truncate to the cap
-        smallest doc_ids (see the function docstring)."""
+        invocation.  Runs over ``bucket_cap`` emit all-pairs on the
+        cap prefix plus min-id star edges for the tail, keeping the
+        bucket connected (see the function docstring)."""
         g = g.sort_values(["gid", "doc_id"], kind="stable") \
             .reset_index(drop=True)
         gi = g["gid"].to_numpy()
@@ -473,22 +478,28 @@ def minhash_candidates(ds, max_actors: int | None = None,
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate([starts, [len(g)]]))
         out_a, out_b = [], []
-        n_truncated = 0
+        n_capped = 0
         for st, sz in zip(starts.tolist(), sizes.tolist()):
             if sz < 2:
                 continue
-            if sz > bucket_cap:
-                n_truncated += 1
-                sz = bucket_cap
             d = ids[st:st + sz]  # already sorted within the run
+            if sz > bucket_cap:
+                n_capped += 1
+                # star edges keep the beyond-prefix tail transitively
+                # connected to the bucket's min id
+                out_a.append(np.full(sz - bucket_cap, d[0],
+                                     dtype=np.int64))
+                out_b.append(d[bucket_cap:])
+                d = d[:bucket_cap]
+                sz = bucket_cap
             ia, ib = np.triu_indices(sz, k=1)
             out_a.append(d[ia])
             out_b.append(d[ib])
-        if n_truncated:
-            print(f"minhash_candidates: truncated {n_truncated} band "
-                  f"bucket(s) over {bucket_cap} members to the cap "
-                  "smallest doc_ids (recall guard; see "
-                  "MINHASH_BUCKET_CAP)")
+        if n_capped:
+            print(f"minhash_candidates: {n_capped} band bucket(s) over "
+                  f"{bucket_cap} members: all-pairs on the cap-smallest "
+                  "prefix + min-id star edges for the tail (recall "
+                  "guard; see MINHASH_BUCKET_CAP)")
         if not out_a:
             return pd.DataFrame({
                 "doc_a": pd.Series([], dtype=np.int64),

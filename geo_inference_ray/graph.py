@@ -340,15 +340,8 @@ def hits(sf_dir: str, *, iters: int = HITS_ITERS,
         if n_hub > broadcast_cap:
             break
 
-    if n_hub == 0:
-        # empty edge table: no hubs, no authorities (kcore-style
-        # explicit empty contract — the distributed Max below would
-        # raise on an empty aggregate)
-        return rd.from_arrow(pa.table({
-            "node": pa.array([], pa.int64()),
-            "is_hub": pa.array([], pa.int64()),
-            "score": pa.array([], pa.int64())}))
-
+    # n_hub >= 1 here: n_edges == 0 returned above, and every edge
+    # contributes a src to side_nodes('src')
     if n_hub <= broadcast_cap:
         # ---- broadcast path -----------------------------------------
         hub_arr = np.concatenate(hubs)

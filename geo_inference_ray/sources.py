@@ -279,37 +279,46 @@ def _tiff_meta(path: str):
     import struct
 
     with open(path, "rb") as f:
-        head = f.read(8)
-        if head[:2] == b"II":
-            e = "<"
-        elif head[:2] == b"MM":
-            e = ">"
-        else:
-            raise ValueError(f"{path}: not a TIFF (no II/MM byte mark)")
-        magic, ifd_off = struct.unpack(e + "HI", head[2:8])
-        if magic != 42:
-            raise ValueError(f"{path}: bad TIFF magic {magic}")
-        f.seek(ifd_off)
-        n_entries = struct.unpack(e + "H", f.read(2))[0]
-        raw = f.read(n_entries * 12)
-        tags: dict[int, tuple] = {}
-        pending: list[tuple[int, int, int, int]] = []
-        for i in range(n_entries):
-            tag, typ, cnt = struct.unpack(e + "HHI",
-                                          raw[i * 12:i * 12 + 8])
-            if typ not in _TIFF_TYPE_SIZE:
-                continue
-            nbytes = _TIFF_TYPE_SIZE[typ] * cnt
-            if nbytes <= 4:
-                tags[tag] = _tiff_values(e, typ, cnt,
-                                         raw[i * 12 + 8:i * 12 + 12])
+        try:
+            head = f.read(8)
+            if head[:2] == b"II":
+                e = "<"
+            elif head[:2] == b"MM":
+                e = ">"
             else:
-                off = struct.unpack(e + "I", raw[i * 12 + 8:i * 12 + 12])[0]
-                pending.append((tag, typ, cnt, off))
-        for tag, typ, cnt, off in pending:
-            f.seek(off)
-            tags[tag] = _tiff_values(e, typ, cnt,
-                                     f.read(_TIFF_TYPE_SIZE[typ] * cnt))
+                raise ValueError(
+                    f"{path}: not a TIFF (no II/MM byte mark)")
+            magic, ifd_off = struct.unpack(e + "HI", head[2:8])
+            if magic != 42:
+                raise ValueError(f"{path}: bad TIFF magic {magic}")
+            f.seek(ifd_off)
+            n_entries = struct.unpack(e + "H", f.read(2))[0]
+            raw = f.read(n_entries * 12)
+            tags: dict[int, tuple] = {}
+            pending: list[tuple[int, int, int, int]] = []
+            for i in range(n_entries):
+                tag, typ, cnt = struct.unpack(e + "HHI",
+                                              raw[i * 12:i * 12 + 8])
+                if typ not in _TIFF_TYPE_SIZE:
+                    continue
+                nbytes = _TIFF_TYPE_SIZE[typ] * cnt
+                if nbytes <= 4:
+                    tags[tag] = _tiff_values(
+                        e, typ, cnt, raw[i * 12 + 8:i * 12 + 12])
+                else:
+                    off = struct.unpack(
+                        e + "I", raw[i * 12 + 8:i * 12 + 12])[0]
+                    pending.append((tag, typ, cnt, off))
+            for tag, typ, cnt, off in pending:
+                f.seek(off)
+                tags[tag] = _tiff_values(
+                    e, typ, cnt, f.read(_TIFF_TYPE_SIZE[typ] * cnt))
+        except struct.error as exc:
+            # truncated header/IFD: keep the ValueError contract so
+            # RasterSource's fallback maps it to the documented
+            # NotImplementedError divergence
+            raise ValueError(f"{path}: truncated TIFF header "
+                             f"({exc})") from exc
 
     def one(tag: int, default=None):
         v = tags.get(tag)

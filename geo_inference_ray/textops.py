@@ -2763,9 +2763,11 @@ def dsir_weights(ds, target_lang: str = DSIR_TARGET_LANG):
 
     terms = cnt.map_batches(term, batch_format="pyarrow",
                             zero_copy_batch=True)
+    # sized by the OCCURRENCE volume (n_raw), not the vocab: the left
+    # side of the join is the full token stream, 100-1000x the vocab
     j = toks.select_columns(["doc_id", "tok"]).join(
         terms, join_type="inner",
-        num_partitions=join_partitions_for(cnt.count()), on=("tok",))
+        num_partitions=join_partitions_for(n_raw), on=("tok",))
 
     def doc_partial(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()

@@ -912,9 +912,11 @@ def test_minhash_hot_gid_join_fallback(ray_session):
 def test_minhash_mega_bucket_capped(ray_session):
     """Adversarial boilerplate corpus: N identical docs put every doc
     in one band bucket per band.  With bucket_cap=8 the pair volume is
-    bounded by C(8,2) (not C(N,2)) and the capped prefix stays
-    transitively connected, so near-dup clustering still recovers ONE
-    cluster over all N docs."""
+    C(8,2) + (N-8) star edges (not C(N,2)), every doc still appears in
+    at least one pair, and near-dup clustering over the verified pairs
+    recovers ONE cluster covering all N docs — the star edges keep the
+    beyond-prefix tail connected (the round-5 review found plain
+    truncation split identical docs into N-cap+1 clusters)."""
     import ray.data as rd
 
     from geo_inference_ray import dedup as dd
@@ -925,11 +927,17 @@ def test_minhash_mega_bucket_capped(ray_session):
         {"doc_id": np.arange(n, dtype=np.int64),
          "text": [boiler * 6] * n}))
     cap = 8
-    pairs = dd.minhash_candidates(docs, bucket_cap=cap).to_pandas()
+    pairs_ds = dd.minhash_candidates(docs, bucket_cap=cap)
+    pairs = pairs_ds.to_pandas()
     # bounded volume: identical docs -> every band forms ONE bucket ->
-    # the distinct pair set is exactly the capped prefix's C(cap,2)
-    assert len(pairs) == cap * (cap - 1) // 2
-    assert pairs["doc_b"].max() < cap
+    # the distinct pair set is the prefix C(cap,2) + the star tail
+    assert len(pairs) == cap * (cap - 1) // 2 + (n - cap)
+    covered = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert covered == set(range(n))
+    # connectivity: clustering the capped pair set yields ONE cluster
+    clusters = dd.dedup_clusters(docs, pairs_ds).to_pandas()
+    assert clusters["cluster"].nunique() == 1
+    assert len(clusters) == n
     # uncapped: the full C(n,2) (sanity that the cap did something)
     full = dd.minhash_candidates(docs).to_pandas()
     assert len(full) == n * (n - 1) // 2

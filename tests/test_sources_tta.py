@@ -110,7 +110,6 @@ def test_raster_source_raises_documented(tmp_path):
         pass
     # compression tag != 1 -> ValueError -> NotImplementedError
     p = tmp_path / "lzw.tif"
-    from tests.test_sources_tta import _write_tiff
     _write_tiff(str(p), np.zeros((4, 4), np.uint8), 4)
     raw = bytearray(p.read_bytes())
     # patch the compression tag value (tag 259, first IFD) to 5 (LZW)
