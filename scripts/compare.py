@@ -29,7 +29,13 @@ def to_pandas(res) -> pd.DataFrame:
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if not len(df) and not len(df.columns):
+            # Ray 2.49's to_pandas() drops the columns of a 0-row
+            # dataset; restore them from the Dataset schema so a
+            # legitimately-empty result still schema-compares
+            df = pd.DataFrame(columns=res.schema().names)
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
@@ -52,6 +58,10 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
                 f"ora={sorted(ora_df.columns)}")
     if len(ray_df) != len(ora_df):
         return f"ROWCOUNT MISMATCH ray={len(ray_df)} ora={len(ora_df)}"
+    if len(ray_df) == 0:
+        # schema + rowcount agree on empty; dtypes of a columns-only
+        # frame restored from a Ray schema are not meaningful
+        return "OK"
     a, b = canon(ray_df), canon(ora_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
