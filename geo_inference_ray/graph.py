@@ -665,16 +665,22 @@ def kcore_oracle_sql(max_rounds: int = KCORE_MAX_ROUNDS) -> str:
     """DuckDB chained-CTE mirror of ``kcore`` (adaptive median k,
     ``max_rounds`` unrolled peel rounds, final in-core degrees).
     Exact by construction when the engine converges within the same
-    round bound (it asserts that)."""
+    round bound (it asserts that).
+
+    Every a{t} is AS MATERIALIZED: each is referenced TWICE by the
+    next round's degree join, and DuckDB's default inlining then
+    re-evaluates the whole prefix per reference — a 2^rounds blowup
+    that ran the sf0.1 oracle out of temp disk.  Materialization makes
+    the chain linear (duckdb >= 0.9 syntax)."""
     sql = ["""
-WITH e0 AS (
+WITH e0 AS MATERIALIZED (
   SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
   FROM lineitem),
-edges AS (SELECT src, dst FROM e0
+edges AS MATERIALIZED (SELECT src, dst FROM e0
           UNION ALL SELECT dst, src FROM e0),
 d0 AS (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
-kv AS (SELECT quantile_disc(c, 0.5) AS k FROM d0),
-a0 AS (SELECT node FROM d0)"""]
+kv AS MATERIALIZED (SELECT quantile_disc(c, 0.5) AS k FROM d0),
+a0 AS MATERIALIZED (SELECT node FROM d0)"""]
     for t in range(1, max_rounds + 1):
         sql.append(f""",
 d{t} AS (SELECT e.src AS node, COUNT(*) AS c
@@ -682,7 +688,8 @@ d{t} AS (SELECT e.src AS node, COUNT(*) AS c
          JOIN a{t - 1} x ON x.node = e.src
          JOIN a{t - 1} y ON y.node = e.dst
          GROUP BY e.src),
-a{t} AS (SELECT node FROM d{t} WHERE c >= (SELECT k FROM kv))""")
+a{t} AS MATERIALIZED (SELECT node FROM d{t}
+                      WHERE c >= (SELECT k FROM kv))""")
     R = max_rounds
     sql.append(f""",
 df AS (SELECT e.src AS node, COUNT(*) AS c
