@@ -775,6 +775,62 @@ class TorchScriptScorer:
             return self.model(x).cpu().numpy()
 
 
+class ConvNpzScorer:
+    """REAL learned-weights patch scorer, no torch required: the
+    artifact is an ``.npz`` holding a tiny conv net — ``w1`` (F,1,k,k)
+    same-padded conv + ``b1`` ReLU, ``w2`` (num_classes,F,1,1) 1x1 conv
+    + ``b2``, softmax over classes — executed with numpy
+    (sliding_window_view + einsum).  This runs the reference's model
+    contract ((C,H,W) counts in -> (num_classes,H,W) probabilities
+    out, examples/script_model.py:4-43) with weights that actually
+    come from a fetched artifact: fetch + np.load happen ONCE per
+    actor in ``__init__`` (the ST1 load-once contract), scoring is
+    per-patch in ``__call__`` — the closest executable stand-in for
+    TorchScriptScorer in a torch-less container."""
+
+    def __init__(self, num_classes: int = 3, url: str = "",
+                 work_dir: str = "/tmp/geo_inference_ray"):
+        import numpy as np
+
+        d = fetch_artifact(url, work_dir)
+        npz = None
+        for root, _, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".npz"):
+                    npz = os.path.join(root, fn)
+        if npz is None:
+            raise FileNotFoundError(f"no .npz artifact under {d}")
+        w = np.load(npz)
+        self.w1 = w["w1"].astype(np.float64)   # (F, 1, k, k)
+        self.b1 = w["b1"].astype(np.float64)   # (F,)
+        self.w2 = w["w2"].astype(np.float64)   # (C, F, 1, 1)
+        self.b2 = w["b2"].astype(np.float64)   # (C,)
+        if self.w2.shape[0] != num_classes:
+            raise ValueError(
+                f"artifact outputs {self.w2.shape[0]} classes, "
+                f"grid expects {num_classes}")
+        k = self.w1.shape[-1]
+        if k % 2 != 1:
+            raise ValueError(f"conv kernel must be odd, got {k}")
+        self.k = k
+
+    def __call__(self, patch_counts):
+        import numpy as np
+
+        x = np.asarray(patch_counts, dtype=np.float64)
+        p = self.k // 2
+        xp = np.pad(x, p, mode="constant")
+        win = np.lib.stride_tricks.sliding_window_view(
+            xp, (self.k, self.k))                      # (H, W, k, k)
+        h = np.einsum("hwij,fij->fhw", win, self.w1[:, 0]) \
+            + self.b1[:, None, None]
+        np.maximum(h, 0.0, out=h)                      # ReLU
+        logits = np.einsum("fhw,cf->chw", h, self.w2[:, :, 0, 0]) \
+            + self.b2[:, None, None]
+        e = np.exp(logits - logits.max(axis=0, keepdims=True))
+        return e / e.sum(axis=0, keepdims=True)
+
+
 def jsonl_documents(sf_dir: str):
     """documents via the JSONL ingestion path: the parquet table is
     converted ONCE to newline-delimited JSON under a marker-guarded
