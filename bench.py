@@ -90,9 +90,15 @@ def expanded_pages(sf_dir: str, expand: int):
 def _join_ds(expand: int):
     from geo_inference_ray import stages
 
+    # batch_size=None = one zero-copy batch per block: ~10% faster
+    # than 8192 in isolated min-of-2 sweeps (no slicing / re-chunk
+    # overhead), within noise in the full bench; the memory envelope
+    # is a block (~128 MB at scale) x the fused fn's working set,
+    # fine for stateless task parallelism.  knn/tiles keep 8192 —
+    # the salted emit there prefers smaller batches (measured).
     return expanded_pages(SF_DIR, expand).map_batches(
         stages.fused_page_fn("inner", True), batch_format="pyarrow",
-        zero_copy_batch=True, batch_size=8192)
+        zero_copy_batch=True, batch_size=None)
 
 
 def _geo_ds(expand: int, with_cells: bool = True,
