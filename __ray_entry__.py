@@ -2052,11 +2052,20 @@ _R5_WINDOW = [
     # multimodal / sources / text contracts
     "image_dhash", "jsonl_docs", "extract_title", "llm_prep",
     "ttr_stats",
-    # geoext kernels (one per distinct kernel family)
-    "cell_smooth", "track_legs", "bbox_join", "nearest_poly",
-    "dist_join", "hotspots", "hex_clusters", "stops", "bearings",
-    "zonal_mode", "od_flows", "radius_gyration", "cell_markov",
+    # geoext kernels (one per distinct kernel family; bearings /
+    # radius_gyration / nearest_poly / zonal_mode ceded their slots
+    # to the round-5 flagship LLM ops below — each stays covered by
+    # a same-family window member or a prior driver row: track_legs/
+    # stops/traj_jaccard for the trajectory kernels, dist_join/
+    # bbox_join for the proximity joins, driver-green zonal_stats
+    # for the zonal family)
+    "cell_smooth", "track_legs", "bbox_join",
+    "dist_join", "hotspots", "hex_clusters", "stops",
+    "od_flows", "cell_markov",
     "traj_jaccard", "hilbert",
+    # round-5 flagship training-data ops (new this round)
+    "ngram_repetition", "semdedup_keep", "dsir_weights",
+    "graph_components",
     # analytics kernels (hierarchy_rollup deferred: kin to the
     # driver-green rollup_counts row from r4)
     "interval_union", "trigram_paths", "ntile_buckets", "cube_counts",
