@@ -1395,6 +1395,19 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_bm25_topk(sf_dir: str):
+    """Okapi BM25 retrieval: top-20 documents for the fixed demo
+    query, plus-half idf, per-term floor-quantized contributions."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    path = f"{sf_dir}/documents.parquet"
+    return _t.bm25_topk(
+        rd.read_parquet(path, columns=["doc_id", "text"]),
+        n_docs=_rel_mod._parquet_rows(path))
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights: add-1-smoothed unigram log-likelihood
     ratio (target lang='en' vs raw corpus), integer milli-nat sums."""
@@ -2259,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": q_semdedup_keep,
         "graph_components": q_graph_components,
         "dsir_weights": q_dsir_weights,
+        "bm25_topk": q_bm25_topk,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -3321,6 +3335,44 @@ sc AS (
               ln(CAST(nd.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)))
               AS BIGINT)) AS BIGINT) AS score_milli
   FROM toks t JOIN dfs d ON d.token = t.token, nd
+  GROUP BY t.doc_id)
+SELECT doc_id, score_milli,
+       ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rk
+FROM sc ORDER BY score_milli DESC, doc_id
+LIMIT {_textops.SEARCH_TOPK}""",
+        # Okapi BM25: plus-half idf milli-nats per term, per-term
+        # floor after the double division (identical expression order
+        # to textops.bm25_topk, spelled term for term)
+        "bm25_topk": f"""
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents),
+dls AS (SELECT doc_id, COUNT(*) AS dl FROM flat GROUP BY doc_id),
+stats AS (SELECT CAST((SELECT COUNT(*) FROM flat) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                 AS avgdl,
+                 (SELECT COUNT(*) FROM documents) AS n_docs),
+toks AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM flat
+  WHERE token IN {tuple(_textops.SEARCH_TERMS)!r}
+  GROUP BY doc_id, token),
+dfs AS (SELECT token, COUNT(*) AS df,
+               CAST(floor(1000.0 * ln(
+                 ((CAST((SELECT n_docs FROM stats) AS BIGINT) - COUNT(*))
+                   + 0.5) / (COUNT(*) + 0.5))) AS BIGINT) AS idf
+        FROM toks GROUP BY token),
+sc AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(floor(
+           (d.idf * (CAST(t.tf AS DOUBLE) * ({_textops.BM25_K1} + 1.0)))
+           / (CAST(t.tf AS DOUBLE) + {_textops.BM25_K1}
+              * ((1.0 - {_textops.BM25_B})
+                 + {_textops.BM25_B}
+                   * (CAST(l.dl AS DOUBLE)
+                      / (SELECT avgdl FROM stats)))))
+           AS BIGINT)) AS BIGINT) AS score_milli
+  FROM toks t JOIN dfs d ON d.token = t.token
+              JOIN dls l ON l.doc_id = t.doc_id
   GROUP BY t.doc_id)
 SELECT doc_id, score_milli,
        ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rk

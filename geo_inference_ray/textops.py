@@ -2048,6 +2048,117 @@ def search_topk(ds, n_docs: int):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(ds, n_docs: int):
+    """BM25 retrieval for the fixed SEARCH_TERMS query (Robertson &
+    Zaragoza's Okapi BM25, the standard lexical ranker): per doc,
+    ``sum_t idf(t) * (tf*(k1+1)) / (tf + k1*(1-b + b*dl/avgdl))``
+    with the plus-half idf ``ln(((N - df) + 0.5) / (df + 0.5))``.
+
+    Integer contract (shared with the SQL mirror): idf is
+    floor-quantized to milli-nats per TERM; each term's contribution
+    is floor-quantized to an int64 AFTER the double division (same
+    IEEE expression order both sides, spelled out below); the doc
+    score is the order-independent int sum of term floors.
+
+    Scale shape mirrors search_topk: the (doc, term, tf) stream is
+    filtered to the <= |terms| query tokens in the map task with the
+    doc length attached batch-locally; corpus length totals fold as
+    two scalars; dfs fold as <= |terms| rows; scoring is one
+    map-side-partial groupby; top-k is per-batch partial top-k + a
+    k-bounded final reduce — no global sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    terms = list(SEARCH_TERMS)
+
+    def q_pairs(batch: pa.Table) -> pa.Table:
+        t = doc_token_tf(batch)
+        # batch-local doc length (rows are whole docs)
+        g = t.group_by("doc_id").aggregate([("tf", "sum")])
+        dl_map = dict(zip(g["doc_id"].to_pylist(),
+                          g["tf_sum"].to_pylist()))
+        f = t.filter(pc.is_in(t["token"], value_set=pa.array(terms)))
+        dl = pa.array([int(dl_map[d]) for d in
+                       f["doc_id"].to_pylist()], pa.int64())
+        return f.append_column("dl", dl)
+
+    pairs = ds.map_batches(q_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None) \
+        .materialize()   # consumed twice: df fold + scoring
+
+    # corpus total token count: one scalar-partial pass
+    def len_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        s = int(pc.sum(pc.list_value_length(toks)).as_py() or 0)
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    total_tokens = 0
+    for b in ds.map_batches(len_partial, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None) \
+            .iter_batches(batch_size=65536, batch_format="pyarrow"):
+        total_tokens += int(pc.sum(b["s"]).as_py() or 0)
+    # identical double expression both sides
+    avgdl = float(total_tokens) / float(n_docs)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "d": pc.cast(g["count_all"], pa.int64())})
+
+    idf = {}
+    for b in pairs.map_batches(df_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+            .groupby("token").aggregate(Sum("d", alias_name="df")) \
+            .iter_batches(batch_size=len(terms) + 1,
+                          batch_format="pyarrow"):
+        for tok, dfv in zip(b["token"].to_pylist(),
+                            b["df"].to_numpy()):
+            # ((N - df) + 0.5) / (df + 0.5): int subtraction first,
+            # then the double promotions — mirrored verbatim
+            idf[tok] = int(np.floor(1000.0 * np.log(
+                ((n_docs - int(dfv)) + 0.5) / (int(dfv) + 0.5))))
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        tok = batch["token"].to_pylist()
+        tf = batch["tf"].to_numpy().astype(np.float64)
+        dl = batch["dl"].to_numpy().astype(np.float64)
+        iv = np.array([idf[t] for t in tok], dtype=np.float64)
+        # expression order shared with the SQL mirror:
+        # (idf * (tf * (k1+1))) / (tf + k1 * ((1-b) + b * (dl/avgdl)))
+        num = iv * (tf * (BM25_K1 + 1.0))
+        den = tf + BM25_K1 * ((1.0 - BM25_B)
+                              + BM25_B * (dl / avgdl))
+        sc = np.floor(num / den).astype(np.int64)
+        t = pa.table({"doc_id": batch["doc_id"],
+                      "score_milli": pa.array(sc)})
+        g = t.group_by("doc_id").aggregate([("score_milli", "sum")])
+        return pa.table({"doc_id": g["doc_id"],
+                         "score_milli": g["score_milli_sum"]})
+
+    scored = pairs.map_batches(score_partial, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None) \
+        .groupby("doc_id").aggregate(
+            Sum("score_milli", alias_name="score_milli"))
+
+    def topk_part(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("score_milli", "descending"), ("doc_id", "ascending")])
+        return batch.take(idx[:SEARCH_TOPK])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = topk_part(batch)
+        return t.append_column("rk", pa.array(
+            np.arange(1, len(t) + 1, dtype=np.int64)))
+
+    return scored.map_batches(topk_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 WINSOR_LO = 0.05
 WINSOR_HI = 0.95
 

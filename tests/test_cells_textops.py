@@ -930,6 +930,75 @@ def test_ngram_repetition_naive_reference(ray_session):
     assert r2.loc[2, "top2_milli"] == 1000 * 11 // len(uniq)
 
 
+def test_bm25_topk_naive_reference(ray_session, tmp_path):
+    """BM25 vs a driver recompute of the integer contract on a small
+    corpus, plus the two signature BM25 behaviors: more matching
+    terms outrank fewer, and the same tf in a LONGER doc scores
+    lower (length normalization — plain tf-idf lacks this)."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from geo_inference_ray.textops import (BM25_B, BM25_K1,
+                                           SEARCH_TERMS, bm25_topk)
+
+    filler = ["alpha", "beta", "gamma", "delta"]
+    docs = {
+        1: "data join stream alpha",          # all 3 terms, short
+        2: "data join alpha beta",            # 2 terms
+        3: "data " + " ".join(filler * 5),    # 1 term, long
+        4: "data alpha beta",                 # 1 term, short
+        5: " ".join(filler * 3),              # 0 terms
+        # filler docs keep every df below N/2 — the plus-half idf
+        # goes NEGATIVE for majority terms (by design in BM25), which
+        # would invert the length-normalization assertion below
+        6: " ".join(filler * 2),
+        7: " ".join(reversed(filler)),
+        8: " ".join(filler),
+        9: "alpha gamma " + " ".join(filler),
+    }
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    d = tmp_path / "bm"
+    d.mkdir()
+    pq_.write_table(t, d / "documents.parquet")
+    import ray.data as rd
+
+    got = bm25_topk(rd.read_parquet(str(d / "documents.parquet"),
+                                    columns=["doc_id", "text"]),
+                    n_docs=len(docs)).to_pandas().set_index("doc_id")
+
+    toks = {k: v.split(" ") for k, v in docs.items()}
+    n = len(docs)
+    avgdl = float(sum(len(v) for v in toks.values())) / float(n)
+    want = {}
+    for did, tk in toks.items():
+        s = 0
+        for term in SEARCH_TERMS:
+            tf = tk.count(term)
+            if not tf:
+                continue
+            df = sum(1 for v in toks.values() if term in v)
+            idf = math.floor(1000.0 * math.log(
+                ((n - df) + 0.5) / (df + 0.5)))
+            num = idf * (float(tf) * (BM25_K1 + 1.0))
+            den = float(tf) + BM25_K1 * (
+                (1.0 - BM25_B) + BM25_B * (len(tk) / avgdl))
+            s += math.floor(num / den)
+        if s or any(term in tk for term in SEARCH_TERMS):
+            want[did] = s
+    assert dict(got["score_milli"]) == want
+    assert 5 not in got.index                    # no-term doc absent
+    # more matching terms outrank fewer at similar length
+    assert got.loc[1, "score_milli"] > got.loc[2, "score_milli"] \
+        > got.loc[4, "score_milli"]
+    # length normalization: same single term, longer doc scores lower
+    assert got.loc[4, "score_milli"] > got.loc[3, "score_milli"]
+    assert list(got.sort_values("rk").index) == \
+        list(got.sort_values(["score_milli", "doc_id"],
+                             ascending=[False, True]).index)
+
+
 def test_dsir_weights_semantics(ray_session):
     """A document made of target-corpus-only vocabulary outscores one
     made of raw-only vocabulary; weights equal a driver-side recompute
