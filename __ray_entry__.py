@@ -1395,6 +1395,18 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_winnow(sf_dir: str):
+    """Winnowing fingerprints (SIGMOD '03 local selection): per-doc
+    selected-set stats over k-byte-gram rolling hashes."""
+    import ray.data as rd
+
+    from geo_inference_ray import textops as _t
+
+    return _t.winnow_fingerprints(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"]))
+
+
 def q_bm25_topk(sf_dir: str):
     """Okapi BM25 retrieval: top-20 documents for the fixed demo
     query, plus-half idf, per-term floor-quantized contributions."""
@@ -2273,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": q_graph_components,
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
+        "winnow_fp": q_winnow,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -3340,6 +3353,48 @@ SELECT doc_id, score_milli,
        ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rk
 FROM sc ORDER BY score_milli DESC, doc_id
 LIMIT {_textops.SEARCH_TOPK}""",
+        # Winnowing (SIGMOD '03): k-gram rolling hash with LITERAL
+        # power constants (tiny k — no recursive CTE needed), per-
+        # window rightmost-min selection via a w-row range join on the
+        # window-min, distinct selected positions.  Sentinels for docs
+        # under k+w-1 bytes (COALESCE; engine emits the same).
+        "winnow_fp": (lambda K, W, M, P: f"""
+WITH g AS (
+  SELECT doc_id, i,
+         ({" + ".join("CAST(ord(substr(text, i + %d, 1)) AS BIGINT)"
+                      " * %d" % (j, P[j]) for j in range(K))})
+           % {M} AS h
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, strlen(text) - {K - 1}))
+                 AS i
+        FROM documents)),
+mv AS (SELECT doc_id, i,
+              MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW
+                           AND {W - 1} FOLLOWING) AS mv,
+              COUNT(*) OVER (PARTITION BY doc_id) AS m
+       FROM g),
+sel AS (SELECT s.doc_id, s.i AS ws, MAX(g2.i) AS pos, s.mv AS h
+        FROM (SELECT * FROM mv WHERE i <= m - {W - 1}) s
+        JOIN g g2 ON g2.doc_id = s.doc_id
+                 AND g2.i BETWEEN s.i AND s.i + {W - 1}
+                 AND g2.h = s.mv
+        GROUP BY s.doc_id, s.i, s.mv),
+fps AS (SELECT DISTINCT doc_id, pos, h FROM sel),
+agg AS (SELECT doc_id, COUNT(*) AS n_selected,
+               CAST(MIN(h) AS BIGINT) AS fp_min,
+               CAST(SUM(h) AS BIGINT) AS fp_sum
+        FROM fps GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(GREATEST(strlen(d.text) - {K - 1}, 0) AS BIGINT)
+         AS n_grams,
+       COALESCE(a.n_selected, 0) AS n_selected,
+       COALESCE(a.fp_min, -1) AS fp_min,
+       COALESCE(a.fp_sum, 0) AS fp_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)""")(
+            _textops.WINNOW_K, _textops.WINNOW_W, _textops.FP_MOD,
+            [pow(_textops.FP_BASE, j, _textops.FP_MOD)
+             for j in range(_textops.WINNOW_K)]),
         # Okapi BM25: plus-half idf milli-nats per term, per-term
         # floor after the double division (identical expression order
         # to textops.bm25_topk, spelled term for term)

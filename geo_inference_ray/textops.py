@@ -2048,6 +2048,69 @@ def search_topk(ds, n_docs: int):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+WINNOW_K = 8    # k-gram (bytes) for the winnowing hash
+WINNOW_W = 4    # winnowing window (guarantee: any match >= k+w-1
+#                 bytes shares a selected fingerprint)
+
+
+def winnow_fingerprints(ds, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD '03 — the standard local fingerprint selection behind MOSS
+    and plagiarism/near-dup detection): hash every k-byte gram with
+    the house polynomial rolling hash (FP_BASE/FP_MOD — the
+    Fingerprint convention), then in each window of ``w`` consecutive
+    gram hashes select the minimum, RIGHTMOST on ties; the distinct
+    selected positions are the document's fingerprints.
+
+    Output per doc: (doc_id, n_grams, n_selected, fp_min, fp_sum) —
+    selected-set summary stats, integer-exact (fp_sum fits int64:
+    <= n_grams * FP_MOD < 2^63 for any realistic document).
+    Documents with fewer than k+w-1 bytes emit the sentinel row
+    (n_grams as-is, 0, -1, 0) — COALESCEd identically in the mirror.
+
+    Scale shape: ZERO shuffle — grams never leave the batch (rows are
+    whole documents); per doc the hash is one (m,k) x (k,) window
+    product and the selection one (m-w+1, w) window argmin."""
+    pows = np.ones(k, dtype=np.int64)
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * FP_BASE % FP_MOD
+
+    def screen(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        n_grams = np.zeros(n, np.int64)
+        n_sel = np.zeros(n, np.int64)
+        fp_min = np.full(n, -1, np.int64)
+        fp_sum = np.zeros(n, np.int64)
+        for r, t in enumerate(texts):
+            arr = np.frombuffer(t.encode(), dtype=np.uint8) \
+                .astype(np.int64)
+            m = len(arr) - k + 1
+            if m > 0:
+                n_grams[r] = m
+            if m < w:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(arr, k)
+            h = (win * pows % FP_MOD).sum(axis=1) % FP_MOD
+            ww = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost min: argmin of the REVERSED window is the
+            # first (=rightmost original) position of the minimum
+            ridx = (w - 1) - np.argmin(ww[:, ::-1], axis=1)
+            pos = np.unique(np.arange(m - w + 1) + ridx)
+            sel = h[pos]
+            n_sel[r] = len(sel)
+            fp_min[r] = int(sel.min())
+            fp_sum[r] = int(sel.sum())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_grams": pa.array(n_grams),
+                         "n_selected": pa.array(n_sel),
+                         "fp_min": pa.array(fp_min),
+                         "fp_sum": pa.array(fp_sum)})
+
+    return ds.map_batches(screen, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 

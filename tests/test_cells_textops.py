@@ -930,6 +930,58 @@ def test_ngram_repetition_naive_reference(ray_session):
     assert r2.loc[2, "top2_milli"] == 1000 * 11 // len(uniq)
 
 
+def test_winnow_fingerprints_naive_and_guarantee(ray_session):
+    """Winnowing vs a direct per-doc recompute (rightmost-min
+    selection), plus the paper's guarantee: two documents sharing a
+    substring of >= k+w-1 bytes share at least one selected
+    fingerprint VALUE, while the stats still discriminate unrelated
+    docs; short docs emit the sentinel row."""
+    import ray.data as rd
+
+    from geo_inference_ray.textops import (FP_BASE, FP_MOD, WINNOW_K,
+                                           WINNOW_W,
+                                           winnow_fingerprints)
+
+    k, w = WINNOW_K, WINNOW_W
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = {1: "prefix one " + shared + " suffix alpha",
+            2: "other text here " + shared + " and more",
+            3: "completely different content with no overlap at all",
+            4: "tiny"}  # < k bytes -> sentinel
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    got = winnow_fingerprints(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")
+
+    def select(text):
+        b = text.encode()
+        pows = [pow(FP_BASE, j, FP_MOD) for j in range(k)]
+        h = [sum(b[i + j] * pows[j] for j in range(k)) % FP_MOD
+             for i in range(len(b) - k + 1)]
+        sel = set()
+        for s in range(len(h) - w + 1):
+            win = h[s:s + w]
+            mv = min(win)
+            sel.add(s + max(j for j in range(w) if win[j] == mv))
+        return {h[p] for p in sel}, len(h)
+
+    fps = {}
+    for did, text in docs.items():
+        if len(text.encode()) >= k + w - 1:
+            vals, m = select(text)
+            fps[did] = vals
+            assert got.loc[did, "n_grams"] == m
+            assert got.loc[did, "n_selected"] == len(vals)
+            assert got.loc[did, "fp_min"] == min(vals)
+            assert got.loc[did, "fp_sum"] == sum(vals)
+    assert got.loc[4, "n_selected"] == 0
+    assert got.loc[4, "fp_min"] == -1 and got.loc[4, "fp_sum"] == 0
+    # guarantee: the shared 44-byte substring forces a common
+    # fingerprint between docs 1 and 2; doc 3 stays disjoint
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+
+
 def test_bm25_topk_naive_reference(ray_session, tmp_path):
     """BM25 vs a driver recompute of the integer contract on a small
     corpus, plus the two signature BM25 behaviors: more matching
