@@ -1395,6 +1395,12 @@ def q_gopher_rules(sf_dir: str):
     return _t.gopher_rules(ds)
 
 
+def q_rendezvous(sf_dir: str):
+    """Rendezvous/HRW consistent shard assignment: per-shard doc
+    counts + id checksum (minimal-disruption sharding)."""
+    return _rel_mod.rendezvous_shards(sf_dir)
+
+
 def q_winnow(sf_dir: str):
     """Winnowing fingerprints (SIGMOD '03 local selection): per-doc
     selected-set stats over k-byte-gram rolling hashes."""
@@ -2286,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "bm25_topk": q_bm25_topk,
         "winnow_fp": q_winnow,
+        "rendezvous_shards": q_rendezvous,
         "geohash": q_geohash,
         "cell_markov": q_cell_markov,
         "emb_quantize": q_emb_quantize,
@@ -3353,6 +3360,25 @@ SELECT doc_id, score_milli,
        ROW_NUMBER() OVER (ORDER BY score_milli DESC, doc_id) AS rk
 FROM sc ORDER BY score_milli DESC, doc_id
 LIMIT {_textops.SEARCH_TOPK}""",
+        # Rendezvous/HRW sharding: literal per-shard universal-hash
+        # coefficients (the _hrw_coeffs fixed-seed convention), argmax
+        # with ties to the lowest shard id
+        "rendezvous_shards": f"""
+WITH sh AS (SELECT unnest({list(range(_rel_mod.HRW_SHARDS))}) AS s,
+                   unnest({[int(v) for v in _rel_mod.HRW_A]}) AS a,
+                   unnest({[int(v) for v in _rel_mod.HRW_B]}) AS b),
+sc AS (SELECT d.doc_id, sh.s,
+              (sh.a * (d.doc_id % {_rel_mod.HRW_MOD}) + sh.b)
+                % {_rel_mod.HRW_MOD} AS h
+       FROM documents d CROSS JOIN sh),
+pick AS (SELECT doc_id, s FROM (
+           SELECT doc_id, s,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY h DESC, s) AS rn
+           FROM sc) WHERE rn = 1)
+SELECT CAST(s AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM pick GROUP BY s""",
         # Winnowing (SIGMOD '03): k-gram rolling hash with LITERAL
         # power constants (tiny k — no recursive CTE needed), per-
         # window rightmost-min selection via a w-row range join on the

@@ -1109,6 +1109,62 @@ def hash_sample(sf_dir: str, pct: int = 10):
                           zero_copy_batch=True)
 
 
+HRW_SHARDS = 16            # rendezvous shard count (oracle contract)
+HRW_MOD = (1 << 31) - 1    # Mersenne-31 universal-hash field
+
+
+def _hrw_coeffs(n_shards: int, seed: int = 20250820):
+    """Fixed-seed per-shard universal-hash coefficients (the dedup
+    _rng_coeffs convention — literals embedded into the SQL oracle)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, HRW_MOD, n_shards, dtype=np.int64)
+    b = rng.integers(0, HRW_MOD, n_shards, dtype=np.int64)
+    return a, b
+
+
+HRW_A, HRW_B = _hrw_coeffs(HRW_SHARDS)
+
+
+def rendezvous_shards(sf_dir: str, n_shards: int = HRW_SHARDS):
+    """Rendezvous / highest-random-weight shard assignment (Thaler &
+    Ravishankar '98 — the consistent-sharding scheme behind resumable
+    partitioned output): each document goes to the shard maximizing
+    ``h_s(doc) = (A_s * (doc_id % M) + B_s) % M`` (Mersenne-31
+    universal hashes, ties to the lowest shard id).  Removing a shard
+    moves ONLY that shard's documents (the HRW minimal-disruption
+    property — pinned by a pytest), which is exactly what a 100 TB
+    partitioned writer wants when a shard range must be rebuilt.
+
+    Output: per-shard (shard, n_docs, id_sum) — counts plus an id
+    checksum, one tiny groupby after a batch-local argmax; the
+    (docs x shards) score matrix never leaves the task."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    a, b = (HRW_A, HRW_B) if n_shards == HRW_SHARDS \
+        else _hrw_coeffs(n_shards)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy() % HRW_MOD
+        # (n, S) scores; argmax picks the FIRST max = lowest shard id
+        sc = (d[:, None] * a[None, :] + b[None, :]) % HRW_MOD
+        sh = np.argmax(sc, axis=1).astype(np.int64)
+        t = pa.table({"shard": pa.array(sh),
+                      "doc_id": batch["doc_id"]})
+        g = t.group_by("shard").aggregate([([], "count_all"),
+                                           ("doc_id", "sum")])
+        return pa.table({"shard": g["shard"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "s": pc.cast(g["doc_id_sum"], pa.int64())})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
+        .map_batches(assign, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .groupby("shard").aggregate(Sum("n", alias_name="n_docs"),
+                                    Sum("s", alias_name="id_sum"))
+
+
 PRI_HMOD = 1_000_000_007   # uniform grid for the pseudo-random u
 PRI_HMULT = 2_654_435_761  # (id % MOD) * MULT stays < 2^63
 PRI_HADD = 1_013_904_223

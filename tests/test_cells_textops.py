@@ -824,6 +824,41 @@ def test_cms_heavy_overestimates_and_golden(ray_session):
     assert cms_heavy(empty).count() == 0
 
 
+def test_rendezvous_minimal_disruption(ray_session, sf_dir):
+    """HRW's defining property: dropping the highest shard reassigns
+    ONLY the documents that were on it — every other document keeps
+    its shard.  Also pins the assignment against a driver recompute
+    and that the counts cover all docs reasonably evenly."""
+    import pyarrow.parquet as pq_
+
+    from geo_inference_ray.relational import (HRW_MOD, HRW_SHARDS,
+                                              _hrw_coeffs,
+                                              rendezvous_shards)
+
+    out = rendezvous_shards(sf_dir).to_pandas().set_index("shard")
+    ids = pq_.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_numpy()
+    a, b = _hrw_coeffs(HRW_SHARDS)
+    sc = (ids[:, None] % HRW_MOD * a[None, :] + b[None, :]) % HRW_MOD
+    sh = np.argmax(sc, axis=1)
+    for s in range(HRW_SHARDS):
+        m = sh == s
+        if not m.any():
+            assert s not in out.index
+            continue
+        assert out.loc[s, "n_docs"] == int(m.sum())
+        assert out.loc[s, "id_sum"] == int(ids[m].sum())
+    assert out["n_docs"].sum() == len(ids)
+    # even-ish spread (universal hashes): no shard above 3x fair share
+    assert out["n_docs"].max() <= 3 * len(ids) / HRW_SHARDS
+    # minimal disruption: drop the last shard -> recompute argmax over
+    # the remaining coefficients; only ex-last-shard docs move
+    sh_small = np.argmax(sc[:, :-1], axis=1)
+    moved = sh != sh_small
+    assert (sh[moved] == HRW_SHARDS - 1).all()
+    assert (sh_small[~moved] == sh[~moved]).all()
+
+
 def test_weighted_sample_matches_bruteforce(ray_session, sf_dir):
     import numpy as np
     import pandas as pd
